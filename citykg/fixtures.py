@@ -1,0 +1,285 @@
+"""Deterministic interleaved-document synthesis + matching DuckDB oracles.
+
+The driver's testdata has a flat `documents` table (doc_id bigint, text,
+lang, source, n_chars). This module derives the BASELINE.json `input_hint`
+shape — (doc_id string, spans array<struct<kind,text,media_ref,offset>>) —
+from it with PURE integer/string arithmetic on the bigint doc_id, expressed
+in a SQL dialect subset shared by Spark SQL and DuckDB. The same expression
+table renders both:
+
+* the Spark-side span synthesis (`synth_docs`), and
+* the DuckDB oracle SQL for extracted triples (`triples_oracle_sql`),
+
+so the driver's row-hash comparison checks the REAL pipeline (posexplode ->
+str_to_map -> template join) against an independent SQL derivation.
+
+Every doc gets 6 spans at fixed offsets (kinds below); values vary by
+doc_id modulus. 50% of docs mention the mega-entity "City 0" — the skew
+case the north_rule requires salting for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .vocab import CLASS_ID, BASE_URL_LITERALS, DEFAULT_BASE, KIND_EMISSIONS
+
+# span layout: (span_idx, kind, media_ref)
+SPAN_LAYOUT = [
+    (0, "building", ""),
+    (1, "address", ""),
+    (2, "surface_geometry", "POLYGON-3-15"),
+    (3, "generic_attribute", ""),
+    (4, "external_reference", ""),
+    (5, "media", ""),
+]
+
+LAST_MOD = "2026-01-01T00:00Z"  # deterministic stand-in for the reference's
+# `now` lastModificationDate (DBCityObject.java:412) — determinism is what
+# makes resume idempotent
+
+
+def _s(x: str, dialect: str) -> str:
+    """Dialect-portable int->string cast."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"CAST({x} AS {t})"
+
+
+def _lp(x: str, n: int, dialect: str) -> str:
+    return f"lpad({_s(x, dialect)}, {n}, '0')"
+
+
+def doc_key_expr(dialect: str) -> str:
+    return f"'doc_' || {_lp('d', 8, dialect)}"
+
+
+def _envelope_lit(dialect: str) -> str:
+    """5-pt closed ring literal from integer corner arithmetic
+    (ring order per DBCityObject.java:324-331)."""
+    x0, y0, z0 = "(384000 + d % 1000)", "(5820000 + d % 2000)", "(30 + d % 10)"
+    x1, y1, z1 = f"({x0} + 9)", f"({y0} + 8)", f"({z0} + 4)"
+    pts = [
+        (x0, y0, z0),
+        (x1, y0, z0),
+        (x1, y1, z1),
+        (x0, y1, z1),
+        (x0, y0, z0),
+    ]
+    parts = []
+    for p in pts:
+        parts.extend(_s(c, dialect) for c in p)
+    return " || '#' || ".join(parts)
+
+
+def attr_exprs(dialect: str) -> dict[str, dict[str, str]]:
+    """Per-kind attribute SQL expressions over alias d (bigint doc_id) and
+    src (documents.source). Key order here IS the key=value; order in the
+    span text."""
+    lp8 = _lp("d", 8, dialect)
+    bldg = f"'BLDG_' || {lp8}"
+    dt = "(CASE WHEN d % 6 = 5 THEN 7 ELSE 1 + d % 6 END)"
+    return {
+        "building": {
+            "gmlId": bldg,
+            "name": f"'Building ' || {_s('d % 100', dialect)}",
+            "description": "src",
+            "class": _s("d % 10", dialect),
+            "function": _s("1000 + d % 7", dialect),
+            "usage": _s("2000 + d % 5", dialect),
+            "yearOfConstruction": _s("1900 + d % 120", dialect),
+            "roofType": _s("1 + d % 5", dialect),
+            "measuredHeight": f"{_s('3 + d % 50', dialect)} || '.' || {_s('d % 10', dialect)}",
+            "storeysAboveGround": _s("1 + d % 40", dialect),
+            "storeysBelowGround": _s("d % 3", dialect),
+            "creationDate": "'2014-07-08T00:00Z'",
+            "lastModificationDate": f"'{LAST_MOD}'",
+            "updatingPerson": "'citykg'",
+            "lineage": f"'doc:' || {lp8}",
+            "envelope": _envelope_lit(dialect),
+        },
+        "address": {
+            "gmlId": f"'ADDR_' || {lp8}",
+            "street": f"'Street ' || {_s('d % 97', dialect)}",
+            "houseNumber": _s("1 + d % 150", dialect),
+            "zipCode": _s("10000 + d % 90000", dialect),
+            "city": f"'City ' || {_s('CASE WHEN d % 2 = 0 THEN 0 ELSE d % 50 END', dialect)}",
+            "country": f"'Country ' || {_s('d % 10', dialect)}",
+            "addressId": f"'ADDR_' || {lp8}",
+            "buildingId": bldg,
+        },
+        "surface_geometry": {
+            "gmlId": f"'SURF_' || {lp8}",
+            "rootId": f"'SURF_' || {lp8}",
+            "isSolid": "'0'",
+            "isComposite": "'0'",
+            "isTriangulated": "'0'",
+            "isXlink": "'0'",
+            "isReverse": "'0'",
+            "cityObjectId": bldg,
+            "coords": _envelope_lit(dialect),
+        },
+        "generic_attribute": {
+            "gmlId": f"'GA_' || {lp8}",
+            "rootGenattribId": f"'GA_' || {lp8}",
+            "name": f"'attr_' || {_s('d % 20', dialect)}",
+            "dataType": _s(dt, dialect),
+            # exactly one typed value is set per dataType
+            # (DBCityObjectGenericAttrib.java:239-433 dispatch)
+            "strVal": f"CASE WHEN {dt} = 1 THEN 'val_' || {_s('d', dialect)} END",
+            "intVal": f"CASE WHEN {dt} = 2 THEN {_s('d % 1000', dialect)} END",
+            "realVal": (
+                f"CASE WHEN {dt} = 3 THEN {_s('d % 100', dialect)} || '.5' "
+                f"WHEN {dt} = 7 THEN {_s('d % 50', dialect)} || '.25' END"
+            ),
+            "uriVal": f"CASE WHEN {dt} = 4 THEN 'http://example.org/r/' || {_s('d', dialect)} END",
+            "dateVal": f"CASE WHEN {dt} = 5 THEN '19' || {_lp('d % 100', 2, dialect)} || '-01-15' END",
+            "unit": f"CASE WHEN {dt} = 7 THEN 'm' END",
+            "cityObjectId": bldg,
+        },
+        "external_reference": {
+            "gmlId": f"'ER_' || {lp8}",
+            "infoSys": f"'sys_' || {_s('d % 5', dialect)}",
+            "name": f"'ext_' || {_s('d', dialect)}",
+            "uri": f"'http://example.org/ext/' || {_s('d', dialect)}",
+            "cityObjectId": bldg,
+        },
+        "media": {
+            "gmlId": f"'IMG_' || {lp8}",
+            "imageURI": f"'img_' || {_s('d', dialect)} || '.png'",
+            "mimeType": "'image/png'",
+        },
+    }
+
+
+def span_text_expr(kind: str, dialect: str) -> str:
+    """'k=v;...' payload. CASE-valued attrs concat conditionally (a NULL
+    segment must not null the whole string)."""
+    ax = attr_exprs(dialect)[kind]
+    parts = []
+    for k, expr in ax.items():
+        if expr.startswith("CASE"):
+            parts.append(f"COALESCE(';{k}=' || ({expr}), '')")
+        else:
+            parts.append(f"';{k}=' || ({expr})")
+    joined = " || ".join(parts)
+    # strip the leading ';'
+    return f"substring({joined}, 2)"
+
+
+def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> input_hint-shaped docs DataFrame (pure SQL)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    structs = []
+    for idx, kind, media_ref in SPAN_LAYOUT:
+        # geometry spans carry the '#' literal in their coords= attribute
+        # and the datatype suffix in media_ref (FIXTURES.md §1)
+        text = span_text_expr(kind, "spark")
+        structs.append(
+            f"named_struct('kind', '{kind}', 'text', {text}, "
+            f"'media_ref', '{media_ref}', 'offset', {idx})"
+        )
+    spans = "array(" + ", ".join(structs) + ")"
+    return docs.selectExpr("doc_id AS d", "source AS src").selectExpr(
+        f"{doc_key_expr('spark')} AS doc_id", f"{spans} AS spans"
+    )
+
+
+def synth_gazetteer(spark: SparkSession, n_entities: int = 1000) -> DataFrame:
+    """Broadcast-side gazetteer (FIXTURES.md §4): 50 city entities the
+    address spans actually mention (entity 0 is the mega-entity, ~50% of
+    docs) + districts to pad the alias space."""
+    rows = []
+    for k in range(n_entities):
+        eid = f"ENT_{k:04d}"
+        if k < 50:
+            name = f"City {k}"
+            aliases = [name, name.lower(), f"C{k}", f"city-{k}"]
+            kind = "city"
+        else:
+            name = f"District {k}"
+            aliases = [name, name.lower(), f"D{k}"]
+            kind = "district"
+        rows.append((eid, name, kind, aliases, 45.0 + (k % 90) * 0.5, (k % 360) * 0.5 - 180.0))
+    return spark.createDataFrame(
+        rows, "entity_id string, canonical_name string, kind string, "
+        "aliases array<string>, lat double, lon double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generation — independent SQL derivation of the same triples
+# ---------------------------------------------------------------------------
+
+# which template binding resolves to which oracle SQL expression
+def _oracle_obj(kind: str, graph: str, binding, base: str, ax: dict[str, str], dialect: str):
+    """Returns (obj_expr, obj_is_null_literal) or None if never emitted."""
+    lp8 = _lp("d", 8, dialect)
+    subj = f"'{base}/{graph}/' || ({ax['gmlId']}) || '/'"
+    if binding is None:
+        return None
+    if binding == "@iri":
+        return subj
+    if binding == "@class":
+        cid = CLASS_ID.get(kind)
+        return f"'{cid}'" if cid is not None else None
+    if binding == "@gmlid":
+        return ax["gmlId"]
+    if binding == "@geom":
+        return f"({ax['coords']})" if "coords" in ax else None
+    if binding == "@solid_geom":
+        return None  # synth geometry spans are never solids
+    if binding == "@envelope":
+        return f"({ax['envelope']})" if "envelope" in ax else None
+    if binding.startswith("@ref/"):
+        _, refgraph, key = binding.split("/")
+        if key not in ax:
+            return None
+        return f"'{base}/{refgraph}/' || ({ax[key]}) || '/'"
+    return f"({ax[binding]})" if binding in ax else None
+
+
+def triples_oracle_sql(
+    graphs: list[str] | None = None,
+    kinds: list[str] | None = None,
+    base: str = DEFAULT_BASE,
+    dialect: str = "duckdb",
+) -> str:
+    """DuckDB SQL equivalent of extract_triples(synth_docs(...)) restricted
+    to `graphs`/`kinds`. Output columns match TRIPLE_SCHEMA."""
+    ax_all = attr_exprs(dialect)
+    span_idx = {kind: idx for idx, kind, _ in SPAN_LAYOUT}
+    selects = []
+    for kind in (kinds or [k for _, k, _ in SPAN_LAYOUT]):
+        ax = ax_all[kind]
+        pos = 0
+        for graph, template in KIND_EMISSIONS[kind]:
+            for pred, binding, obj_type in template:
+                p = pos
+                pos += 1
+                if graphs and graph not in graphs:
+                    continue
+                if graph in ("addresstobuilding",):
+                    subj = (
+                        f"'{base}/{graph}/' || md5(({doc_key_expr(dialect)}) || "
+                        f"'#{span_idx[kind]}#{graph}') || '/'"
+                    )
+                else:
+                    subj = f"'{base}/{graph}/' || ({ax['gmlId']}) || '/'"
+                obj = _oracle_obj(kind, graph, binding, base, ax, dialect)
+                if obj is None:
+                    continue
+                if binding in ("@geom", "@solid_geom"):
+                    dt = f"'{BASE_URL_LITERALS}POLYGON-3-15'"
+                elif binding == "@envelope":
+                    dt = f"'{BASE_URL_LITERALS}POLYGON-3-15'"
+                else:
+                    dt = "CAST(NULL AS VARCHAR)"
+                sel = (
+                    f"SELECT {subj} AS subj, 'ocgml:{pred}' AS pred, {obj} AS obj, "
+                    f"'{obj_type}' AS obj_type, {dt} AS datatype, '{graph}' AS graph, "
+                    f"({doc_key_expr(dialect)}) AS doc_id, {span_idx[kind]} AS span_idx, "
+                    f"{p} AS pos FROM base WHERE ({obj}) IS NOT NULL"
+                )
+                selects.append(sel)
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS (SELECT doc_id AS d, source AS src FROM documents)\n{body}"

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Settings chosen for scale-out (the same knobs matter on a 1000-executor
+cluster reading 100 TB; values here are sized for local[N] testing):
+
+* AQE on (runtime coalescing + skew-join splitting) — the linking and
+  connected-components self-joins are the skew hot spots
+  (BASELINE.json north_rule: "skew handled explicitly").
+* shuffle.partitions modest locally; on a real cluster this is set to
+  ~2-3x total cores or left to AQE's coalescing.
+* Arrow enabled for the few pandas-UDF paths (geometry tree walks,
+  simhash bit-fold) — everything else stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "citykg",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("CITYKG_MASTER", "local[*]")
+    cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cores:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        # local mode: match parallelism; cluster: caller/AQE decides
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = 32 if n in ("*", "") else max(int(n), 4)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("CITYKG_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        # permissive SQL semantics: str_to_map duplicate keys keep last;
+        # no ANSI cast errors on dirty web-scale text
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,513 @@
+"""OntoCityGML predicate vocabulary + per-entity ordered triple templates.
+
+This is the data-driven replacement for the reference's 20 ``DB*`` importer
+classes (SURVEY.md §2.2). Each entity kind maps to one or more named graphs,
+and each graph carries a FIXED, ORDERED predicate sequence. The orders below
+are mirrored 1:1 from the reference's golden SPARQL-template unit tests
+(e.g. DBBuildingTest.java:11-24, DBCityObjectTest.java, DBSurfaceGeometryTest
+.java — /root/reference/impexp-core/src/test/java/org/citydb/citygml/importer/
+database/content/) and locked by tests/test_vocab.py.
+
+Field-binding mini-language (resolved JVM-side in extract.py — each binding
+becomes a Catalyst CASE/element_at expression, never per-row Python):
+
+* ``@iri``          subject IRI itself (ocgml:id always repeats the subject,
+                    DBCityObject.java:248-251 setURL twice)
+* ``@class``        the kind's objectClassId constant
+* ``@gmlid``        the mention's gmlId
+* ``@geom``         span text is the '#'-literal; datatype from media_ref
+* ``@envelope``     attrs['envelope'] 5-pt-ring literal, POLYGON-3-15
+* ``@ref/<graph>/<key>``  attrs[key] is a gmlId -> expand to IRI in <graph>
+* ``<key>``         plain literal from attrs[key]
+* ``None``          never populated in our feature model (kept to preserve
+                    template positions; emits nothing — the reference emits
+                    a blank node, which the P/R comparison excludes,
+                    CityGMLImportManager setBlankNode / FIXTURES.md §2)
+"""
+
+from __future__ import annotations
+
+# Ontology prefix: the agents' schema IRI (CityImportAgent.java:101); the
+# impexp golden tests use the same IRI without '#' — we follow the agents
+# (FIXTURES.md §3).
+PREFIX_ONTOCITYGML = (
+    "http://www.theworldavatar.com/ontology/ontocitygml/citieskg/OntoCityGML.owl#"
+)
+OCGML = PREFIX_ONTOCITYGML  # CURIE expansion base for ocgml:
+
+# default IRI base (reference golden tests use
+# http://127.0.0.1:9999/blazegraph/namespace/berlin/sparql — ours is
+# configurable; canonicalization re-homes it, NquadsExporterTask.java:167-196)
+DEFAULT_BASE = "http://127.0.0.1:9999/blazegraph/namespace/berlin/sparql"
+
+# geometry literal datatype base (GeometryConverterAdapter.java:26)
+BASE_URL_LITERALS = "http://localhost/blazegraph/literals/"
+
+# named graphs (SchemaManagerAdapter.java:168-181 + other importers/agents)
+GRAPHS = [
+    "cityobject",
+    "cityobjectgenericattrib",
+    "externalreference",
+    "building",
+    "address",
+    "addresstobuilding",
+    "surfacegeometry",
+    "thematicsurface",
+    "buildinginstallation",
+    "room",
+    "opening",
+    "openingtothemsurface",
+    "cityfurniture",
+    "buildingfurniture",
+    "genericcityobject",
+    "appearance",
+    "appeartosurfacedata",
+    "surfacedata",
+    "teximage",
+    "textureparam",
+    "databasesrs",
+    "distance",
+    "ontoinfer",
+]
+
+# objectClassId constants (3DCityDB object class registry; whitelist used by
+# StatementTransformer.java:201-219)
+CLASS_ID = {
+    "building": 26,
+    "building_part": 25,
+    "room": 41,
+    "building_installation": 27,
+    "thematic_surface": 35,  # wall/roof/ground 34/33/35; attr overrides
+    "opening": 38,  # window 38 / door 39; attr overrides
+    "city_furniture": 21,
+    "generic_city_object": 5,
+    "building_furniture": 40,
+    "surface_data": 53,
+}
+
+# ---------------------------------------------------------------------------
+# ordered predicate templates, one list per graph: (pred, binding, obj_type)
+# obj_type: 'iri' | 'literal'  (obj_type of emitted object when non-null)
+# ---------------------------------------------------------------------------
+
+# P1 DBCityObject.java:160-185 (golden: DBCityObjectTest.java)
+T_CITYOBJECT = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("gmlId", "@gmlid", "literal"),
+    ("name", "name", "literal"),
+    ("nameCodespace", "nameCodespace", "literal"),
+    ("description", "description", "literal"),
+    ("EnvelopeType", "@envelope", "literal"),
+    ("creationDate", "creationDate", "literal"),
+    ("terminationDate", "terminationDate", "literal"),
+    ("relativeToTerrain", "relativeToTerrain", "literal"),
+    ("relativeToWater", "relativeToWater", "literal"),
+    ("lastModificationDate", "lastModificationDate", "literal"),
+    ("updatingPerson", "updatingPerson", "literal"),
+    ("reasonForUpdate", "reasonForUpdate", "literal"),
+    ("lineage", "lineage", "literal"),
+]
+
+# P2 DBBuilding.java:116-160 (golden: DBBuildingTest.java:11-24; note the
+# reference's 'measuredHeigh' typo is load-bearing)
+T_BUILDING = [
+    ("id", "@iri", "iri"),
+    ("buildingParentId", "@ref/building/parentId", "iri"),
+    ("buildingRootId", "@ref/building/rootId", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("yearOfConstruction", "yearOfConstruction", "literal"),
+    ("yearOfDemolition", "yearOfDemolition", "literal"),
+    ("roofType", "roofType", "literal"),
+    ("roofTypeCodespace", "roofTypeCodespace", "literal"),
+    ("measuredHeigh", "measuredHeight", "literal"),
+    ("measuredHeightUnit", "measuredHeightUnit", "literal"),
+    ("storeysAboveGround", "storeysAboveGround", "literal"),
+    ("storeysBelowGround", "storeysBelowGround", "literal"),
+    ("storeyHeightsAboveGround", "storeyHeightsAboveGround", "literal"),
+    ("storeyHeightsAgUnit", "storeyHeightsAgUnit", "literal"),
+    ("storeyHeightsBelowGround", "storeyHeightsBelowGround", "literal"),
+    ("storeyHeightsBgUnit", "storeyHeightsBgUnit", "literal"),
+    ("lod1TerrainIntersection", None, "literal"),
+    ("lod2TerrainIntersection", None, "literal"),
+    ("lod3TerrainIntersection", None, "literal"),
+    ("lod4TerrainIntersection", None, "literal"),
+    ("lod2MultiCurve", None, "literal"),
+    ("lod3MultiCurve", None, "literal"),
+    ("lod4MultiCurve", None, "literal"),
+    ("lod0FootprintId", "@ref/surfacegeometry/lod0FootprintId", "iri"),
+    ("lod0RoofprintId", "@ref/surfacegeometry/lod0RoofprintId", "iri"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("lod1SolidId", "@ref/surfacegeometry/lod1SolidId", "iri"),
+    ("lod2SolidId", "@ref/surfacegeometry/lod2SolidId", "iri"),
+    ("lod3SolidId", "@ref/surfacegeometry/lod3SolidId", "iri"),
+    ("lod4SolidId", "@ref/surfacegeometry/lod4SolidId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# P3 DBSurfaceGeometry.java:171-190 (golden: DBSurfaceGeometryTest.java)
+T_SURFACE_GEOMETRY = [
+    ("id", "@iri", "iri"),
+    ("gmlId", "@gmlid", "literal"),
+    ("parentId", "@ref/surfacegeometry/parentId", "iri"),
+    ("rootId", "@ref/surfacegeometry/rootId", "iri"),
+    ("isSolid", "isSolid", "literal"),
+    ("isComposite", "isComposite", "literal"),
+    ("isTriangulated", "isTriangulated", "literal"),
+    ("isXlink", "isXlink", "literal"),
+    ("isReverse", "isReverse", "literal"),
+    ("GeometryType", "@geom", "literal"),
+    ("SolidType", "@solid_geom", "literal"),
+    ("ImplicitGeometryType", None, "literal"),
+    ("cityObjectId", "@ref/cityobject/cityObjectId", "iri"),
+]
+
+# P4 DBThematicSurface.java:76 (golden: DBThematicSurfaceTest.java)
+T_THEMATIC_SURFACE = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("buildingId", "@ref/building/buildingId", "iri"),
+    ("roomId", "@ref/room/roomId", "iri"),
+    ("buildingInstallationId", "@ref/buildinginstallation/buildingInstallationId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+]
+
+# P5 DBAddress.java:107 (golden: DBAddressTest.java)
+T_ADDRESS = [
+    ("id", "@iri", "iri"),
+    ("gmlId", "@gmlid", "literal"),
+    ("street", "street", "literal"),
+    ("houseNumber", "houseNumber", "literal"),
+    ("poBox", "poBox", "literal"),
+    ("zipCode", "zipCode", "literal"),
+    ("city", "city", "literal"),
+    ("country", "country", "literal"),
+    ("multiPoint", None, "literal"),
+    ("xalSource", "xalSource", "literal"),
+]
+
+# P6 DBAddressToBuilding.java:64 (golden: DBAddressToBuildingTest.java;
+# subject is a fresh uuid IRI, DBAddressToBuilding.java:84 — ours is a
+# deterministic uuid5 of (doc_id, span_idx) for resumability)
+T_ADDRESS_TO_BUILDING = [
+    ("buildingId", "@ref/building/buildingId", "iri"),
+    ("addressId", "@ref/address/addressId", "iri"),
+]
+
+# P7 DBBuildingInstallation.java:97 (golden: DBbuildingInstallationTest.java)
+T_BUILDING_INSTALLATION = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("buildingId", "@ref/building/buildingId", "iri"),
+    ("roomId", "@ref/room/roomId", "iri"),
+    ("lod2BrepId", "@ref/surfacegeometry/lod2BrepId", "iri"),
+    ("lod3BrepId", "@ref/surfacegeometry/lod3BrepId", "iri"),
+    ("lod4BrepId", "@ref/surfacegeometry/lod4BrepId", "iri"),
+    ("lod2OtherGeom", None, "literal"),
+    ("lod3OtherGeom", None, "literal"),
+    ("lod4OtherGeom", None, "literal"),
+    ("lod2ImplicitRepId", None, "iri"),
+    ("lod3ImplicitRepId", None, "iri"),
+    ("lod4ImplicitRepId", None, "iri"),
+    ("lod2ImplicitRefPoint", None, "literal"),
+    ("lod3ImplicitRefPoint", None, "literal"),
+    ("lod4ImplicitRefPoint", None, "literal"),
+    ("lod2ImplicitTransformation", None, "literal"),
+    ("lod3ImplicitTransformation", None, "literal"),
+    ("lod4ImplicitTransformation", None, "literal"),
+]
+
+# P8 DBRoom.java:99 (golden: DBRoomTest.java)
+T_ROOM = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("buildingId", "@ref/building/buildingId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("lod4SolidId", "@ref/surfacegeometry/lod4SolidId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# P9 DBBuildingFurniture.java:100 (golden: DBBuildingFurnitureTest.java)
+T_BUILDING_FURNITURE = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("roomId", "@ref/room/roomId", "iri"),
+    ("lod4BrepId", "@ref/surfacegeometry/lod4BrepId", "iri"),
+    ("lod4OtherGeom", None, "literal"),
+    ("lod4ImplicitRepId", None, "iri"),
+    ("lod4ImplicitRefPoint", None, "literal"),
+    ("lod4ImplicitTransformation", None, "literal"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# P10 DBOpening.java:99 (golden: DBOpeningTest.java)
+T_OPENING = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("addressId", "@ref/address/addressId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("lod3ImplicitRepId", None, "iri"),
+    ("lod4ImplicitRepId", None, "iri"),
+    ("lod3ImplicitRefPoint", None, "literal"),
+    ("lod4ImplicitRefPoint", None, "literal"),
+    ("lod3ImplicitTransformation", None, "literal"),
+    ("lod4ImplicitTransformation", None, "literal"),
+]
+
+# P11 DBOpeningToThemSurface.java:62 (golden: DBOpeningToThemSurfaceTest.java)
+T_OPENING_TO_THEM_SURFACE = [
+    ("openingID", "@ref/opening/openingId", "iri"),
+    ("themSurfaceID", "@ref/thematicsurface/themSurfaceId", "iri"),
+]
+
+# P12 DBCityFurniture.java:105 (golden: DBCityFurnitureTest.java)
+T_CITY_FURNITURE = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("lod1TerrainIntersection", None, "literal"),
+    ("lod2TerrainIntersection", None, "literal"),
+    ("lod3TerrainIntersection", None, "literal"),
+    ("lod4TerrainIntersection", None, "literal"),
+    ("lod1BrepId", "@ref/surfacegeometry/lod1BrepId", "iri"),
+    ("lod2BrepId", "@ref/surfacegeometry/lod2BrepId", "iri"),
+    ("lod3BrepId", "@ref/surfacegeometry/lod3BrepId", "iri"),
+    ("lod4BrepId", "@ref/surfacegeometry/lod4BrepId", "iri"),
+    ("lod1OtherGeom", None, "literal"),
+    ("lod2OtherGeom", None, "literal"),
+    ("lod3OtherGeom", None, "literal"),
+    ("lod4OtherGeom", None, "literal"),
+    ("lod1ImplicitRepId", None, "iri"),
+    ("lod2ImplicitRepId", None, "iri"),
+    ("lod3ImplicitRepId", None, "iri"),
+    ("lod4ImplicitRepId", None, "iri"),
+    ("lod1ImplicitRefPoint", None, "literal"),
+    ("lod2ImplicitRefPoint", None, "literal"),
+    ("lod3ImplicitRefPoint", None, "literal"),
+    ("lod4ImplicitRefPoint", None, "literal"),
+    ("lod1ImplicitTransformation", None, "literal"),
+    ("lod2ImplicitTransformation", None, "literal"),
+    ("lod3ImplicitTransformation", None, "literal"),
+    ("lod4ImplicitTransformation", None, "literal"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# P13 DBGenericCityObject.java:103 (golden: DBGenericCityObjectTest.java)
+T_GENERIC_CITY_OBJECT = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("lod0TerrainIntersection", None, "literal"),
+    ("lod1TerrainIntersection", None, "literal"),
+    ("lod2TerrainIntersection", None, "literal"),
+    ("lod3TerrainIntersection", None, "literal"),
+    ("lod4TerrainIntersection", None, "literal"),
+    ("lod0BrepId", "@ref/surfacegeometry/lod0BrepId", "iri"),
+    ("lod1BrepId", "@ref/surfacegeometry/lod1BrepId", "iri"),
+    ("lod2BrepId", "@ref/surfacegeometry/lod2BrepId", "iri"),
+    ("lod3BrepId", "@ref/surfacegeometry/lod3BrepId", "iri"),
+    ("lod4BrepId", "@ref/surfacegeometry/lod4BrepId", "iri"),
+    ("lod0OtherGeom", None, "literal"),
+    ("lod1OtherGeom", None, "literal"),
+    ("lod2OtherGeom", None, "literal"),
+    ("lod3OtherGeom", None, "literal"),
+    ("lod4OtherGeom", None, "literal"),
+    ("lod0ImplicitRepId", None, "iri"),
+    ("lod1ImplicitRepId", None, "iri"),
+    ("lod2ImplicitRepId", None, "iri"),
+    ("lod3ImplicitRepId", None, "iri"),
+    ("lod4ImplicitRepId", None, "iri"),
+    ("lod0ImplicitRefPoint", None, "literal"),
+    ("lod1ImplicitRefPoint", None, "literal"),
+    ("lod2ImplicitRefPoint", None, "literal"),
+    ("lod3ImplicitRefPoint", None, "literal"),
+    ("lod4ImplicitRefPoint", None, "literal"),
+    ("lod0ImplicitTransformation", None, "literal"),
+    ("lod1ImplicitTransformation", None, "literal"),
+    ("lod2ImplicitTransformation", None, "literal"),
+    ("lod3ImplicitTransformation", None, "literal"),
+    ("lod4ImplicitTransformation", None, "literal"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# P14 DBCityObjectGenericAttrib.java:121-140 — attr-set + atomic templates
+T_GENERIC_ATTRIB_SET = [
+    ("id", "@iri", "iri"),
+    ("parentGenattribId", "@ref/cityobjectgenericattrib/parentGenattribId", "iri"),
+    ("rootGenattribId", "@ref/cityobjectgenericattrib/rootGenattribId", "iri"),
+    ("attrName", "name", "literal"),
+    ("dataType", "dataType", "literal"),
+    ("genattribsetCodespace", "genattribsetCodespace", "literal"),
+    ("cityObjectId", "@ref/cityobject/cityObjectId", "iri"),
+]
+T_GENERIC_ATTRIB = [
+    ("id", "@iri", "iri"),
+    ("parentGenattribId", "@ref/cityobjectgenericattrib/parentGenattribId", "iri"),
+    ("rootGenattribId", "@ref/cityobjectgenericattrib/rootGenattribId", "iri"),
+    ("attrName", "name", "literal"),
+    ("dataType", "dataType", "literal"),
+    ("strVal", "strVal", "literal"),
+    ("intVal", "intVal", "literal"),
+    ("realVal", "realVal", "literal"),
+    ("uriVal", "uriVal", "literal"),
+    ("dateVal", "dateVal", "literal"),
+    ("unit", "unit", "literal"),
+    ("cityObjectId", "@ref/cityobject/cityObjectId", "iri"),
+]
+
+# P15 DBExternalReference.java:72 (golden: DBExternalReferenceTest.java)
+T_EXTERNAL_REFERENCE = [
+    ("id", "@iri", "iri"),
+    ("infoSys", "infoSys", "literal"),
+    ("name", "name", "literal"),
+    ("URI", "uri", "literal"),
+    ("cityObjectId", "@ref/cityobject/cityObjectId", "iri"),
+]
+
+# P16 DBAppearance.java:97 (golden: DBAppearanceTest.java)
+T_APPEARANCE = [
+    ("id", "@iri", "iri"),
+    ("gmlId", "@gmlid", "literal"),
+    ("name", "name", "literal"),
+    ("nameCodespace", "nameCodespace", "literal"),
+    ("description", "description", "literal"),
+    ("theme", "theme", "literal"),
+    ("cityModelId", None, "iri"),
+    ("cityObjectId", "@ref/cityobject/cityObjectId", "iri"),
+]
+
+# P17 DBAppearToSurfaceData.java:64 (golden: DBAppearToSurfaceDataTest.java)
+T_APPEAR_TO_SURFACE_DATA = [
+    ("surfaceDataId", "@ref/surfacedata/surfaceDataId", "iri"),
+    ("appearanceId", "@ref/appearance/appearanceId", "iri"),
+]
+
+# P18 DBSurfaceData.java:180 (golden: DBSurfaceDataTest.java, x3d variant)
+T_SURFACE_DATA = [
+    ("id", "@iri", "iri"),
+    ("gmlId", "@gmlid", "literal"),
+    ("name", "name", "literal"),
+    ("nameCodespace", "nameCodespace", "literal"),
+    ("description", "description", "literal"),
+    ("isFront", "isFront", "literal"),
+    ("objectClassId", "@class", "literal"),
+    ("x3dShininess", "x3dShininess", "literal"),
+    ("x3dTransparency", "x3dTransparency", "literal"),
+    ("x3dAmbientIntensity", "x3dAmbientIntensity", "literal"),
+    ("x3dSpecularColor", "x3dSpecularColor", "literal"),
+    ("x3dDiffuseColor", "x3dDiffuseColor", "literal"),
+    ("x3dEmissiveColor", "x3dEmissiveColor", "literal"),
+    ("x3dIsSmooth", "x3dIsSmooth", "literal"),
+]
+
+# P19 DBTexImage.java:91 (golden: DBTexImageTest.java)
+T_TEX_IMAGE = [
+    ("id", "@iri", "iri"),
+    ("texImageURI", "imageURI", "literal"),
+    ("texMimeType", "mimeType", "literal"),
+    ("texMimeTypeCodespace", "mimeTypeCodespace", "literal"),
+]
+
+# P20 DBTextureParam.java:66 (golden: DBTextureParamTest.java)
+T_TEXTURE_PARAM = [
+    ("surfaceGeometryId", "@ref/surfacegeometry/surfaceGeometryId", "iri"),
+    ("isTextureParametrization", "isTextureParametrization", "literal"),
+    ("worldToTexture", "worldToTexture", "literal"),
+    ("textureCoordinates", "textureCoordinates", "literal"),
+    ("surfaceDataId", "@ref/surfacedata/surfaceDataId", "iri"),
+]
+
+# ---------------------------------------------------------------------------
+# span-kind -> list of (graph, template, emits_cityobject_row)
+# mirrors which DB* importers fire per feature (DBBuilding.doImport calls
+# DBCityObject first — DBBuilding.java:177 — hence the cityobject row)
+# ---------------------------------------------------------------------------
+KIND_EMISSIONS: dict[str, list[tuple[str, list]]] = {
+    "building": [("cityobject", T_CITYOBJECT), ("building", T_BUILDING)],
+    "building_part": [("cityobject", T_CITYOBJECT), ("building", T_BUILDING)],
+    "surface_geometry": [("surfacegeometry", T_SURFACE_GEOMETRY)],
+    "thematic_surface": [("cityobject", T_CITYOBJECT), ("thematicsurface", T_THEMATIC_SURFACE)],
+    "room": [("cityobject", T_CITYOBJECT), ("room", T_ROOM)],
+    "building_installation": [("cityobject", T_CITYOBJECT), ("buildinginstallation", T_BUILDING_INSTALLATION)],
+    "building_furniture": [("cityobject", T_CITYOBJECT), ("buildingfurniture", T_BUILDING_FURNITURE)],
+    "opening": [("cityobject", T_CITYOBJECT), ("opening", T_OPENING)],
+    "opening_to_them_surface": [("openingtothemsurface", T_OPENING_TO_THEM_SURFACE)],
+    "address": [("address", T_ADDRESS), ("addresstobuilding", T_ADDRESS_TO_BUILDING)],
+    "street": [("address", T_ADDRESS), ("addresstobuilding", T_ADDRESS_TO_BUILDING)],
+    "city_furniture": [("cityobject", T_CITYOBJECT), ("cityfurniture", T_CITY_FURNITURE)],
+    "generic_city_object": [("cityobject", T_CITYOBJECT), ("genericcityobject", T_GENERIC_CITY_OBJECT)],
+    "generic_attribute": [("cityobjectgenericattrib", T_GENERIC_ATTRIB)],
+    "generic_attribute_set": [("cityobjectgenericattrib", T_GENERIC_ATTRIB_SET)],
+    "external_reference": [("externalreference", T_EXTERNAL_REFERENCE)],
+    "appearance": [("cityobject", T_CITYOBJECT), ("appearance", T_APPEARANCE)],
+    "appear_to_surface_data": [("appeartosurfacedata", T_APPEAR_TO_SURFACE_DATA)],
+    "surface_data": [("surfacedata", T_SURFACE_DATA)],
+    "media": [("teximage", T_TEX_IMAGE)],
+    "texture_param": [("textureparam", T_TEXTURE_PARAM)],
+}
+
+# kinds whose subject lives in a graph other than the first emission graph
+# (features get their IRI minted in their feature graph; the cityobject row
+# reuses that same IRI — DBCityObject.java:248 `iriGraphObject + id + "/"`
+# uses the *cityobject* graph for the cityobject row. The reference mints a
+# DIFFERENT IRI per graph for the same feature: cityobject/<gmlId>/ and
+# building/<gmlId>/ are distinct subjects.)
+SUBJECT_GRAPH_IS_EMISSION_GRAPH = True
+
+
+def template_rows() -> list[tuple]:
+    """Flatten KIND_EMISSIONS into broadcastable template rows.
+
+    Returns rows (kind, graph, pos, pred, binding, obj_type) with `pos`
+    globally ordered per kind across its emission graphs, so sorting by
+    (doc_id, span_idx, pos) reproduces the reference emission order
+    (cityobject row first, then feature row — DBBuilding.java:177,421).
+    """
+    rows = []
+    for kind, emissions in KIND_EMISSIONS.items():
+        pos = 0
+        for graph, template in emissions:
+            for pred, binding, obj_type in template:
+                rows.append((kind, graph, pos, pred, binding, obj_type))
+                pos += 1
+    return rows
+
+
+def iri(base: str, graph: str, gml_id: str) -> str:
+    """Subject IRI layout: <base>/<graph>/<gmlId>/ (DBCityObject.java:248)."""
+    return f"{base}/{graph}/{gml_id}/"
