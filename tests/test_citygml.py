@@ -1,0 +1,207 @@
+"""P/R >= 0.95 vs independently-derived golden triples from the reference's
+own CityGML fixtures (BASELINE.md correctness metric).
+
+The golden sets below are derived straight from the fixture XML with a
+separate, purpose-written walk (NOT citykg.citygml), following the
+reference importer's documented semantics:
+
+* subject IRIs  <base>/<graph>/<gmlId>/        (DBCityObject.java:248)
+* envelope      5-pt ring of corner tokens      (DBCityObject.java:324-331)
+* geometry      posList tokens '#'-joined       (GeometryConverterAdapter:256-288)
+* dates         'YYYY-MM-DD' -> 'YYYY-MM-DDT00:00Z' (DBCityObject.java:343-355)
+* genattrib     tag -> dataType {string:1,int:2,double:3} (DBCityObjectGenericAttrib:239+)
+
+lastModificationDate is wall-clock in the reference (DBCityObject.java:412)
+-> compared on (subj, pred) presence only (FIXTURES.md §2 decision).
+"""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from citykg.citygml import parse_citygml
+from citykg.extract import extract_triples
+from citykg.schema import DOC_SCHEMA
+from citykg.vocab import DEFAULT_BASE as B
+
+TEST_GML = "/root/reference/agents/src/test/resources/test.gml"
+POTSDAM = "/root/reference/resources/samples/Potsdam/CityGML/Potsdam_LoD1/Potsdam_LoD1.gml"
+
+PRESENCE_ONLY = {"ocgml:lastModificationDate"}
+
+# predicates modeled by the golden derivation — the comparison scope
+SCOPE = {
+    "cityobject": {
+        "ocgml:id", "ocgml:gmlId", "ocgml:objectClassId", "ocgml:name",
+        "ocgml:EnvelopeType", "ocgml:creationDate", "ocgml:lastModificationDate",
+    },
+    "building": {
+        "ocgml:id", "ocgml:buildingRootId", "ocgml:objectClassId",
+        "ocgml:function", "ocgml:measuredHeigh", "ocgml:measuredHeightUnit",
+        "ocgml:storeysAboveGround", "ocgml:lod1SolidId",
+    },
+    "surfacegeometry": {
+        "ocgml:id", "ocgml:gmlId", "ocgml:GeometryType", "ocgml:parentId",
+        "ocgml:rootId", "ocgml:cityObjectId", "ocgml:isSolid", "ocgml:isComposite",
+    },
+    "cityobjectgenericattrib": {
+        "ocgml:attrName", "ocgml:dataType", "ocgml:strVal", "ocgml:intVal",
+        "ocgml:realVal", "ocgml:cityObjectId",
+    },
+}
+
+
+def _ln(t):
+    return t.rsplit("}", 1)[-1]
+
+
+def _gid(el):
+    for k, v in el.attrib.items():
+        if _ln(k) == "id":
+            return v
+    return None
+
+
+def _golden(path):
+    """Independent golden derivation (fixture-shape-specific walk)."""
+    root = ET.fromstring(open(path).read())
+    triples = set()
+
+    def add(graph, subj_gid, pred, obj):
+        triples.add((graph, f"{B}/{graph}/{subj_gid}/", f"ocgml:{pred}", obj))
+
+    for member in root:
+        if _ln(member.tag) != "cityObjectMember":
+            continue
+        for bldg in member:
+            if _ln(bldg.tag) != "Building":
+                continue
+            gid = _gid(bldg)
+            add("cityobject", gid, "id", f"{B}/cityobject/{gid}/")
+            add("cityobject", gid, "gmlId", gid)
+            add("cityobject", gid, "objectClassId", "26")
+            add("cityobject", gid, "lastModificationDate", "<ANY>")
+            add("building", gid, "id", f"{B}/building/{gid}/")
+            add("building", gid, "buildingRootId", f"{B}/building/{gid}/")
+            add("building", gid, "objectClassId", "26")
+
+            # multi-valued function joins with the reference delimiter
+            # (CoreConstants.DEFAULT_DELIMITER '--/\--')
+            fns = [c.text.strip() for c in bldg if _ln(c.tag) == "function" and c.text]
+            if fns:
+                add("building", gid, "function", "--/\\--".join(fns))
+
+            for child in bldg:
+                ln = _ln(child.tag)
+                if ln == "name" and child.text:
+                    add("cityobject", gid, "name", child.text.strip())
+                elif ln == "creationDate" and child.text:
+                    add("cityobject", gid, "creationDate", child.text.strip() + "T00:00Z")
+                elif ln == "boundedBy":
+                    env = child.find(".//{*}Envelope")
+                    if env is None:
+                        continue
+                    lo = env.find("{*}lowerCorner").text.split()
+                    hi = env.find("{*}upperCorner").text.split()
+                    ring = [
+                        lo[0], lo[1], lo[2], hi[0], lo[1], lo[2], hi[0], hi[1],
+                        hi[2], lo[0], hi[1], hi[2], lo[0], lo[1], lo[2],
+                    ]
+                    add("cityobject", gid, "EnvelopeType", "#".join(ring))
+                elif ln == "measuredHeight" and child.text:
+                    add("building", gid, "measuredHeigh", child.text.strip())
+                    if child.attrib.get("uom"):
+                        add("building", gid, "measuredHeightUnit", child.attrib["uom"])
+                elif ln == "storeysAboveGround" and child.text:
+                    add("building", gid, "storeysAboveGround", child.text.strip())
+                elif ln.endswith("Attribute"):
+                    aname = child.attrib.get("name", "")
+                    aid = f"{gid}_ga_{aname}"
+                    code, vkey = {
+                        "stringAttribute": ("1", "strVal"),
+                        "intAttribute": ("2", "intVal"),
+                        "doubleAttribute": ("3", "realVal"),
+                    }[ln]
+                    val = child.find("{*}value").text.strip()
+                    add("cityobjectgenericattrib", aid, "attrName", aname)
+                    add("cityobjectgenericattrib", aid, "dataType", code)
+                    add("cityobjectgenericattrib", aid, vkey, val)
+                    add("cityobjectgenericattrib", aid, "cityObjectId", f"{B}/cityobject/{gid}/")
+                elif ln == "lod1Solid":
+                    solid = child.find("{*}Solid")
+                    sid = _gid(solid)
+                    add("building", gid, "lod1SolidId", f"{B}/surfacegeometry/{sid}/")
+                    sg = lambda s, p, o: add("surfacegeometry", s, p, o)  # noqa: E731
+                    sg(sid, "id", f"{B}/surfacegeometry/{sid}/")
+                    sg(sid, "gmlId", sid)
+                    sg(sid, "rootId", f"{B}/surfacegeometry/{sid}/")
+                    sg(sid, "isSolid", "1")
+                    sg(sid, "isComposite", "0")
+                    sg(sid, "cityObjectId", f"{B}/cityobject/{gid}/")
+                    comp = solid.find("{*}exterior/{*}CompositeSurface")
+                    cid = _gid(comp)
+                    sg(cid, "id", f"{B}/surfacegeometry/{cid}/")
+                    sg(cid, "gmlId", cid)
+                    sg(cid, "parentId", f"{B}/surfacegeometry/{sid}/")
+                    sg(cid, "rootId", f"{B}/surfacegeometry/{sid}/")
+                    sg(cid, "isSolid", "0")
+                    sg(cid, "isComposite", "1")
+                    sg(cid, "cityObjectId", f"{B}/cityobject/{gid}/")
+                    for sm in comp.findall("{*}surfaceMember"):
+                        poly = sm.find("{*}Polygon")
+                        pid = _gid(poly)
+                        toks = poly.find(".//{*}posList").text.split()
+                        sg(pid, "id", f"{B}/surfacegeometry/{pid}/")
+                        sg(pid, "gmlId", pid)
+                        sg(pid, "parentId", f"{B}/surfacegeometry/{cid}/")
+                        sg(pid, "rootId", f"{B}/surfacegeometry/{sid}/")
+                        sg(pid, "isSolid", "0")
+                        sg(pid, "isComposite", "0")
+                        sg(pid, "GeometryType", "#".join(toks))
+                        sg(pid, "cityObjectId", f"{B}/cityobject/{gid}/")
+    return triples
+
+
+def _emitted(spark, path):
+    docs_rows = parse_citygml(open(path).read())
+    docs = spark.createDataFrame(docs_rows, DOC_SCHEMA)
+    out = extract_triples(spark, docs).collect()
+    return {(r.graph, r.subj, r.pred, r.obj) for r in out}
+
+
+def _pr(emitted, golden):
+    scope_preds = {p for preds in SCOPE.values() for p in preds}
+
+    def norm(s):
+        return {
+            (g, subj, p, "<ANY>" if p in PRESENCE_ONLY else o)
+            for (g, subj, p, o) in s
+            if p in SCOPE.get(g, set()) and p in scope_preds
+        }
+
+    e, g = norm(emitted), norm(golden)
+    tp = len(e & g)
+    return tp / len(e) if e else 0.0, tp / len(g) if g else 0.0, e, g
+
+
+@pytest.mark.parametrize("path", [TEST_GML, POTSDAM], ids=["test_minimal", "potsdam_lod1"])
+def test_precision_recall_vs_reference_fixture(spark, path):
+    emitted = _emitted(spark, path)
+    golden = _golden(path)
+    p, r, e, g = _pr(emitted, golden)
+    assert p >= 0.95, f"precision {p:.4f}; sample miss: {sorted(e - g)[:5]}"
+    assert r >= 0.95, f"recall {r:.4f}; sample miss: {sorted(g - e)[:5]}"
+    # these fixtures should actually be exact
+    assert p == 1.0 and r == 1.0
+
+
+def test_potsdam_counts(spark):
+    emitted = _emitted(spark, POTSDAM)
+    subjects = {
+        g: len({s for gg, s, _, _ in emitted if gg == g})
+        for g in ("cityobject", "building", "surfacegeometry", "cityobjectgenericattrib")
+    }
+    assert subjects["building"] == 97
+    assert subjects["cityobject"] == 97
+    assert subjects["surfacegeometry"] == 1741  # 1547 polygons + 194 containers
+    assert subjects["cityobjectgenericattrib"] == 1198
