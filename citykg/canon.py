@@ -1,0 +1,133 @@
+"""Stage 3 — canonicalization: duplicate-entity resolution + IRI re-homing.
+
+The reference's identity model is exact IRI equality across chunks
+(SequenceHelper.java:42-80 — numeric ids restart per connection precisely
+because gmlId-derived IRIs carry identity) plus a regex re-homing of every
+base IRI at export (NquadsExporterTask.java:167-196). At web scale the same
+semantics become:
+
+* `same_as_edges`  — mentions that linked to the same entity, or share a
+  gmlId, are duplicates. Edges are emitted as a STAR (every member ->
+  group minimum), never a clique: a mega-entity appearing in 10^8 docs
+  yields 10^8 star edges instead of 10^16 clique pairs. That plus a salted
+  two-phase min-agg is the explicit skew handling the north_rule demands.
+* `connected_components` — iterative min-label propagation over DataFrame
+  self-joins (the large-star/small-star family); lineage cut with
+  localCheckpoint every iteration, AQE skew-join on as backstop.
+* `canonicalize_triples` — rewrite subj/obj IRIs of duplicate entities to
+  the canonical (component-min) IRI.
+* `rehome_iris` — regexp_replace base swap (L6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def same_as_edges(groups: DataFrame, key: str, member: str, salt: int = 16) -> DataFrame:
+    """(group key, member id) -> star edges (member -> group min member).
+
+    Two-phase salted min: per-(key, salt-bucket) partial min, then final
+    min per key — the heavy groupBy never sees a single hot reducer even
+    when one key holds most rows. Output: (src, dst) with src != dst.
+    """
+    salted = groups.withColumn("_salt", F.pmod(F.xxhash64(member), F.lit(salt)))
+    partial = salted.groupBy(key, "_salt").agg(F.min(member).alias("_pmin"))
+    hubs = partial.groupBy(key).agg(F.min("_pmin").alias("_hub"))
+    return (
+        groups.join(hubs, key)
+        .where(F.col(member) != F.col("_hub"))
+        .select(F.col(member).alias("src"), F.col("_hub").alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    edges: (src, dst) string ids. Returns (id, component) with component =
+    min id in the component. Converges in O(log diameter) rounds for star
+    inputs (hub compression); each round is one shuffle join + one
+    min-aggregate (map-side combinable, skew-safe).
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id"))
+
+    for i in range(max_iter):
+        # neighbor's current label, propagated over every edge
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "dst")
+                     .withColumnRenamed("component", "n_comp"), "dst")
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("n_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("component", "new_comp")
+            .join(labels, "id")
+            .where(F.col("new_comp") != F.col("component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(labels: DataFrame) -> DataFrame:
+    """(id, component) -> (id, canonical_id) dropping self-mappings."""
+    return labels.where(F.col("id") != F.col("component")).select(
+        F.col("id"), F.col("component").alias("canonical_id")
+    )
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame, broadcast: bool = True) -> DataFrame:
+    """Rewrite duplicate subject/object IRIs to their canonical IRI.
+
+    mapping: (id, canonical_id) over IRIs. Broadcast when it fits (it is
+    |duplicates|-sized, far smaller than the triple store); fall back to a
+    shuffle join on subj (bucketed by subj in materialize, so co-located).
+    """
+    m = F.broadcast(mapping) if broadcast else mapping
+    subj_m = m.withColumnRenamed("id", "subj").withColumnRenamed("canonical_id", "subj_canon")
+    obj_m = m.withColumnRenamed("id", "obj").withColumnRenamed("canonical_id", "obj_canon")
+    out = (
+        triples.join(subj_m, "subj", "left")
+        .join(obj_m, "obj", "left")
+        .withColumn("subj", F.coalesce("subj_canon", "subj"))
+        .withColumn(
+            "obj",
+            F.when(F.col("obj_type") == "iri", F.coalesce("obj_canon", "obj")).otherwise(
+                F.col("obj")
+            ),
+        )
+        .drop("subj_canon", "obj_canon")
+    )
+    return out
+
+
+def rehome_iris(triples: DataFrame, from_base: str, to_base: str) -> DataFrame:
+    """L6 IRI re-homing (NquadsExporterTask.java:167-196) as a vectorized
+    literal-prefix replace on subj + iri objects."""
+    import re as _re
+
+    pat = "^" + _re.escape(from_base)
+    return triples.withColumn("subj", F.regexp_replace("subj", pat, to_base)).withColumn(
+        "obj",
+        F.when(
+            F.col("obj_type") == "iri", F.regexp_replace("obj", pat, to_base)
+        ).otherwise(F.col("obj")),
+    )

@@ -1,0 +1,192 @@
+"""Stage 2 — entity linking: mentions -> gazetteer entities.
+
+The reference links exactly, by gmlId/IRI equality (UIDCache.lookupAndPut,
+UIDCache.java:80-100; xlink resolution joins, Importer.java:411-448). That
+exact path is `link_exact` — a broadcast hash join against the exploded
+alias table (the gazetteer is the small dimension; broadcasting it removes
+the shuffle entirely).
+
+The fuzzy path (BASELINE.json north_star) adds MinHash-LSH blocking so
+near-miss surface forms link without the O(n²) pair explosion. Everything
+is built-in Spark expressions — shingling, min-hashing, banding are
+`transform`/`aggregate`/`xxhash64` over arrays, JVM-side, no Python UDFs:
+
+    shingles(text)                       char 3-grams, array_distinct
+    sig[i]  = min over shingles of ((a_i * xxhash64(s) + b_i) mod p)
+    band[j] = xxhash64(sig[j*r .. j*r+r-1])
+    candidates = join mentions x gazetteer on (band_idx, band_hash)
+    verify     = exact Jaccard on shingle arrays >= threshold
+
+Scale notes (100 TB): the band join's key distribution is uniform by
+construction (hashes), so the only skew source is many identical mention
+strings — dedupe mention TEXTS before the join (`distinct` on the text)
+and re-attach doc occurrences afterwards; that turns a mega-entity with
+10^8 occurrences into ONE row on the join side. AQE skew-join remains on
+as a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic MinHash permutation constants (Mersenne prime modulus)
+_P = (1 << 61) - 1
+
+
+def _perm_consts(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    # deterministic LCG over the seed — no RNG state, resumable
+    consts = []
+    x = seed
+    for _ in range(n_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        consts.append((a, b))
+    return consts
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct char k-grams of lower(text), JVM-side."""
+    t = f"lower({text_col})"
+    return df.withColumn(
+        out,
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length({t}) - {k - 1}, 1)),"
+            f" i -> substring({t}, i, {k})))"
+        ),
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    n_hashes: int = 64,
+    seed: int = 42,
+    out: str = "minhash",
+) -> DataFrame:
+    """64-slot MinHash signature via aggregate(min) per permutation."""
+    mins = [
+        f"aggregate({shingle_col}, cast(9223372036854775807 as bigint), "
+        f"(acc, s) -> least(acc, pmod({a}L * (xxhash64(s) & 4611686018427387903L) + {b}L, {_P}L)))"
+        for a, b in _perm_consts(n_hashes, seed)
+    ]
+    return df.withColumn(out, F.expr("array(" + ", ".join(mins) + ")"))
+
+
+def with_bands(
+    df: DataFrame,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows: int = 4,
+    out_idx: str = "band_idx",
+    out_hash: str = "band_hash",
+) -> DataFrame:
+    """Explode the signature into LSH bands; join key = (band_idx, band_hash)."""
+    pairs = ", ".join(
+        f"named_struct('band_idx', {j}, 'band_hash', "
+        f"xxhash64(concat_ws('#', slice({sig_col}, {j * rows + 1}, {rows}))))"
+        for j in range(bands)
+    )
+    return df.withColumn("_band", F.explode(F.expr(f"array({pairs})"))).select(
+        "*", F.col("_band.band_idx").alias(out_idx), F.col("_band.band_hash").alias(out_hash)
+    ).drop("_band")
+
+
+def jaccard(col_a: str, col_b: str):
+    return F.expr(
+        f"size(array_intersect({col_a}, {col_b})) / size(array_union({col_a}, {col_b}))"
+    )
+
+
+def entity_mentions(docs: DataFrame) -> DataFrame:
+    """Pull linkable surface forms out of the spans: the address-span city
+    value (district/admin-area analog). Returns (doc_id, span_idx, mention)."""
+    from .extract import explode_spans, parse_mentions
+
+    m = parse_mentions(explode_spans(docs))
+    return m.where(F.col("kind").isin("address", "street")).select(
+        "doc_id",
+        "span_idx",
+        F.expr("try_element_at(attrs, 'city')").alias("mention"),
+    ).where(F.col("mention").isNotNull())
+
+
+def _alias_table(gazetteer: DataFrame) -> DataFrame:
+    return gazetteer.select(
+        "entity_id", F.explode("aliases").alias("alias")
+    ).withColumn("alias_norm", F.lower("alias"))
+
+
+def link_exact(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Exact alias match — broadcast join, zero shuffle on the fact side
+    (UIDCache semantics: first/any entity wins per alias)."""
+    aliases = F.broadcast(
+        _alias_table(gazetteer).groupBy("alias_norm").agg(F.min("entity_id").alias("entity_id"))
+    )
+    return (
+        mentions.withColumn("alias_norm", F.lower("mention"))
+        .join(aliases, "alias_norm", "left")
+        .drop("alias_norm")
+        .withColumn("link_score", F.when(F.col("entity_id").isNotNull(), F.lit(1.0)))
+    )
+
+
+def link_fuzzy(
+    mentions: DataFrame,
+    gazetteer: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH blocked fuzzy linking.
+
+    Dedupes mention TEXTS first (skew defusal: a capital city mentioned in
+    50% of docs becomes one row in the band join), links each distinct
+    text to its best entity by exact Jaccard over the LSH candidates, then
+    re-attaches occurrences with a broadcast-friendly join.
+    """
+    rows = n_hashes // bands
+    texts = mentions.select(F.lower("mention").alias("text")).distinct()
+    texts = with_bands(
+        with_minhash(with_shingles(texts, "text"), n_hashes=n_hashes, seed=seed),
+        bands=bands,
+        rows=rows,
+    ).select("text", "shingles", "band_idx", "band_hash")
+
+    cand_g = with_bands(
+        with_minhash(with_shingles(_alias_table(gazetteer), "alias_norm", out="shingles"),
+                     n_hashes=n_hashes, seed=seed),
+        bands=bands,
+        rows=rows,
+    ).select(
+        "entity_id",
+        F.col("alias_norm").alias("g_text"),
+        F.col("shingles").alias("g_shingles"),
+        "band_idx",
+        "band_hash",
+    )
+
+    cands = (
+        texts.join(cand_g, ["band_idx", "band_hash"])
+        .select("text", "shingles", "entity_id", "g_shingles")
+        .distinct()
+        .withColumn("score", jaccard("shingles", "g_shingles"))
+        .where(F.col("score") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    best = (
+        cands.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("text").orderBy(F.desc("score"), F.asc("entity_id"))
+            ),
+        )
+        .where(F.col("rank") == 1)
+        .select("text", "entity_id", F.col("score").alias("link_score"))
+    )
+    return mentions.withColumn("text", F.lower("mention")).join(
+        F.broadcast(best), "text", "left"
+    ).drop("text")

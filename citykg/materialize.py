@@ -1,0 +1,158 @@
+"""Stage 4 — materialize: bucketed triple-store writes with lineage
+manifests and resume.
+
+Production target is Iceberg `PARTITIONED BY (graph, bucket(N, subj))` with
+snapshot-atomic appends; this sandbox has no Iceberg runtime, so the same
+layout is expressed as parquet `partitionBy(graph, bucket)` where
+bucket = pmod(xxhash64(subj), N) — identical co-location semantics (every
+later join/agg on subj is shuffle-free within a bucket) and a drop-in swap
+to `df.writeTo(tbl).append()` on a real cluster.
+
+Resumability (north_rule): work is unit-ized by bucket. Each completed
+bucket appends one manifest row (MANIFEST_SCHEMA: stage, partition_range,
+row_count, status, attempt, wall_ms). `pending_buckets` anti-joins the
+manifest so a re-run recomputes ONLY missing buckets — the reference's
+chunk-wise agent pipeline (CityImportAgent.importChunk) with Spark tasks
+instead of subprocess chains.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema import MANIFEST_SCHEMA
+
+DEFAULT_BUCKETS = 64
+
+
+def with_bucket(triples: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return triples.withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    p = manifest_path(out_dir)
+    if not os.path.exists(p) or not any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    ):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(p)
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, stage: str) -> set[int]:
+    m = read_manifest(spark, out_dir)
+    rows = m.where((F.col("stage") == stage) & (F.col("status") == "done")).select(
+        "partition_range"
+    ).collect()
+    return {int(r.partition_range) for r in rows}
+
+
+def _append_manifest(spark: SparkSession, out_dir: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
+        manifest_path(out_dir)
+    )
+
+
+def write_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    out_dir: str,
+    stage: str = "materialize",
+    n_buckets: int = DEFAULT_BUCKETS,
+    input_snapshot: str = "",
+    bucket_group: int = 8,
+    fail_after_groups: int | None = None,
+) -> None:
+    """Bucketed, manifest-tracked, resumable write.
+
+    Buckets are processed in groups of `bucket_group` (one Spark write
+    each); a group commits its data THEN its manifest rows, so a crash
+    between the two re-does at most one group (idempotent: the data dir
+    for a bucket is overwritten on retry via dynamic partition overwrite).
+
+    `fail_after_groups` injects a crash for the resume test.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = completed_buckets(spark, out_dir, stage)
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return
+    bt = with_bucket(triples, n_buckets).persist()
+    try:
+        groups = [todo[i : i + bucket_group] for i in range(0, len(todo), bucket_group)]
+        for gi, grp in enumerate(groups):
+            if fail_after_groups is not None and gi >= fail_after_groups:
+                raise RuntimeError("injected failure for resume test")
+            t0 = time.time()
+            part = bt.where(F.col("bucket").isin(grp))
+            part.write.mode("overwrite").partitionBy("graph", "bucket").parquet(
+                os.path.join(out_dir, "triples")
+            )
+            counts = {
+                int(r.bucket): r.cnt
+                for r in part.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+            }
+            wall = int((time.time() - t0) * 1000)
+            attempt = 1
+            _append_manifest(
+                spark,
+                out_dir,
+                [
+                    (stage, str(b), input_snapshot, counts.get(b, 0), "done", attempt, wall)
+                    for b in grp
+                ],
+            )
+    finally:
+        bt.unpersist()
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples"))
+
+
+def write_geometry_datatype_registry(spark: SparkSession, triples: DataFrame, out_dir: str) -> None:
+    """The Blazegraph geo-datatype config side-channel
+    (BlazegraphConfigBuilder.java:40-77) as a small metadata table of
+    observed geometry literal shapes."""
+    (
+        triples.where(F.col("datatype").isNotNull())
+        .select("datatype")
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "_geometry_datatypes"))
+    )
+
+
+def export_nquads(triples: DataFrame, path: str) -> None:
+    """S6 N-Quads export sink (NquadsExporterTask.java:93-123)."""
+    from .vocab import OCGML
+
+    def esc(c):
+        return F.regexp_replace(F.regexp_replace(c, r'\\', r'\\\\'), '"', '\\\\"')
+
+    line = F.concat(
+        F.lit("<"), F.col("subj"), F.lit("> <"),
+        F.concat(F.lit(OCGML), F.expr("substring(pred, 7)")), F.lit("> "),
+        F.when(F.col("obj_type") == "iri", F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+        .otherwise(
+            F.concat(
+                F.lit('"'), esc(F.col("obj")), F.lit('"'),
+                F.when(
+                    F.col("datatype").isNotNull(),
+                    F.concat(F.lit("^^<"), F.col("datatype"), F.lit(">")),
+                ).otherwise(F.lit("")),
+            )
+        ),
+        F.lit(" <"), F.col("graph"), F.lit("> ."),
+    )
+    triples.select(line.alias("value")).write.mode("overwrite").text(path)

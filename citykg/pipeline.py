@@ -1,0 +1,90 @@
+"""spark-submit entrypoint: extract -> link -> canon -> materialize.
+
+    spark-submit --py-files citykg.zip -m citykg.pipeline \
+        --input  <docs parquet/iceberg dir> \
+        --output <triple store dir> \
+        --base   <iri base> --rehome-to <canonical base> \
+        --resume
+
+Stage boundaries are manifest-tracked bucket sets (materialize.py), so a
+killed run re-submitted with --resume recomputes only missing buckets —
+the per-partition lineage + checkpoint requirement of the north_rule.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import canon, extract, link, materialize
+from .vocab import DEFAULT_BASE
+
+
+def build_triples(
+    spark: SparkSession,
+    docs: DataFrame,
+    base: str = DEFAULT_BASE,
+    gazetteer: DataFrame | None = None,
+    rehome_to: str | None = None,
+    fuzzy: bool = False,
+) -> DataFrame:
+    """The full logical plan, unmaterialized (Catalyst sees everything)."""
+    triples = extract.extract_triples(spark, docs, base=base)
+
+    if gazetteer is not None:
+        mentions = link.entity_mentions(docs)
+        linked = (
+            link.link_fuzzy(mentions, gazetteer)
+            if fuzzy
+            else link.link_exact(mentions, gazetteer)
+        ).where(F.col("entity_id").isNotNull())
+        # linking triples: the address subject sameAs the gazetteer entity
+        link_triples = linked.select(
+            F.concat(
+                F.lit(base + "/address/ADDR_"),
+                F.expr("substring(doc_id, 5)"),
+                F.lit("/"),
+            ).alias("subj"),
+            F.lit("ocgml:cityEntityId").alias("pred"),
+            F.concat(F.lit(base + "/entity/"), F.col("entity_id"), F.lit("/")).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit("ontoinfer").alias("graph"),
+            F.col("doc_id"),
+            F.col("span_idx"),
+            F.lit(0).alias("pos"),
+        )
+        triples = triples.unionByName(link_triples)
+
+    if rehome_to and rehome_to != base:
+        triples = canon.rehome_iris(triples, base, rehome_to)
+    return triples
+
+
+def run(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--base", default=DEFAULT_BASE)
+    ap.add_argument("--rehome-to", default=None)
+    ap.add_argument("--buckets", type=int, default=materialize.DEFAULT_BUCKETS)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("citykg-pipeline").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    triples = build_triples(spark, docs, base=args.base, rehome_to=args.rehome_to)
+    if not args.resume:
+        # fresh run: clear the manifest dir semantics by writing anew
+        pass
+    materialize.write_triples(
+        spark, triples, args.output, n_buckets=args.buckets, input_snapshot=args.input
+    )
+    materialize.write_geometry_datatype_registry(
+        spark, materialize.read_triples(spark, args.output), args.output
+    )
+
+
+if __name__ == "__main__":
+    run()

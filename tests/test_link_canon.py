@@ -1,0 +1,119 @@
+"""Entity linking (exact + MinHash-LSH) and canonicalization (CC, salting,
+IRI re-homing)."""
+
+from pyspark.sql import functions as F
+
+from citykg import canon, link
+from citykg.fixtures import synth_docs, synth_gazetteer
+from conftest import SF_SMOKE
+
+
+def test_link_exact_synth(spark):
+    docs = synth_docs(spark, SF_SMOKE)
+    gaz = synth_gazetteer(spark)
+    out = link.link_exact(link.entity_mentions(docs), gaz)
+    rows = out.collect()
+    assert len(rows) == 500  # one address mention per doc
+    assert all(r.entity_id is not None for r in rows)
+    # mega-entity skew: City 0 carries ~50% of mentions (d%2==0)
+    mega = [r for r in rows if r.entity_id == "ENT_0000"]
+    assert len(mega) == 250 + len([r for r in rows if r.mention == "City 0"]) - 250
+
+
+def test_link_exact_is_broadcast(spark):
+    docs = synth_docs(spark, SF_SMOKE)
+    gaz = synth_gazetteer(spark)
+    plan = link.link_exact(link.entity_mentions(docs), gaz)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_fuzzy_recall_and_typos(spark):
+    gaz = synth_gazetteer(spark, n_entities=100)
+    mentions = spark.createDataFrame(
+        [
+            ("d1", 0, "City 7"),      # exact
+            ("d2", 0, "city 7"),      # case
+            ("d3", 0, "Cityy 7"),     # typo, high overlap
+            ("d4", 0, "District 63"),
+            ("d5", 0, "zzz qqq vvv"), # garbage -> no link
+        ],
+        "doc_id string, span_idx int, mention string",
+    )
+    out = {r.doc_id: (r.entity_id, r.link_score) for r in link.link_fuzzy(mentions, gaz, threshold=0.4).collect()}
+    assert out["d1"][0] == "ENT_0007" and out["d1"][1] == 1.0
+    assert out["d2"][0] == "ENT_0007"
+    assert out["d3"][0] == "ENT_0007"
+    assert out["d4"][0] == "ENT_0063"
+    assert out["d5"][0] is None
+
+
+def test_minhash_similarity_monotone(spark):
+    df = spark.createDataFrame(
+        [("a", "knowledge graph construction"), ("b", "knowledge graph constructions"), ("c", "completely different")],
+        "id string, t string",
+    )
+    sigs = link.with_minhash(link.with_shingles(df, "t")).collect()
+    s = {r.id: r.minhash for r in sigs}
+    sim_ab = sum(x == y for x, y in zip(s["a"], s["b"])) / 64
+    sim_ac = sum(x == y for x, y in zip(s["a"], s["c"])) / 64
+    assert sim_ab > 0.6 > sim_ac
+
+
+def test_same_as_edges_star_not_clique(spark):
+    # one hot key with 1000 members -> exactly 999 star edges
+    rows = [("G", f"m{i:04d}") for i in range(1000)] + [("H", "x1"), ("H", "x2")]
+    g = spark.createDataFrame(rows, "k string, m string")
+    e = canon.same_as_edges(g, "k", "m").collect()
+    assert len(e) == 999 + 1
+    assert all(x.dst in ("m0000", "x1") for x in e)
+
+
+def test_connected_components_transitive_chain(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("y", "x"), ("m2", "m1")],
+        "src string, dst string",
+    )
+    cc = {r.id: r.component for r in canon.connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == cc["d"] == "a"
+    assert cc["x"] == cc["y"] == "x"
+    assert cc["m1"] == cc["m2"] == "m1"
+
+
+def test_connected_components_mega_star(spark):
+    # skew: one component with 5000 spokes + a small pair
+    rows = [(f"s{i:05d}", "hub") for i in range(5000)] + [("q2", "q1")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    cc = canon.connected_components(edges)
+    comps = cc.groupBy("component").count().collect()
+    sizes = sorted(r["count"] for r in comps)
+    assert sizes == [2, 5001]
+
+
+def test_canonicalize_triples_rewrites_subj_and_iri_obj(spark):
+    triples = spark.createDataFrame(
+        [
+            ("iri://dup1/", "ocgml:id", "iri://dup1/", "iri", None, "building", "d", 0, 0),
+            ("iri://keep/", "ocgml:buildingRootId", "iri://dup1/", "iri", None, "building", "d", 0, 1),
+            ("iri://keep/", "ocgml:name", "iri://dup1/", "literal", None, "cityobject", "d", 0, 2),
+        ],
+        "subj string, pred string, obj string, obj_type string, datatype string, graph string, doc_id string, span_idx int, pos int",
+    )
+    mapping = spark.createDataFrame([("iri://dup1/", "iri://canon/")], "id string, canonical_id string")
+    out = canon.canonicalize_triples(triples, mapping).orderBy("pos").collect()
+    assert out[0].subj == "iri://canon/" and out[0].obj == "iri://canon/"
+    assert out[1].obj == "iri://canon/"
+    assert out[2].obj == "iri://dup1/"  # literals never rewritten
+
+
+def test_rehome_iris(spark):
+    triples = spark.createDataFrame(
+        [("http://old/x/building/b1/", "ocgml:id", "http://old/x/building/b1/", "iri", None,
+          "building", "d", 0, 0),
+         ("http://old/x/building/b1/", "ocgml:name", "http://old/x not an iri", "literal", None,
+          "cityobject", "d", 0, 1)],
+        "subj string, pred string, obj string, obj_type string, datatype string, graph string, doc_id string, span_idx int, pos int",
+    )
+    out = canon.rehome_iris(triples, "http://old/x", "http://twa/central").orderBy("pos").collect()
+    assert out[0].subj == "http://twa/central/building/b1/"
+    assert out[0].obj == "http://twa/central/building/b1/"
+    assert out[1].obj == "http://old/x not an iri"  # literals untouched
