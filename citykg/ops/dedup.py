@@ -1,0 +1,221 @@
+"""Deduplication operators over a document corpus.
+
+Four tiers, all oriented to the 100 TB case:
+
+* exact        — hash-groupBy on the normalized text (one shuffle,
+                 map-side combinable).
+* n-gram Jaccard — exact pairwise similarity via an inverted-index join
+                 on shingles (shuffle on shingle). Quadratic in the worst
+                 case; it is the small-scale oracle and the verifier for
+                 the approximate tiers.
+* MinHash-LSH  — banded signatures (JVM expressions, see citykg.link)
+                 blocking + exact-Jaccard verification of candidates.
+                 This is the scale path: cost ~ O(n * bands).
+* SimHash      — 64-bit fingerprints via a vectorized Arrow batch
+                 (numpy bit-fold), near-dup = small Hamming distance,
+                 blocked on 16-bit chunks (any pair within Hamming<=3
+                 shares at least one of 4 chunks exactly).
+
+Skew note: stop-shingle explosion (a shingle present in most docs) turns
+the inverted-index join quadratic — `max_shingle_freq` drops shingles
+above a document-frequency cap, the standard prefix-filter trick; LSH has
+no such blowup (band keys are hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..link import with_bands, with_minhash, with_shingles
+
+
+def normalize_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (doc_id, group_id, group_size).
+    group_id = min doc_id of the group; singletons excluded."""
+    n = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    w = Window.partitionBy("_norm")
+    return (
+        n.withColumn("group_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .where(F.col("group_size") > 1)
+        .select(id_col, "group_id", "group_size")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingle") -> DataFrame:
+    """Distinct word n-grams, exploded: (…, shingle)."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    sh = (
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
+    return df.withColumn(out, F.explode(F.expr(sh)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs >= threshold via inverted-index self-join.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(id_col, "shingle")
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate blocking + exact word-n-gram Jaccard verify.
+
+    At threshold 0.8 with 16 bands x 4 rows, detection probability for a
+    true pair is 1-(1-s^4)^16 >= 0.9998 — candidates are then verified
+    exactly, so output ⊆ true pairs with near-total recall.
+    """
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    sh_expr = (
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
+    base = df.select(id_col, F.expr(sh_expr).alias("shingles"))
+    banded = with_bands(
+        with_minhash(base, "shingles", n_hashes=n_hashes, seed=seed),
+        bands=bands,
+        rows=n_hashes // bands,
+    ).select(id_col, "shingles", "band_idx", "band_hash")
+
+    l = banded.toDF("doc_a", "sh_a", "band_idx", "band_hash")
+    r = banded.toDF("doc_b", "sh_b", "band_idx", "band_hash")
+    cands = (
+        l.join(r, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.withColumn(
+            "jaccard",
+            F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc — vectorized Arrow batch (numpy bit-fold),
+    the one genuinely non-SQL op in this module. Output: (id, simhash)."""
+    import hashlib
+
+    import numpy as np
+
+    out_schema = f"{id_col} long, simhash long"
+
+    def _h64(w: str) -> int:
+        # process-independent 64-bit token hash (python hash() varies with
+        # PYTHONHASHSEED across executors — determinism is a resume invariant)
+        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (t or "").lower().split()
+                if not toks:
+                    ids.append(i)
+                    sigs.append(0)
+                    continue
+                hs = np.array([_h64(w) for w in toks], dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(i)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(fold, out_schema)
+
+
+def simhash_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance, blocked on bit chunks.
+
+    Pigeonhole: hamming <= h means at least one of h+1 chunks matches
+    exactly, so blocking on n_chunks = max_hamming + 1 is lossless."""
+    n_chunks = max_hamming + 1
+    width = (64 + n_chunks - 1) // n_chunks
+    mask = (1 << width) - 1
+    chunks = sim.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                "array(" + ", ".join(
+                    f"named_struct('ci', {c}, 'ch', shiftright(simhash, {c * width}) & {mask})"
+                    for c in range(n_chunks)
+                ) + ")"
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.ch").alias("ch"))
+    l = chunks.toDF("doc_a", "sim_a", "ci", "ch")
+    r = chunks.toDF("doc_b", "sim_b", "ci", "ch")
+    return (
+        l.join(r, ["ci", "ch"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute; LSH path in similarity.py)."""
+    from .similarity import cosine_expr, with_norm
+
+    a = with_norm(emb.select(id_col, vec_col), vec_col).toDF("doc_a", "va", "na")
+    b = with_norm(emb.select(id_col, vec_col), vec_col).toDF("doc_b", "vb", "nb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cosine_expr("va", "vb", "na", "nb"))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

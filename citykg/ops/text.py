@@ -1,0 +1,99 @@
+"""Text analysis operators — all JVM-side built-ins (no Python in the
+hot path): token counting, quality scoring, language id, fingerprinting.
+
+Every op here has a DuckDB-expressible twin in __spark_entry__.oracle_sql
+(md5 is the one hash both engines share bit-for-bit — fingerprints use it
+so the driver's value-hash comparison is meaningful)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# minimal per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic (languages match the testdata lang column domain)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+}
+
+TOKEN_RE = r"\s+"
+# BPE-ish subword splitter: letter-runs, digit-runs, or single punctuation
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count."""
+    # pattern passed as a Column literal: embedding it in an expr() string
+    # would put it through SQL string-escape processing and corrupt \s
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), TOKEN_RE))
+    ).withColumn(
+        "n_subwords", F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0)))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, mean word length, alpha ratio,
+    stopword ratio, and a composite score in [0, 1]."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_RE)
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    out = (
+        df.withColumn("n_chars_m", F.length(text_col))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("mean_word_len", F.col("n_chars_m") / F.greatest(F.col("n_tokens"), F.lit(1)))
+        .withColumn("alpha_ratio", alpha / F.greatest(F.length(text_col), F.lit(1)))
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.array_intersect(F.array_distinct(toks), sw))
+            / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)),
+        )
+        .withColumn(
+            "quality",
+            F.round(
+                F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+                + F.col("alpha_ratio") * 0.4
+                + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2,
+                6,
+            ),
+        )
+    )
+    return out
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: argmax over per-language
+    distinct-token intersection counts; 'und' (undetermined) when all 0."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE))
+    d = df.withColumn("_toks", toks)
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(F.col("_toks"), F.array([F.lit(w) for w in ws]))).alias("s"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return d.withColumn(
+        "lang_pred", F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ).drop("_toks")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (cross-engine comparable), plus a winnowed rolling-hash sketch (min
+    xxhash64 over word 5-grams — content-defined, shift-tolerant)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    winnow = (
+        f"aggregate(transform(sequence(0, greatest(size({toks}) - 5, 0)),"
+        f" i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, 5)))),"
+        f" cast(9223372036854775807 as bigint), (a, x) -> least(a, x))"
+    )
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "winnow_sketch", F.expr(winnow)
+    )

@@ -1,0 +1,271 @@
+"""Training-data ops: dedup tiers, similarity search, text analysis,
+multimodal plumbing, graph algorithms."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from citykg.ops import dedup, graph, multimodal, similarity, text
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").persist()
+
+
+# ---------------- dedup ----------------
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  b C"), (3, "unique"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.group_id, r.group_size) for r in dedup.exact_duplicates(df).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 4: (1, 3)}  # normalization folds case/space
+
+
+def test_ngram_jaccard_matches_duckdb(documents, duck):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(documents, threshold=0.8).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in duck.execute(
+            """
+            WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+            sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s
+                   FROM toks, UNNEST(range(1, len(w)-1)) t(i)),
+            p AS (SELECT a.doc_id d1, b.doc_id d2, count(*) i FROM sh a JOIN sh b
+                  ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+            z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+            SELECT d1, d2 FROM p JOIN z z1 ON d1=z1.doc_id JOIN z z2 ON d2=z2.doc_id
+            WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_minhash_lsh_equals_exact_at_threshold(documents):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(documents, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(documents, threshold=0.8).collect()
+    }
+    # verified LSH output ⊆ exact; at these similarities recall is total
+    assert set(lsh) == set(exact)
+    for k in lsh:
+        assert abs(lsh[k] - exact[k]) < 1e-9
+
+
+def test_simhash_near_dup_detection(spark):
+    # long doc, one word changed -> tiny hamming; unrelated doc -> far
+    base = " ".join(f"w{i:03d}" for i in range(200))
+    rows = [
+        (1, base),
+        (2, base.replace("w050", "w950")),  # near-dup
+        (3, " ".join(f"z{i:03d}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = dedup.simhash(df)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(sim, max_hamming=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert (1, 3) not in pairs
+
+
+def test_simhash_deterministic(spark, documents):
+    a = {r.doc_id: r.simhash for r in dedup.simhash(documents.limit(20)).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash(documents.limit(20)).collect()}
+    assert a == b
+
+
+def test_embedding_near_dup(spark):
+    v = [1.0] * 8
+    rows = [(1, v), (2, [x * 2 for x in v]), (3, [1.0, -1.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.doc_a, r.doc_b) for r in dedup.embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert out == {(1, 2)}
+
+
+# ---------------- similarity ----------------
+
+def _numpy_topk(corpus, queries, k):
+    C = np.array([c for _, c in corpus])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    out = {}
+    for qid, qv in queries:
+        q = np.array(qv)
+        sims = Cn @ (q / np.linalg.norm(q))
+        idx = [i for i in np.argsort(-sims) if corpus[i][0] != qid][:k]
+        out[qid] = [corpus[i][0] for i in idx]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    corpus = [(r.vec_id, list(r.embedding)) for r in embeddings.collect()]
+    queries = corpus[:5]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries], "query_id long, embedding array<float>"
+    )
+    got = (
+        similarity.cosine_topk(embeddings, qdf, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = _numpy_topk(corpus, queries, 5)
+    for qid in want:
+        got_ids = [r.vec_id for r in got if r.query_id == qid]
+        assert got_ids == want[qid]
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    corpus = [(r.vec_id, list(r.embedding)) for r in embeddings.collect()]
+    queries = corpus[:10]
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+    brute = _numpy_topk(corpus, queries, 10)
+    ann = similarity.lsh_ann_topk(embeddings, qdf, k=10, n_planes=4, tables=16)
+    got = ann.collect()
+    recalls = []
+    for qid in brute:
+        g = {r.vec_id for r in got if r.query_id == qid}
+        recalls.append(len(g & set(brute[qid])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_ann_runs_and_overlaps(spark, embeddings):
+    corpus = [(r.vec_id, list(r.embedding)) for r in embeddings.collect()]
+    queries = corpus[:5]
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+    brute = _numpy_topk(corpus, queries, 10)
+    got = similarity.ivf_ann_topk(embeddings, qdf, k=10, n_centroids=8, nprobe=3).collect()
+    recalls = []
+    for qid in brute:
+        g = {r.vec_id for r in got if r.query_id == qid}
+        recalls.append(len(g & set(brute[qid])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+# ---------------- text ----------------
+
+def test_token_counts_match_duckdb(documents, duck):
+    got = {
+        r.doc_id: (r.n_tokens, r.n_subwords)
+        for r in text.with_token_counts(documents).select("doc_id", "n_tokens", "n_subwords").collect()
+    }
+    want = {
+        d: (a, b)
+        for d, a, b in duck.execute(
+            "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')),"
+            " len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+            " FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_quality_scores_bounded(documents):
+    rows = text.with_quality(documents).select("quality", "alpha_ratio", "stopword_ratio").collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert any(r.stopword_ratio > 0 for r in rows)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house for now"),
+            (2, "der Hund und die Katze ist von einem Haus mit Garten"),
+            (3, "le chat et le chien est dans la maison pour un moment"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_fingerprint_md5_matches_duckdb(documents, duck):
+    got = {r.doc_id: r.fingerprint for r in text.with_fingerprint(documents).collect()}
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------- multimodal ----------------
+
+def test_media_decode_plumbing(spark, documents):
+    media = multimodal.synth_media(documents.limit(50))
+    dec = multimodal.decode_image(media, n_features=8)
+    rows = dec.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(32 <= r.width < 256 and 32 <= r.height < 256 for r in rows)
+    # determinism across runs (resume invariant)
+    again = {r.media_ref: r.features for r in multimodal.decode_image(media, n_features=8).collect()}
+    assert all(again[r.media_ref] == r.features for r in rows)
+
+
+def test_media_decode_null_payload(spark):
+    media = spark.createDataFrame(
+        [("m1", "image/png", None)], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.decode_image(media).collect()[0]
+    assert r.n_bytes == 0 and r.width >= 32
+
+
+def test_resize_and_frame_plan(spark):
+    media = spark.createDataFrame([("m1", "video/mp4", b"x")], multimodal.MEDIA_SCHEMA)
+    dec = multimodal.decode_image(media)
+    rs = multimodal.resize_stub(dec, max_dim=64).collect()[0]
+    assert max(rs.out_width, rs.out_height) <= 64
+    plan = multimodal.frame_sample_plan(media, fps=2.0, duration_s=3.0).collect()
+    assert [r.frame_ts for r in plan] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+
+
+# ---------------- graph ----------------
+
+def test_pagerank_tiny_graph_vs_power_iteration(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    E = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r.id: r.rank for r in graph.pagerank(E, alpha=0.3, max_iter=30).collect()}
+    ids = sorted(ranks)
+    idx = {n: i for i, n in enumerate(ids)}
+    M = np.zeros((4, 4))
+    outdeg = {"a": 1, "b": 1, "c": 1, "d": 1}
+    for s, d in edges:
+        M[idx[d], idx[s]] = 1.0 / outdeg[s]
+    r = np.full(4, 0.25)
+    for _ in range(60):
+        r = 0.3 / 4 + 0.7 * (M @ r)
+    for n in ids:
+        assert abs(ranks[n] - r[idx[n]]) < 1e-4, (n, ranks[n], r[idx[n]])
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_shortest_paths_chain(spark):
+    E = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    d = {r.id: r.dist for r in graph.shortest_paths(E, "a").collect()}
+    assert d == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_triples_to_edges_filters_literals(spark):
+    t = spark.createDataFrame(
+        [("s1", "p", "o1", "iri"), ("s1", "p", "lit", "literal"), ("s1", "p", "s1", "iri")],
+        "subj string, pred string, obj string, obj_type string",
+    )
+    e = graph.triples_to_edges(t).collect()
+    assert [(r.src, r.dst) for r in e] == [("s1", "o1")]
