@@ -33,17 +33,23 @@ def pagerank(
     Each iteration: one join (rank -> out-edges) + one sum-aggregate; both
     map-side combinable. persist + localCheckpoint keeps lineage flat.
     """
+    # materialize the static sides ONCE — every iteration re-reading the
+    # upstream lineage (e.g. a full extraction plan) turns O(iters) into
+    # O(iters x extract); at 100 TB the edge list is a checkpointed table
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
+    has_out = deg.select(F.col("src").alias("id"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for i in range(max_iter):
+        ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             edges.join(deg, "src")
             .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -53,10 +59,7 @@ def pagerank(
         )
         # dangling nodes (no out-edges) leak their rank: redistribute
         dangling = (
-            ranks.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            ranks.join(has_out, "id", "left_anti").agg(F.sum("rank")).collect()[0][0] or 0.0
         )
         base = alpha / n + (1 - alpha) * dangling / n
         new_ranks = (
@@ -65,9 +68,8 @@ def pagerank(
                 "id",
                 (F.lit(base) + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
         delta = (
             new_ranks.withColumnRenamed("rank", "nr")
             .join(ranks, "id")
@@ -77,7 +79,6 @@ def pagerank(
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
-    nodes.unpersist()
     return ranks
 
 
