@@ -186,6 +186,59 @@ def q_kg_distance(spark, sf):
     )
 
 
+def q_kg_affine(spark, sf):
+    """P23: affine transform (scale 2 + translate) over geometry literals,
+    JVM-side array expression (Importer.java:221-230 analog)."""
+    from citykg.transform import affine_transform_literal
+
+    g = _triples(spark, sf, ["surfacegeometry"]).where(F.col("pred") == "ocgml:GeometryType")
+    # scale 0.5 keeps every coordinate under 1e7: Java/Spark double->string
+    # switches to E-notation at 1e7, DuckDB never does — the one rendering
+    # divergence between the engines
+    m = [0.5, 0.0, 0.0, 10.0, 0.0, 0.5, 0.0, 20.0, 0.0, 0.0, 0.5, 30.0]
+    return affine_transform_literal(g.select("doc_id", F.col("obj").alias("lit")), "lit", m).select(
+        "doc_id", "transformed"
+    )
+
+
+def q_kg_xlink_dangling(spark, sf):
+    """L4: second-pass reference resolution — drop the cityobject graph and
+    report which IRI refs now dangle (DBXlinkSplitter analog)."""
+    from citykg.transform import resolve_xlinks
+
+    t = _triples(spark, sf).where(F.col("graph") != "cityobject")
+    _, dangling = resolve_xlinks(t)
+    return dangling.groupBy("graph", "pred").agg(F.count("*").alias("n"))
+
+
+def q_spatial_bbox(spark, sf):
+    """Q7: envelope-overlap predicate — parse EnvelopeType literals back to
+    bboxes and intersect with a query window (the KG-side replacement for
+    the reference's unimplemented Blazegraph spatial ops,
+    blazegraph/SQLAdapter.java:139-147)."""
+    e = _triples(spark, sf, ["cityobject"]).where(F.col("pred") == "ocgml:EnvelopeType")
+    p = e.selectExpr(
+        "doc_id",
+        "double(element_at(split(obj, '#'), 1)) AS xmin",
+        "double(element_at(split(obj, '#'), 2)) AS ymin",
+        "double(element_at(split(obj, '#'), 7)) AS xmax",
+        "double(element_at(split(obj, '#'), 8)) AS ymax",
+    )
+    qx0, qx1, qy0, qy1 = 384100.0, 384150.0, 5820000.0, 5820200.0
+    return p.where(
+        (F.col("xmin") <= qx1) & (F.col("xmax") >= qx0) & (F.col("ymin") <= qy1) & (F.col("ymax") >= qy0)
+    ).select("doc_id", F.col("xmin").cast("long").alias("xmin"), F.col("ymin").cast("long").alias("ymin"))
+
+
+def q_sql_passthrough(spark, sf):
+    """Q14: user-supplied SQL over registered views."""
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
+        "FROM documents_v GROUP BY lang, source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # query-side operators over the TPC-ish tables (Q1-Q21 analogs)
 # ---------------------------------------------------------------------------
@@ -305,6 +358,28 @@ def q_window_rank(spark, sf):
 # training-data ops
 # ---------------------------------------------------------------------------
 
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min-gap sessions per user over the events table."""
+    from citykg.ops.temporal import session_stats
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return session_stats(e, gap_minutes=30)
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each 'click' event gets the most recent prior-or-equal
+    'view'-type value for the same user (ordered-union window trick)."""
+    from citykg.ops.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    kinds = [r.event_type for r in e.select("event_type").distinct().orderBy("event_type").limit(2).collect()]
+    a, b = kinds[0], kinds[1]
+    left = e.where(F.col("event_type") == a).select("user_id", "ts", "event_id")
+    right = e.where(F.col("event_type") == b).select("user_id", "ts", F.col("value").alias("rv"))
+    out = asof_join(left, right, on="user_id", ts_col="ts")
+    return out.select("user_id", "event_id", F.round("asof_rv", 6).alias("asof_rv"))
+
+
 def q_text_metrics(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     return text.with_token_counts(d).select("doc_id", "n_tokens", "n_subwords")
@@ -401,6 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_envelope_fold": q_kg_envelope_fold,
         "kg_centroid": q_kg_centroid,
         "kg_distance": q_kg_distance,
+        "kg_affine": q_kg_affine,
+        "kg_xlink_dangling": q_kg_xlink_dangling,
+        "spatial_bbox": q_spatial_bbox,
+        "sql_passthrough": q_sql_passthrough,
         "filter_algebra": q_filter_algebra,
         "id_in_filter": q_id_in_filter,
         "counter_sorting": q_counter_sorting,
@@ -410,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "join_pipeline": q_join_pipeline,
         "window_rank": q_window_rank,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -576,6 +657,45 @@ def oracle_sql() -> dict[str, str]:
         "kg_envelope_fold": _envelope_fold_sql(),
         "kg_centroid": _centroid_sql(),
         "kg_distance": _distance_sql(),
+        "kg_affine": (
+            f"SELECT ({dk}) AS doc_id, "
+            "CAST(CAST(0.5 * (384000 + d % 1000) + 10.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (5820000 + d % 2000) + 20.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (30 + d % 10) + 30.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (384000 + d % 1000 + 9) + 10.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (5820000 + d % 2000) + 20.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (30 + d % 10) + 30.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (384000 + d % 1000 + 9) + 10.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (5820000 + d % 2000 + 8) + 20.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (30 + d % 10 + 4) + 30.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (384000 + d % 1000) + 10.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (5820000 + d % 2000 + 8) + 20.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (30 + d % 10 + 4) + 30.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (384000 + d % 1000) + 10.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (5820000 + d % 2000) + 20.0 AS DOUBLE) AS VARCHAR) || '#' || CAST(CAST(0.5 * (30 + d % 10) + 30.0 AS DOUBLE) AS VARCHAR) AS transformed "
+            "FROM (SELECT doc_id AS d FROM documents) b"
+        ),
+        "kg_xlink_dangling": (
+            "SELECT 'surfacegeometry' AS graph, 'ocgml:cityObjectId' AS pred, count(*) AS n FROM documents "
+            "UNION ALL SELECT 'cityobjectgenericattrib', 'ocgml:cityObjectId', count(*) FROM documents "
+            "UNION ALL SELECT 'externalreference', 'ocgml:cityObjectId', count(*) FROM documents"
+        ),
+        "spatial_bbox": (
+            f"SELECT ({dk}) AS doc_id, (384000 + d % 1000) AS xmin, (5820000 + d % 2000) AS ymin "
+            "FROM (SELECT doc_id AS d FROM documents) b "
+            "WHERE (384000 + d % 1000) <= 384150 AND (384000 + d % 1000 + 9) >= 384100 "
+            "AND (5820000 + d % 2000) <= 5820200 AND (5820000 + d % 2000 + 8) >= 5820000"
+        ),
+        "sql_passthrough": (
+            "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "sessionize": (
+            "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS n FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "x AS (SELECT user_id, ts, sum(n) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session_seq FROM s) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s "
+            "FROM x GROUP BY 1, 2"
+        ),
+        "asof_join": (
+            "WITH u AS ("
+            "SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS rv, 1 AS side "
+            "FROM events WHERE event_type = 'click' "
+            "UNION ALL SELECT user_id, ts, NULL, value, 0 FROM events WHERE event_type = 'error') "
+            "SELECT user_id, event_id, round(last_value(rv IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY ts, side ROWS UNBOUNDED PRECEDING), 6) AS asof_rv "
+            "FROM u QUALIFY side = 1"
+        ),
         "filter_algebra": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
             "WHERE l_quantity BETWEEN 10 AND 20 AND (l_returnflag LIKE 'A%' OR l_linestatus = 'F') "

@@ -1,0 +1,85 @@
+"""Temporal operators over event streams: sessionization and as-of joins.
+
+Spark has no native as-of join; both ops here are expressed as window
+functions (lag + conditional cumsum / last-non-null over an ordered
+union), which keeps them JVM-side, partition-parallel by key, and
+byte-identical to a SQL oracle. The streaming twins are
+`session_window(ts, gap)` / `applyInPandasWithState` — batch semantics
+here match what those produce for closed windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds `gap_minutes`.
+
+    One shuffle on user_col; cumsum is the standard lag+flag trick."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # double cast: TIMESTAMP_NTZ (common in parquet) has no direct long cast
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn("_new", new_sess).withColumn(
+        "session_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new")
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session row counts and duration (seconds)."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max(sec) - F.min(sec)).alias("duration_s"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row (same key,
+    right.ts <= left.ts).
+
+    Implemented as the ordered-union trick: tag both sides, sort within
+    key by (ts, side), carry `last(right value, ignorenulls)` forward.
+    One shuffle on the key — no range-join explosion, no per-row Python
+    (pd.merge_asof in applyInPandas is the fallback for multi-column
+    payloads; this stays JVM-side)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    l = left.withColumn("_side", F.lit(1))
+    for c in right_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        on, ts_col, *[F.col(c).alias(f"_r_{c}") for c in right_cols]
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(r.columns).unionByName(r.select(r.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = u
+    for c in right_cols:
+        out = out.withColumn(f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return out.where(F.col("_side") == 1).drop("_side", *[f"_r_{c}" for c in right_cols])

@@ -1,0 +1,82 @@
+"""Affine transform (P23), xlink resolution (L4), SRS upsert (L7),
+and the Structured Streaming ingest path."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from citykg import streaming, transform
+from citykg.extract import extract_triples
+from citykg.fixtures import synth_docs
+from conftest import SF_SMOKE
+
+
+def test_affine_identity_roundtrip(spark):
+    df = spark.createDataFrame([("1#2#3#4#5#6",)], "lit string")
+    out = transform.affine_transform_literal(df, "lit", transform.IDENTITY_3X4).collect()[0]
+    assert out.transformed == "1.0#2.0#3.0#4.0#5.0#6.0"
+
+
+def test_affine_scale_translate(spark):
+    df = spark.createDataFrame([("1#2#3",)], "lit string")
+    m = [2.0, 0.0, 0.0, 10.0, 0.0, 2.0, 0.0, 20.0, 0.0, 0.0, 2.0, 30.0]
+    out = transform.affine_transform_literal(df, "lit", m).collect()[0]
+    assert out.transformed == "12.0#24.0#36.0"
+
+
+def test_affine_plan_stays_jvm(spark):
+    df = spark.createDataFrame([("1#2#3",)], "lit string")
+    plan = transform.affine_transform_literal(df, "lit", transform.IDENTITY_3X4)
+    assert "pythonUDF" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resolve_xlinks_reports_dangling(spark):
+    t = spark.createDataFrame(
+        [
+            ("iri://a/", "ocgml:id", "iri://a/", "iri", None, "g", "d", 0, 0),
+            ("iri://a/", "ocgml:ref", "iri://missing/", "iri", None, "g", "d", 0, 1),
+            ("iri://a/", "ocgml:name", "iri://missing/", "literal", None, "g", "d", 0, 2),
+        ],
+        "subj string, pred string, obj string, obj_type string, datatype string, "
+        "graph string, doc_id string, span_idx int, pos int",
+    )
+    kept, dangling = transform.resolve_xlinks(t, drop_dangling=True)
+    d = dangling.collect()
+    assert len(d) == 1 and d[0].obj == "iri://missing/" and d[0].pred == "ocgml:ref"
+    assert kept.count() == 2  # literal kept, dangling iri dropped
+
+
+def test_srs_upsert_idempotent(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srs"))
+    transform.upsert_srs(spark, out, 25833, "urn:ogc:def:crs:EPSG::25833", "http://b")
+    transform.upsert_srs(spark, out, 25833, "urn:ogc:def:crs:EPSG::25833", "http://b")
+    rows = spark.read.parquet(f"{out}/databasesrs").collect()
+    assert len(rows) == 2
+    assert {r.pred for r in rows} == {"ocgml:srid", "ocgml:srsname"}
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path_factory):
+    """readStream over the landing dir produces exactly the batch triples
+    (two drops into the landing dir -> two checkpointed micro-batch sets)."""
+    land = str(tmp_path_factory.mktemp("landing"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    docs = synth_docs(spark, SF_SMOKE).persist()
+    first = docs.where(F.expr("substring(doc_id, 5) < '00000250'"))
+    second = docs.where(F.expr("substring(doc_id, 5) >= '00000250'"))
+    first.write.mode("append").parquet(land)
+
+    q = streaming.stream_extract_to_store(spark, land, out, ckpt)
+    q.awaitTermination(120)
+
+    n1 = spark.read.parquet(out).count()
+    assert n1 == extract_triples(spark, first).count()
+
+    # second drop: restart with the same checkpoint ingests ONLY new files
+    second.write.mode("append").parquet(land)
+    q2 = streaming.stream_extract_to_store(spark, land, out, ckpt)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out).count()
+    assert total == extract_triples(spark, docs).count()
+    docs.unpersist()
