@@ -230,6 +230,16 @@ def q_spatial_bbox(spark, sf):
     ).select("doc_id", F.col("xmin").cast("long").alias("xmin"), F.col("ymin").cast("long").alias("ymin"))
 
 
+def q_lod_filter(spark, sf):
+    """Q8: LoD filter — thematic surfaces that HAVE lod2 geometry
+    (LodFilterBuilder.java analog: coalesce(lodX cols) IS NOT NULL; in the
+    triple model, existence of the lod2MultiSurfaceId triple)."""
+    t = _triples(spark, sf, ["thematicsurface"])
+    return t.where(F.col("pred") == "ocgml:lod2MultiSurfaceId").select(
+        F.col("subj").alias("feature_iri"), F.col("obj").alias("lod2_geom_iri")
+    )
+
+
 def q_sql_passthrough(spark, sf):
     """Q14: user-supplied SQL over registered views."""
     spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
@@ -478,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distance": q_kg_distance,
         "kg_affine": q_kg_affine,
         "kg_xlink_dangling": q_kg_xlink_dangling,
+        "lod_filter": q_lod_filter,
         "spatial_bbox": q_spatial_bbox,
         "sql_passthrough": q_sql_passthrough,
         "filter_algebra": q_filter_algebra,
@@ -663,9 +674,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id AS d FROM documents) b"
         ),
         "kg_xlink_dangling": (
+            # with the cityobject graph removed, exactly the cityObjectId
+            # refs dangle: surfacegeometry, genattrib (atomic + set = 2x),
+            # externalreference, appearance
             "SELECT 'surfacegeometry' AS graph, 'ocgml:cityObjectId' AS pred, count(*) AS n FROM documents "
-            "UNION ALL SELECT 'cityobjectgenericattrib', 'ocgml:cityObjectId', count(*) FROM documents "
-            "UNION ALL SELECT 'externalreference', 'ocgml:cityObjectId', count(*) FROM documents"
+            "UNION ALL SELECT 'cityobjectgenericattrib', 'ocgml:cityObjectId', 2 * count(*) FROM documents "
+            "UNION ALL SELECT 'externalreference', 'ocgml:cityObjectId', count(*) FROM documents "
+            "UNION ALL SELECT 'appearance', 'ocgml:cityObjectId', count(*) FROM documents"
+        ),
+        "lod_filter": (
+            f"SELECT '{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS feature_iri, "
+            f"'{DEFAULT_BASE}/surfacegeometry/SURF_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS lod2_geom_iri "
+            "FROM (SELECT doc_id AS d FROM documents) b WHERE d % 4 <> 0"
         ),
         "spatial_bbox": (
             f"SELECT ({dk}) AS doc_id, (384000 + d % 1000) AS xmin, (5820000 + d % 2000) AS ymin "

@@ -74,7 +74,12 @@ def _staged_input(spark, sf_dir: str, repl: int) -> str:
     NOT part of the timed job."""
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"citykg_bench_docs_{os.path.basename(sf_dir)}_{repl}")
+    from citykg.fixtures import SYNTH_VERSION
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"citykg_bench_docs_v{SYNTH_VERSION}_{os.path.basename(sf_dir)}_{repl}",
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         _replicated_docs(spark, sf_dir, repl).repartition(N_INPUT_FILES).write.mode(

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .vocab import CLASS_ID, BASE_URL_LITERALS, DEFAULT_BASE, KIND_EMISSIONS
 
-# span layout: (span_idx, kind, media_ref)
+# bump when the synthesis changes — invalidates bench-staged corpora
+SYNTH_VERSION = 2
+
+# span layout: (span_idx, kind, media_ref) — ALL spans unconditional so
+# span_idx constants stay stable for the md5 link-graph subjects; value
+# variation comes from doc_id arithmetic. Covers every KIND_EMISSIONS
+# template (SURVEY §2.2 P1-P20).
 SPAN_LAYOUT = [
     (0, "building", ""),
     (1, "address", ""),
@@ -32,6 +38,20 @@ SPAN_LAYOUT = [
     (3, "generic_attribute", ""),
     (4, "external_reference", ""),
     (5, "media", ""),
+    (6, "thematic_surface", ""),
+    (7, "room", ""),
+    (8, "building_installation", ""),
+    (9, "opening", ""),
+    (10, "opening_to_them_surface", ""),
+    (11, "city_furniture", ""),
+    (12, "generic_city_object", ""),
+    (13, "building_part", ""),
+    (14, "appearance", ""),
+    (15, "surface_data", ""),
+    (16, "appear_to_surface_data", ""),
+    (17, "texture_param", ""),
+    (18, "building_furniture", ""),
+    (19, "generic_attribute_set", ""),
 ]
 
 LAST_MOD = "2026-01-01T00:00Z"  # deterministic stand-in for the reference's
@@ -148,6 +168,99 @@ def attr_exprs(dialect: str) -> dict[str, dict[str, str]]:
             "imageURI": f"'img_' || {_s('d', dialect)} || '.png'",
             "mimeType": "'image/png'",
         },
+        "thematic_surface": {
+            "gmlId": f"'TS_' || {lp8}",
+            # wall/roof/ground class ids 34/33/35 — attrs override the
+            # template constant (objectClassId coalesce in extract.py)
+            "objectClassId": _s("CASE d % 3 WHEN 0 THEN 33 WHEN 1 THEN 34 ELSE 35 END", dialect),
+            "buildingId": bldg,
+            # lod2 geometry only for 75% of features (Q8 LoD-filter fodder)
+            "lod2MultiSurfaceId": f"CASE WHEN d % 4 <> 0 THEN 'SURF_' || {lp8} END",
+        },
+        "room": {
+            "gmlId": f"'ROOM_' || {lp8}",
+            "class": _s("d % 6", dialect),
+            "usage": _s("3000 + d % 4", dialect),
+            "buildingId": bldg,
+            "lod4MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "building_installation": {
+            "gmlId": f"'BI_' || {lp8}",
+            "class": _s("d % 4", dialect),
+            "function": _s("4000 + d % 3", dialect),
+            "buildingId": bldg,
+            "roomId": f"'ROOM_' || {lp8}",
+            "lod2BrepId": f"'SURF_' || {lp8}",
+        },
+        "opening": {
+            "gmlId": f"'OP_' || {lp8}",
+            "objectClassId": _s("CASE WHEN d % 2 = 0 THEN 38 ELSE 39 END", dialect),
+            "addressId": f"'ADDR_' || {lp8}",
+            "lod3MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "opening_to_them_surface": {
+            "gmlId": f"'OTS_' || {lp8}",
+            "openingId": f"'OP_' || {lp8}",
+            "themSurfaceId": f"'TS_' || {lp8}",
+        },
+        "city_furniture": {
+            "gmlId": f"'CF_' || {lp8}",
+            "class": _s("d % 8", dialect),
+            "function": _s("5000 + d % 6", dialect),
+            "lod1BrepId": f"'SURF_' || {lp8}",
+        },
+        "generic_city_object": {
+            "gmlId": f"'GCO_' || {lp8}",
+            "class": _s("d % 12", dialect),
+            "usage": _s("6000 + d % 2", dialect),
+            "lod0BrepId": f"'SURF_' || {lp8}",
+        },
+        "building_part": {
+            "gmlId": f"'BP_' || {lp8}",
+            "parentId": bldg,
+            "rootId": bldg,
+            "class": _s("d % 5", dialect),
+            "storeysAboveGround": _s("1 + d % 6", dialect),
+        },
+        "appearance": {
+            "gmlId": f"'AP_' || {lp8}",
+            "theme": f"'theme_' || {_s('d % 3', dialect)}",
+            "cityObjectId": bldg,
+        },
+        "surface_data": {
+            "gmlId": f"'SD_' || {lp8}",
+            "isFront": _s("d % 2", dialect),
+            "x3dShininess": f"'0.' || {_s('2 + d % 7', dialect)}",
+            "x3dTransparency": f"'0.' || {_s('d % 10', dialect)}",
+            "x3dDiffuseColor": f"'0.5 0.5 0.' || {_s('d % 10', dialect)}",
+        },
+        "appear_to_surface_data": {
+            "gmlId": f"'ASD_' || {lp8}",
+            "surfaceDataId": f"'SD_' || {lp8}",
+            "appearanceId": f"'AP_' || {lp8}",
+        },
+        "texture_param": {
+            "gmlId": f"'TP_' || {lp8}",
+            "surfaceGeometryId": f"'SURF_' || {lp8}",
+            "isTextureParametrization": "'1'",
+            "worldToTexture": f"'1 0 0 0 0 1 0 0 0 0 1 ' || {_s('d % 9', dialect)}",
+            "textureCoordinates": f"'0 0 1 0 1 1 0 1 0 ' || {_s('d % 2', dialect)}",
+            "surfaceDataId": f"'SD_' || {lp8}",
+        },
+        "building_furniture": {
+            "gmlId": f"'BF_' || {lp8}",
+            "class": _s("d % 7", dialect),
+            "roomId": f"'ROOM_' || {lp8}",
+            "lod4BrepId": f"'SURF_' || {lp8}",
+        },
+        "generic_attribute_set": {
+            "gmlId": f"'GAS_' || {lp8}",
+            "rootGenattribId": f"'GAS_' || {lp8}",
+            "name": f"'attrset_' || {_s('d % 5', dialect)}",
+            "dataType": "'107'",  # attr-set marker (reference template 1)
+            "genattribsetCodespace": f"'cs_' || {_s('d % 3', dialect)}",
+            "cityObjectId": bldg,
+        },
     }
 
 
@@ -217,7 +330,10 @@ def _oracle_obj(kind: str, graph: str, binding, base: str, ax: dict[str, str], d
     if binding == "@iri":
         return subj
     if binding == "@class":
+        # mirror extract.py: coalesce(attrs['objectClassId'], kind constant)
         cid = CLASS_ID.get(kind)
+        if "objectClassId" in ax:
+            return f"({ax['objectClassId']})"
         return f"'{cid}'" if cid is not None else None
     if binding == "@gmlid":
         return ax["gmlId"]
@@ -255,7 +371,9 @@ def triples_oracle_sql(
                 pos += 1
                 if graphs and graph not in graphs:
                     continue
-                if graph in ("addresstobuilding",):
+                from .extract import LINK_GRAPHS
+
+                if graph in LINK_GRAPHS:
                     subj = (
                         f"'{base}/{graph}/' || md5(({doc_key_expr(dialect)}) || "
                         f"'#{span_idx[kind]}#{graph}') || '/'"

@@ -38,13 +38,13 @@ def test_span_order_invariant(spark):
     within each block (DBBuilding.java:177,421)."""
     t = extract_triples(spark, synth_docs(spark, SF_SMOKE))
     one = (
-        t.where(F.col("doc_id") == "doc_00000007")
-        .orderBy("span_idx", "pos")
+        t.where((F.col("doc_id") == "doc_00000007") & (F.col("span_idx") == 0))
+        .orderBy("pos")
         .select("graph", "pred")
         .collect()
     )
     graphs = [r.graph for r in one]
-    # building span (idx 0) emits cityobject rows strictly before building rows
+    # within the building span: cityobject rows strictly before building rows
     co = [i for i, g in enumerate(graphs) if g == "cityobject"]
     bl = [i for i, g in enumerate(graphs) if g == "building"]
     assert co and bl and max(co) < min(bl)
@@ -55,8 +55,10 @@ def test_span_order_invariant(spark):
 def test_mention_counts(spark):
     t = extract_triples(spark, synth_docs(spark, SF_SMOKE))
     c = {r.graph: r.n_subjects for r in mention_counts(t).collect()}
-    # 500 docs -> 500 subjects in each always-on graph
-    assert c["building"] == 500 and c["cityobject"] == 500 and c["address"] == 500
+    # 500 docs; building graph holds building + building_part subjects;
+    # 10 feature kinds emit cityobject rows
+    assert c["building"] == 1000 and c["cityobject"] == 5000 and c["address"] == 500
+    assert len(c) == 20  # every graph with a template emits
 
 
 def test_hostile_inputs_no_crash(spark):
