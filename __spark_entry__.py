@@ -28,8 +28,8 @@ from citykg.fixtures import (
     triples_oracle_sql,
     SPAN_LAYOUT,
 )
-from citykg.ops import dedup, graph, multimodal, similarity, text
-from citykg.vocab import DEFAULT_BASE
+from citykg.ops import dedup, geo, graph, multimodal, owl, similarity, text
+from citykg.vocab import DEFAULT_BASE, OCGML
 
 REHOME_BASE = "http://www.theworldavatar.com/citieskg/namespace/central/sparql"
 
@@ -246,6 +246,139 @@ def q_sql_passthrough(spark, sf):
     return spark.sql(
         "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
         "FROM documents_v GROUP BY lang, source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# geometric analytics (A1/A2/A3/A10/A11, Q7 distance ops), N-Quads sink (S6),
+# OWL checks (G5)
+# ---------------------------------------------------------------------------
+
+def _geom_lits(spark, sf):
+    g = _triples(spark, sf, ["surfacegeometry"]).where(F.col("pred") == "ocgml:GeometryType")
+    return g.select("doc_id", F.col("obj").alias("lit"))
+
+
+def q_geo_area(spark, sf):
+    """A2: planar 3D polygon area (Newell |n|/2) of each geometry literal."""
+    d = geo.with_area3d(_geom_lits(spark, sf), "lit")
+    return d.select("doc_id", F.round("area", 6).alias("area"))
+
+
+_CORNERS = (
+    "384000 + d % 1000", "5820000 + d % 2000", "30 + d % 10",
+)
+
+
+def _ring_sql(*pts) -> str:
+    return "concat_ws('#', " + ", ".join(f"string({c})" for p in pts for c in p) + ")"
+
+
+def q_geo_surface_class(spark, sf):
+    """A10: ROOF/WALL/GROUND classification over three derived orientations
+    per doc — the stored tilted top ring, a vertical wall, and a clockwise
+    (downward-normal) ground ring."""
+    g = _geom_lits(spark, sf).selectExpr("doc_id", "cast(substring(doc_id, 5) as bigint) as d")
+    x0, y0, z0 = _CORNERS
+    x1, y1, z1 = f"({x0}) + 9", f"({y0}) + 8", f"({z0}) + 4"
+    roof = _ring_sql((x0, y0, z0), (x1, y0, z0), (x1, y1, z1), (x0, y1, z1), (x0, y0, z0))
+    wall = _ring_sql((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1), (x0, y0, z0))
+    ground = _ring_sql((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0), (x0, y0, z0))
+    v = g.selectExpr(
+        "doc_id",
+        f"explode(map('roof', {roof}, 'wall', {wall}, 'ground', {ground})) as (variant, lit)",
+    )
+    return geo.classify_surface(v, "lit").select("doc_id", "variant", "surf_class")
+
+
+def q_geo_validity(spark, sf):
+    """A3: IsValidDetail analog over the stored ring plus two corruptions
+    (unclosed ring, 2-point fragment)."""
+    g = _geom_lits(spark, sf)
+    v = g.selectExpr(
+        "doc_id",
+        "explode(map("
+        "'ok', lit, "
+        "'open', array_join(slice(split(lit, '#'), 1, 12), '#'), "
+        "'short', array_join(slice(split(lit, '#'), 1, 6), '#'))) as (variant, lit2)",
+    )
+    return geo.ring_validity(v, "lit2").select("doc_id", "variant", "is_valid", "reason")
+
+
+def q_geo_footprint(spark, sf):
+    """A1: per-group footprint union (validity + min-area filter, then
+    envelope union + summed area — StatementTransformer.filterResult)."""
+    g = _geom_lits(spark, sf).selectExpr(
+        "concat('g', lpad(string(cast(substring(doc_id, 5) as bigint) % 50), 2, '0')) as grp",
+        "lit",
+    )
+    out = geo.footprint_union(g, "grp", "lit", min_area=50.0)
+    return out.select(
+        "grp", "n_members", "xmin", "ymin", "xmax", "ymax",
+        F.round("total_area", 6).alias("total_area"),
+    )
+
+
+def q_spatial_dwithin(spark, sf):
+    """Q7 DWithin: all pairs of doc anchor points within 3 m — grid-cell
+    pair join (no cartesian)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0)
+    return p.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
+
+
+def q_nquads_format(spark, sf):
+    """S6: N-Quads rendering of the building graph (NquadsExporterTask)."""
+    from citykg.materialize import nquads_lines
+
+    return nquads_lines(_triples(spark, sf, ["building"])).select(
+        "doc_id", "span_idx", "pos", "line"
+    )
+
+
+def q_owl_cardinality(spark, sf):
+    """G5: min-cardinality-1 check — thematic surfaces missing their lod2
+    geometry triple (25% of docs by construction)."""
+    t = _triples(spark, sf, ["thematicsurface"])
+    v = owl.cardinality_violations(
+        spark, t, [("thematicsurface", "ocgml:lod2MultiSurfaceId")]
+    )
+    return v.select("graph", "subj", "missing_pred")
+
+
+def q_owl_domain(spark, sf):
+    """G5: rdfs:domain check — declare ocgml:buildingId's domain as the
+    addresstobuilding link graph; every buildingId triple in thematic
+    surface / room / installation graphs violates it."""
+    t = _triples(
+        spark, sf, ["thematicsurface", "room", "buildinginstallation", "addresstobuilding"]
+    )
+    v = owl.domain_violations(spark, t, [("ocgml:buildingId", "addresstobuilding")])
+    return v.select("subj", "pred", "graph", "expected_graph")
+
+
+def q_zoning_gfa(spark, sf):
+    """A11: allowsUse zoning filter + TotalGFA threshold
+    (CityInformationAgent.java:293-330 analog): GFA = projected footprint
+    area (|nz|/2 of the Newell normal) x storeys; keep buildings in zones
+    whose programme is allowed and GFA >= 2000."""
+    st = (
+        _triples(spark, sf, ["building"])
+        .where(F.col("pred") == "ocgml:storeysAboveGround")
+        .selectExpr("doc_id", "cast(substring(doc_id, 5) as bigint) as d", "cast(obj as int) as storeys")
+    )
+    fp = geo.with_normal(_geom_lits(spark, sf), "lit").selectExpr(
+        "doc_id", "abs(nz) / 2 as footprint"
+    )
+    zones = spark.range(7).selectExpr("concat('Z', id) as zone", "id % 2 = 1 as allows_use")
+    j = st.join(fp, "doc_id").withColumn("zone", F.expr("concat('Z', d % 7)"))
+    j = j.join(F.broadcast(zones), "zone").where("allows_use")
+    return j.selectExpr("doc_id", "zone", "round(footprint * storeys, 6) as gfa").where(
+        "gfa >= 2000"
     )
 
 
@@ -490,6 +623,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_xlink_dangling": q_kg_xlink_dangling,
         "lod_filter": q_lod_filter,
         "spatial_bbox": q_spatial_bbox,
+        "geo_area": q_geo_area,
+        "geo_surface_class": q_geo_surface_class,
+        "geo_validity": q_geo_validity,
+        "geo_footprint": q_geo_footprint,
+        "spatial_dwithin": q_spatial_dwithin,
+        "nquads_format": q_nquads_format,
+        "owl_cardinality": q_owl_cardinality,
+        "owl_domain": q_owl_domain,
+        "zoning_gfa": q_zoning_gfa,
         "sql_passthrough": q_sql_passthrough,
         "filter_algebra": q_filter_algebra,
         "id_in_filter": q_id_in_filter,
@@ -633,6 +775,79 @@ def _langid_sql() -> str:
     )
 
 
+def _newell_sql(axis: str) -> str:
+    """DuckDB Newell-normal component over list `c` (parsed coord list,
+    1-based): axis in 'nx' | 'ny' | 'nz'. Independent of the Spark
+    implementation (list_sum/list_transform vs aggregate/sequence)."""
+    pt = lambda a, j: f"c[(({j})-1)*3+{a}]"  # noqa: E731
+    diff_sum = {
+        "nx": (2, 3),  # (y_i - y_{i+1}) * (z_i + z_{i+1})
+        "ny": (3, 1),
+        "nz": (1, 2),
+    }[axis]
+    d, s = diff_sum
+    return (
+        f"CAST(list_sum(list_transform(range(1, len(c)//3), i -> "
+        f"({pt(d, 'i')} - {pt(d, 'i+1')}) * ({pt(s, 'i')} + {pt(s, 'i+1')}))) AS DOUBLE)"
+    )
+
+
+def _geom_coords_cte() -> str:
+    """CTE `n`: (d, nx, ny, nz) from the synthesized geometry literal."""
+    from citykg.fixtures import _envelope_lit
+
+    lit = _envelope_lit("duckdb")
+    return (
+        f"WITH g AS (SELECT doc_id AS d, list_transform(string_split({lit}, '#'), "
+        "v -> CAST(v AS DOUBLE)) AS c FROM documents), "
+        f"n AS (SELECT d, {_newell_sql('nx')} AS nx, {_newell_sql('ny')} AS ny, "
+        f"{_newell_sql('nz')} AS nz FROM g)"
+    )
+
+
+def _geo_area_sql() -> str:
+    return (
+        f"{_geom_coords_cte()} "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        "round(sqrt(nx*nx + ny*ny + nz*nz) / 2, 6) AS area FROM n"
+    )
+
+
+def _geo_footprint_sql() -> str:
+    return (
+        f"{_geom_coords_cte()} "
+        "SELECT 'g' || lpad(CAST(d % 50 AS VARCHAR), 2, '0') AS grp, "
+        "count(*) AS n_members, "
+        "min(384000 + d % 1000) AS xmin, min(5820000 + d % 2000) AS ymin, "
+        "max(384000 + d % 1000 + 9) AS xmax, max(5820000 + d % 2000 + 8) AS ymax, "
+        "round(sum(sqrt(nx*nx + ny*ny + nz*nz) / 2), 6) AS total_area "
+        "FROM n GROUP BY 1"
+    )
+
+
+def _zoning_gfa_sql() -> str:
+    return (
+        f"{_geom_coords_cte()} "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        "'Z' || CAST(d % 7 AS VARCHAR) AS zone, "
+        "round(abs(nz) / 2 * (1 + d % 40), 6) AS gfa FROM n "
+        "WHERE d % 7 IN (1, 3, 5) AND abs(nz) / 2 * (1 + d % 40) >= 2000"
+    )
+
+
+def _nquads_sql() -> str:
+    esc = "replace(replace(obj, chr(92), chr(92) || chr(92)), '\"', chr(92) || '\"')"
+    return (
+        f"WITH t AS ({triples_oracle_sql(graphs=['building'])}) "
+        "SELECT doc_id, span_idx, pos, "
+        f"'<' || subj || '> <{OCGML}' || substring(pred, 7) || '> ' || "
+        "CASE WHEN obj_type = 'iri' THEN '<' || obj || '>' "
+        f"ELSE '\"' || {esc} || '\"' || "
+        "CASE WHEN datatype IS NOT NULL THEN '^^<' || datatype || '>' ELSE '' END END "
+        f"|| ' <{DEFAULT_BASE}/' || graph || '/> .' AS line FROM t"
+    )
+
+
 def _ann_brute_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -693,6 +908,46 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (384000 + d % 1000) <= 384150 AND (384000 + d % 1000 + 9) >= 384100 "
             "AND (5820000 + d % 2000) <= 5820200 AND (5820000 + d % 2000 + 8) >= 5820000"
         ),
+        "geo_area": _geo_area_sql(),
+        "geo_surface_class": (
+            f"SELECT ({dk}) AS doc_id, v.variant, v.surf_class "
+            "FROM (SELECT doc_id AS d FROM documents) b, "
+            "(VALUES ('roof', 'ROOF'), ('wall', 'WALL'), ('ground', 'GROUND')) "
+            "v(variant, surf_class)"
+        ),
+        "geo_validity": (
+            f"SELECT ({dk}) AS doc_id, v.variant, v.is_valid, v.reason "
+            "FROM (SELECT doc_id AS d FROM documents) b, "
+            "(VALUES ('ok', TRUE, 'ok'), ('open', FALSE, 'not_closed'), "
+            "('short', FALSE, 'too_few_points')) v(variant, is_valid, reason)"
+        ),
+        "geo_footprint": _geo_footprint_sql(),
+        "spatial_dwithin": (
+            "WITH p AS (SELECT doc_id AS d, CAST(384000 + doc_id % 1000 AS DOUBLE) AS x, "
+            "CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents) "
+            "SELECT a.d AS id_a, b.d AS id_b, "
+            "round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist "
+            "FROM p a JOIN p b ON a.d < b.d "
+            "WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < 3.0"
+        ),
+        "nquads_format": _nquads_sql(),
+        "owl_cardinality": (
+            f"SELECT 'thematicsurface' AS graph, "
+            f"'{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS subj, "
+            "'ocgml:lod2MultiSurfaceId' AS missing_pred "
+            "FROM (SELECT doc_id AS d FROM documents) b WHERE d % 4 = 0"
+        ),
+        "owl_domain": (
+            "WITH b AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k FROM documents) "
+            f"SELECT '{DEFAULT_BASE}/thematicsurface/TS_' || k || '/' AS subj, "
+            "'ocgml:buildingId' AS pred, 'thematicsurface' AS graph, "
+            "'addresstobuilding' AS expected_graph FROM b "
+            f"UNION ALL SELECT '{DEFAULT_BASE}/room/ROOM_' || k || '/', "
+            "'ocgml:buildingId', 'room', 'addresstobuilding' FROM b "
+            f"UNION ALL SELECT '{DEFAULT_BASE}/buildinginstallation/BI_' || k || '/', "
+            "'ocgml:buildingId', 'buildinginstallation', 'addresstobuilding' FROM b"
+        ),
+        "zoning_gfa": _zoning_gfa_sql(),
         "sql_passthrough": (
             "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
             "FROM documents GROUP BY lang, source"

@@ -133,12 +133,23 @@ def write_geometry_datatype_registry(spark: SparkSession, triples: DataFrame, ou
     )
 
 
-def export_nquads(triples: DataFrame, path: str) -> None:
-    """S6 N-Quads export sink (NquadsExporterTask.java:93-123)."""
-    from .vocab import OCGML
+def nquads_lines(triples: DataFrame, base: str | None = None) -> DataFrame:
+    """S6: render triples as N-Quads lines (NquadsExporterTask.java:93-123;
+    graph IRI = <base>/<graph>/ per the named-graph layout,
+    SchemaManagerAdapter.java:168-181). Literal escaping follows the
+    N-Triples grammar for the characters that can occur in our values
+    (backslash first, then quote, LF, CR, TAB). Returns the input columns
+    plus `line`; everything is one JVM-side Project (zero shuffles)."""
+    from .vocab import DEFAULT_BASE, OCGML
+
+    base = base or DEFAULT_BASE
 
     def esc(c):
-        return F.regexp_replace(F.regexp_replace(c, r'\\', r'\\\\'), '"', '\\\\"')
+        for search, repl in (
+            ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
+        ):
+            c = F.replace(c, F.lit(search), F.lit(repl))
+        return c
 
     line = F.concat(
         F.lit("<"), F.col("subj"), F.lit("> <"),
@@ -153,6 +164,14 @@ def export_nquads(triples: DataFrame, path: str) -> None:
                 ).otherwise(F.lit("")),
             )
         ),
-        F.lit(" <"), F.col("graph"), F.lit("> ."),
+        F.lit(" <"), F.lit(base + "/"), F.col("graph"), F.lit("/> ."),
     )
-    triples.select(line.alias("value")).write.mode("overwrite").text(path)
+    return triples.withColumn("line", line)
+
+
+def export_nquads(triples: DataFrame, path: str, base: str | None = None) -> None:
+    """S6 N-Quads export sink: formatted lines to text files (the .gz
+    compression the reference applies is a codec option on a cluster)."""
+    nquads_lines(triples, base).select(F.col("line").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

@@ -1,0 +1,272 @@
+"""Geometric analytics over '#'-separated geometry literals (SURVEY §2.5).
+
+Reference semantics reproduced here:
+
+* A2 area          — GeoSpatialProcessor.CalculateArea
+  (/root/reference/agents/src/main/java/uk/ac/cam/cares/twa/cities/tasks/geo/
+   GeoSpatialProcessor.java:162) — we compute the true 3D polygon area via
+  the Newell normal (|n|/2), which equals the JTS planar area for flat rings.
+* A3 validity      — GeoSpatialProcessor.IsValid/IsValidDetail
+  (GeoSpatialProcessor.java:48-74) — ring-level checks (point count,
+  closure, degeneracy) with a reason string, JTS IsValidDetail-style.
+* A10 surface classification — MultiSurfaceThematicisationTask
+  (agents/.../tasks/geo/MultiSurfaceThematicisationTask.java:31-34,52-54,
+   113-147): classify ROOF/WALL/GROUND by the polygon normal's deviation
+  from the vertical axis vs a critical-angle threshold.
+* A1 footprint union — StatementTransformer.filterResult
+  (impexp-core/.../blazegraph/StatementTransformer.java:478-491): union the
+  per-entity ground polygons after a validity + minimum-area filter. Without
+  a geometry library in this container the default path is the ENVELOPE
+  union (bbox fold over members + summed member area); an exact
+  shapely-backed path is gated behind an import-try.
+* Q7 distance ops (DWithin/Beyond) — SpatialOperatorName.java:35-49. The
+  reference's Blazegraph backend stubs these out (blazegraph/
+  SQLAdapter.java:139-147); we implement them Spark-first as a grid-cell
+  pair join (no cartesian product: each point lands in one cell, candidate
+  pairs come from a 3x3 neighbor-cell equi-join, then the exact distance
+  filter runs on candidates only). At 100 TB this is the standard
+  bin-join pattern: shuffle is O(points x 9), never O(points^2).
+
+All expressions are JVM-side (whole-stage codegen); no Python in the path.
+Literals parse with split('#') -> transform(double) exactly per the decode
+contract GeoSpatialProcessor.GeomDataType (GeoSpatialProcessor.java:26-43).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _pt(axis: int, i: str) -> str:
+    """SQL for coordinate `axis` (0=x,1=y,2=z) of 0-based point index expr
+    `i` over the parsed array `c` (element_at is 1-based)."""
+    return f"element_at(c, cast(({i}) * 3 + {axis + 1} as int))"
+
+
+def _newell_struct() -> str:
+    """aggregate(...) producing named_struct(nx, ny, nz) — Newell's method
+    over the closed ring (sum i = 0..n-2; ring closure makes the wraparound
+    term zero)."""
+    return (
+        "aggregate(sequence(0, int(size(c) / 3) - 2), "
+        "named_struct('nx', 0.0D, 'ny', 0.0D, 'nz', 0.0D), (acc, i) -> named_struct("
+        f"'nx', acc.nx + ({_pt(1, 'i')} - {_pt(1, 'i + 1')}) * ({_pt(2, 'i')} + {_pt(2, 'i + 1')}), "
+        f"'ny', acc.ny + ({_pt(2, 'i')} - {_pt(2, 'i + 1')}) * ({_pt(0, 'i')} + {_pt(0, 'i + 1')}), "
+        f"'nz', acc.nz + ({_pt(0, 'i')} - {_pt(0, 'i + 1')}) * ({_pt(1, 'i')} + {_pt(1, 'i + 1')})))"
+    )
+
+
+def with_coords(df: DataFrame, lit_col: str, out: str = "c") -> DataFrame:
+    return df.withColumn(out, F.expr(f"transform(split({lit_col}, '#'), v -> double(v))"))
+
+
+def with_normal(df: DataFrame, lit_col: str) -> DataFrame:
+    """Adds nx, ny, nz (unnormalized Newell normal) for the FIRST ring of
+    the literal (exterior ring; matches the thematicisation task, which
+    classifies on the exterior)."""
+    n = _newell_struct()
+    return (
+        with_coords(df, lit_col)
+        .withColumn("_n", F.expr(n))
+        .selectExpr("*", "_n.nx as nx", "_n.ny as ny", "_n.nz as nz")
+        .drop("_n", "c")
+    )
+
+
+def with_area3d(df: DataFrame, lit_col: str, out: str = "area") -> DataFrame:
+    """A2: planar polygon area = |Newell normal| / 2 (exact for planar
+    rings in any orientation, reduces to the shoelace area for z=const)."""
+    n = _newell_struct()
+    return (
+        with_coords(df, lit_col)
+        .withColumn("_n", F.expr(n))
+        .withColumn(
+            out,
+            F.expr("sqrt(_n.nx * _n.nx + _n.ny * _n.ny + _n.nz * _n.nz) / 2.0D"),
+        )
+        .drop("_n", "c")
+    )
+
+
+def classify_surface(
+    df: DataFrame, lit_col: str, theta_deg: float = 45.0, out: str = "surf_class"
+) -> DataFrame:
+    """A10: ROOF if the normal is within theta of straight up, GROUND if
+    within theta of straight down, else WALL (critical-angle dispatch per
+    MultiSurfaceThematicisationTask.java:113-147)."""
+    cos_t = math.cos(math.radians(theta_deg))
+    d = with_normal(df, lit_col)
+    mag = F.expr("sqrt(nx * nx + ny * ny + nz * nz)")
+    cosv = (F.col("nz") / mag)
+    return d.withColumn(
+        out,
+        F.when(mag == 0.0, F.lit("DEGENERATE"))
+        .when(cosv >= cos_t, F.lit("ROOF"))
+        .when(cosv <= -cos_t, F.lit("GROUND"))
+        .otherwise(F.lit("WALL")),
+    ).drop("nx", "ny", "nz")
+
+
+def ring_validity(df: DataFrame, lit_col: str) -> DataFrame:
+    """A3: IsValidDetail analog. Adds is_valid + reason
+    ('ok' | 'too_few_points' | 'not_closed' | 'zero_area')."""
+    n = _newell_struct()
+    d = with_coords(df, lit_col).withColumn("_n", F.expr(n))
+    npts = F.expr("int(size(c) / 3)")
+    closed = F.expr(
+        "element_at(c, 1) = element_at(c, cast(size(c) - 2 as int)) AND "
+        "element_at(c, 2) = element_at(c, cast(size(c) - 1 as int)) AND "
+        "element_at(c, 3) = element_at(c, cast(size(c) as int))"
+    )
+    area = F.expr("sqrt(_n.nx * _n.nx + _n.ny * _n.ny + _n.nz * _n.nz) / 2.0D")
+    reason = (
+        F.when(npts < 4, F.lit("too_few_points"))
+        .when(~closed, F.lit("not_closed"))
+        .when(area <= 0.0, F.lit("zero_area"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        d.withColumn("reason", reason)
+        .withColumn("is_valid", F.col("reason") == "ok")
+        .drop("_n", "c")
+    )
+
+
+def footprint_union(
+    df: DataFrame,
+    group_col: str,
+    lit_col: str,
+    min_area: float = 0.0,
+) -> DataFrame:
+    """A1: per-group footprint after validity + min-area filtering
+    (StatementTransformer.filterResult:478-491 applies exactly this filter
+    before JTS UnaryUnion). Default path = envelope union: bbox fold over
+    the members' coordinates plus summed member area — one partial-agg
+    shuffle, no geometry lib. If shapely is importable an exact
+    unary_union runs per group inside an Arrow batch instead.
+
+    Returns (group, n_members, xmin, ymin, xmax, ymax, total_area[, wkt]).
+    """
+    valid = ring_validity(df, lit_col)
+    valid = with_area3d(valid.where("is_valid"), lit_col).where(F.col("area") > min_area)
+    try:  # exact path, only when the lib exists in the image
+        import shapely  # noqa: F401
+
+        return _footprint_union_shapely(valid, group_col, lit_col)
+    except ImportError:
+        pass
+    c = with_coords(valid, lit_col)
+    xs = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 0)"
+    ys = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 1)"
+    agg_min = lambda arr: f"aggregate({arr}, cast('Infinity' as double), (a, s) -> least(a, s.v))"  # noqa: E731
+    agg_max = lambda arr: f"aggregate({arr}, cast('-Infinity' as double), (a, s) -> greatest(a, s.v))"  # noqa: E731
+    c = c.selectExpr(
+        group_col,
+        "area",
+        f"{agg_min(xs)} as _xmin",
+        f"{agg_min(ys)} as _ymin",
+        f"{agg_max(xs)} as _xmax",
+        f"{agg_max(ys)} as _ymax",
+    )
+    return c.groupBy(group_col).agg(
+        F.count("*").alias("n_members"),
+        F.min("_xmin").alias("xmin"),
+        F.min("_ymin").alias("ymin"),
+        F.max("_xmax").alias("xmax"),
+        F.max("_ymax").alias("ymax"),
+        F.sum("area").alias("total_area"),
+    )
+
+
+def _footprint_union_shapely(valid: DataFrame, group_col: str, lit_col: str) -> DataFrame:
+    """Exact unary_union per group via applyInPandas (runs only when
+    shapely is installed; 2D projection of ring exteriors)."""
+    import pandas as pd
+    from shapely.geometry import Polygon
+    from shapely.ops import unary_union
+
+    def union_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        polys = []
+        for lit in pdf[lit_col]:
+            vs = [float(v) for v in lit.split("#")]
+            pts = [(vs[i], vs[i + 1]) for i in range(0, len(vs), 3)]
+            polys.append(Polygon(pts))
+        u = unary_union(polys)
+        xmin, ymin, xmax, ymax = u.bounds
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_members": [len(polys)],
+                "xmin": [xmin],
+                "ymin": [ymin],
+                "xmax": [xmax],
+                "ymax": [ymax],
+                "total_area": [u.area],
+                "wkt": [u.wkt],
+            }
+        )
+
+    schema = (
+        f"{group_col} string, n_members long, xmin double, ymin double, "
+        "xmax double, ymax double, total_area double, wkt string"
+    )
+    return valid.select(group_col, lit_col).groupBy(group_col).applyInPandas(union_group, schema)
+
+
+def dwithin_pairs(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    distance: float,
+) -> DataFrame:
+    """Q7 DWithin: all unordered point pairs with planar distance <
+    `distance`.
+
+    Scale path: assign each point to a `distance`-sized grid cell, explode
+    each point into its 3x3 neighbor cells on ONE side of the join, then
+    equi-join on the cell key. Every true pair shares a cell with the
+    exploded side, candidate count stays ~uniform, and the join is a plain
+    hash shuffle on (cx, cy) — no cartesian, skew bounded by local point
+    density rather than key popularity.
+    """
+    cell = lambda c: F.floor(F.col(c) / F.lit(distance)).cast("long")  # noqa: E731
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).withColumn("_cx", cell("_x")).withColumn("_cy", cell("_y"))
+    probe = (
+        pts.withColumn("_dx", F.explode(F.array(*[F.lit(v) for v in (-1, 0, 1)])))
+        .withColumn("_dy", F.explode(F.array(*[F.lit(v) for v in (-1, 0, 1)])))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_x").alias("xa"),
+            F.col("_y").alias("ya"),
+            (F.col("_cx") + F.col("_dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    build = pts.select(
+        F.col("_id").alias("id_b"), F.col("_x").alias("xb"), F.col("_y").alias("yb"),
+        "_cx", "_cy",
+    )
+    cand = probe.join(build, ["_cx", "_cy"]).where(F.col("id_a") < F.col("id_b"))
+    dist = F.expr("sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb))")
+    cand = cand.withColumn("dist", dist)
+    # no distinct needed: the build side sits in exactly one cell, so each
+    # (a, b) pair matches on at most one (cx, cy) key
+    return cand.where(F.col("dist") < distance).select("id_a", "id_b", "dist")
+
+
+def beyond_filter(
+    df: DataFrame, x_col: str, y_col: str, px: float, py: float, distance: float
+) -> DataFrame:
+    """Q7 Beyond: keep rows farther than `distance` from a fixed query
+    point — the export-filter form of the operator (a selection, pushed to
+    the scan as a plain predicate; Beyond over all pairs would be the
+    complement of dwithin_pairs and is intentionally not materialized)."""
+    d2 = (F.col(x_col) - px) ** 2 + (F.col(y_col) - py) ** 2
+    return df.where(d2 > distance * distance)

@@ -1,0 +1,163 @@
+"""Geo analytics (A1/A2/A3/A10, Q7), N-Quads sink (S6), OWL checks (G5)."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from citykg.materialize import nquads_lines
+from citykg.ops import geo, owl
+from citykg.vocab import DEFAULT_BASE, OCGML
+
+ROOF = "0#0#30#9#0#30#9#8#34#0#8#34#0#0#30"  # tilted top (fixture shape)
+WALL = "0#0#30#9#0#30#9#0#34#0#0#34#0#0#30"  # vertical
+GROUND = "0#0#30#0#8#30#9#8#30#9#0#30#0#0#30"  # clockwise -> normal down
+
+
+def _lits(spark):
+    return spark.createDataFrame(
+        [("roof", ROOF), ("wall", WALL), ("ground", GROUND)], "id string, lit string"
+    )
+
+
+def test_area3d_matches_cross_product(spark):
+    out = {r.id: r.area for r in geo.with_area3d(_lits(spark), "lit").collect()}
+    # parallelogram areas: |(9,0,0)x(0,8,4)| etc.
+    assert math.isclose(out["roof"], math.sqrt(36**2 + 72**2))
+    assert math.isclose(out["wall"], 36.0)
+    assert math.isclose(out["ground"], 72.0)
+
+
+def test_surface_classification(spark):
+    out = {r.id: r.surf_class for r in geo.classify_surface(_lits(spark), "lit").collect()}
+    assert out == {"roof": "ROOF", "wall": "WALL", "ground": "GROUND"}
+
+
+def test_surface_classification_threshold(spark):
+    # tilt angle of the roof quad is atan(36/72) = 26.57 deg; a stricter
+    # critical angle must demote it to WALL
+    out = {
+        r.id: r.surf_class
+        for r in geo.classify_surface(_lits(spark), "lit", theta_deg=20.0).collect()
+    }
+    assert out["roof"] == "WALL"
+    assert out["ground"] == "GROUND"
+
+
+def test_ring_validity(spark):
+    df = spark.createDataFrame(
+        [
+            ("ok", ROOF),
+            ("open", "0#0#30#9#0#30#9#8#34#0#8#34"),  # 4 pts, unclosed
+            ("short", "0#0#30#9#0#30"),  # 2 pts
+            ("degen", "0#0#30#0#0#30#0#0#30#0#0#30"),  # zero area, closed
+        ],
+        "id string, lit string",
+    )
+    out = {r.id: (r.is_valid, r.reason) for r in geo.ring_validity(df, "lit").collect()}
+    assert out["ok"] == (True, "ok")
+    assert out["open"] == (False, "not_closed")
+    assert out["short"] == (False, "too_few_points")
+    assert out["degen"] == (False, "zero_area")
+
+
+def test_footprint_union_filters_and_folds(spark):
+    df = spark.createDataFrame(
+        [
+            ("g1", ROOF),
+            ("g1", "20#20#0#29#20#0#29#28#0#20#28#0#20#20#0"),  # disjoint square
+            ("g1", "0#0#30#9#0#30"),  # invalid -> filtered
+            ("g1", "0#0#0#1#0#0#1#1#0#0#1#0#0#0#0"),  # area 1 < min_area
+        ],
+        "grp string, lit string",
+    )
+    row = geo.footprint_union(df, "grp", "lit", min_area=50.0).collect()[0]
+    assert row.n_members == 2
+    assert (row.xmin, row.ymin, row.xmax, row.ymax) == (0.0, 0.0, 29.0, 28.0)
+    assert math.isclose(row.total_area, math.sqrt(36**2 + 72**2) + 72.0)
+
+
+def test_dwithin_grid_equals_brute_force(spark):
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    d = 5.0
+    got = {
+        (r.id_a, r.id_b) for r in geo.dwithin_pairs(df, "id", "x", "y", d).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 < d * d
+    }
+    assert got == want and len(want) > 100
+
+
+def test_beyond_filter(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0), (2, 30.0, 40.0)], "id long, x double, y double")
+    out = geo.beyond_filter(df, "x", "y", 0.0, 0.0, 49.9).collect()
+    assert [r.id for r in out] == [2]
+
+
+def test_nquads_escaping_and_shape(spark):
+    t = spark.createDataFrame(
+        [
+            ("http://x/s/", "ocgml:name", 'he said "hi"\n\\end', "literal", None, "building"),
+            ("http://x/s/", "ocgml:id", "http://x/s/", "iri", None, "building"),
+            ("http://x/s/", "ocgml:GeometryType", "1#2#3", "literal", "http://dt/P", "building"),
+        ],
+        "subj string, pred string, obj string, obj_type string, datatype string, graph string",
+    )
+    lines = [r.line for r in nquads_lines(t).orderBy("pred").collect()]
+    geom, ident, name = lines
+    assert name == (
+        f'<http://x/s/> <{OCGML}name> "he said \\"hi\\"\\n\\\\end" '
+        f"<{DEFAULT_BASE}/building/> ."
+    )
+    assert ident == f"<http://x/s/> <{OCGML}id> <http://x/s/> <{DEFAULT_BASE}/building/> ."
+    assert geom == (
+        f'<http://x/s/> <{OCGML}GeometryType> "1#2#3"^^<http://dt/P> '
+        f"<{DEFAULT_BASE}/building/> ."
+    )
+
+
+def _tiny_triples(spark):
+    rows = [
+        ("s1", "ocgml:objectClassId", "33", "literal", None, "thematicsurface"),
+        ("s1", "ocgml:lod2MultiSurfaceId", "g1", "iri", None, "thematicsurface"),
+        ("s2", "ocgml:objectClassId", "35", "literal", None, "thematicsurface"),
+        # s2 lacks lod2MultiSurfaceId -> cardinality violation
+        ("s2", "ocgml:objectClassId", "34", "literal", None, "thematicsurface"),
+        # s2 asserts classes 35 AND 34 -> disjointness violation
+        ("s3", "ocgml:buildingId", "b1", "iri", None, "room"),
+        # buildingId declared for addresstobuilding -> domain violation
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string, datatype string, graph string"
+    )
+
+
+def test_owl_cardinality_violations(spark):
+    v = owl.cardinality_violations(
+        spark, _tiny_triples(spark), [("thematicsurface", "ocgml:lod2MultiSurfaceId")]
+    ).collect()
+    assert [(r.subj, r.missing_pred) for r in v] == [("s2", "ocgml:lod2MultiSurfaceId")]
+
+
+def test_owl_disjoint_violations(spark):
+    v = owl.disjoint_class_violations(spark, _tiny_triples(spark), [("34", "35")]).collect()
+    assert [(r.subj, r.class_a, r.class_b) for r in v] == [("s2", "34", "35")]
+
+
+def test_owl_domain_violations(spark):
+    v = owl.domain_violations(
+        spark, _tiny_triples(spark), [("ocgml:buildingId", "addresstobuilding")]
+    ).collect()
+    assert [(r.subj, r.graph) for r in v] == [("s3", "room")]
+
+
+def test_dwithin_plan_has_no_cartesian(spark):
+    df = spark.range(10).selectExpr("id", "cast(id as double) x", "cast(id as double) y")
+    plan = geo.dwithin_pairs(df, "id", "x", "y", 2.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
