@@ -585,6 +585,42 @@ def q_multimodal_decode(spark, sf):
     return multimodal.decode_image(multimodal.synth_media(d), n_features=8)
 
 
+def q_source_cityjson(spark, sf):
+    """S3: CityJSON read path — synthesize one CityJSON text per doc row,
+    parse through the vectorized reader, surface span count + a parsed
+    attribute. The parse itself is the op under test; the oracle states the
+    expected parse output in closed form."""
+    from citykg.cityjson import parse_cityjson
+    from citykg.sources import docs_from_text
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").where("doc_id < 200")
+    tmpl = (
+        '{"type":"CityJSON","version":"1.1",'
+        '"vertices":[[0,0,0],[9,0,0],[9,8,0],[0,8,0]],'
+        '"CityObjects":{"BLDG_%08d":{"type":"Building",'
+        '"attributes":{"storeysAboveGround":%d},'
+        '"geometry":[{"type":"MultiSurface","lod":"2","boundaries":[[[0,1,2,3]]]}]}}}'
+    )
+    js = d.selectExpr(
+        f"format_string('{tmpl}', doc_id, cast(doc_id % 40 + 1 as int)) as value"
+    )
+    docs = docs_from_text(js, parse_cityjson)
+    return docs.selectExpr(
+        "doc_id",
+        "size(spans) as n_spans",
+        "cast(str_to_map(spans[0].text, ';', '=')['storeysAboveGround'] as int) as storeys",
+    )
+
+
+def q_graph_edge_betweenness(spark, sf):
+    """G2: Brandes edge betweenness over the address<->building link graph
+    (EdgeBetweennessTask analog; iterative — rows-only check, exactness is
+    locked by tests/test_betweenness.py against a pure-Python oracle)."""
+    t = _triples(spark, sf, ["addresstobuilding"]).where("doc_id < 'doc_00000050'")
+    eb = graph.edge_betweenness(graph.triples_to_edges(t))
+    return eb.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
+
+
 def q_graph_pagerank(spark, sf):
     t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
     return graph.pagerank(graph.triples_to_edges(t), max_iter=8).select(
@@ -655,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
+        "source_cityjson": q_source_cityjson,
+        "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
     }
@@ -1029,6 +1067,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
         "emb_label_hist": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "source_cityjson": (
+            # parsed CityJSON expectation: doc_id = CityObject key; spans =
+            # building + MultiSurface container + 1 polygon = 3
+            "SELECT 'BLDG_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
+            "3 AS n_spans, CAST(doc_id % 40 + 1 AS INT) AS storeys "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "ann_brute_topk": _ann_brute_sql(),
         # rows-only (non-SQL-expressible): dedup_simhash (blake2b+numpy fold),
         # ann_lsh_topk (random hyperplanes), multimodal_decode (Arrow stub),

@@ -19,22 +19,17 @@ from .citygml import parse_citygml
 from .schema import DOC_SCHEMA
 
 
-def read_citygml(spark: SparkSession, path: str, fanout: int | None = None) -> DataFrame:
-    """CityGML file(s) -> input_hint docs DataFrame.
-
-    `wholetext` keeps one file per row; parsing runs Arrow-batched inside
-    mapInPandas (S2's SAX-chunk-per-worker analog — each task parses its
-    files and emits one row per cityObjectMember).
-    """
-    files = spark.read.text(path, wholetext=True)
-    if fanout:
-        files = files.repartition(fanout)
+def docs_from_text(files: DataFrame, parse_fn) -> DataFrame:
+    """Text rows (`value` column) -> docs DataFrame via an Arrow-batched
+    parser (parse_fn: text -> [(doc_id, spans)]). The shared execution
+    shape of S2/S3: each task parses its rows and emits one doc row per
+    feature; parallelism comes from input splits."""
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for xml_text in pdf["value"]:
-                for doc_id, spans in parse_citygml(xml_text):
+            for text in pdf["value"]:
+                for doc_id, spans in parse_fn(text):
                     rows.append(
                         (
                             doc_id,
@@ -47,6 +42,30 @@ def read_citygml(spark: SparkSession, path: str, fanout: int | None = None) -> D
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return files.mapInPandas(parse_batches, DOC_SCHEMA)
+
+
+def read_citygml(spark: SparkSession, path: str, fanout: int | None = None) -> DataFrame:
+    """CityGML file(s) -> input_hint docs DataFrame (S2).
+
+    `wholetext` keeps one file per row; parsing runs Arrow-batched inside
+    mapInPandas (S2's SAX-chunk-per-worker analog — each task parses its
+    files and emits one row per cityObjectMember).
+    """
+    files = spark.read.text(path, wholetext=True)
+    if fanout:
+        files = files.repartition(fanout)
+    return docs_from_text(files, parse_citygml)
+
+
+def read_cityjson(spark: SparkSession, path: str, fanout: int | None = None) -> DataFrame:
+    """CityJSON file(s) -> input_hint docs DataFrame (S3). Same shape and
+    execution pattern as read_citygml: wholetext scan, Arrow-batched parse."""
+    from .cityjson import parse_cityjson
+
+    files = spark.read.text(path, wholetext=True)
+    if fanout:
+        files = files.repartition(fanout)
+    return docs_from_text(files, parse_cityjson)
 
 
 def read_docs_parquet(spark: SparkSession, path: str) -> DataFrame:
