@@ -366,16 +366,21 @@ def q_zoning_gfa(spark, sf):
     (CityInformationAgent.java:293-330 analog): GFA = projected footprint
     area (|nz|/2 of the Newell normal) x storeys; keep buildings in zones
     whose programme is allowed and GFA >= 2000."""
-    st = (
-        _triples(spark, sf, ["building"])
-        .where(F.col("pred") == "ocgml:storeysAboveGround")
-        .selectExpr("doc_id", "cast(substring(doc_id, 5) as bigint) as d", "cast(obj as int) as storeys")
+    # storeys and geometry come out of the SAME extraction scan — fold them
+    # with one conditional aggregation (one shuffle on doc_id) instead of a
+    # self-join of two derivations of the scan (two shuffles)
+    t = _triples(spark, sf, ["building", "surfacegeometry"]).where(
+        F.col("pred").isin("ocgml:storeysAboveGround", "ocgml:GeometryType")
     )
-    fp = geo.with_normal(_geom_lits(spark, sf), "lit").selectExpr(
-        "doc_id", "abs(nz) / 2 as footprint"
+    per_doc = t.groupBy("doc_id").agg(
+        F.max(F.when(F.col("pred") == "ocgml:storeysAboveGround", F.col("obj").cast("int"))).alias("storeys"),
+        F.max(F.when(F.col("pred") == "ocgml:GeometryType", F.col("obj"))).alias("lit"),
+    )
+    fp = geo.with_normal(per_doc, "lit").selectExpr(
+        "doc_id", "cast(substring(doc_id, 5) as bigint) as d", "storeys", "abs(nz) / 2 as footprint"
     )
     zones = spark.range(7).selectExpr("concat('Z', id) as zone", "id % 2 = 1 as allows_use")
-    j = st.join(fp, "doc_id").withColumn("zone", F.expr("concat('Z', d % 7)"))
+    j = fp.withColumn("zone", F.expr("concat('Z', d % 7)"))
     j = j.join(F.broadcast(zones), "zone").where("allows_use")
     return j.selectExpr("doc_id", "zone", "round(footprint * storeys, 6) as gfa").where(
         "gfa >= 2000"
@@ -580,9 +585,35 @@ def q_ann_lsh_topk(spark, sf):
     return similarity.lsh_ann_topk(e, q, k=5).select("query_id", "vec_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN: coarse k-means centroids + nprobe cell scan (rows-only:
+    approximate by design; recall vs brute force locked by tests)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_ann_topk(e, q, k=5, n_centroids=8, nprobe=3).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_multimodal_decode(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     return multimodal.decode_image(multimodal.synth_media(d), n_features=8)
+
+
+def q_crs_transform(spark, sf):
+    """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
+    (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
+    numpy kernel inside mapInPandas — rows-only; exactness locked by
+    tests/test_crs.py (round-trip + independent-series cross-check)."""
+    from citykg.ops import crs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    out = crs.transform_df(d, "x", "y", zone=33)
+    return out.selectExpr("doc_id", "round(lon, 9) as lon", "round(lat, 9) as lat")
 
 
 def q_source_cityjson(spark, sf):
@@ -690,7 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_hist": q_emb_label_hist,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,

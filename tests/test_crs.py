@@ -1,0 +1,82 @@
+"""A4 CRS transform: Krueger-series UTM<->WGS84 vs round-trip, anchor
+points, and an independent Snyder-formula implementation."""
+
+import numpy as np
+
+from citykg.ops.crs import transform_df, utm_to_wgs84, wgs84_to_utm
+
+
+def _snyder_tm(lon_deg, lat_deg, zone):
+    """Independent check implementation (Snyder 1987 eq. 8-9..8-15 —
+    a different series than the Krueger n-series used by the op)."""
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+    lat = np.radians(lat_deg)
+    lon = np.radians(lon_deg)
+    lon0 = np.radians(zone * 6 - 183)
+    n = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+    t = np.tan(lat) ** 2
+    c = ep2 * np.cos(lat) ** 2
+    aa = (lon - lon0) * np.cos(lat)
+    m = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * lat
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * lat)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * lat)
+        - (35 * e2**3 / 3072) * np.sin(6 * lat)
+    )
+    east = 500000 + k0 * n * (
+        aa + (1 - t + c) * aa**3 / 6 + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * aa**5 / 120
+    )
+    north = k0 * (
+        m
+        + n
+        * np.tan(lat)
+        * (
+            aa**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * aa**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * aa**6 / 720
+        )
+    )
+    return east, north
+
+
+def test_roundtrip_machine_precision():
+    rng = np.random.RandomState(0)
+    lons = rng.uniform(12.0, 18.0, 500)
+    lats = rng.uniform(45.0, 60.0, 500)
+    e, n = wgs84_to_utm(lons, lats, 33)
+    lo, la = utm_to_wgs84(e, n, 33)
+    assert np.abs(lo - lons).max() < 1e-12
+    assert np.abs(la - lats).max() < 1e-12
+
+
+def test_anchor_points():
+    # central meridian of zone 33 (15E) at the equator: E=500000, N=0 exactly
+    e, n = wgs84_to_utm(np.array([15.0]), np.array([0.0]), 33)
+    assert abs(e[0] - 500000.0) < 1e-6 and abs(n[0]) < 1e-6
+    # the fixture corner (384000, 5820000) must land in Berlin
+    lon, lat = utm_to_wgs84(np.array([384000.0]), np.array([5820000.0]), 33)
+    assert 13.2 < lon[0] < 13.4 and 52.4 < lat[0] < 52.6
+
+
+def test_agrees_with_independent_series():
+    rng = np.random.RandomState(7)
+    lons = rng.uniform(12.0, 18.0, 200)
+    lats = rng.uniform(45.0, 60.0, 200)
+    e1, n1 = wgs84_to_utm(lons, lats, 33)
+    e2, n2 = _snyder_tm(lons, lats, 33)
+    # Snyder's truncated series is the limiting factor (~1 mm)
+    assert np.abs(e1 - e2).max() < 0.01
+    assert np.abs(n1 - n2).max() < 0.01
+
+
+def test_transform_df(spark):
+    df = spark.createDataFrame(
+        [("a", 384000.0, 5820000.0), ("b", 500000.0, 0.0)], "id string, x double, y double"
+    )
+    out = {r.id: (r.lon, r.lat) for r in transform_df(df, "x", "y", zone=33).collect()}
+    assert 13.2 < out["a"][0] < 13.4 and 52.4 < out["a"][1] < 52.6
+    assert abs(out["b"][0] - 15.0) < 1e-9 and abs(out["b"][1]) < 1e-9

@@ -80,3 +80,78 @@ def test_streaming_extract_matches_batch(spark, tmp_path_factory):
     total = spark.read.parquet(out).count()
     assert total == extract_triples(spark, docs).count()
     docs.unpersist()
+
+
+def test_stream_dedup_first_seen(spark, tmp_path_factory):
+    """Stateful streaming UID-cache: duplicates across micro-batches are
+    swallowed; state survives a checkpointed restart."""
+    land = str(tmp_path_factory.mktemp("dd_landing"))
+    out = str(tmp_path_factory.mktemp("dd_out"))
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+
+    spark.createDataFrame(
+        [("B1", "a"), ("B2", "b"), ("B1", "dup-in-batch")], "gml_id string, payload string"
+    ).write.mode("append").parquet(land)
+
+    def run():
+        s = (
+            spark.readStream.schema("gml_id string, payload string")
+            .parquet(land)
+        )
+        dd = streaming.stream_dedup_first_seen(s, "gml_id")
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r.gml_id for r in spark.read.parquet(out).collect()}
+    assert got == {"B1", "B2"}
+
+    # second drop: B1 again (cross-batch dup) + new B3
+    spark.createDataFrame(
+        [("B1", "late-dup"), ("B3", "c")], "gml_id string, payload string"
+    ).write.mode("append").parquet(land)
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {r.gml_id for r in rows} == {"B1", "B2", "B3"}
+    assert len(rows) == 3  # B1 emitted exactly once, ever
+
+
+def test_stream_windowed_counts(spark, tmp_path_factory):
+    """Watermarked windowed agg over the events table: every emitted
+    window matches the batch computation (append mode withholds only
+    windows the watermark has not passed)."""
+    land = str(tmp_path_factory.mktemp("wc_landing"))
+    out = str(tmp_path_factory.mktemp("wc_out"))
+    ckpt = str(tmp_path_factory.mktemp("wc_ckpt"))
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("ts", "event_type")
+    ev.write.mode("append").parquet(land)
+
+    s = spark.readStream.schema(ev.schema).parquet(land)
+    wc = streaming.stream_windowed_counts(s, "ts", "event_type", "1 hour", "2 hours")
+    q = (
+        wc.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.win_start, r.event_type): r["count"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.win_start, r.event_type): r["count"]
+        for r in streaming.stream_windowed_counts(ev, "ts", "event_type", "1 hour", "2 hours")
+        .collect()
+    }
+    assert got and all(want[k] == v for k, v in got.items())
