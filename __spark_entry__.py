@@ -340,6 +340,15 @@ def q_nquads_format(spark, sf):
     )
 
 
+def q_kml_placemark(spark, sf):
+    """S8: KML Placemark projection of each geometry literal
+    (KmlExporterManager analog; string transform only, zero shuffles)."""
+    from citykg.ops.kml import kml_placemarks
+
+    g = _geom_lits(spark, sf).selectExpr("doc_id", "concat('SURF_', substring(doc_id, 5)) as gml_id", "lit")
+    return kml_placemarks(g, "gml_id", "lit").select("doc_id", "kml")
+
+
 def q_owl_cardinality(spark, sf):
     """G5: min-cardinality-1 check — thematic surfaces missing their lod2
     geometry triple (25% of docs by construction)."""
@@ -696,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_footprint": q_geo_footprint,
         "spatial_dwithin": q_spatial_dwithin,
         "nquads_format": q_nquads_format,
+        "kml_placemark": q_kml_placemark,
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
         "zoning_gfa": q_zoning_gfa,
@@ -919,6 +929,24 @@ def _nquads_sql() -> str:
     )
 
 
+def _kml_placemark_sql() -> str:
+    from citykg.fixtures import _envelope_lit
+
+    coords = (
+        "array_to_string(list_transform(range(1, len(t)//3 + 1), i -> "
+        "t[(i-1)*3+1] || ',' || t[(i-1)*3+2] || ',' || t[(i-1)*3+3]), ' ')"
+    )
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        "'<Placemark><name>SURF_' || lpad(CAST(d AS VARCHAR), 8, '0') || "
+        "'</name><Polygon><outerBoundaryIs><LinearRing><coordinates>' || "
+        f"{coords} || "
+        "'</coordinates></LinearRing></outerBoundaryIs></Polygon></Placemark>' AS kml "
+        "FROM g"
+    )
+
+
 def _ann_brute_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1002,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < 3.0"
         ),
         "nquads_format": _nquads_sql(),
+        "kml_placemark": _kml_placemark_sql(),
         "owl_cardinality": (
             f"SELECT 'thematicsurface' AS graph, "
             f"'{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS subj, "

@@ -161,6 +161,10 @@ def headline(sf_dir: str, cores: int) -> None:
         "window_rank",
         "tiling",
         "graph_pagerank",
+        "geo_area",
+        "spatial_dwithin",
+        "zoning_gfa",
+        "nquads_format",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 

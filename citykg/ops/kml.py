@@ -1,0 +1,60 @@
+"""S8 — KML export (the formatting core of the reference's
+KML/COLLADA/glTF visual-export plugin).
+
+The reference's KmlExporterManager builds Placemark documents per feature
+from the surface-geometry query results
+(/root/reference/impexp-kml-collada-plugin/src/main/java/org/citydb/modules/
+kml/database/KmlExporterManager.java), tiled by KmlSplitter (tiling = the
+`tiling` query in __spark_entry__). The COLLADA/glTF mesh pipeline is out
+of scope (SURVEY §2.1 S8); what matters for query parity is the
+feature -> Placemark projection, which is a pure string transform of the
+'#'-geometry literal — one JVM-side Project, zero shuffles, oracled in
+DuckDB.
+
+Coordinate regrouping keeps the ORIGINAL literal tokens (no double
+parse/re-render): every 3rd '#' boundary becomes the KML tuple separator,
+the others become commas — x#y#z#x#y#z -> "x,y,z x,y,z". Re-projection to
+WGS84 (the reference does this via its SRS config) is the separate A4 op
+(ops.crs.transform_df); compose when lon/lat output is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KML_HEADER = '<?xml version="1.0" encoding="UTF-8"?><kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+KML_FOOTER = "</Document></kml>"
+
+
+def kml_coordinates_expr(lit_col: str) -> str:
+    """SQL expr: '#'-literal -> KML coordinate string 'x,y,z x,y,z ...'."""
+    t = f"split({lit_col}, '#')"
+    return (
+        f"array_join(transform(sequence(0, int(size({t}) / 3) - 1), i -> "
+        f"concat(element_at({t}, cast(3 * i + 1 as int)), ',', "
+        f"element_at({t}, cast(3 * i + 2 as int)), ',', "
+        f"element_at({t}, cast(3 * i + 3 as int)))), ' ')"
+    )
+
+
+def kml_placemarks(df: DataFrame, id_col: str, lit_col: str, out: str = "kml") -> DataFrame:
+    """Adds a Placemark XML column per row (geometry footprint ring)."""
+    coords = kml_coordinates_expr(lit_col)
+    return df.withColumn(
+        out,
+        F.expr(
+            f"concat('<Placemark><name>', {id_col}, '</name>"
+            "<Polygon><outerBoundaryIs><LinearRing><coordinates>', "
+            f"{coords}, "
+            "'</coordinates></LinearRing></outerBoundaryIs></Polygon></Placemark>')"
+        ),
+    )
+
+
+def export_kml(df: DataFrame, id_col: str, lit_col: str, path: str) -> None:
+    """Placemark lines to a text sink; wrap with KML_HEADER/KML_FOOTER when
+    assembling a single document (driver-side concat of part files, or a
+    coalesce(1) for small exports)."""
+    kml_placemarks(df, id_col, lit_col).select(F.col("kml").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

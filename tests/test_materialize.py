@@ -89,11 +89,11 @@ def test_nquads_export(spark, tmp_path_factory):
         "subj string, pred string, obj string, obj_type string, datatype string, "
         "graph string, doc_id string, span_idx int, pos int",
     )
-    materialize.export_nquads(t, f"{out}/q")
+    materialize.export_nquads(t, f"{out}/q", base="http://b")
     lines = sorted(r.value for r in spark.read.text(f"{out}/q").collect())
     assert lines[0] == (
         "<http://b/building/x/> "
         "<http://www.theworldavatar.com/ontology/ontocitygml/citieskg/OntoCityGML.owl#id> "
-        "<http://b/building/x/> <building> ."
+        "<http://b/building/x/> <http://b/building/> ."
     )
     assert '"say \\"hi\\""' in lines[1]
