@@ -240,6 +240,16 @@ def q_lod_filter(spark, sf):
     )
 
 
+def q_projection_filter(spark, sf):
+    """Q9: projection filter — keep only a declared subset of generic-
+    attribute properties per feature (ProjectionFilter analog: the kept
+    predicate list is the projection; everything else is dropped before
+    export)."""
+    keep = ["ocgml:attrName", "ocgml:dataType", "ocgml:cityObjectId"]
+    t = _triples(spark, sf, ["cityobjectgenericattrib"])
+    return t.where(F.col("pred").isin(keep)).select("subj", "pred", "obj", "doc_id", "span_idx", "pos")
+
+
 def q_sql_passthrough(spark, sf):
     """Q14: user-supplied SQL over registered views."""
     spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
         "zoning_gfa": q_zoning_gfa,
+        "projection_filter": q_projection_filter,
         "sql_passthrough": q_sql_passthrough,
         "filter_algebra": q_filter_algebra,
         "id_in_filter": q_id_in_filter,
@@ -1048,6 +1059,11 @@ def oracle_sql() -> dict[str, str]:
             "'ocgml:buildingId', 'buildinginstallation', 'addresstobuilding' FROM b"
         ),
         "zoning_gfa": _zoning_gfa_sql(),
+        "projection_filter": (
+            "SELECT subj, pred, obj, doc_id, span_idx, pos "
+            f"FROM ({triples_oracle_sql(graphs=['cityobjectgenericattrib'])}) "
+            "WHERE pred IN ('ocgml:attrName', 'ocgml:dataType', 'ocgml:cityObjectId')"
+        ),
         "sql_passthrough": (
             "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
             "FROM documents GROUP BY lang, source"

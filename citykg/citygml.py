@@ -96,6 +96,19 @@ LAST_MOD = "2026-01-01T00:00Z"  # deterministic lastModificationDate stand-in
 # comparator matches this predicate on presence only, FIXTURES.md)
 
 
+class CircularXlinkError(Exception):
+    """L5: circular intra-document geometry reference — the reference
+    aborts the feature import (DBCityObject.java:437-446,
+    LocalGeometryXlinkResolver)."""
+
+
+def _href(el: ET.Element) -> str | None:
+    for k, v in el.attrib.items():
+        if _local(k) == "href":
+            return v.lstrip("#")
+    return None
+
+
 def _gml_id(el: ET.Element, default: str) -> str:
     for k, v in el.attrib.items():
         if _local(k) == "id":
@@ -129,11 +142,15 @@ class _GeomWalker:
         "GeometricComplex": dict(isSolid="0", isComposite="0"),
     }
 
-    def __init__(self, doc: _Doc, owner_gml_id: str):
+    def __init__(self, doc: _Doc, owner_gml_id: str, id_index: dict | None = None):
         self.doc = doc
         self.owner = owner_gml_id
         self.n = 0
         self.all_coords: list[list[float]] = []
+        # L5 doc-local xlink state: geometry elements by gml:id + the ids
+        # on the current walk path (cycle detection)
+        self.id_index = id_index or {}
+        self.path: list[str] = []
 
     def _mint(self, el: ET.Element) -> str:
         gid = _gml_id(el, "")
@@ -161,15 +178,57 @@ class _GeomWalker:
                 "cityObjectId": self.owner,
             }
             self.doc.add("surface_geometry", attrs)
+            self.path.append(gid)
             for child in el:
                 # property wrappers (exterior, surfaceMember, solidMember...)
+                h = _href(child)
+                if h is not None:
+                    self._xlink(h, gid, root)
+                    continue
                 for g in child:
                     self.walk(g, gid, root)
+            self.path.pop()
             return gid
         # property wrapper reached directly
         for child in el:
             return self.walk(child, parent_id, root_id)
         return None
+
+    def _xlink(self, target_id: str, parent_id: str, root_id: str) -> None:
+        """L5: resolve `xlink:href="#id"` inside the same document — emit a
+        reference row (isXlink=1, shared gmlId = shared IRI identity; the
+        geometry literal stays with the target's own row) after checking
+        the target's subtree for cycles back into the current walk path."""
+        self._check_cycle(target_id, set())
+        self.doc.add(
+            "surface_geometry",
+            {
+                "gmlId": target_id,
+                "parentId": parent_id,
+                "rootId": root_id,
+                "isSolid": "0",
+                "isComposite": "0",
+                "isTriangulated": "0",
+                "isXlink": "1",
+                "isReverse": "0",
+                "cityObjectId": self.owner,
+            },
+        )
+        self.n += 1
+
+    def _check_cycle(self, target_id: str, seen: set) -> None:
+        if target_id in self.path:
+            raise CircularXlinkError(target_id)
+        if target_id in seen:
+            return
+        seen.add(target_id)
+        target = self.id_index.get(target_id)
+        if target is None:
+            return
+        for el in target.iter():
+            h = _href(el)
+            if h is not None:
+                self._check_cycle(h, seen)
 
     def _rings(self, poly: ET.Element) -> list[list[float]]:
         rings = []
@@ -277,7 +336,14 @@ def parse_building(member: ET.Element, feature: ET.Element) -> _Doc:
     # first, then stitch spans in reference order: building, genattribs,
     # geometry rows (DBBuilding.java child-import order)
     geo_doc = _Doc(doc_id=gid)
-    walker = _GeomWalker(geo_doc, gid)
+    id_index = {
+        _gml_id(el, ""): el
+        for el in feature.iter()
+        if _local(el.tag) in _GeomWalker.CONTAINERS
+        or _local(el.tag) in ("Polygon", "Triangle", "Rectangle")
+    }
+    id_index.pop("", None)
+    walker = _GeomWalker(geo_doc, gid, id_index)
     for ln, prop in geoms:
         for g in prop:
             top = walker.walk(g, None, None)
@@ -328,5 +394,10 @@ def parse_citygml(xml_text: str) -> list[tuple[str, list[tuple[str, str, str, in
             continue
         for feature in member:
             if _local(feature.tag) == "Building":
-                docs.append(parse_building(member, feature))
+                try:
+                    docs.append(parse_building(member, feature))
+                except CircularXlinkError:
+                    # reference behavior: abort THIS feature, keep the rest
+                    # (DBCityObject.java:437-446)
+                    continue
     return [(d.doc_id, d.spans) for d in docs]

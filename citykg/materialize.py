@@ -151,9 +151,15 @@ def nquads_lines(triples: DataFrame, base: str | None = None) -> DataFrame:
             c = F.replace(c, F.lit(search), F.lit(repl))
         return c
 
+    # ocgml: CURIEs expand against the ontology IRI; full-IRI predicates
+    # (e.g. TBox triples from owlconvert) pass through unchanged
+    pred_iri = F.when(
+        F.col("pred").startswith("ocgml:"),
+        F.concat(F.lit(OCGML), F.expr("substring(pred, 7)")),
+    ).otherwise(F.col("pred"))
     line = F.concat(
         F.lit("<"), F.col("subj"), F.lit("> <"),
-        F.concat(F.lit(OCGML), F.expr("substring(pred, 7)")), F.lit("> "),
+        pred_iri, F.lit("> "),
         F.when(F.col("obj_type") == "iri", F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
         .otherwise(
             F.concat(

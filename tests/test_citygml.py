@@ -205,3 +205,81 @@ def test_potsdam_counts(spark):
     assert subjects["cityobject"] == 97
     assert subjects["surfacegeometry"] == 1741  # 1547 polygons + 194 containers
     assert subjects["cityobjectgenericattrib"] == 1198
+
+
+GML_XLINK = """<?xml version="1.0"?>
+<CityModel xmlns="http://www.opengis.net/citygml/2.0"
+           xmlns:bldg="http://www.opengis.net/citygml/building/2.0"
+           xmlns:xlink="http://www.w3.org/1999/xlink"
+           xmlns:gml="http://www.opengis.net/gml">
+ <cityObjectMember>
+  <bldg:Building gml:id="BX">
+   <bldg:lod2MultiSurface>
+    <gml:MultiSurface gml:id="ms1">
+     <gml:surfaceMember>
+      <gml:Polygon gml:id="p1">
+       <gml:exterior><gml:LinearRing>
+        <gml:posList>0 0 0 1 0 0 1 1 0 0 0 0</gml:posList>
+       </gml:LinearRing></gml:exterior>
+      </gml:Polygon>
+     </gml:surfaceMember>
+     <gml:surfaceMember xlink:href="#p1"/>
+    </gml:MultiSurface>
+   </bldg:lod2MultiSurface>
+  </bldg:Building>
+ </cityObjectMember>
+</CityModel>"""
+
+GML_CYCLE = """<?xml version="1.0"?>
+<CityModel xmlns="http://www.opengis.net/citygml/2.0"
+           xmlns:bldg="http://www.opengis.net/citygml/building/2.0"
+           xmlns:xlink="http://www.w3.org/1999/xlink"
+           xmlns:gml="http://www.opengis.net/gml">
+ <cityObjectMember>
+  <bldg:Building gml:id="BC">
+   <bldg:lod2MultiSurface>
+    <gml:MultiSurface gml:id="cs1">
+     <gml:surfaceMember xlink:href="#cs2"/>
+    </gml:MultiSurface>
+   </bldg:lod2MultiSurface>
+   <bldg:lod3MultiSurface>
+    <gml:MultiSurface gml:id="cs2">
+     <gml:surfaceMember xlink:href="#cs1"/>
+    </gml:MultiSurface>
+   </bldg:lod3MultiSurface>
+  </bldg:Building>
+ </cityObjectMember>
+ <cityObjectMember>
+  <bldg:Building gml:id="BOK">
+   <bldg:lod2MultiSurface>
+    <gml:MultiSurface gml:id="okms">
+     <gml:surfaceMember>
+      <gml:Polygon><gml:exterior><gml:LinearRing>
+        <gml:posList>0 0 0 1 0 0 1 1 0 0 0 0</gml:posList>
+      </gml:LinearRing></gml:exterior></gml:Polygon>
+     </gml:surfaceMember>
+    </gml:MultiSurface>
+   </bldg:lod2MultiSurface>
+  </bldg:Building>
+ </cityObjectMember>
+</CityModel>"""
+
+
+def test_local_xlink_resolution():
+    """L5: an intra-document href emits an isXlink=1 reference row with the
+    target's gmlId (shared IRI identity), threaded under the referencing
+    parent; the geometry literal stays on the target's own row."""
+    rows = parse_citygml(GML_XLINK)
+    assert len(rows) == 1
+    spans = rows[0][1]
+    geoms = [dict(kv.split("=", 1) for kv in t.split(";")) for k, t, _, _ in spans if k == "surface_geometry"]
+    assert [g["gmlId"] for g in geoms] == ["ms1", "p1", "p1"]
+    xl = geoms[2]
+    assert xl["isXlink"] == "1" and xl["parentId"] == "ms1" and "coords" not in xl
+    assert geoms[1]["isXlink"] == "0" and "coords" in geoms[1]
+
+
+def test_circular_xlink_aborts_feature_only():
+    """L5: a circular href chain aborts THAT feature; siblings import."""
+    rows = parse_citygml(GML_CYCLE)
+    assert [d for d, _ in rows] == ["BOK"]
