@@ -329,6 +329,12 @@ def q_geo_footprint(spark, sf):
     )
 
 
+def q_geo_force2d(spark, sf):
+    """A5 Force2D: drop z from each geometry literal (token filter, no
+    double re-render)."""
+    return geo.force_2d(_geom_lits(spark, sf), "lit").select("doc_id", "lit2d")
+
+
 def q_spatial_dwithin(spark, sf):
     """Q7 DWithin: all pairs of doc anchor points within 3 m — grid-cell
     pair join (no cartesian)."""
@@ -713,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_surface_class": q_geo_surface_class,
         "geo_validity": q_geo_validity,
         "geo_footprint": q_geo_footprint,
+        "geo_force2d": q_geo_force2d,
         "spatial_dwithin": q_spatial_dwithin,
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
@@ -927,6 +934,17 @@ def _zoning_gfa_sql() -> str:
     )
 
 
+def _geo_force2d_sql() -> str:
+    from citykg.fixtures import _envelope_lit
+
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        "array_to_string(list_transform(list_filter(range(1, len(t)+1), i -> i % 3 <> 0), i -> t[i]), '#') AS lit2d "
+        "FROM g"
+    )
+
+
 def _nquads_sql() -> str:
     esc = "replace(replace(obj, chr(92), chr(92) || chr(92)), '\"', chr(92) || '\"')"
     return (
@@ -1032,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
             "('short', FALSE, 'too_few_points')) v(variant, is_valid, reason)"
         ),
         "geo_footprint": _geo_footprint_sql(),
+        "geo_force2d": _geo_force2d_sql(),
         "spatial_dwithin": (
             "WITH p AS (SELECT doc_id AS d, CAST(384000 + doc_id % 1000 AS DOUBLE) AS x, "
             "CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents) "

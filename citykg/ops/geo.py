@@ -109,6 +109,19 @@ def classify_surface(
     ).drop("nx", "ny", "nz")
 
 
+def force_2d(df: DataFrame, lit_col: str, out: str = "lit2d") -> DataFrame:
+    """A5 Force2D (GeoSpatialProcessor.Force2D:144): drop the z coordinate
+    from a 3D '#'-literal — keep tokens at index % 3 != 2, re-join. Pure
+    string/array expression (no double re-render)."""
+    return df.withColumn(
+        out,
+        F.expr(
+            f"array_join(transform(filter(transform(split({lit_col}, '#'), (v, i) -> "
+            "named_struct('v', v, 'i', i)), s -> s.i % 3 <> 2), s -> s.v), '#')"
+        ),
+    )
+
+
 def ring_validity(df: DataFrame, lit_col: str) -> DataFrame:
     """A3: IsValidDetail analog. Adds is_valid + reason
     ('ok' | 'too_few_points' | 'not_closed' | 'zero_area')."""

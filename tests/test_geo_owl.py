@@ -44,6 +44,12 @@ def test_surface_classification_threshold(spark):
     assert out["ground"] == "GROUND"
 
 
+def test_force_2d(spark):
+    df = spark.createDataFrame([("a", "1#2#3#4#5#6#7#8#9")], "id string, lit string")
+    out = geo.force_2d(df, "lit").collect()[0]
+    assert out.lit2d == "1#2#4#5#7#8"
+
+
 def test_ring_validity(spark):
     df = spark.createDataFrame(
         [
