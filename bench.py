@@ -45,13 +45,13 @@ def _spark(cores: int, pin_gc: bool = False):
         # a fixed heap shared by every parallelism level (a fixed heap
         # punishes the high-core run with GC pressure no real cluster has)
         extra["spark.driver.memory"] = f"{3 * cores}g"
-        # the staged corpus is 128 x ~6 MB files; the default 128 MB
-        # maxPartitionBytes packs them into ~7 scan partitions, capping
-        # parallelism at 7 tasks regardless of cores (measured: extract
-        # wall IDENTICAL at local[2] and local[8]). 4 MB splits restore
-        # one-task-per-file-chunk. (100 TB tables have GB files and
-        # thousands of natural splits; this is small-file handling only.)
-        extra["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
+    # the staged corpus is 128 x ~6 MB files; the default 128 MB
+    # maxPartitionBytes packs them into ~7 scan partitions, capping
+    # parallelism at 7 tasks regardless of cores (measured: extract
+    # wall IDENTICAL at local[2] and local[8]). 4 MB splits restore
+    # one-task-per-file-chunk. (100 TB tables have GB files and
+    # thousands of natural splits; this is small-file handling only.)
+    extra["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
     return get_spark(
         "citykg-bench", master=f"local[{cores}]", shuffle_partitions=max(cores, 8),
         extra_conf=extra,
