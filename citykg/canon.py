@@ -53,8 +53,16 @@ def connected_components(
     inputs (hub compression); each round is one shuffle join + one
     min-aggregate (map-side combinable, skew-safe).
     """
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
-    nodes = sym.select(F.col("src").alias("id")).distinct()
+    # materialize the static edge list ONCE: without this every round's
+    # propagation join re-executes the full upstream plan (extraction +
+    # linking) — O(iters x upstream) instead of O(iters x edges)
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst"), F.col("src")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     labels = nodes.withColumn("component", F.col("id"))
 
     for i in range(max_iter):

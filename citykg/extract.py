@@ -72,8 +72,24 @@ def _template_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def explode_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, spans) -> one row per mention, order carried as span_idx."""
+def explode_spans(docs: DataFrame, kinds: list[str] | None = None) -> DataFrame:
+    """(doc_id, spans) -> one row per mention, order carried as span_idx.
+
+    `kinds` pushes the kind filter INSIDE the array before the explode:
+    the generate emits only matching spans (with their ORIGINAL positional
+    index preserved) and the downstream str_to_map never parses the rest —
+    at 20 spans/doc a kind-specific consumer (e.g. linking, which only
+    reads address/street spans) touches 10-20x fewer rows."""
+    if kinds:
+        quoted = ", ".join(f"'{k}'" for k in kinds)
+        return docs.selectExpr(
+            "doc_id",
+            "inline(transform("
+            "filter(transform(spans, (s, i) -> named_struct('s', s, 'i', i)), "
+            f"x -> x.s.kind IN ({quoted})), "
+            "x -> named_struct('span_idx', cast(x.i as int), 'kind', x.s.kind, "
+            "'text', x.s.text, 'media_ref', x.s.media_ref, 'offset', x.s.offset)))",
+        )
     return docs.select(
         "doc_id",
         F.posexplode("spans").alias("span_idx", "span"),

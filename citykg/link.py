@@ -104,8 +104,9 @@ def entity_mentions(docs: DataFrame) -> DataFrame:
     value (district/admin-area analog). Returns (doc_id, span_idx, mention)."""
     from .extract import explode_spans, parse_mentions
 
-    m = parse_mentions(explode_spans(docs))
-    return m.where(F.col("kind").isin("address", "street")).select(
+    # kind pushdown: only address/street spans are generated and parsed
+    m = parse_mentions(explode_spans(docs, kinds=["address", "street"]))
+    return m.select(
         "doc_id",
         "span_idx",
         F.expr("try_element_at(attrs, 'city')").alias("mention"),
