@@ -19,17 +19,42 @@ from .citygml import parse_citygml
 from .schema import DOC_SCHEMA
 
 
-def docs_from_text(files: DataFrame, parse_fn) -> DataFrame:
+def docs_from_text(files: DataFrame, parse_fn, errors: str = "keep") -> DataFrame:
     """Text rows (`value` column) -> docs DataFrame via an Arrow-batched
     parser (parse_fn: text -> [(doc_id, spans)]). The shared execution
     shape of S2/S3: each task parses its rows and emits one doc row per
-    feature; parallelism comes from input splits."""
+    feature; parallelism comes from input splits.
+
+    Web-scale robustness: a malformed input must fail THAT input, never
+    the job. errors='keep' (default) emits one reject row per failed text
+    — doc_id `_reject_<sha1(text)[:16]>` with a single `_error` span
+    carrying the exception — so rejects are countable/auditable lineage
+    (split them off with `where(spans[0].kind != '_error')`).
+    errors='skip' drops them silently; errors='raise' propagates (tests).
+    """
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             rows = []
             for text in pdf["value"]:
-                for doc_id, spans in parse_fn(text):
+                try:
+                    parsed = parse_fn(text)
+                except Exception as e:  # noqa: BLE001 — reject, don't kill the task
+                    if errors == "raise":
+                        raise
+                    if errors == "keep":
+                        h = hashlib.sha1((text or "")[:4096].encode("utf-8", "replace")).hexdigest()[:16]
+                        rows.append(
+                            (
+                                f"_reject_{h}",
+                                [{"kind": "_error", "text": f"{type(e).__name__}: {e}"[:500],
+                                  "media_ref": "", "offset": 0}],
+                            )
+                        )
+                    continue
+                for doc_id, spans in parsed:
                     rows.append(
                         (
                             doc_id,
@@ -42,6 +67,12 @@ def docs_from_text(files: DataFrame, parse_fn) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return files.mapInPandas(parse_batches, DOC_SCHEMA)
+
+
+def split_rejects(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_docs, rejects) from a docs_from_text(errors='keep') frame."""
+    is_reject = "size(spans) = 1 AND spans[0].kind = '_error'"
+    return docs.where(f"NOT ({is_reject})"), docs.where(is_reject)
 
 
 def read_citygml(spark: SparkSession, path: str, fanout: int | None = None) -> DataFrame:

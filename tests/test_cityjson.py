@@ -117,3 +117,26 @@ def test_read_cityjson_source(spark, tmp_path):
     assert len(rows) == 1 and rows[0].doc_id == "B_1"
     kinds = [s.kind for s in rows[0].spans]
     assert kinds[0] == "building" and kinds.count("surface_geometry") == 3
+
+
+def test_hostile_inputs_become_rejects(spark, tmp_path):
+    """A malformed file fails THAT file, not the job; rejects are
+    auditable rows."""
+    (tmp_path / "good.json").write_text(CJ)
+    (tmp_path / "bad1.json").write_text("{not json at all")
+    # valid JSON, out-of-bounds vertex index -> parser exception
+    (tmp_path / "bad2.json").write_text(
+        '{"type":"CityJSON","vertices":[[0,0,0]],"CityObjects":{"B":{"type":"Building",'
+        '"geometry":[{"type":"MultiSurface","lod":1,"boundaries":[[[0,1,2,3]]]}]}}}'
+    )
+    from citykg.cityjson import parse_cityjson
+    from citykg.sources import docs_from_text, split_rejects
+
+    files = spark.read.text(str(tmp_path), wholetext=True)
+    docs = docs_from_text(files, parse_cityjson, errors="keep")
+    good, rejects = split_rejects(docs)
+    assert [r.doc_id for r in good.collect()] == ["B_1"]
+    rej = rejects.collect()
+    assert len(rej) == 2
+    assert all(r.doc_id.startswith("_reject_") for r in rej)
+    assert all(r.spans[0].kind == "_error" for r in rej)
