@@ -590,6 +590,19 @@ def q_dedup_simhash(spark, sf):
     return dedup.simhash(d)  # rows-only: blake2b/numpy fold is not SQL
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (brute path; sign-LSH scale path in
+    similarity.py). Threshold applied to the 6-dp-rounded cosine so both
+    engines cut at the same value; 0.42 because the synthetic embeddings
+    are near-orthogonal (max pairwise cosine ~0.51) — a production corpus
+    would use ~0.95."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p = dedup.embedding_near_dup_pairs(e, threshold=0.3)
+    return p.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine")).where(
+        "cosine >= 0.42"
+    )
+
+
 def q_emb_label_hist(spark, sf):
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     return e.groupBy("label").agg(F.count("*").alias("n"))
@@ -746,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1163,6 +1177,12 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
+        "dedup_embedding": (
+            "WITH p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
+            "round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.42"
+        ),
         "emb_label_hist": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
         "source_cityjson": (
             # parsed CityJSON expectation: doc_id = CityObject key; spans =
