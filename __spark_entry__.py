@@ -104,6 +104,17 @@ def q_kg_link_exact(spark, sf):
     return out.select("doc_id", "span_idx", "mention", "entity_id")
 
 
+def q_kg_link_fuzzy(spark, sf):
+    """Fuzzy linking: MinHash-LSH blocked candidates, exact char-3-gram
+    Jaccard verify, best entity per mention text. The oracle computes the
+    UNBLOCKED exact-Jaccard best match — equality proves LSH blocking
+    loses no links at this threshold (recall 1.0 here)."""
+    out = link.link_fuzzy(link.entity_mentions(_docs(spark, sf)), synth_gazetteer(spark))
+    return out.select(
+        "doc_id", "mention", "entity_id", F.round("link_score", 6).alias("link_score")
+    )
+
+
 def q_kg_canonical_clusters(spark, sf):
     """Cluster duplicate address mentions by linked entity via star edges +
     connected components; canonical member = component min (= min address
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_span_order": q_kg_span_order,
         "kg_counts": q_kg_counts,
         "kg_link_exact": q_kg_link_exact,
+        "kg_link_fuzzy": q_kg_link_fuzzy,
         "kg_canonical_clusters": q_kg_canonical_clusters,
         "kg_rehome": q_kg_rehome,
         "kg_envelope_fold": q_kg_envelope_fold,
@@ -794,6 +806,37 @@ def _link_exact_sql() -> str:
         f"'ENT_' || lpad(CAST(CASE WHEN d % 2 = 0 THEN 0 ELSE d % 50 END AS VARCHAR), 4, '0') AS entity_id "
         f"FROM (SELECT doc_id AS d FROM documents) b"
     )
+
+
+def _link_fuzzy_sql() -> str:
+    """Unblocked exact-Jaccard best-match oracle for kg_link_fuzzy: char
+    3-grams (same k=3, same short-string fallback as link.with_shingles),
+    score = |intersect|/|union|, threshold 0.5, ties -> min entity_id."""
+    sh = lambda t: (  # noqa: E731
+        f"list_distinct(list_transform(range(1, greatest(length({t}) - 2, 1) + 1), "
+        f"i -> substr({t}, i, 3)))"
+    )
+    return (
+        "WITH m AS (SELECT DISTINCT lower('City ' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 "
+        "ELSE doc_id % 50 END AS VARCHAR)) AS text FROM documents), "
+        "ents AS (SELECT i, printf('ENT_%04d', i) AS entity_id, "
+        "CASE WHEN i < 50 THEN ['city ' || CAST(i AS VARCHAR), 'c' || CAST(i AS VARCHAR), 'city-' || CAST(i AS VARCHAR)] "
+        "ELSE ['district ' || CAST(i AS VARCHAR), 'd' || CAST(i AS VARCHAR)] END AS als "
+        "FROM range(1000) t(i)), "
+        "al AS (SELECT entity_id, unnest(als) AS alias FROM ents), "
+        f"sc AS (SELECT text, {sh('text')} AS sh FROM m), "
+        f"sg AS (SELECT entity_id, {sh('alias')} AS sh FROM al), "
+        "p AS (SELECT text, entity_id, "
+        "len(list_intersect(sc.sh, sg.sh)) * 1.0 / len(list_distinct(list_concat(sc.sh, sg.sh))) AS score "
+        "FROM sc, sg), "
+        "best AS (SELECT text, entity_id, score, row_number() OVER ("
+        "PARTITION BY text ORDER BY score DESC, entity_id ASC) AS rn FROM p WHERE score >= 0.5), "
+        "mm AS (SELECT ({dk}) AS doc_id, "
+        "'City ' || CAST(CASE WHEN d % 2 = 0 THEN 0 ELSE d % 50 END AS VARCHAR) AS mention "
+        "FROM (SELECT doc_id AS d FROM documents) b) "
+        "SELECT mm.doc_id, mm.mention, b.entity_id, round(b.score, 6) AS link_score "
+        "FROM mm LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON lower(mm.mention) = b.text"
+    ).replace("{dk}", doc_key_expr("duckdb"))
 
 
 def _canonical_clusters_sql() -> str:
@@ -1015,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({triples_oracle_sql()}) GROUP BY graph"
         ),
         "kg_link_exact": _link_exact_sql(),
+        "kg_link_fuzzy": _link_fuzzy_sql(),
         "kg_canonical_clusters": _canonical_clusters_sql(),
         "kg_rehome": (
             f"SELECT replace(subj, '{DEFAULT_BASE}', '{REHOME_BASE}') AS subj, pred, "
