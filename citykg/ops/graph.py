@@ -45,41 +45,48 @@ def pagerank(
     )
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
-    has_out = deg.select(F.col("src").alias("id"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # dangling flag carried on the rank frame so the per-iteration driver
+    # round-trips collapse to ONE aggregation (delta + next dangling mass
+    # together) instead of separate dangling and delta jobs
+    flags = nodes.join(
+        deg.select(F.col("src").alias("id"), F.lit(1).alias("has_out")), "id", "left"
+    ).localCheckpoint(eager=True)
+    ranks = flags.withColumn("rank", F.lit(1.0 / n))
+    n_dangling = flags.where(F.col("has_out").isNull()).count()
+    dangling = n_dangling / n  # initial dangling mass (uniform ranks)
 
     for i in range(max_iter):
-        ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(ranks.select(F.col("id").alias("src"), "rank"), "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling nodes (no out-edges) leak their rank: redistribute
-        dangling = (
-            ranks.join(has_out, "id", "left_anti").agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
         base = alpha / n + (1 - alpha) * dangling / n
         new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            flags.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
+                "has_out",
                 (F.lit(base) + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
+        row = (
             new_ranks.withColumnRenamed("rank", "nr")
-            .join(ranks, "id")
-            .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))))
-            .collect()[0][0]
+            .join(ranks.select("id", "rank"), "id")
+            .agg(
+                F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("delta"),
+                F.sum(F.when(F.col("has_out").isNull(), F.col("nr"))).alias("dmass"),
+            )
+            .collect()[0]
         )
         ranks = new_ranks
-        if delta is not None and delta < tol:
+        dangling = row.dmass or 0.0
+        if row.delta is not None and row.delta < tol:
             break
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def edge_betweenness(
