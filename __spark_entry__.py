@@ -265,7 +265,7 @@ def q_sql_passthrough(spark, sf):
     """Q14: user-supplied SQL over registered views."""
     spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
     return spark.sql(
-        "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
+        "SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
         "FROM documents_v GROUP BY lang, source"
     )
 
@@ -974,8 +974,8 @@ def _geo_footprint_sql() -> str:
         f"{_geom_coords_cte()} "
         "SELECT 'g' || lpad(CAST(d % 50 AS VARCHAR), 2, '0') AS grp, "
         "count(*) AS n_members, "
-        "min(384000 + d % 1000) AS xmin, min(5820000 + d % 2000) AS ymin, "
-        "max(384000 + d % 1000 + 9) AS xmax, max(5820000 + d % 2000 + 8) AS ymax, "
+        "CAST(min(384000 + d % 1000) AS DOUBLE) AS xmin, CAST(min(5820000 + d % 2000) AS DOUBLE) AS ymin, "
+        "CAST(max(384000 + d % 1000 + 9) AS DOUBLE) AS xmax, CAST(max(5820000 + d % 2000 + 8) AS DOUBLE) AS ymax, "
         "round(sum(sqrt(nx*nx + ny*ny + nz*nz) / 2), 6) AS total_area "
         "FROM n GROUP BY 1"
     )
@@ -1142,15 +1142,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pred IN ('ocgml:attrName', 'ocgml:dataType', 'ocgml:cityObjectId')"
         ),
         "sql_passthrough": (
-            "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
+            "SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang, source"
         ),
         "sessionize": (
             "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
             "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
             "THEN 1 ELSE 0 END AS n FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
-            "x AS (SELECT user_id, ts, sum(n) OVER (PARTITION BY user_id ORDER BY ts "
-            "ROWS UNBOUNDED PRECEDING) AS session_seq FROM s) "
+            "x AS (SELECT user_id, ts, CAST(sum(n) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s) "
             "SELECT user_id, session_seq, count(*) AS n_events, "
             "max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s "
             "FROM x GROUP BY 1, 2"

@@ -45,13 +45,20 @@ def fmt_double(v: float) -> str:
             if "." not in mant:
                 mant += ".0"
             return f"{mant}E{int(exp)}"
-        # repr stayed positional; convert to Java's E-notation
-        exp = math.floor(math.log10(a))
-        mant = v / (10**exp)
-        ms = repr(mant)
-        if "." not in ms:
-            ms += ".0"
-        return f"{ms}E{exp}"
+        # repr stayed positional; build Java's E-notation by shifting the
+        # decimal point in repr's digit string — never re-derive the
+        # mantissa with float arithmetic (that loses the last ulp and
+        # breaks shortest-roundtrip).
+        neg = s.startswith("-")
+        if neg:
+            s = s[1:]
+        int_part, _, frac_part = s.partition(".")
+        digits = int_part + frac_part
+        first = next(i for i, c in enumerate(digits) if c != "0")
+        exp = len(int_part) - 1 - first
+        mant_digits = digits[first:].rstrip("0") or "0"
+        ms = mant_digits[0] + "." + (mant_digits[1:] or "0")
+        return f"{'-' if neg else ''}{ms}E{exp}"
     s = repr(float(v))
     return s
 

@@ -34,12 +34,14 @@ _P = (1 << 61) - 1
 
 
 def _perm_consts(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    # deterministic LCG over the seed — no RNG state, resumable
+    # deterministic LCG over the seed — no RNG state, resumable.
+    # a < 2^30 and the hash is masked to 32 bits in with_minhash, so
+    # a*h + b < 2^62 + 2^61 < 2^63: no int64 overflow under ANSI mode.
     consts = []
     x = seed
     for _ in range(n_hashes):
         x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        a = (x % (_P - 1)) + 1
+        a = (x % ((1 << 30) - 1)) + 1
         x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
         b = x % _P
         consts.append((a, b))
@@ -68,7 +70,7 @@ def with_minhash(
     """64-slot MinHash signature via aggregate(min) per permutation."""
     mins = [
         f"aggregate({shingle_col}, cast(9223372036854775807 as bigint), "
-        f"(acc, s) -> least(acc, pmod({a}L * (xxhash64(s) & 4611686018427387903L) + {b}L, {_P}L)))"
+        f"(acc, s) -> least(acc, pmod({a}L * (xxhash64(s) & 4294967295L) + {b}L, {_P}L)))"
         for a, b in _perm_consts(n_hashes, seed)
     ]
     return df.withColumn(out, F.expr("array(" + ", ".join(mins) + ")"))
@@ -138,10 +140,16 @@ def link_fuzzy(
     gazetteer: DataFrame,
     threshold: float = 0.5,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH blocked fuzzy linking.
+
+    Default banding is 32 bands x 2 rows: at the linking threshold (0.5
+    Jaccard, short surface forms) a true pair collides with probability
+    1-(1-0.5^2)^32 > 0.9999, vs a coin-flip 0.64 for 16x4. The extra
+    low-similarity candidates are cheap here because the gazetteer side is
+    alias-count-bounded and mention texts are deduped pre-join.
 
     Dedupes mention TEXTS first (skew defusal: a capital city mentioned in
     50% of docs becomes one row in the band join), links each distinct

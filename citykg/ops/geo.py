@@ -48,14 +48,19 @@ def _pt(axis: int, i: str) -> str:
 def _newell_struct() -> str:
     """aggregate(...) producing named_struct(nx, ny, nz) — Newell's method
     over the closed ring (sum i = 0..n-2; ring closure makes the wraparound
-    term zero)."""
-    return (
+    term zero). Rings of fewer than 2 points short-circuit to the zero
+    normal (guarding the sequence/element_at against descending ranges and
+    ANSI INVALID_ARRAY_INDEX); validity then classifies them as
+    too_few_points / zero_area instead of the job erroring."""
+    zero = "named_struct('nx', 0.0D, 'ny', 0.0D, 'nz', 0.0D)"
+    agg = (
         "aggregate(sequence(0, int(size(c) / 3) - 2), "
-        "named_struct('nx', 0.0D, 'ny', 0.0D, 'nz', 0.0D), (acc, i) -> named_struct("
+        f"{zero}, (acc, i) -> named_struct("
         f"'nx', acc.nx + ({_pt(1, 'i')} - {_pt(1, 'i + 1')}) * ({_pt(2, 'i')} + {_pt(2, 'i + 1')}), "
         f"'ny', acc.ny + ({_pt(2, 'i')} - {_pt(2, 'i + 1')}) * ({_pt(0, 'i')} + {_pt(0, 'i + 1')}), "
         f"'nz', acc.nz + ({_pt(0, 'i')} - {_pt(0, 'i + 1')}) * ({_pt(1, 'i')} + {_pt(1, 'i + 1')})))"
     )
+    return f"CASE WHEN size(c) >= 6 THEN {agg} ELSE {zero} END"
 
 
 def with_coords(df: DataFrame, lit_col: str, out: str = "c") -> DataFrame:
@@ -152,24 +157,22 @@ def footprint_union(
     group_col: str,
     lit_col: str,
     min_area: float = 0.0,
+    exact: bool = False,
 ) -> DataFrame:
     """A1: per-group footprint after validity + min-area filtering
     (StatementTransformer.filterResult:478-491 applies exactly this filter
     before JTS UnaryUnion). Default path = envelope union: bbox fold over
     the members' coordinates plus summed member area — one partial-agg
-    shuffle, no geometry lib. If shapely is importable an exact
-    unary_union runs per group inside an Arrow batch instead.
+    shuffle, no geometry lib. `exact=True` opts in to the shapely-backed
+    unary_union path (requires shapely; explicit opt-in so the output
+    schema/semantics never flip on an environment change).
 
     Returns (group, n_members, xmin, ymin, xmax, ymax, total_area[, wkt]).
     """
     valid = ring_validity(df, lit_col)
     valid = with_area3d(valid.where("is_valid"), lit_col).where(F.col("area") > min_area)
-    try:  # exact path, only when the lib exists in the image
-        import shapely  # noqa: F401
-
+    if exact:
         return _footprint_union_shapely(valid, group_col, lit_col)
-    except ImportError:
-        pass
     c = with_coords(valid, lit_col)
     xs = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 0)"
     ys = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 1)"

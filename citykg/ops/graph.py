@@ -210,7 +210,14 @@ def edge_betweenness_clusters(
 def shortest_paths(edges: DataFrame, source: str, max_hops: int = 15) -> DataFrame:
     """Unweighted BFS distances from `source`
     (UnweightedShortestPathTask.java:80 analog). Returns (id, dist)."""
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    # checkpoint the static edge list once so each BFS hop re-scans a
+    # materialized table instead of re-executing the upstream plan
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst"), F.col("src")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(source, 0)], "id string, dist int")
     visited = frontier

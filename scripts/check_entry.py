@@ -17,6 +17,9 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:] if len(sys.argv) > 2 else None
 
 spark = get_spark("check-entry", master="local[16]", shuffle_partitions=16)
+# the round driver runs with Spark 4's ANSI default ON — mirror it so
+# overflow/array-index bugs surface here, not in CORRECTNESS_r{N}
+spark.conf.set("spark.sql.ansi.enabled", "true")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -51,13 +54,23 @@ for name, fn in qs.items():
         continue
     a = pdf[cols].copy()
     b = odf[cols].copy()
+    dtype_bad = []
     for c in cols:
         if a[c].dtype != b[c].dtype:
+            # int-vs-float is exactly the class the driver's value-hash
+            # rejects (DuckDB HUGEINT -> float64 vs Spark bigint)
+            if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"} or \
+               {a[c].dtype.kind, b[c].dtype.kind} == {"u", "f"}:
+                dtype_bad.append(f"{c}: spark={a[c].dtype} duck={b[c].dtype}")
             try:
                 b[c] = b[c].astype(a[c].dtype)
             except Exception:
                 a[c] = a[c].astype(str)
                 b[c] = b[c].astype(str)
+    if dtype_bad:
+        print(f"FAIL  {name:24s} dtype kind mismatch: {dtype_bad}")
+        fails.append(name)
+        continue
     a = a.fillna("<N>").sort_values(cols).reset_index(drop=True)
     b = b.fillna("<N>").sort_values(cols).reset_index(drop=True)
     ok = len(a) == len(b) and a.equals(b)
