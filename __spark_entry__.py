@@ -629,17 +629,26 @@ def q_ann_brute_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
+    """Sign-LSH ANN at verification strength: 4 planes x 48 tables puts the
+    per-neighbor miss probability at (1 - (2/3)^4)^48 ~ 2e-5 on this
+    corpus's ~60-degree neighbor angles, so the blocked result equals the
+    exact top-k (oracle = brute-force SQL — same trick as kg_link_fuzzy).
+    Production defaults in similarity.py keep the bucketed scale shape."""
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_ann_topk(e, q, k=5).select("query_id", "vec_id", "rank")
+    return similarity.lsh_ann_topk(e, q, k=5, n_planes=4, tables=48).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF ANN: coarse k-means centroids + nprobe cell scan (rows-only:
-    approximate by design; recall vs brute force locked by tests)."""
+    """IVF ANN with nprobe == n_centroids: the probed cells partition the
+    corpus, so a correct cell assignment yields EXACTLY the brute-force
+    top-k — the oracle checks the quantizer drops/duplicates nothing.
+    (Approximate-recall behavior at nprobe < K is locked by tests.)"""
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_ann_topk(e, q, k=5, n_centroids=8, nprobe=3).select(
+    return similarity.ivf_ann_topk(e, q, k=5, n_centroids=8, nprobe=8).select(
         "query_id", "vec_id", "rank"
     )
 
@@ -702,8 +711,12 @@ def q_graph_edge_betweenness(spark, sf):
 
 
 def q_graph_pagerank(spark, sf):
+    """G1: fixed 8 power iterations (tol=0 disables the early break) so the
+    DuckDB oracle — the same recurrence unrolled as 8 chained CTEs — lands
+    on bit-identical iteration counts; values then agree to ~1e-15 and the
+    8-dp rounding is stable."""
     t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
-    return graph.pagerank(graph.triples_to_edges(t), max_iter=8).select(
+    return graph.pagerank(graph.triples_to_edges(t), max_iter=8, tol=0.0).select(
         "id", F.round("rank", 8).alias("rank")
     )
 
@@ -1033,6 +1046,132 @@ def _kml_placemark_sql() -> str:
     )
 
 
+def _graph_edges_cte(graphs: list[str], recursive: bool = False) -> str:
+    """CTE prefix `t` (triples) + `e` (distinct IRI->IRI edge list) matching
+    graph.triples_to_edges over _triples(spark, sf, graphs). The triples
+    CTE is flattened (triples_oracle_sql's own WITH hoisted) and
+    MATERIALIZED — the ~70-branch UNION ALL body must evaluate once, not
+    once per downstream reference."""
+    t = triples_oracle_sql(graphs=graphs)
+    prefix, body = t.split("\n", 1)
+    base_def = prefix[len("WITH "):]
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return (
+        f"{kw}{base_def}, t AS MATERIALIZED ({body}), "
+        "e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM t "
+        "WHERE obj_type = 'iri' AND subj <> obj)"
+    )
+
+
+def _pagerank_sql(alpha: float = 0.3, iters: int = 8) -> str:
+    """PageRank recurrence unrolled as chained CTEs — one (inflow agg +
+    rank update) pair per iteration, dangling mass redistributed uniformly,
+    exactly mirroring citykg.ops.graph.pagerank with tol=0."""
+    parts = [
+        _graph_edges_cte(["building", "addresstobuilding", "surfacegeometry"]),
+        ", nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        ", deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        ", flags AS MATERIALIZED (SELECT n.id, d.out_deg FROM nodes n LEFT JOIN deg d ON d.src = n.id)",
+        ", nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        ", r0 AS MATERIALIZED (SELECT id, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM flags)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f", inf{k} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS inflow "
+            f"FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src "
+            "GROUP BY e.dst)"
+            f", r{k} AS MATERIALIZED (SELECT f.id, f.out_deg, "
+            f"{alpha} / (SELECT n FROM nn) + "
+            f"(1 - {alpha}) * (SELECT coalesce(sum(rank), 0) FROM {prev} "
+            "WHERE out_deg IS NULL) / (SELECT n FROM nn) + "
+            f"(1 - {alpha}) * coalesce(i.inflow, 0) AS rank "
+            f"FROM flags f LEFT JOIN inf{k} i ON i.id = f.id)"
+        )
+    parts.append(f" SELECT id, round(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _shortest_paths_sql(max_hops: int = 15) -> str:
+    """BFS distances via recursive simple-path enumeration (a shortest path
+    never revisits a node, so tracking the path list and refusing repeats
+    preserves min-dist while bounding the walk count)."""
+    return (
+        _graph_edges_cte(["addresstobuilding", "building", "address"], recursive=True) +
+        ", sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+        "srcq AS (SELECT min(subj) AS s FROM t WHERE graph = 'addresstobuilding'), "
+        "walk(id, dist, path) AS ("
+        "SELECT s, 0, [s] FROM srcq "
+        "UNION ALL "
+        "SELECT y.dst, w.dist + 1, list_append(w.path, y.dst) "
+        "FROM walk w JOIN sym y ON y.src = w.id "
+        f"WHERE w.dist < {max_hops} AND NOT list_contains(w.path, y.dst)) "
+        "SELECT id, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY id"
+    )
+
+
+def _crs_sql(zone: int = 33) -> str:
+    """Inverse transverse-Mercator (Krueger 6th-order series) in closed-form
+    DuckDB SQL — an independent evaluation of the same published series the
+    numpy kernel uses (citykg/ops/crs.py), coefficients baked as literals,
+    subtraction/addition order matching the numpy loop so float64 results
+    agree far below the 9-dp rounding."""
+    import math as _m
+
+    from citykg.ops import crs as _c
+
+    k0a1 = repr(_c._K0 * _c._A1)
+    lon0 = repr(_m.radians(zone * 6 - 183))
+    r2d = repr(180.0 / _m.pi)
+    # DuckDB 1.0 lacks sinh/cosh — exp-based identities agree with libm's
+    # to ~1 ulp, far below the 9-dp output rounding
+    cosh = lambda x: f"((exp({x}) + exp(-({x}))) / 2)"  # noqa: E731
+    sinh = lambda x: f"((exp({x}) - exp(-({x}))) / 2)"  # noqa: E731
+    xi = "n0" + "".join(
+        f" - {b!r} * sin({2 * j} * n0) * {cosh(f'{2 * j} * e0')}"
+        for j, b in enumerate(_c._BETA, start=1)
+    )
+    eta = "e0" + "".join(
+        f" - {b!r} * cos({2 * j} * n0) * {sinh(f'{2 * j} * e0')}"
+        for j, b in enumerate(_c._BETA, start=1)
+    )
+    lat = "chi" + "".join(
+        f" + {d!r} * sin({2 * j} * chi)" for j, d in enumerate(_c._DELTA, start=1)
+    )
+    return (
+        "WITH pts AS (SELECT doc_id, "
+        "CAST(384000 + doc_id % 1000 AS DOUBLE) AS x, "
+        "CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents), "
+        f"s1 AS (SELECT doc_id, (x - 500000.0) / {k0a1} AS e0, y / {k0a1} AS n0 FROM pts), "
+        f"s2 AS (SELECT doc_id, ({xi}) AS xi, ({eta}) AS eta FROM s1), "
+        f"s3 AS (SELECT doc_id, xi, eta, asin(sin(xi) / {cosh('eta')}) AS chi FROM s2), "
+        f"s4 AS (SELECT doc_id, ({lat}) AS lat, "
+        f"{lon0} + atan2({sinh('eta')}, cos(xi)) AS lon FROM s3) "
+        f"SELECT doc_id, round(lon * {r2d}, 9) AS lon, round(lat * {r2d}, 9) AS lat FROM s4"
+    )
+
+
+def _simhash_sql() -> str:
+    """Independent DuckDB evaluation of the 56-bit SimHash (integer-exact:
+    both engines fold base-31 char hashes mod 2^57-13 and pack sign bits,
+    so equality is bit-for-bit, no rounding)."""
+    from citykg.ops.dedup import SIMHASH_BITS, SIMHASH_P
+
+    toks = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+    codes = "list_transform(range(1, length(w) + 1), i -> ascii(substr(w, i, 1)))"
+    tok_hash = f"list_reduce([0::BIGINT] || {codes}, (a, c) -> (a * 31 + c) % {SIMHASH_P})"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH hs_t AS (SELECT doc_id, list_transform({toks}, w -> {tok_hash}) AS hs "
+        "FROM documents) "
+        f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hs_t"
+    )
+
+
 def _ann_brute_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1236,7 +1375,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 200"
         ),
         "ann_brute_topk": _ann_brute_sql(),
-        # rows-only (non-SQL-expressible): dedup_simhash (blake2b+numpy fold),
-        # ann_lsh_topk (random hyperplanes), multimodal_decode (Arrow stub),
-        # graph_pagerank / graph_shortest_paths (iterative)
+        # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
+        # IVF with nprobe == n_centroids must equal exact by construction
+        "ann_lsh_topk": _ann_brute_sql(),
+        "ann_ivf_topk": _ann_brute_sql(),
+        "crs_transform": _crs_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "graph_pagerank": _pagerank_sql(),
+        "graph_shortest_paths": _shortest_paths_sql(),
+        # rows-only (non-SQL-expressible): multimodal_decode (Arrow stub),
+        # graph_edge_betweenness (Brandes accumulation; locked by
+        # tests/test_betweenness.py against a pure-Python oracle)
     }

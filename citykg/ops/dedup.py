@@ -11,10 +11,10 @@ Four tiers, all oriented to the 100 TB case:
 * MinHash-LSH  — banded signatures (JVM expressions, see citykg.link)
                  blocking + exact-Jaccard verification of candidates.
                  This is the scale path: cost ~ O(n * bands).
-* SimHash      — 64-bit fingerprints via a vectorized Arrow batch
-                 (numpy bit-fold), near-dup = small Hamming distance,
-                 blocked on 16-bit chunks (any pair within Hamming<=3
-                 shares at least one of 4 chunks exactly).
+* SimHash      — 56-bit fingerprints via pure Spark SQL expressions
+                 (JVM-side, oracle-checkable), near-dup = small Hamming
+                 distance, blocked on bit chunks (any pair within
+                 Hamming<=3 shares at least one of 4 chunks exactly).
 
 Skew note: stop-shingle explosion (a shingle present in most docs) turns
 the inverted-index join quadratic — `max_shingle_freq` drops shingles
@@ -24,9 +24,6 @@ no such blowup (band keys are hashes).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..link import with_bands, with_minhash, with_shingles
@@ -137,38 +134,35 @@ def minhash_lsh_pairs(
     )
 
 
+# 56-bit SimHash over a polynomial character hash. The hash is plain
+# modular arithmetic — base-31 fold mod the 57-bit prime 2^57-13 — chosen
+# so BOTH Spark SQL and an independent ANSI-SQL engine can evaluate it
+# (the driver's DuckDB oracle recomputes it; see __spark_entry__._simhash_sql).
+# 57-bit modulus keeps acc*31 + char < 2^63 under ANSI mode; fingerprints
+# use the low 56 bits so they stay positive bigints.
+SIMHASH_P = 144115188075855859  # largest prime below 2^57
+SIMHASH_BITS = 56
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc — vectorized Arrow batch (numpy bit-fold),
-    the one genuinely non-SQL op in this module. Output: (id, simhash)."""
-    import hashlib
-
-    import numpy as np
-
-    out_schema = f"{id_col} long, simhash long"
-
-    def _h64(w: str) -> int:
-        # process-independent 64-bit token hash (python hash() varies with
-        # PYTHONHASHSEED across executors — determinism is a resume invariant)
-        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, sigs = [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                toks = (t or "").lower().split()
-                if not toks:
-                    ids.append(i)
-                    sigs.append(0)
-                    continue
-                hs = np.array([_h64(w) for w in toks], dtype=np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                ids.append(i)
-                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({id_col: ids, "simhash": sigs})
-
-    return df.select(id_col, text_col).mapInPandas(fold, out_schema)
+    """56-bit SimHash per doc — entirely JVM-side Spark expressions (no
+    Python in the path): token hash = base-31 char fold mod 2^57-13, one
+    vote vector per doc via a single array aggregate, fingerprint = packed
+    sign bits. Output: (id, simhash). Empty/whitespace-only text -> 0."""
+    toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    codes = "transform(sequence(1, length(w)), i -> cast(ascii(substring(w, i, 1)) as bigint))"
+    tok_hash = f"aggregate({codes}, 0L, (acc, ch) -> pmod(acc * 31L + ch, {SIMHASH_P}L))"
+    hs = f"transform({toks}, w -> {tok_hash})"
+    votes = (
+        f"aggregate({hs}, array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        "(a, b) -> a + CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1 ELSE -1 END))"
+    )
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        "(v, b) -> IF(v > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x)"
+    )
+    return df.select(id_col, F.expr(fp).alias("simhash"))
 
 
 def simhash_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
