@@ -397,6 +397,77 @@ def q_owl_domain(spark, sf):
     return v.select("subj", "pred", "graph", "expected_graph")
 
 
+def q_owl_class_membership(spark, sf):
+    """G5/CMC: every (individual, class) membership pair — asserted
+    objectClassId plus ancestors inherited through the 3DCityDB taxonomy
+    closure (ClassMembershipCheckingTask analog)."""
+    t = _triples(spark, sf, ["cityobject"])
+    return owl.class_membership(spark, t)
+
+
+def q_owl_specialisation(spark, sf):
+    """G5/CSC: proper-ancestor closure of the object-class taxonomy with
+    names and hop depth (ClassSpecialisationCheckingTask analog)."""
+    return owl.specialisation(spark)
+
+
+def q_owl_range(spark, sf):
+    """G5/PC (range half): IRI-valued predicates must point into their
+    declared target graph; per-axiom (n_checked, n_violations) summary."""
+    t = _triples(
+        spark, sf,
+        ["room", "thematicsurface", "buildinginstallation", "addresstobuilding",
+         "surfacegeometry", "cityobjectgenericattrib"],
+    )
+    return owl.range_check_summary(
+        spark, t,
+        [("ocgml:buildingId", "building"), ("ocgml:cityObjectId", "cityobject")],
+    )
+
+
+def q_owl_value_restriction(spark, sf):
+    """G5/VRC: storeysAboveGround restricted to [1, 20] — the synthetic
+    corpus emits 1..40, so half the buildings violate."""
+    t = _triples(spark, sf, ["building"])
+    return owl.value_restriction_violations(
+        spark, t, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)]
+    )
+
+
+def q_owl_max_cardinality(spark, sf):
+    """G5/CRC (max side): a CityObject may carry at most 1 generic
+    attribute — counts inbound ocgml:cityObjectId references from the
+    genattrib graph."""
+    t = _triples(spark, sf, ["cityobjectgenericattrib"])
+    return owl.max_cardinality_violations(
+        spark, t, "cityobjectgenericattrib", "ocgml:cityObjectId", 1
+    )
+
+
+def q_owl_consistency(spark, sf):
+    """G5/CC: one row per check family with its violation count;
+    consistent == all-zero (ConsistencyCheckingTask analog)."""
+    t = _triples(
+        spark, sf,
+        ["building", "thematicsurface", "room", "buildinginstallation",
+         "addresstobuilding", "cityobjectgenericattrib", "cityobject"],
+    )
+    parts = {
+        "min_cardinality": owl.cardinality_violations(
+            spark, t, [("thematicsurface", "ocgml:lod2MultiSurfaceId")]
+        ),
+        "domain": owl.domain_violations(spark, t, [("ocgml:buildingId", "addresstobuilding")]),
+        "disjoint": owl.disjoint_class_violations(spark, t, [("26", "21")]),
+        "value_restriction": owl.value_restriction_violations(
+            spark, t, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)]
+        ),
+        "max_cardinality": owl.max_cardinality_violations(
+            spark, t, "cityobjectgenericattrib", "ocgml:cityObjectId", 1
+        ),
+    }
+    return owl.consistency_summary(parts)
+
+
 def q_zoning_gfa(spark, sf):
     """A11: allowsUse zoning filter + TotalGFA threshold
     (CityInformationAgent.java:293-330 analog): GFA = projected footprint
@@ -763,6 +834,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_placemark": q_kml_placemark,
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
+        "owl_class_membership": q_owl_class_membership,
+        "owl_specialisation": q_owl_specialisation,
+        "owl_range": q_owl_range,
+        "owl_value_restriction": q_owl_value_restriction,
+        "owl_max_cardinality": q_owl_max_cardinality,
+        "owl_consistency": q_owl_consistency,
         "zoning_gfa": q_zoning_gfa,
         "projection_filter": q_projection_filter,
         "sql_passthrough": q_sql_passthrough,
@@ -1046,20 +1123,153 @@ def _kml_placemark_sql() -> str:
     )
 
 
-def _graph_edges_cte(graphs: list[str], recursive: bool = False) -> str:
-    """CTE prefix `t` (triples) + `e` (distinct IRI->IRI edge list) matching
-    graph.triples_to_edges over _triples(spark, sf, graphs). The triples
-    CTE is flattened (triples_oracle_sql's own WITH hoisted) and
-    MATERIALIZED — the ~70-branch UNION ALL body must evaluate once, not
-    once per downstream reference."""
+def _triples_cte(graphs: list[str], recursive: bool = False) -> str:
+    """CTE prefix defining `t` = the triples oracle for `graphs`, flattened
+    (triples_oracle_sql's own WITH hoisted) and MATERIALIZED — the
+    ~70-branch UNION ALL body must evaluate once, not once per downstream
+    reference."""
     t = triples_oracle_sql(graphs=graphs)
     prefix, body = t.split("\n", 1)
     base_def = prefix[len("WITH "):]
     kw = "WITH RECURSIVE " if recursive else "WITH "
+    return f"{kw}{base_def}, t AS MATERIALIZED ({body})"
+
+
+def _graph_edges_cte(graphs: list[str], recursive: bool = False) -> str:
+    """`_triples_cte` + `e` (distinct IRI->IRI edge list) matching
+    graph.triples_to_edges over _triples(spark, sf, graphs)."""
     return (
-        f"{kw}{base_def}, t AS MATERIALIZED ({body}), "
-        "e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM t "
+        _triples_cte(graphs, recursive=recursive) +
+        ", e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM t "
         "WHERE obj_type = 'iri' AND subj <> obj)"
+    )
+
+
+def _objectclass_cte() -> str:
+    """`oc` = the 3DCityDB taxonomy rows, `clo` = its proper-ancestor
+    transitive closure via recursive CTE — the independent evaluation of
+    citykg.ops.owl.subclass_closure (must follow a WITH RECURSIVE)."""
+    from citykg.ops.owl import OBJECTCLASS
+
+    rows = ", ".join(
+        f"({cid}, '{name}', {sup if sup is not None else 'NULL'})"
+        for cid, name, sup in OBJECTCLASS
+    )
+    return (
+        f"oc AS (SELECT * FROM (VALUES {rows}) "
+        "v(class_id, class_name, superclass_id)), "
+        "clo(sub_id, super_id, depth) AS ("
+        "SELECT class_id, superclass_id, 1 FROM oc WHERE superclass_id IS NOT NULL "
+        "UNION ALL "
+        "SELECT c.sub_id, o.superclass_id, c.depth + 1 FROM clo c "
+        "JOIN oc o ON o.class_id = c.super_id WHERE o.superclass_id IS NOT NULL)"
+    )
+
+
+def _owl_membership_sql() -> str:
+    return (
+        _triples_cte(["cityobject"], recursive=True) + ", " + _objectclass_cte() +
+        ", mem AS (SELECT class_id AS sub_id, class_id AS super_id, 0 AS depth FROM oc "
+        "UNION ALL SELECT sub_id, super_id, depth FROM clo) "
+        "SELECT t.subj, CAST(t.obj AS INT) AS class_id, "
+        "CAST(m.super_id AS INT) AS member_class_id, o2.class_name AS member_of, "
+        "CAST(m.depth AS INT) AS depth "
+        "FROM t JOIN mem m ON CAST(t.obj AS INT) = m.sub_id "
+        "JOIN oc o2 ON o2.class_id = m.super_id "
+        "WHERE t.pred = 'ocgml:objectClassId'"
+    )
+
+
+def _owl_specialisation_sql() -> str:
+    return (
+        "WITH RECURSIVE " + _objectclass_cte() +
+        " SELECT CAST(c.sub_id AS INT) AS sub_id, o1.class_name AS sub_name, "
+        "CAST(c.super_id AS INT) AS super_id, o2.class_name AS super_name, "
+        "CAST(c.depth AS INT) AS depth "
+        "FROM clo c JOIN oc o1 ON o1.class_id = c.sub_id "
+        "JOIN oc o2 ON o2.class_id = c.super_id"
+    )
+
+
+def _owl_range_sql() -> str:
+    return (
+        _triples_cte(
+            ["room", "thematicsurface", "buildinginstallation", "addresstobuilding",
+             "surfacegeometry", "cityobjectgenericattrib"]
+        ) +
+        ", ax AS (SELECT * FROM (VALUES ('ocgml:buildingId', 'building'), "
+        "('ocgml:cityObjectId', 'cityobject')) v(pred, expected_graph)) "
+        "SELECT t.pred, ax.expected_graph, count(*) AS n_checked, "
+        "CAST(sum(CASE WHEN t.obj LIKE '%/' || ax.expected_graph || '/%' "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS n_violations "
+        "FROM t JOIN ax ON ax.pred = t.pred WHERE t.obj_type = 'iri' "
+        "GROUP BY 1, 2"
+    )
+
+
+def _owl_value_restriction_sql() -> str:
+    return (
+        _triples_cte(["building"]) +
+        " SELECT subj, pred, obj, 1.0 AS lo, 20.0 AS hi FROM t "
+        "WHERE graph = 'building' AND pred = 'ocgml:storeysAboveGround' AND "
+        "(TRY_CAST(obj AS DOUBLE) IS NULL OR TRY_CAST(obj AS DOUBLE) < 1.0 "
+        "OR TRY_CAST(obj AS DOUBLE) > 20.0)"
+    )
+
+
+def _owl_max_cardinality_sql() -> str:
+    return (
+        _triples_cte(["cityobjectgenericattrib"]) +
+        " SELECT obj AS individual, count(*) AS n FROM t "
+        "WHERE graph = 'cityobjectgenericattrib' AND pred = 'ocgml:cityObjectId' "
+        "GROUP BY obj HAVING count(*) > 1"
+    )
+
+
+def _owl_consistency_sql() -> str:
+    mincard = (
+        "SELECT count(*) FROM (SELECT s.subj FROM (SELECT DISTINCT subj FROM t "
+        "WHERE graph = 'thematicsurface') s WHERE s.subj NOT IN "
+        "(SELECT subj FROM t WHERE graph = 'thematicsurface' "
+        "AND pred = 'ocgml:lod2MultiSurfaceId'))"
+    )
+    domain = (
+        "SELECT count(*) FROM t WHERE pred = 'ocgml:buildingId' "
+        "AND graph <> 'addresstobuilding'"
+    )
+    disjoint = (
+        "SELECT count(*) FROM (SELECT a.subj FROM t a JOIN t b ON a.subj = b.subj "
+        "WHERE a.pred = 'ocgml:objectClassId' AND b.pred = 'ocgml:objectClassId' "
+        "AND a.obj = '26' AND b.obj = '21')"
+    )
+    valr = (
+        "SELECT count(*) FROM t WHERE graph = 'building' "
+        "AND pred = 'ocgml:storeysAboveGround' AND "
+        "(TRY_CAST(obj AS DOUBLE) IS NULL OR TRY_CAST(obj AS DOUBLE) < 1.0 "
+        "OR TRY_CAST(obj AS DOUBLE) > 20.0)"
+    )
+    maxcard = (
+        "SELECT count(*) FROM (SELECT obj FROM t "
+        "WHERE graph = 'cityobjectgenericattrib' AND pred = 'ocgml:cityObjectId' "
+        "GROUP BY obj HAVING count(*) > 1)"
+    )
+    rows = [
+        ("min_cardinality", mincard),
+        ("domain", domain),
+        ("disjoint", disjoint),
+        ("value_restriction", valr),
+        ("max_cardinality", maxcard),
+    ]
+    body = " UNION ALL ".join(
+        f"SELECT '{name}' AS \"check\", CAST(({sub}) AS BIGINT) AS n_violations, "
+        f"({sub}) = 0 AS consistent"
+        for name, sub in rows
+    )
+    return (
+        _triples_cte(
+            ["building", "thematicsurface", "room", "buildinginstallation",
+             "addresstobuilding", "cityobjectgenericattrib", "cityobject"]
+        ) + " " + body
     )
 
 
@@ -1274,6 +1484,12 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL SELECT '{DEFAULT_BASE}/buildinginstallation/BI_' || k || '/', "
             "'ocgml:buildingId', 'buildinginstallation', 'addresstobuilding' FROM b"
         ),
+        "owl_class_membership": _owl_membership_sql(),
+        "owl_specialisation": _owl_specialisation_sql(),
+        "owl_range": _owl_range_sql(),
+        "owl_value_restriction": _owl_value_restriction_sql(),
+        "owl_max_cardinality": _owl_max_cardinality_sql(),
+        "owl_consistency": _owl_consistency_sql(),
         "zoning_gfa": _zoning_gfa_sql(),
         "projection_filter": (
             "SELECT subj, pred, obj, doc_id, span_idx, pos "

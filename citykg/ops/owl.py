@@ -1,15 +1,27 @@
 """G5 — OWL consistency checks as anti-joins against a broadcast TBox.
 
-The reference runs these as JUNG/SPARQL tasks dispatched by
-InferenceAgent (/root/reference/agents/src/main/java/uk/ac/cam/cares/twa/
-cities/agents/InferenceAgent.java:62-92) with one task class per check
-(tasks/*CheckingTask.java): class membership/disjointness, property
-domain, and value/cardinality restrictions.
+The reference runs these as reasoner tasks dispatched by InferenceAgent
+(/root/reference/agents/src/main/java/uk/ac/cam/cares/twa/cities/agents/
+InferenceAgent.java:62-92) with one task class per check
+(tasks/*CheckingTask.java). All ten task families are re-expressed here
+Spark-first:
+
+* ClassMembershipCheckingTask      -> class_membership (closure join)
+* ClassSpecialisationCheckingTask  -> specialisation (transitive closure)
+* ClassDisjointnessCheckingTask    -> disjoint_class_violations
+* PropertyCheckingTask             -> domain_violations + range_check_summary
+* ValueRestrictionCheckingTask     -> value_restriction_violations
+* CardinalityRestrictionCheckingTask -> cardinality_violations (min) +
+                                        max_cardinality_violations
+* ConsistencyCheckingTask          -> consistency_summary (union of checks)
+* PageRank/EdgeBetweenness/ShortestPath tasks live in citykg.ops.graph.
 
 Spark-first shape: the TBox (a few hundred axioms at most) is a broadcast
 DataFrame; every check is a broadcast join or anti-join against the triple
 table — a single scan-side pass per check, no shuffle on the big side, so
-the pattern holds unchanged at 10^12 triples.
+the pattern holds unchanged at 10^12 triples. The taxonomy closure is an
+iterative self-join over the (tiny, broadcast) direct-superclass table —
+same loop shape as connected_components, converging in O(hierarchy depth).
 """
 
 from __future__ import annotations
@@ -18,6 +30,190 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
 CLASS_PRED = "ocgml:objectClassId"
+
+# 3DCityDB object-class taxonomy: (class_id, class_name, superclass_id).
+# Cited from the reference's registry
+# (resources/3dcitydb/postgresql/SQLScripts/SCHEMA/OBJECTCLASS/
+# OBJECTCLASS_INSTANCES.sql) — the rows for every class the extraction
+# emits (citykg.vocab.CLASS_ID) plus their ancestors.
+OBJECTCLASS = [
+    (1, "_GML", None),
+    (2, "_Feature", 1),
+    (3, "_CityObject", 2),
+    (5, "GenericCityObject", 3),
+    (20, "_Site", 3),
+    (21, "CityFurniture", 3),
+    (24, "_AbstractBuilding", 20),
+    (25, "BuildingPart", 24),
+    (26, "Building", 24),
+    (27, "BuildingInstallation", 3),
+    (29, "_BuildingBoundarySurface", 3),
+    (33, "BuildingRoofSurface", 29),
+    (34, "BuildingWallSurface", 29),
+    (35, "BuildingGroundSurface", 29),
+    (37, "_BuildingOpening", 3),
+    (38, "BuildingWindow", 37),
+    (39, "BuildingDoor", 37),
+    (40, "BuildingFurniture", 3),
+    (41, "BuildingRoom", 3),
+    (51, "_SurfaceData", 2),
+    (53, "X3DMaterial", 51),
+]
+
+
+def objectclass_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        OBJECTCLASS, "class_id int, class_name string, superclass_id int"
+    )
+
+
+def subclass_closure(spark: SparkSession) -> DataFrame:
+    """Transitive closure of the direct-superclass relation:
+    (sub_id, super_id, depth) with depth >= 1 (proper ancestors only).
+
+    The hierarchy is a tree of depth <= 5, so the iterative join
+    converges immediately; the result is broadcast-sized by construction
+    (ClassSpecialisationCheckingTask runs HermiT for the same question —
+    here it is |TBox|^depth worth of joins, all on a broadcast frame).
+    """
+    direct = objectclass_df(spark).where(F.col("superclass_id").isNotNull()).select(
+        F.col("class_id").alias("sub_id"),
+        F.col("superclass_id").alias("super_id"),
+        F.lit(1).alias("depth"),
+    )
+    closure = direct
+    frontier = direct
+    while True:
+        nxt = (
+            frontier.alias("f")
+            .join(broadcast(direct.alias("d")), F.col("f.super_id") == F.col("d.sub_id"))
+            .select(
+                F.col("f.sub_id").alias("sub_id"),
+                F.col("d.super_id").alias("super_id"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+        )
+        nxt = nxt.join(closure.select("sub_id", "super_id"), ["sub_id", "super_id"], "left_anti")
+        if nxt.isEmpty():
+            break
+        closure = closure.union(nxt)
+        frontier = nxt
+    return closure
+
+
+def class_membership(spark: SparkSession, triples: DataFrame) -> DataFrame:
+    """ClassMembershipCheckingTask analog: every (individual, class) pair
+    under the taxonomy — the asserted objectClassId membership (depth 0)
+    plus all inherited ancestor memberships. Broadcast closure join; one
+    pass over the triple table."""
+    asserted = (
+        triples.where(F.col("pred") == CLASS_PRED)
+        .select("subj", F.col("obj").cast("int").alias("class_id"))
+    )
+    names = objectclass_df(spark).select("class_id", "class_name")
+    self_rows = names.select(
+        F.col("class_id").alias("sub_id"), F.col("class_id").alias("super_id"),
+        F.lit(0).alias("depth"),
+    )
+    closure = broadcast(subclass_closure(spark).unionByName(self_rows))
+    return (
+        asserted.join(closure, asserted.class_id == closure.sub_id)
+        .join(broadcast(names.toDF("super_id", "member_of")), "super_id")
+        .select(
+            "subj",
+            F.col("class_id"),
+            F.col("super_id").alias("member_class_id"),
+            F.col("member_of"),
+            "depth",
+        )
+    )
+
+
+def specialisation(spark: SparkSession) -> DataFrame:
+    """ClassSpecialisationCheckingTask analog: does A specialise B?
+    Returns the full proper-ancestor closure with names and hop depth."""
+    names = objectclass_df(spark).select("class_id", "class_name")
+    c = subclass_closure(spark)
+    return (
+        c.join(broadcast(names.toDF("sub_id", "sub_name")), "sub_id")
+        .join(broadcast(names.toDF("super_id", "super_name")), "super_id")
+        .select("sub_id", "sub_name", "super_id", "super_name", "depth")
+    )
+
+
+def range_check_summary(
+    spark: SparkSession, triples: DataFrame, ranges: list[tuple[str, str]]
+) -> DataFrame:
+    """rdfs:range half of PropertyCheckingTask: for each (pred,
+    expected_graph) axiom over IRI-object predicates, the object IRI must
+    sit in the expected graph (its '/<graph>/' path segment). Returns a
+    per-axiom summary (pred, expected_graph, n_checked, n_violations) —
+    one broadcast join + one partial aggregate."""
+    axioms = spark.createDataFrame(ranges, "pred string, expected_graph string")
+    checked = triples.where(F.col("obj_type") == "iri").join(broadcast(axioms), "pred")
+    ok = F.col("obj").contains(F.concat(F.lit("/"), F.col("expected_graph"), F.lit("/")))
+    return (
+        checked.withColumn("_viol", (~ok).cast("long"))
+        .groupBy("pred", "expected_graph")
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.sum("_viol").alias("n_violations"),
+        )
+    )
+
+
+def value_restriction_violations(
+    spark: SparkSession, triples: DataFrame, restrictions: list[tuple[str, str, float, float]]
+) -> DataFrame:
+    """ValueRestrictionCheckingTask analog for numeric literal ranges:
+    axioms (graph, pred, lo, hi); report triples whose literal value falls
+    outside [lo, hi]. Broadcast axiom join, scan-side filter."""
+    axioms = spark.createDataFrame(
+        restrictions, "graph string, pred string, lo double, hi double"
+    )
+    v = F.col("obj").cast("double")
+    return (
+        triples.join(broadcast(axioms), ["graph", "pred"])
+        .where(v.isNull() | (v < F.col("lo")) | (v > F.col("hi")))
+        .select("subj", "pred", "obj", "lo", "hi")
+    )
+
+
+def max_cardinality_violations(
+    spark: SparkSession,
+    triples: DataFrame,
+    graph: str,
+    pred: str,
+    max_n: int,
+    count_col: str = "obj",
+) -> DataFrame:
+    """CardinalityRestrictionCheckingTask (max side): individuals carrying
+    more than `max_n` assertions of `pred`. `count_col='obj'` counts
+    inbound references (e.g. 'a CityObject has at most N generic
+    attributes' counts genattrib rows pointing AT the object). One
+    map-side-combinable aggregate."""
+    return (
+        triples.where((F.col("graph") == graph) & (F.col("pred") == pred))
+        .groupBy(F.col(count_col).alias("individual"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_n)
+    )
+
+
+def consistency_summary(parts: dict[str, DataFrame]) -> DataFrame:
+    """ConsistencyCheckingTask analog: isConsistent == no check family
+    reports violations. `parts` maps check name -> violations frame; the
+    output is one row per check (check, n_violations, consistent)."""
+    import functools
+
+    counts = [
+        df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check"), "n_violations"
+        )
+        for name, df in parts.items()
+    ]
+    out = functools.reduce(lambda a, b: a.unionByName(b), counts)
+    return out.withColumn("consistent", F.col("n_violations") == 0)
 
 
 def cardinality_violations(

@@ -167,3 +167,55 @@ def test_dwithin_plan_has_no_cartesian(spark):
     df = spark.range(10).selectExpr("id", "cast(id as double) x", "cast(id as double) y")
     plan = geo.dwithin_pairs(df, "id", "x", "y", 2.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_owl_subclass_closure_matches_python_walk(spark):
+    # independent oracle: walk each class's superclass chain in Python
+    direct = {cid: sup for cid, _, sup in owl.OBJECTCLASS}
+    expected = set()
+    for cid in direct:
+        d, cur = 0, cid
+        while direct.get(cur) is not None:
+            cur = direct[cur]
+            d += 1
+            expected.add((cid, cur, d))
+    got = {(r.sub_id, r.super_id, r.depth) for r in owl.subclass_closure(spark).collect()}
+    assert got == expected
+
+
+def test_owl_class_membership_inherits_ancestors(spark):
+    t = spark.createDataFrame(
+        [("b1", "ocgml:objectClassId", "26", "literal", None, "cityobject")],
+        "subj string, pred string, obj string, obj_type string, datatype string, graph string",
+    )
+    mem = {(r.member_class_id, r.member_of, r.depth)
+           for r in owl.class_membership(spark, t).collect()}
+    # Building 26 -> _AbstractBuilding 24 -> _Site 20 -> _CityObject 3 -> _Feature 2 -> _GML 1
+    assert mem == {
+        (26, "Building", 0), (24, "_AbstractBuilding", 1), (20, "_Site", 2),
+        (3, "_CityObject", 3), (2, "_Feature", 4), (1, "_GML", 5),
+    }
+
+
+def test_owl_value_and_max_cardinality(spark):
+    rows = [
+        ("b1", "ocgml:storeysAboveGround", "25", "literal", None, "building"),
+        ("b2", "ocgml:storeysAboveGround", "5", "literal", None, "building"),
+        ("g1", "ocgml:cityObjectId", "co1", "iri", None, "cityobjectgenericattrib"),
+        ("g2", "ocgml:cityObjectId", "co1", "iri", None, "cityobjectgenericattrib"),
+        ("g3", "ocgml:cityObjectId", "co2", "iri", None, "cityobjectgenericattrib"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_type string, datatype string, graph string"
+    )
+    v = owl.value_restriction_violations(
+        spark, t, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)]
+    ).collect()
+    assert [r.subj for r in v] == ["b1"]
+    m = owl.max_cardinality_violations(
+        spark, t, "cityobjectgenericattrib", "ocgml:cityObjectId", 1
+    ).collect()
+    assert [(r.individual, r.n) for r in m] == [("co1", 2)]
+    s = owl.consistency_summary({"vr": owl.value_restriction_violations(
+        spark, t, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)])}).collect()
+    assert [(r["check"], r.n_violations, r.consistent) for r in s] == [("vr", 1, False)]
