@@ -376,6 +376,31 @@ def q_kml_placemark(spark, sf):
     return kml_placemarks(g, "gml_id", "lit").select("doc_id", "kml")
 
 
+def q_kml_extruded(spark, sf):
+    """S8: EXTRUDED display form — ground ring x,y extruded to the
+    building's height (storeys x 3 m), KmlGenericObject
+    createPlacemarksForExtruded analog. Geometry literal and storey count
+    come out of the SAME extraction scan via one conditional aggregation
+    (one shuffle), then a pure string Project."""
+    from citykg.ops.kml import kml_extruded_placemarks
+
+    t = _triples(spark, sf, ["building", "surfacegeometry"]).where(
+        F.col("pred").isin("ocgml:storeysAboveGround", "ocgml:GeometryType")
+    )
+    per_doc = t.groupBy("doc_id").agg(
+        F.max(F.when(F.col("pred") == "ocgml:storeysAboveGround",
+                     F.col("obj").cast("int"))).alias("storeys"),
+        F.max(F.when(F.col("pred") == "ocgml:GeometryType", F.col("obj"))).alias("lit"),
+    ).where(F.col("storeys").isNotNull() & F.col("lit").isNotNull())
+    g = per_doc.selectExpr(
+        "doc_id",
+        "concat('BLDG_', substring(doc_id, 5)) as gml_id",
+        "lit",
+        "cast(storeys * 3 as string) as height",
+    )
+    return kml_extruded_placemarks(g, "gml_id", "lit", "height").select("doc_id", "kml")
+
+
 def q_owl_cardinality(spark, sf):
     """G5: min-cardinality-1 check — thematic surfaces missing their lod2
     geometry triple (25% of docs by construction)."""
@@ -832,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_dwithin": q_spatial_dwithin,
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
+        "kml_extruded": q_kml_extruded,
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
         "owl_class_membership": q_owl_class_membership,
@@ -1120,6 +1146,29 @@ def _kml_placemark_sql() -> str:
         f"{coords} || "
         "'</coordinates></LinearRing></outerBoundaryIs></Polygon></Placemark>' AS kml "
         "FROM g"
+    )
+
+
+def _kml_extruded_sql() -> str:
+    from citykg.fixtures import _envelope_lit
+
+    h = "CAST(greatest(1 + d % 40, 1 + d % 6) * 3 AS VARCHAR)"
+    coords = (
+        "array_to_string(list_transform(range(1, len(t)//3 + 1), i -> "
+        f"t[(i-1)*3+1] || ',' || t[(i-1)*3+2] || ',' || {h}), ' ')"
+    )
+    name = "'BLDG_' || lpad(CAST(d AS VARCHAR), 8, '0')"
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        f"'<Placemark id=\"KMLExtr_' || {name} || '\"><name>' || {name} || "
+        "'</name><styleUrl>#BuildingExtrudedNormal</styleUrl>"
+        "<MultiGeometry><Polygon><extrude>1</extrude><tessellate>1</tessellate>"
+        "<altitudeMode>relativeToGround</altitudeMode>"
+        "<outerBoundaryIs><LinearRing><coordinates>' || "
+        f"{coords} || "
+        "'</coordinates></LinearRing></outerBoundaryIs></Polygon>"
+        "</MultiGeometry></Placemark>' AS kml FROM g"
     )
 
 
@@ -1468,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nquads_format": _nquads_sql(),
         "kml_placemark": _kml_placemark_sql(),
+        "kml_extruded": _kml_extruded_sql(),
         "owl_cardinality": (
             f"SELECT 'thematicsurface' AS graph, "
             f"'{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS subj, "

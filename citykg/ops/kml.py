@@ -51,6 +51,42 @@ def kml_placemarks(df: DataFrame, id_col: str, lit_col: str, out: str = "kml") -
     )
 
 
+def kml_extruded_placemarks(
+    df: DataFrame,
+    id_col: str,
+    lit_col: str,
+    height_col: str,
+    style_basis: str = "Building",
+    out: str = "kml",
+) -> DataFrame:
+    """EXTRUDED display form (KmlGenericObject.createPlacemarksForExtruded,
+    KmlGenericObject.java:1598-1680): the ground ring's x,y with z replaced
+    by the measured height, wrapped in a Polygon with extrude/tessellate
+    set and relativeToGround altitude inside a MultiGeometry; placemark id
+    gets the extruded prefix and the styleUrl the '<basis>ExtrudedNormal'
+    style (KmlGenericObject.java:1611-1615). `height_col` must be a
+    string-typed column so rendering is engine-exact."""
+    t = f"split({lit_col}, '#')"
+    coords = (
+        f"array_join(transform(sequence(0, int(size({t}) / 3) - 1), i -> "
+        f"concat(element_at({t}, cast(3 * i + 1 as int)), ',', "
+        f"element_at({t}, cast(3 * i + 2 as int)), ',', {height_col})), ' ')"
+    )
+    return df.withColumn(
+        out,
+        F.expr(
+            f"concat('<Placemark id=\"KMLExtr_', {id_col}, '\"><name>', {id_col}, "
+            f"'</name><styleUrl>#{style_basis}ExtrudedNormal</styleUrl>"
+            "<MultiGeometry><Polygon><extrude>1</extrude><tessellate>1</tessellate>"
+            "<altitudeMode>relativeToGround</altitudeMode>"
+            "<outerBoundaryIs><LinearRing><coordinates>', "
+            f"{coords}, "
+            "'</coordinates></LinearRing></outerBoundaryIs></Polygon>"
+            "</MultiGeometry></Placemark>')"
+        ),
+    )
+
+
 def export_kml(df: DataFrame, id_col: str, lit_col: str, path: str) -> None:
     """Placemark lines to a text sink; wrap with KML_HEADER/KML_FOOTER when
     assembling a single document (driver-side concat of part files, or a

@@ -219,3 +219,59 @@ def test_owl_value_and_max_cardinality(spark):
     s = owl.consistency_summary({"vr": owl.value_restriction_violations(
         spark, t, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)])}).collect()
     assert [(r["check"], r.n_violations, r.consistent) for r in s] == [("vr", 1, False)]
+
+
+def test_footprint_union_exact_path_plumbing(spark, monkeypatch):
+    """The shapely-backed exact path can't run in this image (no shapely);
+    drive its applyInPandas plumbing — grouping, Arrow batch shape, output
+    schema — with a minimal test double that implements the subset of the
+    shapely API the kernel touches (Polygon(pts), unary_union -> object
+    with .bounds/.area/.wkt)."""
+    import sys
+    import types
+
+    class FakeUnion:
+        def __init__(self, polys):
+            pts = [p for poly in polys for p in poly.pts]
+            xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+            self.bounds = (min(xs), min(ys), max(xs), max(ys))
+            # shoelace per member, summed (members disjoint in the test)
+            def shoe(ps):
+                return abs(sum(ps[i][0] * ps[(i + 1) % len(ps)][1]
+                               - ps[(i + 1) % len(ps)][0] * ps[i][1]
+                               for i in range(len(ps)))) / 2
+            self.area = sum(shoe(p.pts) for p in polys)
+            self.wkt = f"MULTIPOLYGON<{len(polys)}>"
+
+    class FakePolygon:
+        def __init__(self, pts):
+            self.pts = list(pts)
+
+    geom_mod = types.ModuleType("shapely.geometry")
+    geom_mod.Polygon = FakePolygon
+    ops_mod = types.ModuleType("shapely.ops")
+    ops_mod.unary_union = lambda polys: FakeUnion(polys)
+    shapely_mod = types.ModuleType("shapely")
+    shapely_mod.geometry = geom_mod
+    shapely_mod.ops = ops_mod
+    monkeypatch.setitem(sys.modules, "shapely", shapely_mod)
+    monkeypatch.setitem(sys.modules, "shapely.geometry", geom_mod)
+    monkeypatch.setitem(sys.modules, "shapely.ops", ops_mod)
+
+    # two disjoint unit squares (closed rings, z=0) in one group
+    def ring(x0, y0):
+        return "#".join(
+            f"{v}" for p in [(x0, y0), (x0 + 1.0, y0), (x0 + 1.0, y0 + 1.0),
+                             (x0, y0 + 1.0), (x0, y0)] for v in (p[0], p[1], 0.0)
+        )
+
+    df = spark.createDataFrame(
+        [("g1", ring(0.0, 0.0)), ("g1", ring(5.0, 5.0))], "grp string, lit string"
+    )
+    rows = geo.footprint_union(df, "grp", "lit", min_area=0.5, exact=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_members == 2
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (0.0, 0.0, 6.0, 6.0)
+    assert abs(r.total_area - 2.0) < 1e-9
+    assert r.wkt == "MULTIPOLYGON<2>"
