@@ -67,13 +67,23 @@ def with_minhash(
     seed: int = 42,
     out: str = "minhash",
 ) -> DataFrame:
-    """64-slot MinHash signature via aggregate(min) per permutation."""
-    mins = [
-        f"aggregate({shingle_col}, cast(9223372036854775807 as bigint), "
-        f"(acc, s) -> least(acc, pmod({a}L * (xxhash64(s) & 4294967295L) + {b}L, {_P}L)))"
-        for a, b in _perm_consts(n_hashes, seed)
-    ]
-    return df.withColumn(out, F.expr("array(" + ", ".join(mins) + ")"))
+    """n-slot MinHash signature in ONE pass: hash every shingle once
+    (xxhash64 over the string is the expensive part — the naive
+    one-aggregate-per-slot form recomputes it n_hashes times per shingle),
+    then fold the permutation mins with a single array-accumulator
+    aggregate over the hash array (n_hashes modmuls per shingle, cheap
+    int64 math)."""
+    consts = _perm_consts(n_hashes, seed)
+    a_arr = "array(" + ", ".join(f"{a}L" for a, _ in consts) + ")"
+    b_arr = "array(" + ", ".join(f"{b}L" for _, b in consts) + ")"
+    hs = f"transform({shingle_col}, s -> xxhash64(s) & 4294967295L)"
+    sig = (
+        f"aggregate({hs}, array_repeat(cast(9223372036854775807 as bigint), {n_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {n_hashes - 1}), "
+        f"(m, i) -> least(m, pmod(element_at({a_arr}, i + 1) * h + "
+        f"element_at({b_arr}, i + 1), {_P}L))))"
+    )
+    return df.withColumn(out, F.expr(sig))
 
 
 def with_bands(
