@@ -13,7 +13,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("citykg-tests", master="local[8]", shuffle_partitions=8)
+    # the engine's default session is ANSI-off (permissive casts on dirty
+    # web-scale text) but the round driver evaluates queries under Spark
+    # 4's ANSI default — run the suite in the STRICTER mode so every op is
+    # proven to work under both
+    s = get_spark(
+        "citykg-tests", master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.sql.ansi.enabled": "true"},
+    )
     yield s
     s.stop()
 
