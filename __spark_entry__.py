@@ -797,6 +797,37 @@ def q_source_cityjson(spark, sf):
     )
 
 
+def q_dataset_split(spark, sf):
+    """Training-data split assignment: 90/5/5 by the cross-engine content
+    hash (citykg.ops.hashing) — pure Project, resume-stable, recomputable
+    by the oracle from the row alone."""
+    from citykg.ops import sampling
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return sampling.with_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf):
+    """Per-label deterministic sampling via hash threshold (sampleBy
+    semantics without RNG state): labels 0-4 at 50%, 5-9 dropped."""
+    from citykg.ops import sampling
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return sampling.stratified_sample(
+        e, {lab: 0.5 for lab in range(5)}, label_col="label", id_col="vec_id"
+    ).select("vec_id", "label")
+
+
+def q_global_shuffle(spark, sf):
+    """Deterministic global permutation (verification form: materialized
+    rank; the scale path is ops.sampling.global_shuffle — a parallel
+    range-sort yielding order without a rank column)."""
+    from citykg.ops import sampling
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").where("doc_id < 200")
+    return sampling.global_shuffle_rank(d, "doc_id").select("doc_id", "shuffle_rank")
+
+
 def q_graph_edge_betweenness(spark, sf):
     """G2: Brandes edge betweenness over the address<->building link graph
     (EdgeBetweennessTask analog; iterative — rows-only check, exactness is
@@ -895,6 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "global_shuffle": q_global_shuffle,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -1410,6 +1444,40 @@ def _crs_sql(zone: int = 33) -> str:
     )
 
 
+def _sampling_bucket_duckdb(id_expr: str, seed: int = 42) -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    keyed = f"(CAST({id_expr} AS VARCHAR) || '#' || '{seed}')"
+    return f"({char_fold_duckdb(keyed)}) % 1000000"
+
+
+def _dataset_split_sql() -> str:
+    b = _sampling_bucket_duckdb("doc_id")
+    return (
+        f"SELECT doc_id, CASE WHEN {b} < 900000 THEN 'train' "
+        f"WHEN {b} < 950000 THEN 'val' ELSE 'test' END AS split FROM documents"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    b = _sampling_bucket_duckdb("vec_id")
+    return (
+        f"SELECT vec_id, label FROM embeddings "
+        f"WHERE label IN (0, 1, 2, 3, 4) AND {b} < 500000"
+    )
+
+
+def _global_shuffle_sql() -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    keyed = "(CAST(doc_id AS VARCHAR) || '#' || '42')"
+    h = char_fold_duckdb(keyed)
+    return (
+        f"SELECT doc_id, CAST(row_number() OVER (ORDER BY {h}, doc_id) AS INT) "
+        "AS shuffle_rank FROM documents WHERE doc_id < 200"
+    )
+
+
 def _simhash_sql() -> str:
     """Independent DuckDB evaluation of the 56-bit SimHash (integer-exact:
     both engines fold base-31 char hashes mod 2^57-13 and pack sign bits,
@@ -1647,6 +1715,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_brute_sql(),
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dataset_split": _dataset_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "global_shuffle": _global_shuffle_sql(),
         "graph_pagerank": _pagerank_sql(),
         "graph_shortest_paths": _shortest_paths_sql(),
         # rows-only (non-SQL-expressible): multimodal_decode (Arrow stub),

@@ -1,0 +1,112 @@
+"""Training-data sampling operators: deterministic split assignment,
+stratified sampling, and global shuffle order.
+
+A 100 TB training-data pipeline cannot use RNG state for any of these —
+a retried partition must land every row in the same split/sample/position
+(the resume invariant of the north_rule), and an auditor must be able to
+recompute the assignment from the row alone. All three operators therefore
+key on the cross-engine content hash (citykg.ops.hashing): assignment is a
+pure function of (id, seed), evaluated JVM-side as one Project — no RNG,
+no driver state, no shuffle except where ordering itself demands one.
+
+Scale shapes:
+* with_split          — scan-side Project (zero shuffles); split fractions
+                        hold to ~hash uniformity (±0.1% at 10^6 rows).
+* stratified_sample   — scan-side filter (zero shuffles); per-label keep
+                        fraction via hash threshold, exact + deterministic.
+* global_shuffle_rank — ONE range-partitioned sort on the hash (Spark's
+                        orderBy = sample-based range exchange): the
+                        standard "shuffle the corpus once before training"
+                        step; deterministic tie-break on the id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .hashing import char_fold_spark
+
+# bucket space for split/sample thresholds: large enough that fraction
+# granularity (1e-6) is far below hash-uniformity noise
+_BUCKETS = 1_000_000
+
+
+def _bucket_expr(id_col: str, seed: int) -> str:
+    keyed = f"concat(cast({id_col} as string), '#', '{seed}')"
+    return f"pmod({char_fold_spark(keyed)}, {_BUCKETS}L)"
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket: weights
+    {'train': .9, 'val': .05, 'test': .05} carve [0, 1e6) into
+    consecutive ranges. Pure Project — the assignment never changes under
+    retry, repartition, or resume."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    cum, cases = 0.0, []
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cases.append((int(cum * _BUCKETS), name))
+    b = _bucket_expr(id_col, seed)
+    expr = f"CASE "
+    for hi, name in cases:
+        expr += f"WHEN {b} < {hi} THEN '{name}' "
+    expr += f"ELSE '{items[-1][0]}' END"
+    return df.withColumn(out, F.expr(expr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row with its label's fraction, deterministically:
+    hash_bucket(id) < fraction * 1e6. Labels absent from `fractions` are
+    dropped (sampleBy semantics). Scan-side filter, zero shuffles."""
+    b = _bucket_expr(id_col, seed)
+    lit = lambda v: f"'{v}'" if isinstance(v, str) else str(v)  # noqa: E731
+    conds = [
+        f"({label_col} = {lit(label)} AND {b} < {int(frac * _BUCKETS)})"
+        for label, frac in fractions.items()
+    ]
+    return df.where(F.expr(" OR ".join(conds)))
+
+
+def _shuffle_key_expr(id_col: str, seed: int) -> str:
+    keyed = f"concat(cast({id_col} as string), '#', '{seed}')"
+    return char_fold_spark(keyed)
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic global permutation of the corpus: sort by
+    (hash(id, seed), id) — the standard shuffle-once-before-training step.
+    Spark executes this as ONE sample-based range exchange + per-partition
+    sort, fully parallel; the id tie-break makes the order total and
+    resume-stable even under hash collisions. This is the scale path —
+    it yields an ORDER, not a materialized contiguous rank."""
+    h = F.expr(_shuffle_key_expr(id_col, seed))
+    return df.orderBy(h, F.col(id_col))
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "shuffle_rank",
+) -> DataFrame:
+    """Materialized 1-based position in the global_shuffle order — the
+    small-scale VERIFICATION form (row_number over an unpartitioned window
+    funnels through one task; use global_shuffle at scale and let the sink
+    preserve order per file)."""
+    h = F.expr(_shuffle_key_expr(id_col, seed))
+    w = Window.orderBy(h, F.col(id_col))
+    return df.withColumn(out, F.row_number().over(w))
