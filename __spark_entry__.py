@@ -828,6 +828,19 @@ def q_global_shuffle(spark, sf):
     return sampling.global_shuffle_rank(d, "doc_id").select("doc_id", "shuffle_rank")
 
 
+def q_pack_sequences(spark, sf):
+    """LLM sequence packing: greedy fixed-budget bin fill per hash group
+    (two-level distributed shape; see citykg.ops.packing). Token counts
+    from whitespace tokenization so the oracle can re-derive them."""
+    from citykg.ops import packing
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) as n_tokens",
+    )
+    return packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_groups=4)
+
+
 def q_graph_edge_betweenness(spark, sf):
     """G2: Brandes edge betweenness over the address<->building link graph
     (EdgeBetweennessTask analog; iterative — rows-only check, exactness is
@@ -927,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "global_shuffle": q_global_shuffle,
         "graph_edge_betweenness": q_graph_edge_betweenness,
@@ -1478,6 +1492,33 @@ def _global_shuffle_sql() -> str:
     )
 
 
+def _pack_sequences_sql(budget: int = 512, n_groups: int = 4, seed: int = 42) -> str:
+    """Replays the two-level greedy packing as a recursive CTE: one walk
+    row per group advances a (bin, fill) state down the (hash, id) order —
+    the independent re-derivation of citykg.ops.packing.pack_sequences."""
+    from citykg.ops.hashing import POLY_P, char_fold_duckdb
+
+    keyed = "(CAST(doc_id AS VARCHAR) || '#' || '" + str(seed) + "')"
+    okey = f"(({char_fold_duckdb(keyed)}) % {POLY_P})"
+    toks = r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))"
+    return (
+        "WITH RECURSIVE d AS MATERIALIZED ("
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, CAST({toks} AS BIGINT) AS tokens, "
+        f"CAST({okey} % {n_groups} AS INT) AS grp, {okey} AS okey, "
+        f"row_number() OVER (PARTITION BY ({okey} % {n_groups}) ORDER BY {okey}, CAST(doc_id AS VARCHAR)) AS rn "
+        "FROM documents), "
+        "walk(grp, rn, bin, fill) AS ("
+        "SELECT grp, CAST(1 AS BIGINT), 0, tokens FROM d WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT d.grp, d.rn, "
+        f"CASE WHEN w.fill + d.tokens > {budget} THEN w.bin + 1 ELSE w.bin END, "
+        f"CASE WHEN w.fill + d.tokens > {budget} THEN d.tokens ELSE w.fill + d.tokens END "
+        "FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1) "
+        "SELECT d.id, d.tokens, d.grp, CAST(w.bin AS INT) AS bin "
+        "FROM d JOIN walk w ON w.grp = d.grp AND w.rn = d.rn"
+    )
+
+
 def _simhash_sql() -> str:
     """Independent DuckDB evaluation of the 56-bit SimHash (integer-exact:
     both engines fold base-31 char hashes mod 2^57-13 and pack sign bits,
@@ -1716,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
         "dataset_split": _dataset_split_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "graph_pagerank": _pagerank_sql(),

@@ -68,13 +68,21 @@ def run(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--base", default=DEFAULT_BASE)
     ap.add_argument("--rehome-to", default=None)
+    ap.add_argument("--gazetteer", default=None,
+                    help="parquet dir of (entity_id, aliases array<string>); enables linking")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="MinHash-LSH blocked linking instead of exact alias match")
     ap.add_argument("--buckets", type=int, default=materialize.DEFAULT_BUCKETS)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("citykg-pipeline").getOrCreate()
     docs = spark.read.parquet(args.input)
-    triples = build_triples(spark, docs, base=args.base, rehome_to=args.rehome_to)
+    gaz = spark.read.parquet(args.gazetteer) if args.gazetteer else None
+    triples = build_triples(
+        spark, docs, base=args.base, gazetteer=gaz, rehome_to=args.rehome_to,
+        fuzzy=args.fuzzy,
+    )
     if not args.resume:
         # fresh run: clear the manifest dir semantics by writing anew
         pass
