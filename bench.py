@@ -191,6 +191,10 @@ def headline(sf_dir: str, cores: int) -> None:
         "spatial_dwithin",
         "zoning_gfa",
         "nquads_format",
+        "kml_extruded",
+        "owl_consistency",
+        "dataset_split",
+        "pack_sequences",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
