@@ -52,8 +52,16 @@ def pagerank(
         deg.select(F.col("src").alias("id"), F.lit(1).alias("has_out")), "id", "left"
     ).localCheckpoint(eager=True)
     ranks = flags.withColumn("rank", F.lit(1.0 / n))
-    n_dangling = flags.where(F.col("has_out").isNull()).count()
-    dangling = n_dangling / n  # initial dangling mass (uniform ranks)
+    dangling = 0.0
+    if tol > 0.0:
+        n_dangling = flags.where(F.col("has_out").isNull()).count()
+        dangling = n_dangling / n  # initial dangling mass (uniform ranks)
+
+    # tol <= 0 means "run exactly max_iter iterations": the convergence
+    # collect is pointless, so the dangling-mass scalar moves INTO the
+    # plan (1-row agg + broadcast cross-join) and each iteration costs
+    # exactly one job (the eager checkpoint) instead of two
+    fixed_iters = tol <= 0.0
 
     for i in range(max_iter):
         contrib = (
@@ -63,10 +71,31 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        joined = flags.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        if fixed_iters:
+            dmass = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("has_out").isNull(), F.col("rank"))), F.lit(0.0)
+                ).alias("_dmass")
+            )
+            new_ranks = (
+                joined.crossJoin(F.broadcast(dmass))
+                .select(
+                    "id",
+                    "has_out",
+                    (
+                        F.lit(alpha / n)
+                        + F.lit(1 - alpha) * F.col("_dmass") / F.lit(float(n))
+                        + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ranks = new_ranks
+            continue
         base = alpha / n + (1 - alpha) * dangling / n
         new_ranks = (
-            flags.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
+            joined.select(
                 "id",
                 "has_out",
                 (F.lit(base) + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
