@@ -110,22 +110,29 @@ def minhash_lsh_pairs(
         f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
     )
     base = df.select(id_col, F.expr(sh_expr).alias("shingles"))
+    # keep the band join NARROW: only (id, band) rows flow through the
+    # explode/join/dedup — the wide shingle arrays attach AFTER the
+    # candidate pairs are deduped, so each array is shuffled once per
+    # surviving pair, not once per band collision
     banded = with_bands(
         with_minhash(base, "shingles", n_hashes=n_hashes, seed=seed),
         bands=bands,
         rows=n_hashes // bands,
-    ).select(id_col, "shingles", "band_idx", "band_hash")
+    ).select(id_col, "band_idx", "band_hash")
 
-    l = banded.toDF("doc_a", "sh_a", "band_idx", "band_hash")
-    r = banded.toDF("doc_b", "sh_b", "band_idx", "band_hash")
+    l = banded.toDF("doc_a", "band_idx", "band_hash")
+    r = banded.toDF("doc_b", "band_idx", "band_hash")
     cands = (
         l.join(r, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sigs = base.select(F.col(id_col), F.col("shingles"))
     return (
-        cands.withColumn(
+        cands.join(sigs.toDF("doc_a", "sh_a"), "doc_a")
+        .join(sigs.toDF("doc_b", "sh_b"), "doc_b")
+        .withColumn(
             "jaccard",
             F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"),
         )
