@@ -195,6 +195,7 @@ def headline(sf_dir: str, cores: int) -> None:
         "owl_consistency",
         "dataset_split",
         "pack_sequences",
+        "kg_link_fuzzy",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
