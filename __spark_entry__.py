@@ -401,6 +401,18 @@ def q_kml_extruded(spark, sf):
     return kml_extruded_placemarks(g, "gml_id", "lit", "height").select("doc_id", "kml")
 
 
+def q_collada_geometry(spark, sf):
+    """S8 (mesh half): COLLADA <geometry> per surface — positions from the
+    literal's own tokens, fan triangulation, stride-3 accessor
+    (KmlGenericObject.java:350-431 document shape)."""
+    from citykg.ops.collada import collada_geometry
+
+    g = _geom_lits(spark, sf).selectExpr(
+        "doc_id", "concat('SURF_', substring(doc_id, 5)) as gml_id", "lit"
+    )
+    return collada_geometry(g, "gml_id", "lit").select("doc_id", "collada")
+
+
 def q_owl_cardinality(spark, sf):
     """G5: min-cardinality-1 check — thematic surfaces missing their lod2
     geometry triple (25% of docs by construction)."""
@@ -905,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
         "kml_extruded": q_kml_extruded,
+        "collada_geometry": q_collada_geometry,
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
         "owl_class_membership": q_owl_class_membership,
@@ -1220,6 +1233,35 @@ def _kml_extruded_sql() -> str:
         f"{coords} || "
         "'</coordinates></LinearRing></outerBoundaryIs></Polygon>"
         "</MultiGeometry></Placemark>' AS kml FROM g"
+    )
+
+
+def _collada_geometry_sql() -> str:
+    from citykg.fixtures import _envelope_lit
+
+    name = "'SURF_' || lpad(CAST(d AS VARCHAR), 8, '0')"
+    npts = "(len(t) // 3 - 1)"
+    pos = f"array_to_string(t[1:3 * {npts}], ' ')"
+    fan = (
+        f"array_to_string(list_transform(range(1, {npts} - 1), "
+        "i -> '0 ' || i || ' ' || (i + 1)), ' ')"
+    )
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        f"'<geometry id=\"' || {name} || '\"><mesh>"
+        f"<source id=\"' || {name} || '-position\">"
+        f"<float_array id=\"' || {name} || '-position-array\" count=\"' || (3 * {npts}) || '\">' || "
+        f"{pos} || "
+        "'</float_array><technique_common>"
+        f"<accessor source=\"#' || {name} || '-position-array\" count=\"' || {npts} || '\" stride=\"3\">"
+        '<param name="X" type="float"/><param name="Y" type="float"/>'
+        "<param name=\"Z\" type=\"float\"/></accessor></technique_common></source>"
+        f"<vertices id=\"' || {name} || '-vertices\">"
+        f"<input semantic=\"POSITION\" source=\"#' || {name} || '-position\"/></vertices>"
+        f"<triangles count=\"' || ({npts} - 2) || '\">"
+        f"<input semantic=\"VERTEX\" source=\"#' || {name} || '-vertices\" offset=\"0\"/>"
+        f"<p>' || {fan} || '</p></triangles></mesh></geometry>' AS collada FROM g"
     )
 
 
@@ -1660,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "nquads_format": _nquads_sql(),
         "kml_placemark": _kml_placemark_sql(),
         "kml_extruded": _kml_extruded_sql(),
+        "collada_geometry": _collada_geometry_sql(),
         "owl_cardinality": (
             f"SELECT 'thematicsurface' AS graph, "
             f"'{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS subj, "

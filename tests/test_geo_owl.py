@@ -275,3 +275,35 @@ def test_footprint_union_exact_path_plumbing(spark, monkeypatch):
     assert (r.xmin, r.ymin, r.xmax, r.ymax) == (0.0, 0.0, 6.0, 6.0)
     assert abs(r.total_area - 2.0) < 1e-9
     assert r.wkt == "MULTIPOLYGON<2>"
+
+
+def test_ring_validity_degenerate_literals_no_ansi_error(spark):
+    """Rings with <2 points must classify as invalid, not blow up with
+    INVALID_ARRAY_INDEX under ANSI mode (the sequence upper bound would
+    otherwise go negative)."""
+    df = spark.createDataFrame(
+        [("one_pt", "1.0#2.0#3.0"),
+         ("two_pt", "0.0#0.0#0.0#1.0#1.0#1.0"),
+         ("ok", "#".join(str(float(v)) for v in
+                         [0,0,0, 1,0,0, 1,1,0, 0,1,0, 0,0,0]))],
+        "id string, lit string",
+    )
+    out = {r.id: (r.is_valid, r.reason) for r in geo.ring_validity(df, "lit").collect()}
+    assert out["one_pt"] == (False, "too_few_points")
+    assert out["two_pt"] == (False, "too_few_points")
+    assert out["ok"] == (True, "ok")
+
+
+def test_collada_geometry_structure(spark):
+    from citykg.ops.collada import collada_geometry
+
+    ring = "#".join(str(float(v)) for v in
+                    [0, 0, 0, 4, 0, 0, 4, 3, 0, 0, 3, 0, 0, 0, 0])  # closed quad
+    df = spark.createDataFrame([("g1", ring)], "gml_id string, lit string")
+    x = collada_geometry(df, "gml_id", "lit").collect()[0].collada
+    assert '<geometry id="g1"><mesh>' in x
+    assert 'count="12"' in x          # 4 unique points x 3
+    assert 'count="4" stride="3"' in x
+    assert '<triangles count="2">' in x
+    assert "<p>0 1 2 0 2 3</p>" in x
+    assert "0.0 0.0 0.0 4.0 0.0 0.0 4.0 3.0 0.0 0.0 3.0 0.0</float_array>" in x
