@@ -119,6 +119,21 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
 
 
+def stage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-stage rollup of the lineage manifest — the operator a resume
+    coordinator or progress dashboard reads: (stage, n_partitions, rows,
+    total_wall_ms, max_attempt, complete). One tiny-table aggregate."""
+    m = read_manifest(spark, out_dir)
+    return m.groupBy("stage").agg(
+        F.countDistinct("partition_range").alias("n_partitions"),
+        F.sum("row_count").alias("rows"),
+        F.sum("wall_ms").alias("total_wall_ms"),
+        F.max("attempt").alias("max_attempt"),
+        (F.count(F.when(F.col("status") == "done", 1)) == F.countDistinct("partition_range"))
+        .alias("complete"),
+    )
+
+
 def write_geometry_datatype_registry(spark: SparkSession, triples: DataFrame, out_dir: str) -> None:
     """The Blazegraph geo-datatype config side-channel
     (BlazegraphConfigBuilder.java:40-77) as a small metadata table of

@@ -97,3 +97,17 @@ def test_nquads_export(spark, tmp_path_factory):
         "<http://b/building/x/> <http://b/building/> ."
     )
     assert '"say \\"hi\\""' in lines[1]
+
+
+def test_stage_metrics_rollup(spark, triples, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("store_metrics"))
+    materialize.write_triples(spark, triples, out, n_buckets=8, input_snapshot="snap1")
+    m = materialize.stage_metrics(spark, out).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert r.stage == "materialize"
+    assert r.n_partitions == 8
+    assert r.rows == triples.count()
+    assert r.complete is True
+    assert r.max_attempt == 1
+    assert r.total_wall_ms > 0
