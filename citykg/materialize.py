@@ -119,6 +119,86 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
 
 
+def delete_subjects(
+    spark: SparkSession,
+    out_dir: str,
+    subjects: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    drop_references: bool = True,
+    stage: str = "delete",
+) -> int:
+    """The reference's delete operation (impexp-core citygml/deleter:
+    per-object cascade delete via DBDeleteWorker) on the bucketed store:
+    remove every triple OF the given subject IRIs — and, with
+    `drop_references`, every triple POINTING AT them — by rewriting ONLY
+    the affected (graph, bucket) partitions. Subject bucketing makes the
+    touched-partition set computable up front (partition pruning on
+    write); untouched buckets keep their files byte-identical. Appends
+    per-bucket manifest rows so the deletion is lineage-tracked like any
+    other stage. Returns the number of rows removed.
+
+    (On Iceberg this is `DELETE FROM ... WHERE subj IN (...)` with
+    merge-on-read delete files; the parquet emulation rewrites the pruned
+    partition set and clears partitions that become empty.)
+    """
+    path = os.path.join(out_dir, "triples")
+    subj_df = spark.createDataFrame([(s,) for s in subjects], "subj string")
+    t = read_triples(spark, out_dir)
+    affected = with_bucket(subj_df, n_buckets).select("bucket").distinct()
+    if drop_references:
+        refs = t.join(
+            F.broadcast(subj_df.withColumnRenamed("subj", "obj")), "obj"
+        ).select("bucket").distinct()
+        affected = affected.union(refs).distinct()
+    buckets = sorted(r.bucket for r in affected.collect())
+    if not buckets:
+        return 0
+
+    part = t.where(F.col("bucket").isin(buckets))
+    before = {
+        (r.graph, r.bucket): r.n
+        for r in part.groupBy("graph", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    keep = part.join(F.broadcast(subj_df), "subj", "left_anti")
+    if drop_references:
+        keep = keep.join(
+            F.broadcast(subj_df.withColumnRenamed("subj", "obj")), "obj", "left_anti"
+        )
+    # materialize the survivor set BEFORE touching the files it reads from
+    # (the overwrite would otherwise invalidate the lazy plan's file list)
+    keep = keep.select(*[c for c in t.columns]).localCheckpoint(eager=True)
+    after = {
+        (r.graph, r.bucket): r.n
+        for r in keep.groupBy("graph", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    keep.write.mode("overwrite").partitionBy("graph", "bucket").parquet(path)
+    # dynamic overwrite only replaces partitions present in `keep`; a
+    # partition whose rows ALL died must be cleared explicitly (Iceberg's
+    # snapshot delete would handle this natively)
+    import shutil
+
+    for (graph, bucket), n in before.items():
+        if (graph, bucket) not in after:
+            d = os.path.join(path, f"graph={graph}", f"bucket={bucket}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    removed_per_bucket: dict[int, int] = {}
+    for (graph, bucket), n in before.items():
+        removed_per_bucket[bucket] = removed_per_bucket.get(bucket, 0) + n - after.get(
+            (graph, bucket), 0
+        )
+    _append_manifest(
+        spark,
+        out_dir,
+        [
+            (stage, str(b), "", removed, "done", 1, 0)
+            for b, removed in sorted(removed_per_bucket.items())
+        ],
+    )
+    return sum(removed_per_bucket.values())
+
+
 def stage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-stage rollup of the lineage manifest — the operator a resume
     coordinator or progress dashboard reads: (stage, n_partitions, rows,

@@ -111,3 +111,53 @@ def test_stage_metrics_rollup(spark, triples, tmp_path_factory):
     assert r.complete is True
     assert r.max_attempt == 1
     assert r.total_wall_ms > 0
+
+
+def test_delete_subjects_surgical_rewrite(spark, triples, tmp_path_factory):
+    import os
+
+    out = str(tmp_path_factory.mktemp("store_delete"))
+    materialize.write_triples(spark, triples, out, n_buckets=8)
+    total_before = materialize.read_triples(spark, out).count()
+
+    victims = [r.subj for r in triples.select("subj").distinct().limit(2).collect()]
+    # record files of buckets NOT containing the victims
+    from pyspark.sql import functions as F
+
+    vb = {
+        r.bucket
+        for r in materialize.with_bucket(
+            spark.createDataFrame([(s,) for s in victims], "subj string"), 8
+        ).collect()
+    }
+    ref_buckets = {
+        r.bucket
+        for r in materialize.read_triples(spark, out)
+        .where(F.col("obj").isin(victims))
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    touched = vb | ref_buckets
+    untouched = [b for b in range(8) if b not in touched][:1]
+    pre_files = {}
+    for b in untouched:
+        for root, _, files in os.walk(os.path.join(out, "triples")):
+            if f"bucket={b}" in root:
+                for f in files:
+                    p = os.path.join(root, f)
+                    pre_files[p] = os.path.getmtime(p)
+
+    n_removed = materialize.delete_subjects(spark, out, victims, n_buckets=8)
+    assert n_removed > 0
+    t = materialize.read_triples(spark, out)
+    assert t.where(F.col("subj").isin(victims)).count() == 0
+    assert t.where(F.col("obj").isin(victims)).count() == 0
+    assert t.count() == total_before - n_removed
+    # untouched bucket files are byte-identical (never rewritten)
+    for p, mtime in pre_files.items():
+        assert os.path.getmtime(p) == mtime, p
+    # deletion is manifest-tracked
+    m = materialize.read_manifest(spark, out).where(F.col("stage") == "delete")
+    assert m.count() > 0
+    assert sum(r.row_count for r in m.collect()) == n_removed
