@@ -119,6 +119,42 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
 
 
+def upsert_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    input_snapshot: str = "",
+) -> None:
+    """Re-import semantics (the reference's importer against an existing
+    DB: a feature's new version replaces its previous rows): delete every
+    subject present in the incoming batch from the store, then APPEND the
+    batch as a new manifest-tracked stage keyed by the input snapshot.
+    The delete rewrites only the buckets the incoming subjects hash to;
+    the append adds files without touching existing ones (Iceberg:
+    a DELETE + append in one transaction). The incoming subject set stays
+    a DataFrame end-to-end — no driver-side collect of ids."""
+    path = os.path.join(out_dir, "triples")
+    subj_df = triples.select("subj").distinct()
+    if os.path.exists(path):
+        _delete_subjects_df(
+            spark, out_dir, subj_df, n_buckets=n_buckets,
+            drop_references=False, stage=f"upsert-delete:{input_snapshot}",
+        )
+    bt = with_bucket(triples, n_buckets)
+    bt.write.mode("append").partitionBy("graph", "bucket").parquet(path)
+    counts = bt.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    _append_manifest(
+        spark,
+        out_dir,
+        [
+            (f"upsert:{input_snapshot}", str(int(r.bucket)), input_snapshot,
+             r.n, "done", 1, 0)
+            for r in sorted(counts, key=lambda r: int(r.bucket))
+        ],
+    )
+
+
 def delete_subjects(
     spark: SparkSession,
     out_dir: str,
@@ -141,8 +177,30 @@ def delete_subjects(
     merge-on-read delete files; the parquet emulation rewrites the pruned
     partition set and clears partitions that become empty.)
     """
+    return _delete_subjects_df(
+        spark,
+        out_dir,
+        spark.createDataFrame([(s,) for s in subjects], "subj string"),
+        n_buckets=n_buckets,
+        drop_references=drop_references,
+        stage=stage,
+    )
+
+
+def _delete_subjects_df(
+    spark: SparkSession,
+    out_dir: str,
+    subj_df: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    drop_references: bool = True,
+    stage: str = "delete",
+) -> int:
+    """DataFrame-core of delete_subjects — the subject set never passes
+    through the driver (broadcast into the anti-joins; for a subject set
+    too large to broadcast, Catalyst falls back to a shuffle join on the
+    same plan)."""
     path = os.path.join(out_dir, "triples")
-    subj_df = spark.createDataFrame([(s,) for s in subjects], "subj string")
+    subj_df = subj_df.select("subj").distinct().localCheckpoint(eager=True)
     t = read_triples(spark, out_dir)
     affected = with_bucket(subj_df, n_buckets).select("bucket").distinct()
     if drop_references:

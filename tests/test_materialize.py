@@ -161,3 +161,34 @@ def test_delete_subjects_surgical_rewrite(spark, triples, tmp_path_factory):
     m = materialize.read_manifest(spark, out).where(F.col("stage") == "delete")
     assert m.count() > 0
     assert sum(r.row_count for r in m.collect()) == n_removed
+
+
+def test_upsert_replaces_and_appends(spark, triples, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("store_upsert"))
+    materialize.write_triples(spark, triples, out, n_buckets=8, input_snapshot="v1")
+    total = materialize.read_triples(spark, out).count()
+
+    victim = triples.select("subj").distinct().limit(1).collect()[0].subj
+    # new version of the victim: one replacement triple + one brand-new subject
+    batch = spark.createDataFrame(
+        [
+            (victim, "ocgml:name", "renamed", "literal", None, "cityobject", "d", 0, 0),
+            ("iri://new-feature/", "ocgml:id", "iri://new-feature/", "iri", None,
+             "building", "d", 0, 1),
+        ],
+        "subj string, pred string, obj string, obj_type string, datatype string, "
+        "graph string, doc_id string, span_idx int, pos int",
+    )
+    n_old = materialize.read_triples(spark, out).where(F.col("subj") == victim).count()
+    materialize.upsert_triples(spark, batch, out, n_buckets=8, input_snapshot="v2")
+
+    t = materialize.read_triples(spark, out)
+    got = t.where(F.col("subj") == victim).collect()
+    assert len(got) == 1 and got[0].obj == "renamed"  # old rows replaced
+    assert t.where(F.col("subj") == "iri://new-feature/").count() == 1
+    assert t.count() == total - n_old + 2
+    m = materialize.read_manifest(spark, out)
+    assert m.where(F.col("stage") == "upsert:v2").count() > 0
+    assert m.where(F.col("stage") == "upsert-delete:v2").count() > 0
