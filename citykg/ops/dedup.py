@@ -147,18 +147,21 @@ def minhash_lsh_pairs(
 # (the driver's DuckDB oracle recomputes it; see __spark_entry__._simhash_sql).
 # 57-bit modulus keeps acc*31 + char < 2^63 under ANSI mode; fingerprints
 # use the low 56 bits so they stay positive bigints.
-SIMHASH_P = 144115188075855859  # largest prime below 2^57
+from .hashing import POLY_P as SIMHASH_P  # shared cross-engine modulus
+
 SIMHASH_BITS = 56
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """56-bit SimHash per doc — entirely JVM-side Spark expressions (no
-    Python in the path): token hash = base-31 char fold mod 2^57-13, one
-    vote vector per doc via a single array aggregate, fingerprint = packed
-    sign bits. Output: (id, simhash). Empty/whitespace-only text -> 0."""
+    Python in the path): token hash = base-31 char fold mod 2^57-13
+    (citykg.ops.hashing), one vote vector per doc via a single array
+    aggregate, fingerprint = packed sign bits. Output: (id, simhash).
+    Empty/whitespace-only text -> 0."""
+    from .hashing import char_fold_spark
+
     toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
-    codes = "transform(sequence(1, length(w)), i -> cast(ascii(substring(w, i, 1)) as bigint))"
-    tok_hash = f"aggregate({codes}, 0L, (acc, ch) -> pmod(acc * 31L + ch, {SIMHASH_P}L))"
+    tok_hash = char_fold_spark("w")
     hs = f"transform({toks}, w -> {tok_hash})"
     votes = (
         f"aggregate({hs}, array_repeat(0, {SIMHASH_BITS}), "

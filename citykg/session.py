@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("CITYKG_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd over snappy: ~30% smaller files at comparable CPU — at
+        # 100 TB the scan is IO-bound, so the smaller footprint wins
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # permissive SQL semantics: str_to_map duplicate keys keep last;
         # no ANSI cast errors on dirty web-scale text
