@@ -856,6 +856,32 @@ def q_pack_sequences(spark, sf):
     return packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_groups=4)
 
 
+_CJ_TMPL = (
+    '{"type":"CityJSON","version":"1.1",'
+    '"vertices":[[0,0,0],[9,0,0],[9,8,0],[0,8,0]],'
+    '"CityObjects":{"BLDG_%08d":{"type":"Building",'
+    '"attributes":{"storeysAboveGround":%d},'
+    '"geometry":[{"type":"MultiSurface","lod":"2","boundaries":[[[0,1,2,3]]]}]}}}'
+)
+
+
+def q_source_validate(spark, sf):
+    """S2/S3 validate operation: per-input parse report with every 7th
+    input deterministically corrupted (truncated JSON). Oracle re-derives
+    input_id = md5(text) and the ok/n_features outcome in closed form."""
+    from citykg.cityjson import parse_cityjson
+    from citykg.sources import validate_docs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").where("doc_id < 200")
+    js = d.selectExpr(
+        f"format_string('{_CJ_TMPL}', doc_id, cast(doc_id % 40 + 1 as int)) as txt",
+        "doc_id",
+    ).selectExpr(
+        "CASE WHEN doc_id % 7 = 0 THEN substring(txt, 1, 40) ELSE txt END as value"
+    )
+    return validate_docs(js, parse_cityjson).select("input_id", "ok", "n_features")
+
+
 def q_graph_edge_betweenness(spark, sf):
     """G2: Brandes edge betweenness over the address<->building link graph
     (EdgeBetweennessTask analog; iterative — rows-only check, exactness is
@@ -955,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
+        "source_validate": q_source_validate,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -1594,6 +1621,18 @@ def _pack_sequences_sql(budget: int = 512, n_groups: int = 4, seed: int = 42) ->
     )
 
 
+def _source_validate_sql() -> str:
+    tmpl = _CJ_TMPL.replace("'", "''")
+    return (
+        f"WITH j AS (SELECT doc_id, printf('{tmpl}', doc_id, "
+        "CAST(doc_id % 40 + 1 AS INT)) AS txt FROM documents WHERE doc_id < 200), "
+        "c AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN substr(txt, 1, 40) "
+        "ELSE txt END AS value FROM j) "
+        "SELECT md5(value) AS input_id, doc_id % 7 <> 0 AS ok, "
+        "CAST(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END AS INT) AS n_features FROM c"
+    )
+
+
 def _simhash_sql() -> str:
     """Independent DuckDB evaluation of the 56-bit SimHash (integer-exact:
     both engines fold base-31 char hashes mod 2^57-13 and pack sign bits,
@@ -1832,6 +1871,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_brute_sql(),
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
+        "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),

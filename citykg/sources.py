@@ -69,6 +69,35 @@ def docs_from_text(files: DataFrame, parse_fn, errors: str = "keep") -> DataFram
     return files.mapInPandas(parse_batches, DOC_SCHEMA)
 
 
+def validate_docs(files: DataFrame, parse_fn) -> DataFrame:
+    """The reference's standalone validate operation (citygml/validator
+    Validator + ValidationErrorHandler: per-file schema check and error
+    report, no DB writes): parse every input, report one row per input —
+    (input_id, ok, n_features, error). input_id = md5 of the text so the
+    report joins back to any engine's view of the same inputs; the error
+    column carries the parser's message (engine-specific, excluded from
+    cross-engine comparisons)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                h = hashlib.md5((text or "").encode("utf-8", "replace")).hexdigest()
+                try:
+                    parsed = parse_fn(text)
+                    rows.append((h, True, len(parsed), None))
+                except Exception as e:  # noqa: BLE001 — report, don't kill the task
+                    rows.append((h, False, 0, f"{type(e).__name__}: {e}"[:500]))
+            yield pd.DataFrame(
+                rows, columns=["input_id", "ok", "n_features", "error"]
+            )
+
+    return files.mapInPandas(
+        run, "input_id string, ok boolean, n_features int, error string"
+    )
+
+
 def split_rejects(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good_docs, rejects) from a docs_from_text(errors='keep') frame."""
     is_reject = "size(spans) = 1 AND spans[0].kind = '_error'"
