@@ -712,6 +712,14 @@ def q_dedup_simhash(spark, sf):
     return dedup.simhash(d)  # rows-only: blake2b/numpy fold is not SQL
 
 
+def q_dedup_substring(spark, sf):
+    """Exact n-token-window containment pairs (suffix-array-style exact
+    dedup as an inverted-index join; n=8 so the synthetic near-dup docs
+    share windows)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.repeated_substring_pairs(d, n=8, min_shared=2)
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs (brute path; sign-LSH scale path in
     similarity.py). Threshold applied to the 6-dp-rounded cosine so both
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_substring": q_dedup_substring,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1095,6 +1104,19 @@ z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+"""
+
+
+def _substring_pairs_sql(n: int = 8, min_shared: int = 2, freq_cap: int = 64) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+win AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') s
+        FROM toks, UNNEST(range(1, greatest(len(w)-{n}, 0)+2)) t(i)),
+freq AS (SELECT s FROM win GROUP BY s HAVING count(*) <= {freq_cap}),
+wf AS (SELECT win.doc_id, win.s FROM win JOIN freq USING (s))
+SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM wf a JOIN wf b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
 
 
@@ -1871,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_brute_sql(),
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_substring": _substring_pairs_sql(),
         "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -94,9 +94,13 @@ def write_triples(
                 raise RuntimeError("injected failure for resume test")
             t0 = time.time()
             part = bt.where(F.col("bucket").isin(grp))
-            part.write.mode("overwrite").partitionBy("graph", "bucket").parquet(
-                os.path.join(out_dir, "triples")
-            )
+            # subject-sorted files: parquet row-group min/max stats on subj
+            # then prune point lookups and keep equal subjects adjacent for
+            # downstream merge joins — free at write time, paid back on
+            # every read (Iceberg: the table's sort order spec)
+            part.sortWithinPartitions("graph", "bucket", "subj").write.mode(
+                "overwrite"
+            ).partitionBy("graph", "bucket").parquet(os.path.join(out_dir, "triples"))
             counts = {
                 int(r.bucket): r.cnt
                 for r in part.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()

@@ -88,6 +88,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact-substring containment pairs: documents sharing at least
+    `min_shared` identical n-token windows (the suffix-array-style exact
+    dedup of LLM training corpora, re-expressed as an inverted-index
+    join on window hashes). Unlike Jaccard similarity this catches a
+    short plagiarized span inside an otherwise unrelated doc.
+
+    Scale shape: one explode to (doc, window) rows — distinct windows per
+    doc — then a self-join on the window. A window shared by k docs costs
+    k^2/2 pairs; boilerplate windows (licenses, headers) are the skew
+    source, so cap them with the same document-frequency prefix filter as
+    ngram_jaccard_pairs (drop windows in > max(64, 0.01%) of docs — they
+    carry no pair information worth quadratic cost). Output:
+    (doc_a, doc_b, n_shared_windows)."""
+    w = word_shingles(df.select(id_col, text_col), text_col, n, out="window").select(
+        id_col, "window"
+    )
+    freq_cap = 64
+    freq = w.groupBy("window").agg(F.count("*").alias("df_"))
+    # (the equi-join moves the key column first — re-project before the
+    # positional renames)
+    w = w.join(freq.where(F.col("df_") <= freq_cap).select("window"), "window").select(
+        id_col, "window"
+    )
+    a = w.toDF("doc_a", "window")
+    b = w.toDF("doc_b", "window")
+    return (
+        a.join(b, "window")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+        .where(F.col("n_shared_windows") >= min_shared)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
