@@ -269,3 +269,20 @@ def test_triples_to_edges_filters_literals(spark):
     )
     e = graph.triples_to_edges(t).collect()
     assert [(r.src, r.dst) for r in e] == [("s1", "o1")]
+
+
+def test_substring_pairs_catch_containment_jaccard_misses(spark):
+    # a 10-token span copied into an otherwise unrelated 200-token doc:
+    # whole-doc Jaccard is tiny, but the exact-window join flags the pair
+    span = " ".join(f"copied{i:02d}" for i in range(10))
+    rows = [
+        (1, span + " " + " ".join(f"a{i:03d}" for i in range(190))),
+        (2, " ".join(f"b{i:03d}" for i in range(190)) + " " + span),
+        (3, " ".join(f"c{i:03d}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sub = {(r.doc_a, r.doc_b) for r in
+           dedup.repeated_substring_pairs(df, n=8, min_shared=1).collect()}
+    assert (1, 2) in sub and not any(3 in p for p in sub)
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # similarity dedup cannot see the contained span
