@@ -99,6 +99,22 @@ def q_kg_counts(spark, sf):
     )
 
 
+def q_kg_counts_rollup(spark, sf):
+    """A9 extended: multi-level count summary via ROLLUP(graph, obj_type)
+    — per (graph, obj_type), per graph, and grand total in ONE pass
+    (Catalyst expands the grouping sets; a single shuffle)."""
+    t = _triples(spark, sf)
+    return (
+        t.rollup("graph", "obj_type")
+        .agg(F.count("*").alias("n_triples"))
+        .select(
+            F.coalesce("graph", F.lit("<all>")).alias("graph"),
+            F.coalesce("obj_type", F.lit("<all>")).alias("obj_type"),
+            "n_triples",
+        )
+    )
+
+
 def q_kg_link_exact(spark, sf):
     out = link.link_exact(link.entity_mentions(_docs(spark, sf)), synth_gazetteer(spark))
     return out.select("doc_id", "span_idx", "mention", "entity_id")
@@ -931,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_linktable": q_kg_extract_linktable,
         "kg_span_order": q_kg_span_order,
         "kg_counts": q_kg_counts,
+        "kg_counts_rollup": q_kg_counts_rollup,
         "kg_link_exact": q_kg_link_exact,
         "kg_link_fuzzy": q_kg_link_fuzzy,
         "kg_canonical_clusters": q_kg_canonical_clusters,
@@ -1699,6 +1716,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_counts": (
             f"SELECT graph, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects "
             f"FROM ({triples_oracle_sql()}) GROUP BY graph"
+        ),
+        "kg_counts_rollup": (
+            "SELECT coalesce(graph, '<all>') AS graph, "
+            "coalesce(obj_type, '<all>') AS obj_type, count(*) AS n_triples "
+            f"FROM ({triples_oracle_sql()}) GROUP BY ROLLUP(graph, obj_type)"
         ),
         "kg_link_exact": _link_exact_sql(),
         "kg_link_fuzzy": _link_fuzzy_sql(),
