@@ -711,6 +711,19 @@ def q_text_langid(spark, sf):
     return text.with_lang_id(d).select("doc_id", "lang_pred")
 
 
+def q_text_repetition(spark, sf):
+    """Gopher repetition filters: distinct ratio, top-token fraction,
+    unigram entropy per doc (one explode + two map-side-combinable aggs)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.with_repetition_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("token_entropy", 6).alias("token_entropy"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     p = dedup.ngram_jaccard_pairs(d, threshold=0.8)
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
+        "text_repetition": q_text_repetition,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1121,6 +1135,19 @@ z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+"""
+
+
+def _text_repetition_sql() -> str:
+    return r"""
+WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           x -> x <> '')) AS token FROM documents),
+c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+  round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio,
+  round(max(c) * 1.0 / sum(c), 6) AS top_token_frac,
+  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+FROM c GROUP BY doc_id
 """
 
 
@@ -1916,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
+        "text_repetition": _text_repetition_sql(),
         "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -97,3 +97,31 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm)).withColumn(
         "winnow_sketch", F.expr(winnow)
     )
+
+
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    most-frequent-token fraction, and unigram entropy. Degenerate
+    generated text (a token looping, low-entropy boilerplate) scores
+    distinctly from natural prose, making these the standard repetition
+    filters of an LLM corpus pipeline.
+
+    Entropy folds in one aggregation via H = ln(n) - sum(c*ln(c))/n — no
+    second pass or window over the counts.
+
+    Scale shape: explode -> (doc, token) count -> per-doc fold; both
+    aggregations are map-side combinable and skew is bounded by document
+    length, not corpus size. Returns (id, n_tokens, distinct_ratio,
+    top_token_frac, token_entropy)."""
+    toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+    t = df.select(id_col, F.explode(F.expr(toks)).alias("token"))
+    counts = t.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return counts.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        (F.count("*") / n).alias("distinct_ratio"),
+        (F.max("c") / n).alias("top_token_frac"),
+        (F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias("token_entropy"),
+    )

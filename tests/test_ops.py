@@ -286,3 +286,16 @@ def test_substring_pairs_catch_containment_jaccard_misses(spark):
     assert (1, 2) in sub and not any(3 in p for p in sub)
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # similarity dedup cannot see the contained span
+
+
+def test_repetition_stats_separate_looping_text(spark):
+    rows = [
+        (1, "the cat sat on the mat and then the dog sat on the rug today"),
+        (2, "spam " * 50),  # degenerate loop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r for r in text.with_repetition_stats(df).collect()}
+    assert s[2].distinct_ratio < 0.05 and s[1].distinct_ratio > 0.5
+    assert s[2].top_token_frac == 1.0
+    assert abs(s[2].token_entropy) < 1e-12  # single repeated token -> zero entropy
+    assert s[1].token_entropy > 2.0
