@@ -802,8 +802,18 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_multimodal_decode(spark, sf):
-    d = spark.read.parquet(f"{sf}/documents.parquet")
-    return multimodal.decode_image(multimodal.synth_media(d), n_features=8)
+    """Interleaved-payload path end-to-end: media references come out of
+    the documents' OWN media spans (kind='media', imageURI/mimeType
+    attrs), the payload fetch is stood in by deterministic bytes, and the
+    decode runs the Arrow-batched kernel (honest stub — no image codec in
+    this container; rows-only check, plumbing pytest-locked)."""
+    m = extract.parse_mentions(extract.explode_spans(_docs(spark, sf), kinds=["media"]))
+    media = m.select(
+        F.expr("try_element_at(attrs, 'imageURI')").alias("media_ref"),
+        F.expr("try_element_at(attrs, 'mimeType')").alias("mime_type"),
+        F.encode(F.expr("concat_ws(';', doc_id, try_element_at(attrs, 'gmlId'))"), "utf-8").alias("data"),
+    ).where(F.col("media_ref").isNotNull())
+    return multimodal.decode_image(media, n_features=8)
 
 
 def q_crs_transform(spark, sf):
