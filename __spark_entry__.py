@@ -450,6 +450,24 @@ def q_owl_domain(spark, sf):
     return v.select("subj", "pred", "graph", "expected_graph")
 
 
+def q_spatial_point_in_polygon(spark, sf):
+    """UPRNAgent analog: address points matched into footprint polygons —
+    grid-blocked candidate join + exact even-odd ray cast. Even docs get a
+    point inside their envelope (+4.5, +4.0), odd docs one outside."""
+    polys = _geom_lits(spark, sf).selectExpr(
+        "concat('SURF_', substring(doc_id, 5)) as poly_id", "lit"
+    )
+    pts = _docs(spark, sf).selectExpr(
+        "concat('PT_', substring(doc_id, 5)) as point_id",
+        "cast(substring(doc_id, 5) as int) as d",
+    ).selectExpr(
+        "point_id",
+        "384000 + d % 1000 + CASE WHEN d % 2 = 0 THEN 4.5 ELSE 20.0 END as x",
+        "5820000 + d % 2000 + 4.0 as y",
+    )
+    return geo.point_in_polygon_join(pts, polys)
+
+
 def q_owl_class_membership(spark, sf):
     """G5/CMC: every (individual, class) membership pair — asserted
     objectClassId plus ancestors inherited through the 3DCityDB taxonomy
@@ -988,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_footprint": q_geo_footprint,
         "geo_force2d": q_geo_force2d,
         "spatial_dwithin": q_spatial_dwithin,
+        "spatial_point_in_polygon": q_spatial_point_in_polygon,
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
         "kml_extruded": q_kml_extruded,
@@ -1146,6 +1165,30 @@ SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
 """
+
+
+def _point_in_polygon_sql() -> str:
+    """Bbox prefilter + the same even-odd ray cast in DuckDB list algebra
+    (no grid — the oracle scale is all-pairs-safe)."""
+    from citykg.fixtures import _envelope_lit
+
+    lit = _envelope_lit("duckdb")
+    # 0-based point i of ring t: x = t[3i+1], y = t[3i+2] (1-based slots)
+    cross = (
+        "list_sum(list_transform(range(0, len(t) // 3 - 1), i -> "
+        "CASE WHEN ((t[3*i+2] > py) <> (t[3*i+5] > py)) AND "
+        "(px < (t[3*i+4] - t[3*i+1]) * (py - t[3*i+2]) / (t[3*i+5] - t[3*i+2]) + t[3*i+1]) "
+        "THEN 1 ELSE 0 END))"
+    )
+    return (
+        "WITH polys AS (SELECT 'SURF_' || lpad(CAST(d AS VARCHAR), 8, '0') AS poly_id, "
+        f"list_transform(string_split({lit}, '#'), v -> CAST(v AS DOUBLE)) AS t "
+        "FROM (SELECT doc_id AS d FROM documents)), "
+        "pts AS (SELECT 'PT_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS point_id, "
+        "384000 + doc_id % 1000 + CASE WHEN doc_id % 2 = 0 THEN 4.5 ELSE 20.0 END AS px, "
+        "5820000 + doc_id % 2000 + 4.0 AS py FROM documents) "
+        f"SELECT point_id, poly_id FROM pts, polys WHERE ({cross}) % 2 = 1"
+    )
 
 
 def _text_repetition_sql() -> str:
@@ -1954,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
         "text_repetition": _text_repetition_sql(),
+        "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),
         "pack_sequences": _pack_sequences_sql(),

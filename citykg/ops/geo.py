@@ -277,6 +277,72 @@ def dwithin_pairs(
     return cand.where(F.col("dist") < distance).select("id_a", "id_b", "dist")
 
 
+def _ray_cast_inside() -> str:
+    """SQL expr: even-odd ray cast of point (_px, _py) against the first
+    ring of the parsed coord array `c` (UPRNTask.uprnIntersectsGeometry,
+    agents/.../geo/UPRNTask.java:159-165, runs the same point-in-polygon
+    test through JTS). Horizontal edges make the first conjunct false
+    before the division (double /0 -> Inf compares false), so the
+    expression is total."""
+    xi, yi = _pt(0, "i"), _pt(1, "i")
+    xj, yj = _pt(0, "i + 1"), _pt(1, "i + 1")
+    cross = (
+        "aggregate(sequence(0, int(size(c) / 3) - 2), 0, (acc, i) -> acc + "
+        f"IF((({yi} > _py) != ({yj} > _py)) AND "
+        f"(_px < ({xj} - {xi}) * (_py - {yi}) / ({yj} - {yi}) + {xi}), 1, 0))"
+    )
+    return f"CASE WHEN size(c) >= 12 THEN ({cross}) % 2 = 1 ELSE false END"
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    lit_col: str = "lit",
+    cell_size: float = 64.0,
+) -> DataFrame:
+    """UPRN-style spatial containment join: which address points sit inside
+    which footprint polygons (UPRNTask: bbox prefilter, then exact
+    point-in-polygon). Returns (point_id, poly_id).
+
+    Scale shape: each polygon explodes into the grid cells covering its
+    bbox (bounded by footprint size / cell_size), each point lands in ONE
+    cell, candidates come from the (cx, cy) equi-join, and the exact
+    ray cast runs on candidates only — the same bin-join pattern as
+    dwithin_pairs, never O(points x polys)."""
+    pg = with_coords(polys.select(poly_id, lit_col), lit_col)
+    xs = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 0)"
+    ys = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 1)"
+    agg_min = lambda arr: f"aggregate({arr}, cast('Infinity' as double), (a, s) -> least(a, s.v))"  # noqa: E731
+    agg_max = lambda arr: f"aggregate({arr}, cast('-Infinity' as double), (a, s) -> greatest(a, s.v))"  # noqa: E731
+    cs = float(cell_size)
+    pg = pg.selectExpr(
+        poly_id,
+        "c",
+        f"sequence(int(floor({agg_min(xs)} / {cs}D)), int(floor({agg_max(xs)} / {cs}D))) as _cxs",
+        f"sequence(int(floor({agg_min(ys)} / {cs}D)), int(floor({agg_max(ys)} / {cs}D))) as _cys",
+    ).withColumn("_cx", F.explode("_cxs")).withColumn("_cy", F.explode("_cys")).drop(
+        "_cxs", "_cys"
+    )
+    pt = points.select(
+        F.col(point_id),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    ).withColumn("_cx", F.expr(f"int(floor(_px / {cs}D))")).withColumn(
+        "_cy", F.expr(f"int(floor(_py / {cs}D))")
+    )
+    # no dedup needed: the point side sits in exactly one cell, so each
+    # (point, poly) candidate arises from at most one (cx, cy) key
+    return (
+        pt.join(pg, ["_cx", "_cy"])
+        .where(F.expr(_ray_cast_inside()))
+        .select(point_id, poly_id)
+    )
+
+
 def beyond_filter(
     df: DataFrame, x_col: str, y_col: str, px: float, py: float, distance: float
 ) -> DataFrame:

@@ -307,3 +307,20 @@ def test_collada_geometry_structure(spark):
     assert '<triangles count="2">' in x
     assert "<p>0 1 2 0 2 3</p>" in x
     assert "0.0 0.0 0.0 4.0 0.0 0.0 4.0 3.0 0.0 0.0 3.0 0.0</float_array>" in x
+
+
+def test_point_in_polygon_join(spark):
+    ring = "#".join(str(float(v)) for v in
+                    [0, 0, 0, 10, 0, 0, 10, 10, 0, 0, 10, 0, 0, 0, 0])
+    far = "#".join(str(float(v)) for v in
+                   [100, 100, 0, 110, 100, 0, 110, 110, 0, 100, 110, 0, 100, 100, 0])
+    polys = spark.createDataFrame([("sq", ring), ("far", far)], "poly_id string, lit string")
+    pts = spark.createDataFrame(
+        [("in1", 5.0, 5.0), ("edge_out", 15.0, 5.0), ("in_far", 105.0, 105.0)],
+        "point_id string, x double, y double",
+    )
+    got = {(r.point_id, r.poly_id)
+           for r in geo.point_in_polygon_join(pts, polys, cell_size=8.0).collect()}
+    assert got == {("in1", "sq"), ("in_far", "far")}
+    plan = geo.point_in_polygon_join(pts, polys)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
