@@ -18,7 +18,6 @@ instead of subprocess chains.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..link import with_bands, with_minhash, with_shingles
+from ..link import with_bands, with_minhash
 
 
 def normalize_text(col):
