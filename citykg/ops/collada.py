@@ -45,7 +45,7 @@ def collada_geometry(df: DataFrame, id_col: str, lit_col: str, out: str = "colla
     npts = f"(int(size({t}) / 3) - 1)"
     pos = f"array_join(slice({t}, 1, 3 * {npts}), ' ')"
     fan = (
-        f"array_join(transform(sequence(1, {npts} - 2), "
+        f"array_join(transform(sequence(1, greatest({npts} - 2, 0)), "
         "i -> concat('0 ', i, ' ', i + 1)), ' ')"
     )
     return df.withColumn(

@@ -5,11 +5,11 @@ The reference's KmlExporterManager builds Placemark documents per feature
 from the surface-geometry query results
 (/root/reference/impexp-kml-collada-plugin/src/main/java/org/citydb/modules/
 kml/database/KmlExporterManager.java), tiled by KmlSplitter (tiling = the
-`tiling` query in __spark_entry__). The COLLADA/glTF mesh pipeline is out
-of scope (SURVEY §2.1 S8); what matters for query parity is the
-feature -> Placemark projection, which is a pure string transform of the
-'#'-geometry literal — one JVM-side Project, zero shuffles, oracled in
-DuckDB.
+`tiling` query in __spark_entry__). The COLLADA mesh half lives in
+citykg.ops.collada; glTF conversion (an external collada2gltf tool in the
+reference) is out of scope. The Placemark projections here are pure string
+transforms of the '#'-geometry literal — one JVM-side Project, zero
+shuffles, oracled in DuckDB.
 
 Coordinate regrouping keeps the ORIGINAL literal tokens (no double
 parse/re-render): every 3rd '#' boundary becomes the KML tuple separator,
@@ -30,7 +30,7 @@ def kml_coordinates_expr(lit_col: str) -> str:
     """SQL expr: '#'-literal -> KML coordinate string 'x,y,z x,y,z ...'."""
     t = f"split({lit_col}, '#')"
     return (
-        f"array_join(transform(sequence(0, int(size({t}) / 3) - 1), i -> "
+        f"array_join(transform(sequence(0, greatest(int(size({t}) / 3) - 1, 0)), i -> "
         f"concat(element_at({t}, cast(3 * i + 1 as int)), ',', "
         f"element_at({t}, cast(3 * i + 2 as int)), ',', "
         f"element_at({t}, cast(3 * i + 3 as int)))), ' ')"
@@ -68,7 +68,7 @@ def kml_extruded_placemarks(
     string-typed column so rendering is engine-exact."""
     t = f"split({lit_col}, '#')"
     coords = (
-        f"array_join(transform(sequence(0, int(size({t}) / 3) - 1), i -> "
+        f"array_join(transform(sequence(0, greatest(int(size({t}) / 3) - 1, 0)), i -> "
         f"concat(element_at({t}, cast(3 * i + 1 as int)), ',', "
         f"element_at({t}, cast(3 * i + 2 as int)), ',', {height_col})), ' ')"
     )
