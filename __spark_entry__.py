@@ -1833,9 +1833,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({triples_oracle_sql()}) GROUP BY graph"
         ),
         "kg_counts_rollup": (
-            "SELECT coalesce(graph, '<all>') AS graph, "
+            _triples_cte(None) +
+            " SELECT coalesce(graph, '<all>') AS graph, "
             "coalesce(obj_type, '<all>') AS obj_type, count(*) AS n_triples "
-            f"FROM ({triples_oracle_sql()}) GROUP BY ROLLUP(graph, obj_type)"
+            "FROM t GROUP BY ROLLUP(graph, obj_type)"
         ),
         "kg_link_exact": _link_exact_sql(),
         "kg_link_fuzzy": _link_fuzzy_sql(),
