@@ -55,3 +55,12 @@ def test_global_shuffle_total_and_stable(spark):
     # scale form agrees with the rank form
     ordered_scale = [r.doc_id for r in sampling.global_shuffle(d, "doc_id").collect()]
     assert ordered_scale == ordered
+
+
+def test_global_shuffle_scale_form_is_range_partitioned(spark):
+    # the scale form must sort via a parallel range exchange, not funnel
+    # through a single partition (that is the rank form's documented cost)
+    d = spark.range(1000).selectExpr("cast(id as string) as doc_id")
+    plan = sampling.global_shuffle(d, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
