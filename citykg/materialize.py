@@ -145,7 +145,11 @@ def upsert_triples(
             drop_references=False, stage=f"upsert-delete:{input_snapshot}",
         )
     bt = with_bucket(triples, n_buckets)
-    bt.write.mode("append").partitionBy("graph", "bucket").parquet(path)
+    # keep the subject-sorted file property write_triples establishes —
+    # row-group subj min/max pruning must survive upserts too
+    bt.sortWithinPartitions("graph", "bucket", "subj").write.mode("append").partitionBy(
+        "graph", "bucket"
+    ).parquet(path)
     counts = bt.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     _append_manifest(
         spark,
@@ -199,16 +203,17 @@ def _delete_subjects_df(
     stage: str = "delete",
 ) -> int:
     """DataFrame-core of delete_subjects — the subject set never passes
-    through the driver (broadcast into the anti-joins; for a subject set
-    too large to broadcast, Catalyst falls back to a shuffle join on the
-    same plan)."""
+    through the driver. The anti-joins carry NO broadcast hint: the
+    checkpointed subject set has accurate size stats, so the planner
+    broadcasts it when it fits and falls back to a shuffle join when a
+    100 TB-scale delete batch doesn't (a mandatory hint would OOM there)."""
     path = os.path.join(out_dir, "triples")
     subj_df = subj_df.select("subj").distinct().localCheckpoint(eager=True)
     t = read_triples(spark, out_dir)
     affected = with_bucket(subj_df, n_buckets).select("bucket").distinct()
     if drop_references:
         refs = t.join(
-            F.broadcast(subj_df.withColumnRenamed("subj", "obj")), "obj"
+            subj_df.withColumnRenamed("subj", "obj"), "obj"
         ).select("bucket").distinct()
         affected = affected.union(refs).distinct()
     buckets = sorted(r.bucket for r in affected.collect())
@@ -220,10 +225,10 @@ def _delete_subjects_df(
         (r.graph, r.bucket): r.n
         for r in part.groupBy("graph", "bucket").agg(F.count("*").alias("n")).collect()
     }
-    keep = part.join(F.broadcast(subj_df), "subj", "left_anti")
+    keep = part.join(subj_df, "subj", "left_anti")
     if drop_references:
         keep = keep.join(
-            F.broadcast(subj_df.withColumnRenamed("subj", "obj")), "obj", "left_anti"
+            subj_df.withColumnRenamed("subj", "obj"), "obj", "left_anti"
         )
     # materialize the survivor set BEFORE touching the files it reads from
     # (the overwrite would otherwise invalidate the lazy plan's file list)
@@ -233,7 +238,9 @@ def _delete_subjects_df(
         for r in keep.groupBy("graph", "bucket").agg(F.count("*").alias("n")).collect()
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    keep.write.mode("overwrite").partitionBy("graph", "bucket").parquet(path)
+    keep.sortWithinPartitions("graph", "bucket", "subj").write.mode("overwrite").partitionBy(
+        "graph", "bucket"
+    ).parquet(path)
     # dynamic overwrite only replaces partitions present in `keep`; a
     # partition whose rows ALL died must be cleared explicitly (Iceberg's
     # snapshot delete would handle this natively)
@@ -264,14 +271,35 @@ def stage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-stage rollup of the lineage manifest — the operator a resume
     coordinator or progress dashboard reads: (stage, n_partitions, rows,
     total_wall_ms, max_attempt, complete). One tiny-table aggregate."""
+    from pyspark.sql import Window
+
     m = read_manifest(spark, out_dir)
-    return m.groupBy("stage").agg(
+    # a partition_range can carry several manifest rows for one stage
+    # (retries, or two delete ops sharing the default stage name): reduce
+    # to the LATEST attempt per (stage, partition_range) first, else a
+    # doubly-reported partition masks a missing one and rows/wall double-count
+    latest = (
+        m.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("stage", "partition_range").orderBy(
+                    F.col("attempt").desc(),
+                    F.col("status").desc(),  # 'done' sorts after 'failed'
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.groupBy("stage").agg(
         F.countDistinct("partition_range").alias("n_partitions"),
         F.sum("row_count").alias("rows"),
         F.sum("wall_ms").alias("total_wall_ms"),
         F.max("attempt").alias("max_attempt"),
-        (F.count(F.when(F.col("status") == "done", 1)) == F.countDistinct("partition_range"))
-        .alias("complete"),
+        (
+            F.countDistinct(F.when(F.col("status") == "done", F.col("partition_range")))
+            == F.countDistinct("partition_range")
+        ).alias("complete"),
     )
 
 

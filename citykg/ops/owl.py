@@ -171,7 +171,10 @@ def value_restriction_violations(
     axioms = spark.createDataFrame(
         restrictions, "graph string, pred string, lo double, hi double"
     )
-    v = F.col("obj").cast("double")
+    # try_cast, not cast: malformed literals must FLOW INTO the violation
+    # branch (v.isNull()); under ANSI mode a plain cast would error the job
+    # on the first dirty literal and diverge from the TRY_CAST oracle
+    v = F.expr("try_cast(obj as double)")
     return (
         triples.join(broadcast(axioms), ["graph", "pred"])
         .where(v.isNull() | (v < F.col("lo")) | (v > F.col("hi")))

@@ -14,6 +14,7 @@ the per-partition lineage + checkpoint requirement of the north_rule.
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -84,8 +85,14 @@ def run(argv: list[str] | None = None) -> None:
         fuzzy=args.fuzzy,
     )
     if not args.resume:
-        # fresh run: clear the manifest dir semantics by writing anew
-        pass
+        # fresh run: drop any prior manifest, else write_triples would
+        # treat the previous run's 'done' buckets as already written and
+        # silently skip them (resume semantics are opt-in via --resume)
+        import shutil
+
+        mpath = materialize.manifest_path(args.output)
+        if os.path.exists(mpath):
+            shutil.rmtree(mpath)
     materialize.write_triples(
         spark, triples, args.output, n_buckets=args.buckets, input_snapshot=args.input
     )
