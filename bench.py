@@ -29,7 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def _spark(cores: int, pin_gc: bool = False):
+def _spark(cores: int, pin_gc: bool = False, small_splits: bool = False):
     from citykg.session import get_spark
 
     extra = {}
@@ -45,13 +45,19 @@ def _spark(cores: int, pin_gc: bool = False):
         # a fixed heap shared by every parallelism level (a fixed heap
         # punishes the high-core run with GC pressure no real cluster has)
         extra["spark.driver.memory"] = f"{3 * cores}g"
-    # the staged corpus is 128 x ~6 MB files; the default 128 MB
-    # maxPartitionBytes packs them into ~7 scan partitions, capping
-    # parallelism at 7 tasks regardless of cores (measured: extract
-    # wall IDENTICAL at local[2] and local[8]). 4 MB splits restore
-    # one-task-per-file-chunk. (100 TB tables have GB files and
-    # thousands of natural splits; this is small-file handling only.)
-    extra["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
+    if small_splits:
+        # SCALING runs only: the repl=300 staged corpus is 128 x ~6 MB
+        # files; the default 128 MB maxPartitionBytes packs them into ~7
+        # scan partitions, capping parallelism at 7 tasks regardless of
+        # cores (measured: extract wall IDENTICAL at local[2] and
+        # local[8]). 4 MB splits restore one-task-per-file-chunk.
+        # NOT applied to the headline suite: at sf0.1 the inputs are tiny
+        # (<= 11 MB/table) and the override only adds task overhead —
+        # measured +25% on kg_pipeline (scripts/bench_bisect.py:
+        # 3.97 s with vs 3.19 s without, identical results). 100 TB
+        # tables have GB files and thousands of natural splits; this is
+        # small-file handling for the synthetic scaling corpus only.
+        extra["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
     return get_spark(
         "citykg-bench", master=f"local[{cores}]", shuffle_partitions=max(cores, 8),
         extra_conf=extra,
@@ -203,6 +209,9 @@ def headline(sf_dir: str, cores: int) -> None:
             timed(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
+    # absolute VM capability stamp: compares across rounds to separate
+    # code regressions from machine drift (see _cpu_control docstring)
+    _, control_mops = _cpu_control(pairs=((8, 32),))
     print(
         json.dumps(
             {
@@ -214,6 +223,7 @@ def headline(sf_dir: str, cores: int) -> None:
                 "docs_per_sec": pipe.get("docs_per_sec"),
                 "pipeline": pipe,
                 "cores": cores,
+                "cpu_control_mops": control_mops,
             }
         )
     )
@@ -221,7 +231,7 @@ def headline(sf_dir: str, cores: int) -> None:
 
 
 def single_run(sf_dir: str, cores: int, repl: int) -> None:
-    spark = _spark(cores, pin_gc=True)
+    spark = _spark(cores, pin_gc=True, small_splits=True)
     out = kg_pipeline_run(spark, sf_dir, repl)
     out["cores"] = cores
     print("SINGLE_RUN_JSON:" + json.dumps(out))
@@ -235,9 +245,14 @@ def _burn(n):
     return x
 
 
-def _cpu_control(pairs=((2, 8),)) -> dict:
+def _cpu_control(pairs=((2, 8),)) -> tuple[dict, dict]:
     """Pure-CPU multiprocessing control: what THIS box can scale at all —
-    the ceiling any Spark job inherits."""
+    the ceiling any Spark job inherits. Returns (efficiency-per-pair,
+    ABSOLUTE Mops/sec per worker count). The absolute rates are the
+    cross-round VM-drift detector: the r2 round recorded only ratios, so
+    a ~4x machine slowdown (kg_pipeline wall 3.55 s -> 15.2 s on
+    identical code+input, fully recovered in r3) could not be pinned on
+    the VM until re-measured."""
     import multiprocessing
 
     burn = _burn
@@ -247,13 +262,15 @@ def _cpu_control(pairs=((2, 8),)) -> dict:
             t0 = time.time()
             p.map(burn, [4_000_000] * workers * 3)
             rates[workers] = workers * 3 * 4_000_000 / (time.time() - t0)
-    return {f"{a}->{b}": round(rates[b] / ((b / a) * rates[a]), 3) for a, b in pairs}
+    eff = {f"{a}->{b}": round(rates[b] / ((b / a) * rates[a]), 3) for a, b in pairs}
+    mops = {w: round(r / 1e6, 1) for w, r in rates.items()}
+    return eff, mops
 
 
 def scaling(sf_dir: str, repl: int = 300, n: int = 2) -> None:
     """N vs 4N cores on identical input, fresh pinned-GC JVM each, warmed
     runs; writes BENCH/BASELINE.md with a pure-CPU control for context."""
-    control = _cpu_control(pairs=((n, 4 * n), (8, 32)))  # before Spark runs:
+    control, control_mops = _cpu_control(pairs=((n, 4 * n), (8, 32)))  # before Spark runs:
     # measured on a quiet machine or it reads thermal noise, not capability
     results = {}
     for cores in (n, 4 * n, 32):
@@ -298,7 +315,8 @@ def scaling(sf_dir: str, repl: int = 300, n: int = 2) -> None:
             + f"\n**Scaling efficiency local[{n}] -> local[{4*n}] (N -> 4N): {eff}**"
             " (target >= 0.8, BASELINE.json north_rule)\n\n"
             "## Hardware-ceiling context\n\n"
-            f"Pure-CPU multiprocessing control on this VM: efficiency {control}\n"
+            f"Pure-CPU multiprocessing control on this VM: efficiency {control},\n"
+            f"absolute rates (Mops/sec per worker count): {control_mops}\n"
             "— the box itself stops scaling past ~8-16 threads (single-socket\n"
             "memory bandwidth; a 4-JVM x 8-core executor simulation hits the\n"
             "same wall, so it is machine bandwidth, not shared-heap GC).\n"
@@ -318,6 +336,7 @@ def scaling(sf_dir: str, repl: int = 300, n: int = 2) -> None:
         "queries": {f"local{c}_docs_per_sec": results[c]["docs_per_sec"] for c in results},
         "sf": sf_dir,
         "cpu_control": control,
+        "cpu_control_mops": control_mops,
     }))
 
 
