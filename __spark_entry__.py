@@ -768,13 +768,17 @@ def q_dedup_substring(spark, sf):
 
 
 def q_dedup_embedding(spark, sf):
-    """Embedding-cosine near-dup pairs (brute path; sign-LSH scale path in
-    similarity.py). Threshold applied to the 6-dp-rounded cosine so both
-    engines cut at the same value; 0.42 because the synthetic embeddings
-    are near-orthogonal (max pairwise cosine ~0.51) — a production corpus
-    would use ~0.95."""
+    """Embedding-cosine near-dup pairs via the BLOCKED path: sign-LSH
+    bucket join for candidates (no CartesianProduct — audited in
+    scripts/explain_audit.py), exact cosine verify. At verification
+    strength (4 planes x 48 tables) blocked == brute on every test SF,
+    so the brute all-pairs join stays as the DuckDB oracle. Threshold
+    applied to the 4-dp-rounded cosine so both engines cut at the same
+    value; 0.42 because the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ~0.51) — a production corpus would use ~0.95
+    with far fewer tables (see embedding_near_dup_pairs_lsh docstring)."""
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
-    p = dedup.embedding_near_dup_pairs(e, threshold=0.3)
+    p = dedup.embedding_near_dup_pairs_lsh(e, threshold=0.3)
     return p.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine")).where(
         "cosine >= 0.42"
     )
@@ -916,9 +920,11 @@ def q_stratified_sample(spark, sf):
 
 
 def q_global_shuffle(spark, sf):
-    """Deterministic global permutation (verification form: materialized
-    rank; the scale path is ops.sampling.global_shuffle — a parallel
-    range-sort yielding order without a rank column)."""
+    """Deterministic global permutation with a materialized rank, computed
+    scalably: explicit hash-range buckets + per-bucket offsets + bucket-
+    local row_number (two-pass partition-offset rank — no unpartitioned
+    window; audited in scripts/explain_audit.py). The rank-free scale
+    path for write-ordering is ops.sampling.global_shuffle."""
     from citykg.ops import sampling
 
     d = spark.read.parquet(f"{sf}/documents.parquet").where("doc_id < 200")

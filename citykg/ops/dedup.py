@@ -252,7 +252,9 @@ def simhash_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) 
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute; LSH path in similarity.py)."""
+    """Embedding-cosine near-dup pairs, BRUTE all-pairs. O(n^2): this is
+    the small-scale oracle/verifier only — the production path is
+    embedding_near_dup_pairs_lsh below."""
     from .similarity import cosine_expr, with_norm
 
     a = with_norm(emb.select(id_col, vec_col), vec_col).toDF("doc_a", "va", "na")
@@ -260,6 +262,60 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cosine_expr("va", "vb", "na", "nb"))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    tables: int = 48,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH blocking — the scale path.
+
+    Candidates = pairs sharing a bucket in ANY of `tables` hash tables
+    (equi-join on (table_id, bucket), cost ~ O(n * tables) bucket rows,
+    no CartesianProduct); exact cosine verifies every candidate, so there
+    are no false positives — only recall depends on the LSH strength.
+    The bucket join carries ids only; vectors attach to the deduped
+    candidate set afterwards (narrow-join trick, same as the MinHash band
+    join in citykg.link).
+
+    Table count trades recall for cost: a hyperplane splits a pair at
+    angle theta with p = theta/pi, so a pair collides in one table with
+    (1 - theta/pi)^n_planes. At production thresholds (~0.95 cosine,
+    theta ~ 18deg) 8-16 tables give recall > 0.999; the default 48 is
+    verification strength for the low-threshold synthetic corpus (~0.42
+    cosine), where blocked output == brute output on all test SFs —
+    that equality is what lets the brute path serve as the oracle."""
+    from .similarity import cosine_expr, with_lsh_buckets, with_norm
+
+    b = with_lsh_buckets(
+        emb.select(id_col, vec_col), vec_col, dim, n_planes, tables, seed
+    ).select(id_col, "table_id", "bucket")
+    cands = (
+        b.toDF("doc_a", "table_id", "bucket")
+        .join(b.toDF("doc_b", "table_id", "bucket"), ["table_id", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    va = with_norm(
+        emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va")), "va", "na"
+    )
+    vb = with_norm(
+        emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb")), "vb", "nb"
+    )
+    return (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
         .withColumn("cosine", cosine_expr("va", "vb", "na", "nb"))
         .where(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")

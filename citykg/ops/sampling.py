@@ -102,11 +102,38 @@ def global_shuffle_rank(
     id_col: str = "doc_id",
     seed: int = 42,
     out: str = "shuffle_rank",
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Materialized 1-based position in the global_shuffle order — the
-    small-scale VERIFICATION form (row_number over an unpartitioned window
-    funnels through one task; use global_shuffle at scale and let the sink
-    preserve order per file)."""
+    """Materialized 1-based position in the global_shuffle order, computed
+    as a two-pass partition-offset rank — no unpartitioned window, no
+    single-task stage:
+
+    1. bucket = h div ceil(P/B): an EXPLICIT range partition of the hash
+       key (monotone in h, so (bucket, h, id) order == (h, id) order).
+       Logical buckets, not spark_partition_id, so the result is
+       deterministic under AQE coalescing / resume / any physical layout.
+    2. per-bucket counts (map-side combinable, B rows) -> cumulative
+       offsets via a window over the B-row frame (O(B) driver-side work,
+       B ~ thousands at 100 TB — not a data-sized stage).
+    3. rank = broadcast-joined bucket offset + row_number within the
+       bucket (hash shuffle on bucket: one parallel exchange of the
+       corpus, each task sorts only its bucket).
+
+    The hash key is uniform, so buckets are balanced by construction;
+    size B to ~corpus_rows/10M per bucket at scale."""
+    from .hashing import POLY_P
+
+    step = POLY_P // n_buckets + 1
     h = F.expr(_shuffle_key_expr(id_col, seed))
-    w = Window.orderBy(h, F.col(id_col))
-    return df.withColumn(out, F.row_number().over(w))
+    b = df.withColumn("_h", h).withColumn("_bkt", (F.col("_h") / F.lit(step)).cast("long"))
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))).select(
+        "_bkt", "_off"
+    )
+    rn_w = Window.partitionBy("_bkt").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out, (F.col("_off") + F.row_number().over(rn_w)).cast("int"))
+        .drop("_h", "_bkt", "_off")
+    )

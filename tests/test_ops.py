@@ -97,6 +97,24 @@ def test_embedding_near_dup(spark):
     assert out == {(1, 2)}
 
 
+def test_embedding_near_dup_lsh_equals_brute(spark):
+    # the blocked (LSH bucket join) path must reproduce the brute all-pairs
+    # output at verification strength — this equality is what licenses the
+    # brute DuckDB oracle for the dedup_embedding query
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.doc_a, r.doc_b, round(r.cosine, 6))
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.42).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, round(r.cosine, 6))
+        for r in dedup.embedding_near_dup_pairs_lsh(emb, threshold=0.42, dim=64).collect()
+    }
+    assert brute == lsh and len(brute) > 0
+    plan = dedup.embedding_near_dup_pairs_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 # ---------------- similarity ----------------
 
 def _numpy_topk(corpus, queries, k):
