@@ -352,3 +352,80 @@ def beyond_filter(
     complement of dwithin_pairs and is intentionally not materialized)."""
     d2 = (F.col(x_col) - px) ** 2 + (F.col(y_col) - py) ** 2
     return df.where(d2 > distance * distance)
+
+
+def envelope_relation_case(a: str, b: str) -> str:
+    """SQL CASE classifying the spatial relation between two axis-aligned
+    envelopes (structs with xmin/ymin/xmax/ymax prefixed `a`/`b`) —
+    DE-9IM on boxes: equals / touches (boundaries meet, interiors don't)
+    / within / contains (boundary contact allowed, per JTS) / overlaps /
+    disjoint. Shared by the Spark operator and the DuckDB oracle (dialect-
+    neutral SQL), so both engines classify identically by construction."""
+    disjoint = (
+        f"{a}xmax < {b}xmin OR {b}xmax < {a}xmin OR "
+        f"{a}ymax < {b}ymin OR {b}ymax < {a}ymin"
+    )
+    equals = (
+        f"{a}xmin = {b}xmin AND {a}ymin = {b}ymin AND "
+        f"{a}xmax = {b}xmax AND {a}ymax = {b}ymax"
+    )
+    interiors = (
+        f"least({a}xmax, {b}xmax) > greatest({a}xmin, {b}xmin) AND "
+        f"least({a}ymax, {b}ymax) > greatest({a}ymin, {b}ymin)"
+    )
+    a_in_b = (
+        f"{a}xmin >= {b}xmin AND {a}xmax <= {b}xmax AND "
+        f"{a}ymin >= {b}ymin AND {a}ymax <= {b}ymax"
+    )
+    b_in_a = (
+        f"{b}xmin >= {a}xmin AND {b}xmax <= {a}xmax AND "
+        f"{b}ymin >= {a}ymin AND {b}ymax <= {a}ymax"
+    )
+    return (
+        f"CASE WHEN {disjoint} THEN 'disjoint' "
+        f"WHEN {equals} THEN 'equals' "
+        f"WHEN NOT ({interiors}) THEN 'touches' "
+        f"WHEN {a_in_b} THEN 'within' "
+        f"WHEN {b_in_a} THEN 'contains' "
+        f"ELSE 'overlaps' END"
+    )
+
+
+def envelope_relations(
+    env: DataFrame,
+    id_col: str = "id",
+    cell_size: float = 64.0,
+) -> DataFrame:
+    """Q7 remaining predicates — Equals/Touches/Within/Contains/Overlaps
+    (SpatialOperatorName.java:35-49; the reference's Blazegraph KG path
+    returns null for these, blazegraph/SQLAdapter.java:139-147, while its
+    SQL export path builds them in SpatialOperatorBuilder.java — this is
+    the Spark equivalent of the latter over feature envelopes).
+
+    Input: (id, xmin, ymin, xmax, ymax). Output: (id_a, id_b, relation)
+    for every non-disjoint unordered pair. Candidates come from a
+    grid-cell equi-join — each envelope explodes into the cells covering
+    its bbox, pairs dedup before classification — so the join is a hash
+    shuffle on cell keys, never O(n^2); any intersecting pair shares at
+    least one covered cell, and pairs that never meet in a cell are
+    disjoint, which the output drops anyway. Skew is bounded by local
+    envelope density per cell, the same bound as dwithin_pairs."""
+    cs = float(cell_size)
+    boxed = env.selectExpr(
+        f"{id_col} AS _id",
+        "cast(xmin as double) AS xmin", "cast(ymin as double) AS ymin",
+        "cast(xmax as double) AS xmax", "cast(ymax as double) AS ymax",
+        f"explode(sequence(int(floor(xmin / {cs}D)), int(floor(xmax / {cs}D)))) AS _cx",
+    ).selectExpr(
+        "*", f"explode(sequence(int(floor(ymin / {cs}D)), int(floor(ymax / {cs}D)))) AS _cy"
+    )
+    a = boxed.toDF("id_a", "axmin", "aymin", "axmax", "aymax", "_cx", "_cy")
+    b = boxed.toDF("id_b", "bxmin", "bymin", "bxmax", "bymax", "_cx", "_cy")
+    return (
+        a.join(b, ["_cx", "_cy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("relation", F.expr(envelope_relation_case("a", "b")))
+        .where(F.col("relation") != "disjoint")
+        .select("id_a", "id_b", "relation")
+    )

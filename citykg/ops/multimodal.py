@@ -3,18 +3,25 @@ with typed metadata (the reference's teximage path, DBTexImage.java:81-91,
 generalized to a training-data pipeline).
 
 The Spark-side plumbing — schema, Arrow batch shape, partition-preserving
-mapInPandas, metadata propagation — is real and tested. The actual codec
-work is STUBBED: this container has no image/audio libraries, so
-`decode_image` produces a deterministic fake (dimensions/features derived
-from the bytes) behind `_HAVE_PIL`, and raises NotImplementedError for
-real decoding when the fake is disallowed. On a real cluster, swap the
-`_fake_decode` body for PIL/ffmpeg calls — the batch contract is already
-per-Arrow-batch numpy, which is where the real codecs plug in.
+mapInPandas, metadata propagation — is real and tested. Header-level
+decoding is REAL: `parse_image_header` reads mime/width/height from the
+actual PNG (IHDR) / JPEG (SOFn marker walk) / BMP (BITMAPINFOHEADER) /
+GIF bytes with magic-byte sniffing (the declared mime_type column is
+ignored — same posture as the reference's Tika sniff, Importer.java:199),
+so dimensions are genuinely parsed, not faked, and the multimodal_decode
+query carries a full DuckDB oracle. Only PIXEL work (feature extraction)
+is stubbed: this container has no image/audio libraries, so features are
+a deterministic hash fake behind `_HAVE_PIL`, with NotImplementedError
+when the fake is disallowed. On a real cluster, swap `_fake_features`
+for PIL/ffmpeg calls — the batch contract is already per-Arrow-batch
+numpy, which is where the real codecs plug in.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,28 +67,127 @@ def synth_media(docs_or_documents: DataFrame, text_col: str = "text") -> DataFra
     )
 
 
-def _fake_decode(ref: str, data: bytes, n_features: int) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a real image decode: dims + features are
-    pure functions of the payload bytes."""
+def synth_image_bytes(fmt: str, width: int, height: int) -> bytes:
+    """Minimal REAL image files at header level — the exact bytes any
+    standards-compliant parser reads dimensions from (PNG signature +
+    IHDR with correct CRC + IEND; JPEG SOI + JFIF APP0 + SOF0 + EOI;
+    BMP BITMAPFILEHEADER + BITMAPINFOHEADER). Pixel payload omitted to
+    keep the synthetic corpus small; sizes are fixed per format
+    (png=45, jpeg=35, bmp=54 bytes), which is what lets the DuckDB
+    oracle recompute n_bytes."""
+    if fmt == "png":
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        iend = b"IEND"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk + struct.pack(">I", zlib.crc32(chunk))
+            + struct.pack(">I", 0) + iend + struct.pack(">I", zlib.crc32(iend))
+        )
+    if fmt == "jpeg":
+        app0 = (
+            b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        )
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    if fmt == "bmp":
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+        return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+    raise ValueError(f"unknown synth format {fmt!r}")
+
+
+def synth_payload_udf():
+    """Vectorized builder: (fmt, width, height) columns -> real image
+    bytes (synth_image_bytes) as a binary column. Stands in for the
+    payload fetch from object storage; Arrow-batched, no per-row
+    Python UDF calls."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make(fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_image_bytes(f, int(a), int(b)) for f, a, b in zip(fmt, w, h)]
+        )
+
+    return make
+
+
+def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]:
+    """(mime, width, height) parsed from the payload's OWN bytes — pure
+    Python, ~the same header walk DBTexImage.java:60-120 delegates to
+    ImageIO. Magic-byte sniffing decides the format (the declared mime
+    column may lie); returns (None, None, None) for unrecognized bytes.
+
+    * PNG: 8-byte signature, dims big-endian u32 in the IHDR chunk.
+    * JPEG: marker walk to the first SOFn (C0-CF minus C4/C8/CC);
+      height/width big-endian u16 at SOF+5.
+    * BMP: 'BM' signature, dims little-endian i32 at 18/22 (height may
+      be negative = top-down row order; magnitude is the pixel height).
+    * GIF: logical-screen u16 LE at 6/8.
+    """
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return "image/png", w, h
+    if len(data) >= 4 and data[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "image/jpeg", w, h
+            i += 2 + seglen
+        return "image/jpeg", None, None
+    if len(data) >= 26 and data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return "image/bmp", w, abs(h)
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return "image/gif", w, h
+    return None, None, None
+
+
+def _fake_features(data: bytes, n_features: int) -> list[float]:
+    """Deterministic stand-in for pixel-level feature extraction (the one
+    remaining stub — see module docstring)."""
+    return [
+        round(b / 255.0, 6)
+        for b in hashlib.blake2b(data or b"", digest_size=n_features).digest()
+    ]
+
+
+def _fake_dims(data: bytes) -> tuple[int, int]:
+    """Fallback dims for payloads that are not recognizable images (kept
+    so non-image plumbing tests stay deterministic; real images never
+    reach this path)."""
     h = hashlib.blake2b(data or b"", digest_size=16).digest()
-    width = 32 + h[0] % 224
-    height = 32 + h[1] % 224
-    feats = [round(b / 255.0, 6) for b in hashlib.blake2b(
-        data or b"", digest_size=n_features).digest()]
-    return width, height, feats
+    return 32 + h[0] % 224, 32 + h[1] % 224
 
 
 def decode_image(media: DataFrame, n_features: int = 16, allow_fake: bool = True) -> DataFrame:
     """media (MEDIA_SCHEMA) -> DECODED_SCHEMA via Arrow-batched mapInPandas.
 
-    Real decode requires an image library (absent here); `allow_fake=True`
-    uses the deterministic stand-in so the distributed plumbing (batching,
-    schema, null payloads) is fully testable.
+    mime/width/height come from `parse_image_header` — a REAL parse of
+    the payload bytes with magic sniffing (declared mime ignored).
+    Feature extraction requires an image library (absent here);
+    `allow_fake=True` substitutes the deterministic hash stand-in so the
+    distributed plumbing (batching, schema, null payloads) stays fully
+    testable; unrecognized payloads also fall back to deterministic fake
+    dims under the same flag.
     """
     if not _HAVE_PIL and not allow_fake:
         raise NotImplementedError(
-            "real image decode needs PIL/opencv (not in this container); "
-            "pass allow_fake=True for the deterministic stand-in"
+            "pixel-level decode needs PIL/opencv (not in this container); "
+            "pass allow_fake=True for header-only parse + fake features"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,8 +195,11 @@ def decode_image(media: DataFrame, n_features: int = 16, allow_fake: bool = True
             rows = []
             for ref, mime, data in zip(pdf["media_ref"], pdf["mime_type"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                w, h, feats = _fake_decode(ref, b, n_features)
-                rows.append((ref, mime, w, h, len(b), feats))
+                sniffed, w, h = parse_image_header(b)
+                if sniffed is None:
+                    sniffed = mime
+                    w, h = _fake_dims(b)
+                rows.append((ref, sniffed, w, h, len(b), _fake_features(b, n_features)))
             yield pd.DataFrame(
                 rows, columns=["media_ref", "mime_type", "width", "height", "n_bytes", "features"]
             )

@@ -104,6 +104,132 @@ def split_rejects(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return docs.where(f"NOT ({is_reject})"), docs.where(is_reject)
 
 
+def sniff_payload(data: bytes) -> str:
+    """Magic-byte format sniff — the Tika-detect analog of the reference's
+    import dispatch (Importer.java:199-211, which MIME-sniffs each input
+    and unpacks .zip drops before parsing). Returns 'zip' | 'gzip' |
+    'xml' | 'json' | 'unknown'; the declared file extension is ignored."""
+    if data[:4] == b"PK\x03\x04":
+        return "zip"
+    if data[:2] == b"\x1f\x8b":
+        return "gzip"
+    head = data[:256].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if head[:1] == b"<":
+        return "xml"
+    if head[:1] == b"{":
+        return "json"
+    return "unknown"
+
+
+def expand_archives(
+    files: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    max_members: int = 100_000,
+) -> DataFrame:
+    """Binary file rows -> one (path, value) text row per payload, with
+    zip members exploded (nested zips and .gz members included, member
+    path appended as `archive!member`) and gzip transparently
+    decompressed. Magic-byte dispatch, so a CityGML drop renamed .txt or
+    a zip-of-gzips both work. `max_members` caps total expansion per
+    input row (zip-bomb guard for untrusted web-scale drops) — excess
+    members become one reject-shaped row so the overflow is auditable,
+    not silent. Runs Arrow-batched; parallelism = input splits, and one
+    giant archive can be re-fanned out with repartition after expansion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                stack, emitted = [(str(path), b)], 0
+                while stack:
+                    name, data = stack.pop()
+                    kind = sniff_payload(data)
+                    if emitted >= max_members:
+                        rows.append((f"{name}!_overflow", ""))
+                        break
+                    if kind == "zip":
+                        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                            for info in sorted(zf.infolist(), key=lambda i: i.filename):
+                                if not info.is_dir():
+                                    stack.append((f"{name}!{info.filename}", zf.read(info)))
+                    elif kind == "gzip":
+                        stack.append((name.removesuffix(".gz"), gzip.decompress(data)))
+                    else:
+                        rows.append((name, data.decode("utf-8", "replace")))
+                        emitted += 1
+            yield pd.DataFrame(rows, columns=["path", "value"])
+
+    return files.mapInPandas(run, "path string, value string")
+
+
+def route_parse(text: str):
+    """Per-payload parser dispatch by content sniff: XML -> CityGML SAX
+    parser, JSON -> CityJSON parser; anything else raises (surfacing as a
+    reject row under docs_from_text(errors='keep'))."""
+    from .cityjson import parse_cityjson
+
+    kind = sniff_payload(text[:256].encode("utf-8", "replace"))
+    if kind == "xml":
+        return parse_citygml(text)
+    if kind == "json":
+        return parse_cityjson(text)
+    raise ValueError("unrecognized payload (neither XML nor JSON)")
+
+
+def read_city_archive(
+    spark: SparkSession, path: str, fanout: int | None = None, errors: str = "keep"
+) -> DataFrame:
+    """S1 directory scan, archive-aware: binaryFile scan -> magic-byte
+    sniff -> zip/gzip expansion -> per-payload CityGML/CityJSON parse.
+    Accepts a glob of any mix of .gml/.json/.zip/.gz (extensions are
+    ignored; bytes decide). The Spark shape of Importer.java:199-211."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    texts = expand_archives(files)
+    if fanout:
+        texts = texts.repartition(fanout)
+    return docs_from_text(texts, route_parse, errors=errors)
+
+
+def zip_payload_udf(gzip_every: int = 3):
+    """Vectorized zip builder for tests/queries: an array<struct<name,
+    text>> column -> deterministic zip bytes (fixed timestamps, members
+    sorted by name; every `gzip_every`-th member stored as name.gz to
+    exercise nested decompression)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def make(members: pd.Series) -> pd.Series:
+        import gzip
+        import io
+        import zipfile
+
+        out = []
+        for ms in members:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for i, m in enumerate(sorted(ms, key=lambda m: m["name"])):
+                    data = m["text"].encode("utf-8")
+                    name = m["name"]
+                    if gzip_every and i % gzip_every == 0:
+                        gz = io.BytesIO()
+                        with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as g:
+                            g.write(data)
+                        data, name = gz.getvalue(), name + ".gz"
+                    zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                    zf.writestr(zi, data)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return make
+
+
 def read_citygml(spark: SparkSession, path: str, fanout: int | None = None) -> DataFrame:
     """CityGML file(s) -> input_hint docs DataFrame (S2).
 

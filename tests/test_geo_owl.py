@@ -169,6 +169,32 @@ def test_dwithin_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_envelope_relations_all_branches(spark):
+    # one crafted pair per DE-9IM box relation; base box [0,10]x[0,10]
+    rows = [
+        ("base", 0.0, 0.0, 10.0, 10.0),
+        ("same", 0.0, 0.0, 10.0, 10.0),        # equals base
+        ("inner", 2.0, 2.0, 8.0, 8.0),          # within base / base contains
+        ("edge", 10.0, 0.0, 20.0, 10.0),        # touches base (shared edge)
+        ("corner", 10.0, 10.0, 20.0, 20.0),     # touches base (single point)
+        ("cross", 5.0, 5.0, 15.0, 15.0),        # overlaps base
+        ("far", 100.0, 100.0, 110.0, 110.0),    # disjoint from all -> absent
+    ]
+    env = spark.createDataFrame(
+        rows, "id string, xmin double, ymin double, xmax double, ymax double"
+    )
+    out = {(r.id_a, r.id_b): r.relation for r in geo.envelope_relations(env, "id", cell_size=16.0).collect()}
+    assert out[("base", "same")] == "equals"
+    assert out[("base", "inner")] == "contains"
+    assert out[("inner", "same")] == "within"
+    assert out[("base", "edge")] == "touches"
+    assert out[("base", "corner")] == "touches"
+    assert out[("base", "cross")] == "overlaps"
+    assert not any("far" in k for k in out)
+    plan = geo.envelope_relations(env, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_owl_subclass_closure_matches_python_walk(spark):
     # independent oracle: walk each class's superclass chain in Python
     direct = {cid: sup for cid, _, sup in owl.OBJECTCLASS}

@@ -235,6 +235,31 @@ def test_media_decode_plumbing(spark, documents):
     assert all(again[r.media_ref] == r.features for r in rows)
 
 
+def test_image_header_roundtrip():
+    # real header parse: synth bytes -> (mime, w, h) must invert exactly
+    for fmt, mime in (("png", "image/png"), ("jpeg", "image/jpeg"), ("bmp", "image/bmp")):
+        for w, h in ((1, 1), (32, 255), (640, 480), (4096, 2160) if fmt != "jpeg" else (640, 65535)):
+            assert multimodal.parse_image_header(multimodal.synth_image_bytes(fmt, w, h)) == (mime, w, h)
+    # GIF logical screen
+    import struct
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert multimodal.parse_image_header(gif) == ("image/gif", 320, 200)
+    # top-down BMP stores negative height; magnitude is the pixel height
+    bmp = bytearray(multimodal.synth_image_bytes("bmp", 10, 20))
+    bmp[22:26] = struct.pack("<i", -20)
+    assert multimodal.parse_image_header(bytes(bmp)) == ("image/bmp", 10, 20)
+    # unrecognized bytes -> all None
+    assert multimodal.parse_image_header(b"not an image") == (None, None, None)
+
+
+def test_decode_sniffs_over_declared_mime(spark):
+    # declared mime lies (says png, bytes are a jpeg) — sniffed truth wins
+    jpg = multimodal.synth_image_bytes("jpeg", 77, 55)
+    media = spark.createDataFrame([("m1", "image/png", jpg)], multimodal.MEDIA_SCHEMA)
+    r = multimodal.decode_image(media).collect()[0]
+    assert (r.mime_type, r.width, r.height, r.n_bytes) == ("image/jpeg", 77, 55, len(jpg))
+
+
 def test_media_decode_null_payload(spark):
     media = spark.createDataFrame(
         [("m1", "image/png", None)], multimodal.MEDIA_SCHEMA

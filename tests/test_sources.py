@@ -1,0 +1,96 @@
+"""S1 archive-aware ingest: magic-byte sniffing, zip/gzip expansion,
+per-payload parser dispatch (the reference MIME-sniffs and unpacks zip
+drops before parsing — Importer.java:199-211)."""
+
+import gzip
+import io
+import os
+import zipfile
+
+import pytest
+
+from citykg.sources import (
+    docs_from_text,
+    expand_archives,
+    read_city_archive,
+    read_citygml,
+    route_parse,
+    sniff_payload,
+    split_rejects,
+)
+
+TEST_GML = "/root/reference/agents/src/test/resources/test.gml"
+
+CJ = (
+    '{"type":"CityJSON","version":"1.1","vertices":[[0,0,0],[1,0,0],[1,1,0],[0,1,0]],'
+    '"CityObjects":{"B_%d":{"type":"Building","geometry":'
+    '[{"type":"MultiSurface","lod":"2","boundaries":[[[0,1,2,3]]]}]}}}'
+)
+
+
+def test_sniff_payload():
+    assert sniff_payload(b"PK\x03\x04rest") == "zip"
+    assert sniff_payload(b"\x1f\x8b\x08") == "gzip"
+    assert sniff_payload(b'  \n<?xml version="1.0"?><a/>') == "xml"
+    assert sniff_payload(b"\xef\xbb\xbf{\"type\":\"CityJSON\"}") == "json"
+    assert sniff_payload(b"plain text") == "unknown"
+
+
+def _zip_bytes(members):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members:
+            zf.writestr(zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0)), data)
+    return buf.getvalue()
+
+
+def test_expand_archives_zip_gz_nested(spark):
+    inner = _zip_bytes([("inner.json", CJ % 1)])
+    gz = gzip.compress((CJ % 2).encode(), mtime=0)
+    outer = _zip_bytes([("nested.zip", inner), ("two.json.gz", gz), ("three.json", CJ % 3)])
+    files = spark.createDataFrame([("drop.zip", bytearray(outer))], "path string, content binary")
+    rows = {r.path: r.value for r in expand_archives(files).collect()}
+    assert set(rows) == {
+        "drop.zip!nested.zip!inner.json",
+        "drop.zip!two.json",
+        "drop.zip!three.json",
+    }
+    assert rows["drop.zip!two.json"] == CJ % 2
+
+
+def test_expand_archives_member_cap(spark):
+    bomb = _zip_bytes([(f"m{i}.json", CJ % i) for i in range(20)])
+    files = spark.createDataFrame([("bomb.zip", bytearray(bomb))], "path string, content binary")
+    rows = expand_archives(files, max_members=5).collect()
+    overflow = [r for r in rows if r.path.endswith("!_overflow")]
+    assert len(overflow) == 1 and len(rows) == 6  # 5 emitted + 1 audit row
+
+
+def test_route_parse_dispatch_and_reject(spark):
+    gml_text = open(TEST_GML).read()
+    files = spark.createDataFrame(
+        [("a", gml_text), ("b", CJ % 7), ("c", "neither xml nor json")],
+        "path string, value string",
+    )
+    docs = docs_from_text(files, route_parse)
+    good, rejects = split_rejects(docs)
+    ids = {r.doc_id for r in good.collect()}
+    assert "B_7" in ids and len(ids) >= 2  # CityJSON + CityGML both parsed
+    rej = rejects.collect()
+    assert len(rej) == 1 and "ValueError" in rej[0].spans[0].text
+
+
+@pytest.mark.parametrize("rename", [False, True])
+def test_zipped_reference_fixture_equals_bare(spark, tmp_path, rename):
+    # a zipped (and optionally extension-lying) copy of the reference
+    # fixture must parse to the identical doc set — bytes decide, not names
+    zp = os.path.join(tmp_path, "fixtures.zip" if not rename else "fixtures.dat")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(TEST_GML, "renamed.txt" if rename else "test.gml")
+    a = read_city_archive(spark, zp).collect()
+    b = read_citygml(spark, TEST_GML).collect()
+    key = lambda rows: sorted(
+        (r.doc_id, tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans))
+        for r in rows
+    )
+    assert key(a) == key(b) and len(a) > 0
