@@ -40,11 +40,29 @@ def _docs(spark, sf_dir):
     return synth_docs(spark, sf_dir)
 
 
+# ~40 of the queries start from the same extracted-triples frame; the
+# driver runs them all in ONE SparkSession, so extract once per (session,
+# sf) and localCheckpoint — every query then plans against the
+# materialized frame instead of re-running scan+explode+broadcast-join.
+# (At scale the same queries read the materialized triple store; this
+# cache is the in-session stand-in.) Keyed by applicationId so a fresh
+# session never sees another session's checkpointed RDDs.
+_TRIPLES_CACHE: dict = {}
+
+
 def _triples(spark, sf_dir, graphs=None):
-    t = extract.extract_triples(spark, _docs(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _TRIPLES_CACHE.get(key)
+    if base is None:
+        base = (
+            extract.extract_triples(spark, _docs(spark, sf_dir))
+            .select(*TRIPLE_COLS)
+            .localCheckpoint(eager=False)
+        )
+        _TRIPLES_CACHE[key] = base
     if graphs:
-        t = t.where(F.col("graph").isin(*graphs))
-    return t.select(*TRIPLE_COLS)
+        return base.where(F.col("graph").isin(*graphs))
+    return base
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -549,14 +567,15 @@ def q_owl_max_cardinality(spark, sf):
 def q_owl_consistency(spark, sf):
     """G5/CC: one row per check family with its violation count;
     consistent == all-zero (ConsistencyCheckingTask analog)."""
-    # five check families share one triple frame — cache it so the union
-    # of counts scans the extraction once, not once per check (at scale
-    # the checks run against the materialized store, same effect)
+    # five check families share one triple frame — _triples is already
+    # session-checkpointed, so the union of counts scans the materialized
+    # extraction, not one re-extraction per check (at scale the checks run
+    # against the materialized store, same effect)
     t = _triples(
         spark, sf,
         ["building", "thematicsurface", "room", "buildinginstallation",
          "addresstobuilding", "cityobjectgenericattrib", "cityobject"],
-    ).persist()
+    )
     parts = {
         "min_cardinality": owl.cardinality_violations(
             spark, t, [("thematicsurface", "ocgml:lod2MultiSurfaceId")]

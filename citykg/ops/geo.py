@@ -64,7 +64,12 @@ def _newell_struct() -> str:
 
 
 def with_coords(df: DataFrame, lit_col: str, out: str = "c") -> DataFrame:
-    return df.withColumn(out, F.expr(f"transform(split({lit_col}, '#'), v -> double(v))"))
+    # try_cast: a non-numeric token (an IRI obj row sliding through a
+    # reordered filter, dirty web data) yields NULL coords for downstream
+    # validity filters to drop — under ANSI mode a plain cast would kill
+    # the whole job on the first bad row, and Catalyst may evaluate this
+    # projection before a sibling filter conjunct
+    return df.withColumn(out, F.expr(f"transform(split({lit_col}, '#'), v -> try_cast(v as double))"))
 
 
 def with_normal(df: DataFrame, lit_col: str) -> DataFrame:
@@ -314,16 +319,28 @@ def point_in_polygon_join(
     ray cast runs on candidates only — the same bin-join pattern as
     dwithin_pairs, never O(points x polys)."""
     pg = with_coords(polys.select(poly_id, lit_col), lit_col)
+    # drop degenerate/dirty polygons (fewer than 3 points or non-numeric
+    # tokens) BEFORE the bbox math: an empty aggregate leaves the
+    # +/-Infinity init value, and int(floor(Infinity)) is an ANSI
+    # overflow; such rows can't contain a point anyway
+    pg = pg.where("size(c) >= 9 AND NOT exists(c, v -> v IS NULL)")
     xs = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 0)"
     ys = "filter(transform(c, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 1)"
     agg_min = lambda arr: f"aggregate({arr}, cast('Infinity' as double), (a, s) -> least(a, s.v))"  # noqa: E731
     agg_max = lambda arr: f"aggregate({arr}, cast('-Infinity' as double), (a, s) -> greatest(a, s.v))"  # noqa: E731
     cs = float(cell_size)
+    # try_cast keeps the bbox math TOTAL: a degenerate/dirty polygon's
+    # +/-Infinity fold init reaches floor() when the optimizer infers an
+    # isnotnull(join-key) filter below the dirty-row guard and evaluates
+    # this sequence via subexpression elimination on pre-guard rows —
+    # under ANSI a plain int cast then kills the job; try_cast yields
+    # NULL bounds -> NULL sequence -> the row explodes to nothing
+    cell_of = lambda agg: f"try_cast(floor({agg} / {cs}D) as int)"  # noqa: E731
     pg = pg.selectExpr(
         poly_id,
         "c",
-        f"sequence(int(floor({agg_min(xs)} / {cs}D)), int(floor({agg_max(xs)} / {cs}D))) as _cxs",
-        f"sequence(int(floor({agg_min(ys)} / {cs}D)), int(floor({agg_max(ys)} / {cs}D))) as _cys",
+        f"sequence({cell_of(agg_min(xs))}, {cell_of(agg_max(xs))}) as _cxs",
+        f"sequence({cell_of(agg_min(ys))}, {cell_of(agg_max(ys))}) as _cys",
     ).withColumn("_cx", F.explode("_cxs")).withColumn("_cy", F.explode("_cys")).drop(
         "_cxs", "_cys"
     )
@@ -411,13 +428,16 @@ def envelope_relations(
     disjoint, which the output drops anyway. Skew is bounded by local
     envelope density per cell, the same bound as dwithin_pairs."""
     cs = float(cell_size)
+    # try_cast for the same reason as point_in_polygon_join: non-finite or
+    # NULL envelopes must explode to zero cells, not ANSI-error the job
     boxed = env.selectExpr(
         f"{id_col} AS _id",
         "cast(xmin as double) AS xmin", "cast(ymin as double) AS ymin",
         "cast(xmax as double) AS xmax", "cast(ymax as double) AS ymax",
-        f"explode(sequence(int(floor(xmin / {cs}D)), int(floor(xmax / {cs}D)))) AS _cx",
+        f"explode(sequence(try_cast(floor(xmin / {cs}D) as int), try_cast(floor(xmax / {cs}D) as int))) AS _cx",
     ).selectExpr(
-        "*", f"explode(sequence(int(floor(ymin / {cs}D)), int(floor(ymax / {cs}D)))) AS _cy"
+        "*",
+        f"explode(sequence(try_cast(floor(ymin / {cs}D) as int), try_cast(floor(ymax / {cs}D) as int))) AS _cy",
     )
     a = boxed.toDF("id_a", "axmin", "aymin", "axmax", "aymax", "_cx", "_cy")
     b = boxed.toDF("id_b", "bxmin", "bymin", "bxmax", "bymax", "_cx", "_cy")
