@@ -466,6 +466,21 @@ def q_kml_extruded(spark, sf):
     return kml_extruded_placemarks(g, "gml_id", "lit", "height").select("doc_id", "kml")
 
 
+def q_gltf_geometry(spark, sf):
+    """S8 (glTF half): complete glTF 2.0 JSON asset per surface — POSITION
+    accessor with token-exact min/max, uint16 fan indices, external-uri
+    buffer with integer offsets/lengths (the reference shells out to
+    collada2gltf for this; citykg.ops.gltf builds it Spark-native). The
+    packed binary buffer is pytest-locked (not SQL-expressible); this
+    query oracles the full JSON document byte-for-byte."""
+    from citykg.ops.gltf import gltf_document
+
+    g = _geom_lits(spark, sf).selectExpr(
+        "doc_id", "concat('SURF_', substring(doc_id, 5)) as gml_id", "lit"
+    )
+    return gltf_document(g, "gml_id", "lit").select("doc_id", "gltf")
+
+
 def q_collada_geometry(spark, sf):
     """S8 (mesh half): COLLADA <geometry> per surface — positions from the
     literal's own tokens, fan triangulation, stride-3 accessor
@@ -1129,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_placemark": q_kml_placemark,
         "kml_extruded": q_kml_extruded,
         "collada_geometry": q_collada_geometry,
+        "gltf_geometry": q_gltf_geometry,
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
         "owl_class_membership": q_owl_class_membership,
@@ -1528,6 +1544,49 @@ def _collada_geometry_sql() -> str:
         f"<triangles count=\"' || ({npts} - 2) || '\">"
         f"<input semantic=\"VERTEX\" source=\"#' || {name} || '-vertices\" offset=\"0\"/>"
         f"<p>' || {fan} || '</p></triangles></mesh></geometry>' AS collada FROM g"
+    )
+
+
+def _gltf_geometry_sql() -> str:
+    """Byte-for-byte re-derivation of the glTF JSON: integers from the
+    vertex count, min/max from the literal's own tokens via the same
+    strict-compare fold (list_reduce here, aggregate in Spark)."""
+    from citykg.fixtures import _envelope_lit
+
+    name = "'SURF_' || lpad(CAST(d AS VARCHAR), 8, '0')"
+    npts = "(len(t) // 3 - 1)"
+    n_idx = f"(3 * ({npts} - 2))"
+    pos_len = f"(12 * {npts})"
+
+    def mm(axis: int, is_min: bool) -> str:
+        cmp = "<" if is_min else ">"
+        return (
+            "list_reduce(list_filter(list_transform(range(1, len(t) + 1), "
+            "i -> {'v': TRY_CAST(t[i] AS DOUBLE), 't': t[i], 'i': i}), "
+            f"s -> (s.i - 1) % 3 = {axis}), "
+            f"(acc, s) -> CASE WHEN s.v {cmp} acc.v THEN s ELSE acc END).t"
+        )
+
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        "'{\"asset\":{\"version\":\"2.0\",\"generator\":\"citykg\"},"
+        "\"scene\":0,\"scenes\":[{\"nodes\":[0]}],\"nodes\":[{\"mesh\":0,\"name\":\"' "
+        f"|| {name} || "
+        "'\"}],\"meshes\":[{\"primitives\":[{\"attributes\":{\"POSITION\":0},"
+        "\"indices\":1,\"mode\":4}]}],"
+        "\"accessors\":[{\"bufferView\":0,\"componentType\":5126,\"count\":' "
+        f"|| {npts} || ',\"type\":\"VEC3\",\"min\":[' "
+        f"|| {mm(0, True)} || ',' || {mm(1, True)} || ',' || {mm(2, True)} || "
+        f"'],\"max\":[' || {mm(0, False)} || ',' || {mm(1, False)} || ',' || {mm(2, False)} || "
+        "']},{\"bufferView\":1,\"componentType\":5123,\"count\":' "
+        f"|| {n_idx} || ',\"type\":\"SCALAR\"}}],"
+        "\"bufferViews\":[{\"buffer\":0,\"byteOffset\":0,\"byteLength\":' "
+        f"|| {pos_len} || ',\"target\":34962}},{{\"buffer\":0,\"byteOffset\":' "
+        f"|| {pos_len} || ',\"byteLength\":' || (2 * {n_idx}) || "
+        "',\"target\":34963}],\"buffers\":[{\"uri\":\"' "
+        f"|| {name} || '.bin\",\"byteLength\":' || ({pos_len} + 2 * {n_idx}) || "
+        "'}]}' AS gltf FROM g"
     )
 
 
@@ -2048,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_placemark": _kml_placemark_sql(),
         "kml_extruded": _kml_extruded_sql(),
         "collada_geometry": _collada_geometry_sql(),
+        "gltf_geometry": _gltf_geometry_sql(),
         "owl_cardinality": (
             f"SELECT 'thematicsurface' AS graph, "
             f"'{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS subj, "

@@ -335,6 +335,42 @@ def test_collada_geometry_structure(spark):
     assert "0.0 0.0 0.0 4.0 0.0 0.0 4.0 3.0 0.0 0.0 3.0 0.0</float_array>" in x
 
 
+def test_gltf_document_and_buffer(spark, tmp_path):
+    import json
+    import struct as st
+
+    import numpy as np
+
+    from citykg.ops.gltf import export_gltf, gltf_buffers, gltf_document
+
+    ring = "#".join(str(float(v)) for v in
+                    [0, 0, 0, 4, 0, 0, 4, 3, 5, 0, 3, 0, 0, 0, 0])  # closed quad, one raised z
+    df = spark.createDataFrame([("g1", ring)], "gml_id string, lit string")
+    doc = json.loads(gltf_document(df, "gml_id", "lit").collect()[0].gltf)
+    assert doc["asset"]["version"] == "2.0"
+    pos_acc, idx_acc = doc["accessors"]
+    assert (pos_acc["count"], pos_acc["type"], pos_acc["componentType"]) == (4, "VEC3", 5126)
+    assert pos_acc["min"] == [0.0, 0.0, 0.0] and pos_acc["max"] == [4.0, 3.0, 5.0]
+    assert (idx_acc["count"], idx_acc["componentType"]) == (6, 5123)
+    pv, iv = doc["bufferViews"]
+    assert (pv["byteOffset"], pv["byteLength"]) == (0, 48)
+    assert (iv["byteOffset"], iv["byteLength"]) == (48, 12)
+    assert doc["buffers"] == [{"uri": "g1.bin", "byteLength": 60}]
+    # packed buffer round-trips to the literal's own coordinates + fan
+    b = bytes(gltf_buffers(df, "gml_id", "lit").collect()[0].bin)
+    assert len(b) == 60
+    pos = np.frombuffer(b[:48], dtype="<f4").reshape(4, 3)
+    assert pos.tolist() == [[0, 0, 0], [4, 0, 0], [4, 3, 5], [0, 3, 0]]
+    assert np.frombuffer(b[48:], dtype="<u2").tolist() == [0, 1, 2, 0, 2, 3]
+    # degenerate literal -> NULL buffer, not a job error
+    bad = spark.createDataFrame([("g2", "0.0#0.0#0.0#1.0")], "gml_id string, lit string")
+    assert gltf_buffers(bad, "gml_id", "lit").collect()[0].bin is None
+    export_gltf(df, "gml_id", "lit", str(tmp_path / "out"))
+    assert json.loads(
+        spark.read.text(str(tmp_path / "out/docs")).collect()[0].value
+    ) == doc
+
+
 def test_point_in_polygon_join(spark):
     ring = "#".join(str(float(v)) for v in
                     [0, 0, 0, 10, 0, 0, 10, 10, 0, 0, 10, 0, 0, 0, 0])
