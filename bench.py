@@ -316,18 +316,21 @@ def scaling(sf_dir: str, repl: int = 300, n: int = 2) -> None:
             " (target >= 0.8, BASELINE.json north_rule)\n\n"
             "## Hardware-ceiling context\n\n"
             f"Pure-CPU multiprocessing control on this VM: efficiency {control},\n"
-            f"absolute rates (Mops/sec per worker count): {control_mops}\n"
-            "— the box itself stops scaling past ~8-16 threads (single-socket\n"
-            "memory bandwidth; a 4-JVM x 8-core executor simulation hits the\n"
-            "same wall, so it is machine bandwidth, not shared-heap GC).\n"
-            f"The 8 -> 32 pair measures {round(r_32 / (4 * results[8]['docs_per_sec']), 3) if 8 in results else 'n/a'}"
+            f"absolute rates (Mops/sec per worker count): {control_mops}.\n"
+            "The control bounds what ANY job can scale at on this box; the\n"
+            f"8 -> 32 pair measures {round(r_32 / (4 * results[8]['docs_per_sec']), 3) if 8 in results else 'n/a'}"
             " on the job vs "
             f"{control.get('8->32', 'n/a')} on the pure-CPU control.\n"
-            "The plan itself has no serial stage: extraction is one map-side\n"
-            "broadcast-join stage over input splits; aggregation/linking are\n"
-            "partial-agg shuffles + broadcast joins. On a real cluster, 4N\n"
-            "executors bring 4N memory controllers, which is exactly what\n"
-            "this VM cannot emulate.\n"
+            "Where the job trails the control at 32 threads, the gap is the\n"
+            "single-JVM share-everything tax (one heap/GC, one shuffle-disk\n"
+            "queue for all 32 tasks) that local mode cannot shed — the r2\n"
+            "round measured a 4-JVM x 8-core executor simulation against\n"
+            "local[32] and saw the same wall, placing it in the machine, not\n"
+            "the plan. The plan itself has no serial stage: extraction is one\n"
+            "map-side broadcast-join stage over input splits; aggregation and\n"
+            "linking are partial-agg shuffles + broadcast joins. On a real\n"
+            "cluster, 4N executors bring 4N heaps, disks, and memory\n"
+            "controllers — the resources a single shared JVM dilutes.\n"
         )
     print(json.dumps({
         "metric": f"scaling_efficiency_{n}_to_{4*n}",

@@ -1,10 +1,14 @@
 """spark-submit entrypoint: extract -> link -> canon -> materialize.
 
-    spark-submit --py-files citykg.zip -m citykg.pipeline \
+    spark-submit --py-files citykg.zip submit_pipeline.py \
         --input  <docs parquet/iceberg dir> \
         --output <triple store dir> \
         --base   <iri base> --rehome-to <canonical base> \
         --resume
+
+(spark-submit has no module mode, so submit_pipeline.py at the repo root
+is the shipped launcher; `python -m citykg.pipeline` works locally.
+tests/test_submit.py runs the real spark-submit subprocess end-to-end.)
 
 Stage boundaries are manifest-tracked bucket sets (materialize.py), so a
 killed run re-submitted with --resume recomputes only missing buckets —
