@@ -71,34 +71,23 @@ def subclass_closure(spark: SparkSession) -> DataFrame:
     """Transitive closure of the direct-superclass relation:
     (sub_id, super_id, depth) with depth >= 1 (proper ancestors only).
 
-    The hierarchy is a tree of depth <= 5, so the iterative join
-    converges immediately; the result is broadcast-sized by construction
-    (ClassSpecialisationCheckingTask runs HermiT for the same question —
-    here it is |TBox|^depth worth of joins, all on a broadcast frame).
+    The TBox taxonomy is a driver-sized CONSTANT (3DCityDB ships a fixed
+    class tree; a few hundred rows at most), so the closure is walked
+    driver-side and shipped as one broadcast-sized DataFrame — the same
+    economics at 10^12 triples, where the ABox joins against this frame
+    but never computes it. (An earlier revision ran the closure as an
+    iterative Spark self-join: ~40 scheduler round-trips over a 21-row
+    table, dominating the owl_* query wall-clock for zero scale benefit.
+    ClassSpecialisationCheckingTask runs HermiT for the same question.)
     """
-    direct = objectclass_df(spark).where(F.col("superclass_id").isNotNull()).select(
-        F.col("class_id").alias("sub_id"),
-        F.col("superclass_id").alias("super_id"),
-        F.lit(1).alias("depth"),
-    )
-    closure = direct
-    frontier = direct
-    while True:
-        nxt = (
-            frontier.alias("f")
-            .join(broadcast(direct.alias("d")), F.col("f.super_id") == F.col("d.sub_id"))
-            .select(
-                F.col("f.sub_id").alias("sub_id"),
-                F.col("d.super_id").alias("super_id"),
-                (F.col("f.depth") + 1).alias("depth"),
-            )
-        )
-        nxt = nxt.join(closure.select("sub_id", "super_id"), ["sub_id", "super_id"], "left_anti")
-        if nxt.isEmpty():
-            break
-        closure = closure.union(nxt)
-        frontier = nxt
-    return closure
+    parent = {c: s for c, _, s in OBJECTCLASS if s is not None}
+    rows = []
+    for sub in parent:
+        anc, depth = parent[sub], 1
+        while anc is not None:
+            rows.append((sub, anc, depth))
+            anc, depth = parent.get(anc), depth + 1
+    return spark.createDataFrame(rows, "sub_id int, super_id int, depth int")
 
 
 def class_membership(spark: SparkSession, triples: DataFrame) -> DataFrame:
