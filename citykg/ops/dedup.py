@@ -25,6 +25,7 @@ no such blowup (band keys are hashes).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..link import with_bands, with_minhash
 
@@ -33,10 +34,28 @@ def normalize_text(col):
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+def fanout_to_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a narrow projection up to session parallelism when the
+    upstream scan has fewer splits (small local files pack into one task):
+    the CPU-heavy shingle/signature expressions downstream of the scan
+    otherwise serialize onto that task — and a self-join re-evaluates
+    them once PER SIDE, so a 1-split corpus pays the whole corpus cost
+    2-3x on one core. On a real cluster the input carries >= parallelism
+    splits and this returns the projection untouched (no shuffle). The
+    shuffle, when it fires, carries only the narrow (id, text) columns."""
+    out = df.select(*cols) if cols else df
+    target = out.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < target:
+        out = out.repartition(target)
+    return out
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) docs: (doc_id, group_id, group_size).
     group_id = min doc_id of the group; singletons excluded."""
-    n = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    n = fanout_to_parallelism(df, id_col, text_col).select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
     w = Window.partitionBy("_norm")
     return (
         n.withColumn("group_id", F.min(id_col).over(w))
@@ -66,7 +85,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard pairs >= threshold via inverted-index self-join.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(id_col, "shingle")
+    sh = word_shingles(
+        fanout_to_parallelism(df, id_col, text_col), text_col, n
+    ).select(id_col, "shingle")
     if max_shingle_freq:
         freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle")
@@ -108,9 +129,9 @@ def repeated_substring_pairs(
     ngram_jaccard_pairs (drop windows in > max(64, 0.01%) of docs — they
     carry no pair information worth quadratic cost). Output:
     (doc_a, doc_b, n_shared_windows)."""
-    w = word_shingles(df.select(id_col, text_col), text_col, n, out="window").select(
-        id_col, "window"
-    )
+    w = word_shingles(
+        fanout_to_parallelism(df, id_col, text_col), text_col, n, out="window"
+    ).select(id_col, "window")
     freq_cap = 64
     freq = w.groupBy("window").agg(F.count("*").alias("df_"))
     # (the equi-join moves the key column first — re-project before the
@@ -150,16 +171,28 @@ def minhash_lsh_pairs(
         f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
         f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
     )
-    base = df.select(id_col, F.expr(sh_expr).alias("shingles"))
+    base = fanout_to_parallelism(df, id_col, text_col).select(
+        id_col, F.expr(sh_expr).alias("shingles")
+    )
     # keep the band join NARROW: only (id, band) rows flow through the
     # explode/join/dedup — the wide shingle arrays attach AFTER the
     # candidate pairs are deduped, so each array is shuffled once per
     # surviving pair, not once per band collision
-    banded = with_bands(
-        with_minhash(base, "shingles", n_hashes=n_hashes, seed=seed),
-        bands=bands,
-        rows=n_hashes // bands,
-    ).select(id_col, "band_idx", "band_hash")
+    # persist the narrow signature frame: a self-join re-evaluates its
+    # subtree once per side, which means re-running the 64-hash MinHash
+    # over every shingle array twice — the signature computation is the
+    # expensive pass, so materialize it once (the 100 TB pipeline writes
+    # signatures to a store table for the same reason; persist is the
+    # in-plan analog, and the frame is 3 narrow columns x bands rows/doc)
+    banded = (
+        with_bands(
+            with_minhash(base, "shingles", n_hashes=n_hashes, seed=seed),
+            bands=bands,
+            rows=n_hashes // bands,
+        )
+        .select(id_col, "band_idx", "band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     l = banded.toDF("doc_a", "band_idx", "band_hash")
     r = banded.toDF("doc_b", "band_idx", "band_hash")
@@ -169,10 +202,20 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sigs = base.select(F.col(id_col), F.col("shingles"))
+    # attach shingle arrays with ONE pass over the corpus, not one per
+    # pair side: explode each candidate pair into its two legs, join the
+    # legs against the (single-evaluation) shingle frame, fold back to
+    # (sh_a, sh_b) per pair — each surviving pair has exactly two legs
+    legs = cands.selectExpr(f"doc_a AS _leg", "doc_a", "doc_b").unionByName(
+        cands.selectExpr(f"doc_b AS _leg", "doc_a", "doc_b")
+    )
+    att = legs.join(base.toDF("_leg", "sh"), "_leg")
     return (
-        cands.join(sigs.toDF("doc_a", "sh_a"), "doc_a")
-        .join(sigs.toDF("doc_b", "sh_b"), "doc_b")
+        att.groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("_leg") == F.col("doc_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("_leg") == F.col("doc_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
         .withColumn(
             "jaccard",
             F.expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"),
@@ -213,7 +256,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
         "(v, b) -> IF(v > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x)"
     )
-    return df.select(id_col, F.expr(fp).alias("simhash"))
+    return fanout_to_parallelism(df, id_col, text_col).select(
+        id_col, F.expr(fp).alias("simhash")
+    )
 
 
 def simhash_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
