@@ -832,6 +832,23 @@ def q_dedup_substring(spark, sf):
     return dedup.repeated_substring_pairs(d, n=8, min_shared=2)
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix-C / PaLM 8-gram overlap):
+    corpus docs sharing any 8-token window with the held-out eval slice
+    (doc_id % 5 == 0). The eval n-gram set broadcasts; the corpus is
+    scanned once — see ops.dedup.contamination_stats."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    s = dedup.contamination_stats(
+        d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0), n=8
+    )
+    return s.select(
+        "doc_id",
+        "n_windows",
+        "n_contaminated",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs via the BLOCKED path: sign-LSH
     bucket join for candidates (no CartesianProduct — audited in
@@ -1175,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
+        "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
@@ -1300,6 +1318,24 @@ z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+"""
+
+
+def _decontaminate_sql() -> str:
+    """Same 8-token windows as ops.dedup.word_shingles (short docs fall
+    back to one whole-doc window on both engines — DuckDB's inclusive
+    1-based slice clamps exactly like Spark's slice())."""
+    return r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+8], ' ') s
+       FROM toks, UNNEST(range(0, greatest(len(w)-8, 0)+1)) t(i)),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0),
+c AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  round(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS contamination
+FROM c LEFT JOIN ev ON c.s = ev.s
+GROUP BY 1 HAVING sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 
@@ -2246,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
+        "decontaminate": _decontaminate_sql(),
         "text_repetition": _text_repetition_sql(),
         "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),

@@ -365,3 +365,42 @@ def embedding_near_dup_pairs_lsh(
         .where(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share any word
+    n-gram with an evaluation set (the GPT-3 appendix-C / PaLM overlap
+    rule; n=8 is the PaLM window). The eval n-gram set is tiny relative
+    to the corpus (benchmarks are ~1e5 rows vs a 100 TB corpus), so it
+    broadcasts: the corpus is scanned ONCE, exploded to distinct
+    n-grams map-side, left-joined against the broadcast eval set, and
+    folded back per doc with a map-side-combinable aggregate — no
+    corpus shuffle except the final per-doc partial agg on id_col.
+    Output: (doc_id, n_windows, n_contaminated, contamination) for docs
+    with >= 1 contaminated window; docs shorter than n tokens fall back
+    to one whole-doc window (same rule as word_shingles)."""
+    ev = (
+        word_shingles(eval_df.select(text_col), text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    sh = word_shingles(
+        fanout_to_parallelism(corpus, id_col, text_col), text_col, n
+    ).select(id_col, "shingle")
+    return (
+        sh.join(F.broadcast(ev), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") > 0)
+        .withColumn("contamination", F.col("n_contaminated") / F.col("n_windows"))
+    )

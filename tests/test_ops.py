@@ -356,3 +356,28 @@ def test_quantize_reconstruction_error_bounded(spark):
         assert abs(q * r1.q8_scale / 127 - x) <= r1.q8_scale / 254 + 1e-9
         assert -127 <= q <= 127
     assert out[2].q8 == [0, 0, 0, 0] and out[2].q8_scale == 0.0
+
+
+def test_contamination_stats_flags_eval_overlap(spark):
+    # doc 1 copies a 10-token eval span (>= one full 8-gram window); doc 2
+    # shares only 5 tokens (no 8-gram); doc 3 is clean. Short eval rows
+    # (< 8 tokens) fall back to whole-doc windows and must not crash.
+    span = " ".join(f"ev{i:02d}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [
+            (1, span + " " + " ".join(f"a{i:03d}" for i in range(50))),
+            (2, " ".join(span.split()[:5]) + " " + " ".join(f"b{i:03d}" for i in range(50))),
+            (3, " ".join(f"c{i:03d}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, span + " tail tokens here"), (101, "tiny eval row")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.contamination_stats(corpus, ev, n=8).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    # 10-token span in a 60-token doc: windows fully inside the span = 3
+    assert r.n_contaminated == 3 and r.n_windows == 60 - 8 + 1
+    assert abs(r.contamination - 3 / 53) < 1e-9
