@@ -807,6 +807,47 @@ def q_text_repetition(spark, sf):
     )
 
 
+def q_pii_redact(spark, sf):
+    """PII detect + redact (emails / IPv4 / phones). The synthetic corpus
+    carries no PII, so the query plants deterministic PII derived from
+    doc_id (same expression in the DuckDB oracle) and verifies counts +
+    an md5 of the redacted text — the one hash both engines share."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +49-030-"),
+                    F.lpad(F.col("doc_id").cast("string"), 5, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    r = text.redact_pii(text.with_pii_counts(aug))
+    return r.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("redacted").alias("redacted_md5")
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     p = dedup.ngram_jaccard_pairs(d, threshold=0.8)
@@ -1188,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "pii_redact": q_pii_redact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1318,6 +1360,28 @@ z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+"""
+
+
+def _pii_redact_sql() -> str:
+    """Same planted-PII expression and regexes as q_pii_redact; DuckDB's
+    RE2 and Spark's Java regex agree on this no-lookaround subset."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+\d{2}-\d{3}-\d{4,6}\b"
+    return f"""
+WITH aug AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' call +49-030-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{email}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{ipv4}')) AS INT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '{phone}')) AS INT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '{email}', '[EMAIL]', 'g'), '{ipv4}', '[IPV4]', 'g'), '{phone}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
 """
 
 
@@ -2250,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality": _quality_sql(),
         "text_langid": _langid_sql(),
+        "pii_redact": _pii_redact_sql(),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
         "dedup_embedding": (

@@ -125,3 +125,35 @@ def with_repetition_stats(
         (F.max("c") / n).alias("top_token_frac"),
         (F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias("token_entropy"),
     )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# evaluate identically: no backreferences, no lookaround, greedy
+# quantifiers only — so the DuckDB oracle is bit-for-bit comparable.
+# Ordered: emails redact first (an IP-shaped local part like
+# 10.0.0.1@example.com must become one [EMAIL], not [IPV4]@example.com).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d{2}-\d{3}-\d{4,6}\b"),
+)
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII match counts (n_email, n_ipv4, n_phone) — one
+    codegen'd Project, no shuffle, no Python."""
+    for name, pat in PII_PATTERNS:
+        df = df.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    return df
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with its [TYPE] placeholder, in
+    PII_PATTERNS order (emails before IPs — see module comment)."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return df.withColumn(out_col, col)

@@ -381,3 +381,20 @@ def test_contamination_stats_flags_eval_overlap(spark):
     # 10-token span in a 60-token doc: windows fully inside the span = 3
     assert r.n_contaminated == 3 and r.n_windows == 60 - 8 + 1
     assert abs(r.contamination - 3 / 53) < 1e-9
+
+
+def test_pii_counts_and_redaction_order(spark):
+    rows = [
+        (1, "write 10.0.0.1@example.org or admin@corp.example.org today"),
+        (2, "server 192.168.0.1 dials +49-030-12345 twice: +49-030-12345"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.redact_pii(text.with_pii_counts(df)).collect()}
+    # an IP-shaped LOCAL PART counts as both patterns individually...
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (2, 1, 0)
+    # ...but redaction runs emails first, so no [IPV4]@... survives inside it
+    assert out[1].redacted == "write [EMAIL] or [EMAIL] today"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 1, 2)
+    assert out[2].redacted == "server [IPV4] dials [PHONE] twice: [PHONE]"
+    assert out[3].redacted == rows[2][1]
