@@ -188,6 +188,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "ann_lsh_topk",
         "text_quality",
         "text_fingerprint",
+        "decontaminate",
+        "pii_redact",
         "lineitem_pricing",
         "join_pipeline",
         "window_rank",
