@@ -807,6 +807,33 @@ def q_text_repetition(spark, sf):
     )
 
 
+def q_domain_stats(spark, sf):
+    """Per-registrable-domain URL stats (domain blocklist / quality
+    weighting primitive). URLs are planted deterministically from doc_id
+    (same expression in the oracle); mixed-case hosts and subdomains
+    verify the lowercase + last-two-label fold."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Sub.Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" and http://cdn.assets"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".net:8080/x?y=1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.domain_stats(aug).select("domain", "n_urls", "n_docs")
+
+
 def q_pii_redact(spark, sf):
     """PII detect + redact (emails / IPv4 / phones). The synthetic corpus
     carries no PII, so the query plants deterministic PII derived from
@@ -1230,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
+        "domain_stats": q_domain_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1360,6 +1388,22 @@ z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+"""
+
+
+def _domain_stats_sql() -> str:
+    """Same planted-URL expression and regexes as q_domain_stats."""
+    return r"""
+WITH aug AS (SELECT doc_id, text
+  || ' see https://Sub.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR)
+  || CASE WHEN doc_id % 2 = 0 THEN ' and http://cdn.assets' || CAST(doc_id % 3 AS VARCHAR) || '.net:8080/x?y=1' ELSE '' END AS t
+  FROM documents),
+u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?')) AS url FROM aug),
+h AS (SELECT doc_id, string_split(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)), '.') AS labs FROM u)
+SELECT array_to_string(labs[-2:], '.') AS domain,
+  CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM h GROUP BY 1
 """
 
 
@@ -2315,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
+        "domain_stats": _domain_stats_sql(),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
         "dedup_embedding": (

@@ -157,3 +157,40 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
     for name, pat in PII_PATTERNS:
         col = F.regexp_replace(col, pat, f"[{name.upper()}]")
     return df.withColumn(out_col, col)
+
+
+# URL pattern in the same Java/RE2-shared subset as PII_PATTERNS.
+URL_RE = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+
+
+def with_urls(df: DataFrame, text_col: str = "text", out_col: str = "urls") -> DataFrame:
+    """All http(s) URLs per doc as an array column — one codegen'd
+    Project, no shuffle."""
+    return df.withColumn(
+        out_col, F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+    )
+
+
+def domain_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-registrable-domain corpus stats — the web-pipeline primitive
+    behind domain blocklists and per-domain quality weighting: (domain,
+    n_urls, n_docs). Domain = last two host labels, lowercased (the
+    public-suffix-list refinement is a broadcast-join swap at the same
+    spot). One explode + one map-side-combinable agg keyed by domain;
+    domain skew (half the web is a handful of hosts) stays safe because
+    both aggregates are partial — a hot domain combines per task before
+    the single exchange."""
+    host = F.regexp_extract(F.col("url"), r"https?://([A-Za-z0-9.-]+)", 1)
+    return (
+        with_urls(df.select(id_col, text_col), text_col)
+        .select(id_col, F.explode("urls").alias("url"))
+        .withColumn(
+            "domain",
+            F.lower(F.array_join(F.slice(F.split(host, r"\."), -2, 2), ".")),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )

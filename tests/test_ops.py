@@ -398,3 +398,15 @@ def test_pii_counts_and_redaction_order(spark):
     assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 1, 2)
     assert out[2].redacted == "server [IPV4] dials [PHONE] twice: [PHONE]"
     assert out[3].redacted == rows[2][1]
+
+
+def test_domain_stats_folds_subdomains_and_ports(spark):
+    rows = [
+        (1, "a https://A.B.Example.COM/x and https://example.com/y b"),
+        (2, "see http://cdn.example.com:8080/z"),
+        (3, "no links at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.domain: (r.n_urls, r.n_docs) for r in text.domain_stats(df).collect()}
+    # case, subdomain depth, and port all fold into one registrable domain
+    assert out == {"example.com": (3, 2)}
