@@ -917,6 +917,16 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """End-to-end dedup decision: MinHash-LSH pairs -> connected
+    components -> keep the min doc_id per cluster. LSH pair set == exact
+    Jaccard pair set at this threshold (the dedup_minhash_lsh gate), so
+    the oracle walks the exact pair graph with a recursive CTE."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    p = dedup.minhash_lsh_pairs(d, threshold=0.8)
+    return dedup.near_dup_clusters(p).select("doc_id", "cluster_id", "keep")
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs via the BLOCKED path: sign-LSH
     bucket join for candidates (no CartesianProduct — audited in
@@ -1262,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
+        "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "dedup_embedding": q_dedup_embedding,
@@ -1426,6 +1437,26 @@ SELECT doc_id,
   md5(regexp_replace(regexp_replace(regexp_replace(t,
       '{email}', '[EMAIL]', 'g'), '{ipv4}', '[IPV4]', 'g'), '{phone}', '[PHONE]', 'g')) AS redacted_md5
 FROM aug
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of the exact 3-gram Jaccard >= 0.8 pair graph
+    (== the LSH pair set at verification strength) via a recursive CTE;
+    cluster = min reachable doc_id."""
+    return r"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s
+       FROM toks, UNNEST(range(1, len(w)-1)) t(i)),
+p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i FROM sh a JOIN sh b
+      ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+e AS (SELECT doc_a, doc_b FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
+      WHERE i*1.0/(z1.n+z2.n-i) >= 0.8),
+sym AS (SELECT doc_a a, doc_b b FROM e UNION SELECT doc_b, doc_a FROM e),
+reach AS (SELECT a, b FROM sym UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id, least(a, min(b)) = a AS keep
+FROM reach GROUP BY a
 """
 
 
@@ -2392,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
         "text_repetition": _text_repetition_sql(),
         "spatial_point_in_polygon": _point_in_polygon_sql(),

@@ -404,3 +404,27 @@ def contamination_stats(
         .where(F.col("n_contaminated") > 0)
         .withColumn("contamination", F.col("n_contaminated") / F.col("n_windows"))
     )
+
+
+def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """The dedup DECISION: fold near-dup pairs (from any pair generator
+    here) into clusters and pick the survivor. Returns (doc_id,
+    cluster_id, keep) for every doc appearing in >= 1 pair; cluster_id =
+    min doc_id of the transitive cluster, keep = doc is that min (docs
+    in no pair are implicit keeps and not returned). Uses the salted
+    min-label-propagation connected components from canon (one shuffle
+    join + map-side-combinable min per round, O(log diameter) rounds);
+    long ids ride through zero-padded so the string min IS the numeric
+    min."""
+    from ..canon import connected_components
+
+    pad = lambda c: F.format_string("%019d", F.col(c))
+    edges = pairs.select(pad(id_a).alias("src"), pad(id_b).alias("dst"))
+    labels = connected_components(edges)
+    return (
+        labels.select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -410,3 +410,18 @@ def test_domain_stats_folds_subdomains_and_ports(spark):
     out = {r.domain: (r.n_urls, r.n_docs) for r in text.domain_stats(df).collect()}
     # case, subdomain depth, and port all fold into one registrable domain
     assert out == {"example.com": (3, 2)}
+
+
+def test_near_dup_clusters_transitive_min(spark):
+    # chain 9-10-11 must fold into ONE cluster rooted at 9 even though
+    # (9,11) is not a pair; numeric min must win over lexicographic
+    # (id 100 < id 21 lexicographically — padding must prevent that)
+    pairs = spark.createDataFrame(
+        [(9, 10), (10, 11), (21, 100)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in
+           dedup.near_dup_clusters(pairs).collect()}
+    assert out == {
+        9: (9, True), 10: (9, False), 11: (9, False),
+        21: (21, True), 100: (21, False),
+    }
