@@ -807,6 +807,14 @@ def q_text_repetition(spark, sf):
     )
 
 
+def q_filter_cascade(spark, sf):
+    """C4/Gopher quality cascade: keep/drop + first-failing-rule reason
+    per doc (thresholds chosen so all four reject rules fire on the
+    synthetic corpus)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.filter_cascade(d).select("doc_id", "reason", "keep")
+
+
 def q_domain_stats(spark, sf):
     """Per-registrable-domain URL stats (domain blocklist / quality
     weighting primitive). URLs are planted deterministically from doc_id
@@ -1268,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
+        "filter_cascade": q_filter_cascade,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1399,6 +1408,37 @@ z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
 SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard
 FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
 WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+"""
+
+
+def _filter_cascade_sql() -> str:
+    """Mirrors ops.text.filter_cascade rule-for-rule; reuses the langid
+    argmax SQL as a nested WITH subquery."""
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0 / greatest(length(text), 1) AS alpha_ratio
+  FROM documents),
+r AS (SELECT doc_id, max(c)*1.0/sum(c) AS ttf FROM (
+  SELECT doc_id, token, count(*) c FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) token
+    FROM documents) GROUP BY 1,2) GROUP BY 1),
+l AS ({_langid_sql()}),
+j AS (SELECT q.doc_id, n_tokens, alpha_ratio, ttf, lang_pred
+      FROM q JOIN r ON q.doc_id=r.doc_id JOIN l ON q.doc_id=l.doc_id)
+SELECT doc_id,
+  CASE WHEN n_tokens < 20 THEN 'too_short'
+       WHEN ttf > 0.15 THEN 'repetitive'
+       WHEN alpha_ratio < 0.81 THEN 'low_alpha'
+       WHEN lang_pred <> 'en' THEN 'lang'
+       ELSE 'ok' END AS reason,
+  CASE WHEN n_tokens < 20 THEN false
+       WHEN ttf > 0.15 THEN false
+       WHEN alpha_ratio < 0.81 THEN false
+       WHEN lang_pred <> 'en' THEN false
+       ELSE true END AS keep
+FROM j
 """
 
 
@@ -2391,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),
+        "filter_cascade": _filter_cascade_sql(),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
         "dedup_embedding": (

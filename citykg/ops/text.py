@@ -194,3 +194,37 @@ def domain_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             F.countDistinct(id_col).alias("n_docs"),
         )
     )
+
+
+def filter_cascade(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_top_token_frac: float = 0.15,
+    min_alpha: float = 0.81,
+    allowed_langs: tuple = ("en",),
+) -> DataFrame:
+    """C4/Gopher-style quality cascade: every doc gets a keep/drop verdict
+    plus the FIRST failing rule as its reject reason (too_short ->
+    repetitive -> low_alpha -> lang -> ok). Signals reuse with_quality,
+    with_repetition_stats, and with_lang_id; every comparison is an
+    exact-integer division against a shared literal, so the verdict is
+    deterministic cross-engine. Scale shape: one codegen'd Project for
+    the row-local signals + the repetition partial agg, joined back on
+    id_col (both sides shuffle once on the id)."""
+    sig = with_lang_id(with_quality(df.select(id_col, text_col)))
+    rep = with_repetition_stats(df.select(id_col, text_col), id_col, text_col).select(
+        id_col, "top_token_frac"
+    )
+    j = sig.join(rep, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("top_token_frac") > max_top_token_frac, F.lit("repetitive"))
+        .when(F.col("alpha_ratio") < min_alpha, F.lit("low_alpha"))
+        .when(~F.col("lang_pred").isin(*allowed_langs), F.lit("lang"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        id_col, reason.alias("reason"), (reason == "ok").alias("keep")
+    )

@@ -425,3 +425,18 @@ def test_near_dup_clusters_transitive_min(spark):
         9: (9, True), 10: (9, False), 11: (9, False),
         21: (21, True), 100: (21, False),
     }
+
+
+def test_filter_cascade_first_failing_rule_wins(spark):
+    looping = " ".join(["loop"] * 30)  # repetitive AND non-english: repetitive wins
+    short_and_bad = "x1 y2"            # too_short AND low alpha: too_short wins
+    good = ("the remarkable quick brown foxes and several lazy dogs wander to "
+            "distant towns in every fine morning with friendly companions for "
+            "afternoon refreshments that is wonderful on sundays")
+    df = spark.createDataFrame(
+        [(1, looping), (2, short_and_bad), (3, good)], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.reason, r.keep) for r in text.filter_cascade(df).collect()}
+    assert out[1] == ("repetitive", False)
+    assert out[2] == ("too_short", False)
+    assert out[3] == ("ok", True)
