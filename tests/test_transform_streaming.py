@@ -155,3 +155,42 @@ def test_stream_windowed_counts(spark, tmp_path_factory):
         .collect()
     }
     assert got and all(want[k] == v for k, v in got.items())
+
+
+def test_streaming_pii_redaction_matches_batch(spark, tmp_path_factory):
+    """The PII ops are stateless Projects, so the same frames compose
+    with readStream unchanged — streaming output must equal batch."""
+    from citykg.ops import text as t
+
+    land = str(tmp_path_factory.mktemp("pii_landing"))
+    out = str(tmp_path_factory.mktemp("pii_out"))
+    ckpt = str(tmp_path_factory.mktemp("pii_ckpt"))
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at dev@example.org or 10.1.2.3"),
+            (2, "dial +49-030-12345 now"),
+            (3, "clean row"),
+        ],
+        "doc_id long, text string",
+    )
+    df.write.mode("append").parquet(land)
+
+    s = spark.readStream.schema("doc_id long, text string").parquet(land)
+    q = (
+        t.redact_pii(t.with_pii_counts(s))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(frame):
+        return {
+            r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.redacted)
+            for r in frame.collect()
+        }
+
+    assert key(spark.read.parquet(out)) == key(t.redact_pii(t.with_pii_counts(df)))
