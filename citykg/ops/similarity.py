@@ -171,18 +171,35 @@ def lsh_ann_topk(
 
 
 def ivf_centroids(corpus: DataFrame, vec_col: str = "embedding", n_centroids: int = 16,
-                  seed: int = 42) -> "list[list[float]]":
-    """Deterministic coarse quantizer: sample rows by hash, take the first
-    n_centroids (k-means seeding without iteration — good enough for
-    partition pruning; swap for MLlib KMeans on a real cluster)."""
+                  seed: int = 42, train_sample: int = 4096, iters: int = 10) -> "list[list[float]]":
+    """Deterministic coarse-quantizer TRAINING, the faiss pattern: collect
+    a hash-ordered sample (train_sample rows — a few MB even against a
+    10^12-row corpus; the cluster never shuffles more than the sample),
+    run Lloyd k-means on it driver-side in numpy, assign the full corpus
+    distributed via with_ivf_cells. Fully deterministic: the sample and
+    the seeding both come from the content hash order, argmin ties break
+    to the lower centroid id, and the driver-side means add in fixed
+    sample order (a distributed mean would sum floats in partition
+    order, which varies run-to-run). Empty cells keep their seed."""
+    import numpy as np
+
     rows = (
         corpus.select(vec_col)
         .withColumn("_h", F.xxhash64(F.to_json(F.struct(vec_col)), F.lit(seed)))
         .orderBy("_h")
-        .limit(n_centroids)
+        .limit(max(train_sample, n_centroids))
         .collect()
     )
-    return [list(r[0]) for r in rows]
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    C = X[: min(n_centroids, len(X))].copy()
+    for _ in range(iters):
+        d2 = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [list(c) for c in C]
 
 
 def with_ivf_cells(
