@@ -1039,6 +1039,36 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_multimodal_pixels(spark, sf):
+    """REAL pixel-level decode, no codec library: complete uncompressed
+    24-bit BMPs are synthesized with per-pixel BGR gradients (wrap-free,
+    so channel means have a closed form), then bmp_channel_stats decodes
+    the actual pixel array — stride padding and bottom-up row order must
+    be handled correctly or the means come out wrong. Means are exact
+    halves, so the float32 schema and the DuckDB doubles agree bit-wise
+    after the double cast."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("bmp_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/bmp").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 57).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 29).cast("int").alias("_h"),
+    )
+    media = media.withColumn(
+        "data", multimodal.synth_payload_udf()(F.lit("bmp24"), F.col("_w"), F.col("_h"))
+    ).select("media_ref", "mime_type", "data")
+    s = multimodal.bmp_channel_stats(media)
+    return s.select(
+        "media_ref",
+        "width",
+        "height",
+        "n_bytes",
+        F.col("mean_b").cast("double").alias("mean_b"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_r").cast("double").alias("mean_r"),
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1291,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_pixels": q_multimodal_pixels,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2483,4 +2514,16 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_pixels": (
+            # closed-form channel means of the wrap-free BGR gradients:
+            # mean = base + slope*(w-1)/2 (independent of y and stride)
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h FROM documents) "
+            "SELECT 'bmp_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST(54 + h * (((w*3 + 3)//4)*4) AS INT) AS n_bytes, "
+            "w % 61 + 3.0*(w-1)/2 AS mean_b, "
+            "h % 61 + 2.0*(w-1)/2 AS mean_g, "
+            "(w+h) % 61 + (w-1)/2.0 AS mean_r "
+            "FROM m"
+        ),
     }

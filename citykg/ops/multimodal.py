@@ -9,12 +9,16 @@ actual PNG (IHDR) / JPEG (SOFn marker walk) / BMP (BITMAPINFOHEADER) /
 GIF bytes with magic-byte sniffing (the declared mime_type column is
 ignored — same posture as the reference's Tika sniff, Importer.java:199),
 so dimensions are genuinely parsed, not faked, and the multimodal_decode
-query carries a full DuckDB oracle. Only PIXEL work (feature extraction)
-is stubbed: this container has no image/audio libraries, so features are
-a deterministic hash fake behind `_HAVE_PIL`, with NotImplementedError
-when the fake is disallowed. On a real cluster, swap `_fake_features`
-for PIL/ffmpeg calls — the batch contract is already per-Arrow-batch
-numpy, which is where the real codecs plug in.
+query carries a full DuckDB oracle. PIXEL-level decode is REAL for
+uncompressed 24-bit BMP (`decode_bmp_pixels` / `bmp_channel_stats` —
+raw BGR rows need no codec, only correct stride + bottom-up handling;
+the multimodal_pixels query oracles per-image channel means). PNG/JPEG
+pixel work stays stubbed: this container has no image/audio libraries,
+so decode_image features are a deterministic hash fake behind
+`_HAVE_PIL`, with NotImplementedError when the fake is disallowed. On a
+real cluster, swap `_fake_features` for PIL/ffmpeg calls — the batch
+contract is already per-Arrow-batch numpy, which is where the real
+codecs plug in.
 """
 
 from __future__ import annotations
@@ -97,6 +101,24 @@ def synth_image_bytes(fmt: str, width: int, height: int) -> bytes:
     if fmt == "bmp":
         info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
         return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+    if fmt == "bmp24":
+        # COMPLETE uncompressed 24-bit BMP with real pixel data: per-pixel
+        # BGR gradients in x (B = w%61 + 3x, G = h%61 + 2x, R = (w+h)%61 + x
+        # — wrap-free for w <= 64, so channel means are closed-form:
+        # base + slope*(w-1)/2, which is what the DuckDB oracle recomputes).
+        import numpy as np
+
+        stride = ((width * 3 + 3) // 4) * 4
+        size = 54 + height * stride
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, size - 54, 2835, 2835, 0, 0)
+        hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, 54) + info
+        x = np.arange(width, dtype=np.uint16)
+        row = np.zeros(stride, dtype=np.uint8)
+        px = np.stack(
+            [width % 61 + 3 * x, height % 61 + 2 * x, (width + height) % 61 + x], axis=1
+        ).astype(np.uint8)
+        row[: width * 3] = px.reshape(-1)
+        return hdr + row.tobytes() * height
     raise ValueError(f"unknown synth format {fmt!r}")
 
 
@@ -226,3 +248,69 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0, duration_s: float = 10
         "media_ref",
         F.explode(F.expr(f"transform(sequence(0, {n - 1}), i -> i / {fps}D)")).alias("frame_ts"),
     )
+
+
+def decode_bmp_pixels(data: bytes):
+    """REAL pixel decode for uncompressed 24-bit BMP — pure numpy, no
+    codec library (BMP pixel data is raw BGR rows, bottom-up, 4-byte
+    aligned). Returns an (h, w, 3) uint8 array in B,G,R channel order,
+    or None if the payload is not a complete uncompressed 24-bit BMP."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    comp = struct.unpack("<I", data[30:34])[0]
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(data) < off + h * stride:
+        return None
+    px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=off)
+    px = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return px if top_down else px[::-1]
+
+
+def bmp_channel_stats(media: DataFrame) -> DataFrame:
+    """Honest pixel-level statistics over BMP payloads: per-image channel
+    means from decode_bmp_pixels (genuine per-pixel work — row stride and
+    bottom-up order must be handled right or the means are wrong). Rows
+    whose payload is not a decodable 24-bit BMP get NULL means. Same
+    Arrow-batch contract as decode_image; output (media_ref, width,
+    height, n_bytes, mean_b, mean_g, mean_r)."""
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("mean_b", FloatType()),
+            StructField("mean_g", FloatType()),
+            StructField("mean_r", FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                px = decode_bmp_pixels(b)
+                if px is None:
+                    rows.append((ref, None, None, len(b), None, None, None))
+                    continue
+                m = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (ref, px.shape[1], px.shape[0], len(b),
+                     round(float(m[0]), 6), round(float(m[1]), 6), round(float(m[2]), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height", "n_bytes", "mean_b", "mean_g", "mean_r"],
+            )
+
+    return media.mapInPandas(run, schema)

@@ -455,3 +455,33 @@ def test_ivf_lloyd_training_reduces_error_deterministically(spark, embeddings):
     trained = similarity.ivf_centroids(embeddings, iters=10)
     assert err(trained) <= err(similarity.ivf_centroids(embeddings, iters=0)) * 0.8
     assert similarity.ivf_centroids(embeddings, iters=10) == trained
+
+
+def test_bmp_pixel_decode_handles_orientation_and_truncation():
+    import struct
+
+    b = multimodal.synth_image_bytes("bmp24", 13, 7)  # w=13 forces stride padding
+    px = multimodal.decode_bmp_pixels(b)
+    assert px.shape == (7, 13, 3)
+    # gradient check at an interior pixel: B = w%61 + 3x
+    assert int(px[3, 5, 0]) == 13 % 61 + 3 * 5
+    # top-down variant (negative height) must decode to the same array
+    neg = bytearray(b)
+    neg[22:26] = struct.pack("<i", -7)
+    assert (multimodal.decode_bmp_pixels(bytes(neg))[::-1] == px).all()
+    # truncated pixel data and non-BMP bytes refuse to decode
+    assert multimodal.decode_bmp_pixels(b[:-1]) is None
+    assert multimodal.decode_bmp_pixels(b"\x89PNG1234567890" * 8) is None
+
+
+def test_bmp_channel_stats_nulls_for_undecodable(spark):
+    rows = [
+        ("ok", "image/bmp", multimodal.synth_image_bytes("bmp24", 8, 4)),
+        ("hdr_only", "image/bmp", multimodal.synth_image_bytes("bmp", 8, 4)),
+        ("null", "image/bmp", None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_ref: r for r in multimodal.bmp_channel_stats(df).collect()}
+    assert out["ok"].mean_b == 8 % 61 + 3 * (8 - 1) / 2
+    assert out["hdr_only"].mean_b is None and out["hdr_only"].n_bytes == 54
+    assert out["null"].mean_b is None and out["null"].n_bytes == 0
