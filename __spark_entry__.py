@@ -1069,6 +1069,27 @@ def q_multimodal_pixels(spark, sf):
     )
 
 
+def q_multimodal_resize(spark, sf):
+    """REAL nearest-neighbor resize over decoded BMP pixels: source
+    index = floor(i*src/dst), integer math end-to-end, so the resized
+    channel SUMS are exact integers the oracle recomputes (no float
+    comparison at all)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("bmp_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/bmp").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 57).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 29).cast("int").alias("_h"),
+    )
+    media = media.withColumn(
+        "data", multimodal.synth_payload_udf()(F.lit("bmp24"), F.col("_w"), F.col("_h"))
+    ).select("media_ref", "mime_type", "data")
+    return multimodal.resize_bmp_nn(media, max_dim=16).select(
+        "media_ref", "width", "height", "out_width", "out_height",
+        "sum_b", "sum_g", "sum_r",
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1322,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_pixels": q_multimodal_pixels,
+        "multimodal_resize": q_multimodal_resize,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2514,6 +2536,21 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_resize": (
+            # NN source indices are floor(i*w/ow): per-channel resized sum
+            # = oh * (ow*base + slope * sum_i floor(i*w/ow)) — exact ints
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h FROM documents), "
+            "s AS (SELECT doc_id, w, h, "
+            "CAST(ceil(w * least(1.0, 16.0/greatest(w, h))) AS INT) AS ow, "
+            "CAST(ceil(h * least(1.0, 16.0/greatest(w, h))) AS INT) AS oh FROM m), "
+            "x AS (SELECT *, list_sum(list_transform(range(0, ow), i -> (i*w)//ow)) AS sx FROM s) "
+            "SELECT 'bmp_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, ow AS out_width, oh AS out_height, "
+            "CAST(oh * (ow*(w % 61) + 3*sx) AS BIGINT) AS sum_b, "
+            "CAST(oh * (ow*(h % 61) + 2*sx) AS BIGINT) AS sum_g, "
+            "CAST(oh * (ow*((w+h) % 61) + sx) AS BIGINT) AS sum_r "
+            "FROM x"
+        ),
         "multimodal_pixels": (
             # closed-form channel means of the wrap-free BGR gradients:
             # mean = base + slope*(w-1)/2 (independent of y and stride)

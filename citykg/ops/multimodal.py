@@ -31,7 +31,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 try:  # pragma: no cover - not present in this container
@@ -311,6 +311,54 @@ def bmp_channel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "width", "height", "n_bytes", "mean_b", "mean_g", "mean_r"],
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def resize_bmp_nn(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """REAL aspect-preserving nearest-neighbor resize over decoded BMP
+    pixels (same numpy path as bmp_channel_stats; no codec library).
+    Source index = floor(i * src / dst) — the standard NN mapping, pure
+    integer math, so the resized channel SUMS are integers the DuckDB
+    oracle recomputes exactly (no float rounding anywhere). Output:
+    (media_ref, width, height, out_width, out_height, sum_b, sum_g,
+    sum_r); undecodable payloads get NULL sums/dims."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("sum_b", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_r", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                px = decode_bmp_pixels(bytes(data) if data is not None else b"")
+                if px is None:
+                    rows.append((ref, None, None, None, None, None, None, None))
+                    continue
+                h, w = px.shape[:2]
+                scale = min(1.0, max_dim / max(w, h))
+                ow, oh = int(np.ceil(w * scale)), int(np.ceil(h * scale))
+                xs = (np.arange(ow) * w) // ow
+                ys = (np.arange(oh) * h) // oh
+                small = px[ys][:, xs]
+                s = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((ref, w, h, ow, oh, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height", "out_width", "out_height",
+                         "sum_b", "sum_g", "sum_r"],
             )
 
     return media.mapInPandas(run, schema)

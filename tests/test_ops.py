@@ -485,3 +485,24 @@ def test_bmp_channel_stats_nulls_for_undecodable(spark):
     assert out["ok"].mean_b == 8 % 61 + 3 * (8 - 1) / 2
     assert out["hdr_only"].mean_b is None and out["hdr_only"].n_bytes == 54
     assert out["null"].mean_b is None and out["null"].n_bytes == 0
+
+
+def test_resize_bmp_nn_downsample_exact(spark):
+    import numpy as np
+
+    # 20x10 -> max_dim 16 gives ow=16, oh=8; verify sums against a direct
+    # numpy NN resample of the decoded array
+    b = multimodal.synth_image_bytes("bmp24", 20, 10)
+    px = multimodal.decode_bmp_pixels(b)
+    xs = (np.arange(16) * 20) // 16
+    ys = (np.arange(8) * 10) // 8
+    want = px[ys][:, xs].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    df = spark.createDataFrame([("a", "image/bmp", b)], multimodal.MEDIA_SCHEMA)
+    r = multimodal.resize_bmp_nn(df, max_dim=16).collect()[0]
+    assert (r.out_width, r.out_height) == (16, 8)
+    assert (r.sum_b, r.sum_g, r.sum_r) == (int(want[0]), int(want[1]), int(want[2]))
+    # images already inside max_dim pass through unresized
+    small = multimodal.synth_image_bytes("bmp24", 9, 6)
+    df2 = spark.createDataFrame([("s", "image/bmp", small)], multimodal.MEDIA_SCHEMA)
+    r2 = multimodal.resize_bmp_nn(df2, max_dim=16).collect()[0]
+    assert (r2.out_width, r2.out_height) == (9, 6)
