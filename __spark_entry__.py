@@ -1090,6 +1090,26 @@ def q_multimodal_resize(spark, sf):
     )
 
 
+def q_multimodal_audio(spark, sf):
+    """REAL audio decode: complete 16-bit PCM WAV files are synthesized
+    with wrap-free linear samples, then wav_pcm_stats walks the RIFF
+    chunks and sums the actual int16 samples — the PCM sum has the
+    closed form n*base + 3*n*(n-1)/2 the oracle recomputes exactly."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("wav_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("audio/wav").alias("mime_type"),
+        (F.lit(1000) + F.col("doc_id") % 500).cast("int").alias("_n"),
+        (F.col("doc_id") % 100).cast("int").alias("_b"),
+    )
+    media = media.withColumn(
+        "data", multimodal.synth_wav_udf()(F.col("_n"), F.col("_b"))
+    ).select("media_ref", "mime_type", "data")
+    return multimodal.wav_pcm_stats(media).select(
+        "media_ref", "sample_rate", "n_samples", "duration_ms", "sum_pcm"
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1344,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2536,6 +2557,13 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_audio": (
+            "WITH m AS (SELECT doc_id, 1000 + doc_id % 500 AS n, doc_id % 100 AS b FROM documents) "
+            "SELECT 'wav_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CAST(8000 AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples, "
+            "CAST((n*1000)//8000 AS BIGINT) AS duration_ms, "
+            "CAST(n*b + 3*n*(n-1)//2 AS BIGINT) AS sum_pcm FROM m"
+        ),
         "multimodal_resize": (
             # NN source indices are floor(i*w/ow): per-channel resized sum
             # = oh * (ow*base + slope * sum_i floor(i*w/ow)) — exact ints

@@ -362,3 +362,81 @@ def resize_bmp_nn(media: DataFrame, max_dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema)
+
+
+def synth_wav_bytes(n_samples: int, base: int, sample_rate: int = 8000) -> bytes:
+    """COMPLETE RIFF/WAVE file, 16-bit mono PCM, with real sample data:
+    s(i) = base + 3i (wrap-free for the synth ranges used, so the PCM
+    sum has the closed form n*base + 3*n*(n-1)/2 the oracle recomputes)."""
+    import numpy as np
+
+    s = (base + 3 * np.arange(n_samples, dtype=np.int64)).astype("<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode for 16-bit PCM WAV (PCM is raw samples — no
+    codec, only correct RIFF chunk walking and int16 LE interpretation).
+    Output: (media_ref, sample_rate, n_samples, duration_ms, sum_pcm);
+    NULLs for payloads that are not 16-bit mono/stereo PCM WAV.
+    duration_ms = n_samples*1000 // sample_rate (integer, exact)."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("sum_pcm", LongType()),
+        ]
+    )
+
+    def decode(b: bytes):
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i, rate, bits, chans = 12, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and clen >= 16:
+                fmt_tag, chans, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", b[i + 8 : i + 24]
+                )
+                if fmt_tag != 1:
+                    return None
+            elif cid == b"data":
+                if rate is None or bits != 16 or not chans or i + 8 + clen > len(b):
+                    return None
+                s = np.frombuffer(b, dtype="<i2", count=clen // 2, offset=i + 8)
+                n = len(s) // chans
+                return rate, n, n * 1000 // rate, int(s.sum(dtype=np.int64))
+            i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                got = decode(bytes(data) if data is not None else b"")
+                rows.append((ref, None, None, None, None) if got is None else (ref, *got))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "sample_rate", "n_samples", "duration_ms", "sum_pcm"]
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def synth_wav_udf():
+    """Vectorized builder: (n_samples, base) columns -> real WAV bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make(n: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series([synth_wav_bytes(int(a), int(b)) for a, b in zip(n, base)])
+
+    return make

@@ -506,3 +506,23 @@ def test_resize_bmp_nn_downsample_exact(spark):
     df2 = spark.createDataFrame([("s", "image/bmp", small)], multimodal.MEDIA_SCHEMA)
     r2 = multimodal.resize_bmp_nn(df2, max_dim=16).collect()[0]
     assert (r2.out_width, r2.out_height) == (9, 6)
+
+
+def test_wav_pcm_stats_real_decode(spark):
+    good = multimodal.synth_wav_bytes(100, 5)
+    # stereo variant: interleave two channels; n_samples counts frames
+    import struct as _s
+    import numpy as np
+    frames = np.repeat(np.arange(50, dtype="<i2"), 2).tobytes()
+    fmt = _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames)) + b"WAVE"
+              + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+              + b"data" + _s.pack("<I", len(frames)) + frames)
+    rows = [("mono", "audio/wav", good), ("stereo", "audio/wav", stereo),
+            ("junk", "audio/wav", b"not audio at all")]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_ref: r for r in multimodal.wav_pcm_stats(df).collect()}
+    assert out["mono"].n_samples == 100 and out["mono"].sum_pcm == 100*5 + 3*100*99//2
+    assert out["mono"].duration_ms == 100 * 1000 // 8000
+    assert out["stereo"].n_samples == 50 and out["stereo"].sum_pcm == 2 * sum(range(50))
+    assert out["junk"].sample_rate is None
