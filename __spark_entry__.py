@@ -1110,6 +1110,38 @@ def q_multimodal_audio(spark, sf):
     )
 
 
+def q_multimodal_png(spark, sf):
+    """REAL PNG pixel decode — zlib inflate + per-row filter
+    reconstruction, no codec library. Payloads mix BMP and PNG per doc
+    (sniffed, declared mime ignored); image_channel_stats normalizes
+    both to R,G,B means with the same closed forms as multimodal_pixels.
+    Means are exact halves -> lossless in float32."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("px_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/png").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 57).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 29).cast("int").alias("_h"),
+    )
+    media = base.withColumn(
+        "data",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            multimodal.synth_png_udf()(F.col("_w"), F.col("_h")),
+        ).otherwise(
+            multimodal.synth_payload_udf()(F.lit("bmp24"), F.col("_w"), F.col("_h"))
+        ),
+    ).select("media_ref", "mime_type", "data")
+    s = multimodal.image_channel_stats(media)
+    return s.select(
+        "media_ref", "codec", "width", "height",
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1365,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_png": q_multimodal_png,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2557,6 +2590,18 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_png": (
+            # same gradients as multimodal_pixels, reported in R,G,B order;
+            # codec alternates png/bmp by doc parity (sniffed, not declared)
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h FROM documents) "
+            "SELECT 'px_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "(w+h) % 61 + (w-1)/2.0 AS mean_r, "
+            "h % 61 + 2.0*(w-1)/2 AS mean_g, "
+            "w % 61 + 3.0*(w-1)/2 AS mean_b "
+            "FROM m"
+        ),
         "multimodal_audio": (
             "WITH m AS (SELECT doc_id, 1000 + doc_id % 500 AS n, doc_id % 100 AS b FROM documents) "
             "SELECT 'wav_' || CAST(doc_id AS VARCHAR) AS media_ref, "

@@ -12,13 +12,16 @@ so dimensions are genuinely parsed, not faked, and the multimodal_decode
 query carries a full DuckDB oracle. PIXEL-level decode is REAL for
 uncompressed 24-bit BMP (`decode_bmp_pixels` / `bmp_channel_stats` —
 raw BGR rows need no codec, only correct stride + bottom-up handling;
-the multimodal_pixels query oracles per-image channel means). PNG/JPEG
-pixel work stays stubbed: this container has no image/audio libraries,
-so decode_image features are a deterministic hash fake behind
-`_HAVE_PIL`, with NotImplementedError when the fake is disallowed. On a
-real cluster, swap `_fake_features` for PIL/ffmpeg calls — the batch
-contract is already per-Arrow-batch numpy, which is where the real
-codecs plug in.
+the multimodal_pixels query oracles per-image channel means), for PNG
+8-bit RGB non-interlaced (`decode_png_pixels` — zlib inflate + full
+None/Sub/Up/Average/Paeth filter reconstruction; zlib is stdlib, so
+this is a complete real decoder for that profile), and for 16-bit PCM
+WAV audio (`wav_pcm_stats`). JPEG/GIF pixel work stays stubbed: those
+need entropy codecs this container doesn't ship, so decode_image
+features are a deterministic hash fake behind `_HAVE_PIL`, with
+NotImplementedError when the fake is disallowed. On a real cluster,
+swap `_fake_features` for PIL/ffmpeg calls — the batch contract is
+already per-Arrow-batch numpy, which is where the real codecs plug in.
 """
 
 from __future__ import annotations
@@ -438,5 +441,162 @@ def synth_wav_udf():
     @pandas_udf(BinaryType())
     def make(n: pd.Series, base: pd.Series) -> pd.Series:
         return pd.Series([synth_wav_bytes(int(a), int(b)) for a, b in zip(n, base)])
+
+    return make
+
+
+def synth_png_bytes(width: int, height: int) -> bytes:
+    """COMPLETE PNG (8-bit RGB, non-interlaced) with REAL compressed
+    pixel data: same wrap-free x-gradients as bmp24 (R = (w+h)%61 + x,
+    G = h%61 + 2x, B = w%61 + 3x — PNG is RGB order), rows alternating
+    filter 0 (None) and filter 2 (Up) so decoders must actually
+    reconstruct; zlib-compressed IDAT, correct CRCs throughout."""
+    import numpy as np
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    x = np.arange(width, dtype=np.uint16)
+    px = np.stack(
+        [(width + height) % 61 + x, height % 61 + 2 * x, width % 61 + 3 * x], axis=1
+    ).astype(np.uint8).reshape(-1)
+    raw = bytearray()
+    for y in range(height):
+        if y % 2 == 0 or y == 0:
+            raw.append(0)
+            raw += px.tobytes()
+        else:  # filter 2 (Up): identical rows -> all-zero deltas
+            raw.append(2)
+            raw += bytes(width * 3)
+    idat = zlib.compress(bytes(raw), 6)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(">I", zlib.crc32(c))
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG decode for 8-bit RGB non-interlaced images — the full
+    spec for that profile is zlib inflate + per-row filter
+    reconstruction (None/Sub/Up/Average/Paeth), no codec library
+    needed. Returns (h, w, 3) uint8 RGB, or None for other profiles /
+    malformed data."""
+    import numpy as np
+
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body[:13])
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or inter != 0:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.uint16)
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, np.uint16)
+            for i in range(stride):
+                a = int(cur[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                if ft == 1:
+                    v = row[i] + a
+                elif ft == 3:
+                    v = row[i] + ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    v = row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                cur[i] = v & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Unified REAL pixel statistics: magic-sniffs each payload and
+    decodes BMP (decode_bmp_pixels, BGR) or PNG (decode_png_pixels,
+    RGB), normalizing to R,G,B channel means. NULLs for profiles
+    without an in-container decoder (JPEG/GIF pixels). Output:
+    (media_ref, codec, width, height, mean_r, mean_g, mean_b)."""
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("codec", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_r", FloatType()),
+            StructField("mean_g", FloatType()),
+            StructField("mean_b", FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                if b[:2] == b"BM":
+                    px, codec, order = decode_bmp_pixels(b), "bmp", (2, 1, 0)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    px, codec, order = decode_png_pixels(b), "png", (0, 1, 2)
+                else:
+                    px, codec = None, None
+                if px is None:
+                    rows.append((ref, codec, None, None, None, None, None))
+                    continue
+                m = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (ref, codec, px.shape[1], px.shape[0],
+                     round(float(m[order[0]]), 6), round(float(m[order[1]]), 6),
+                     round(float(m[order[2]]), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "codec", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def synth_png_udf():
+    """Vectorized builder: (width, height) columns -> real PNG bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make(w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([synth_png_bytes(int(a), int(b)) for a, b in zip(w, h)])
 
     return make

@@ -526,3 +526,56 @@ def test_wav_pcm_stats_real_decode(spark):
     assert out["mono"].duration_ms == 100 * 1000 // 8000
     assert out["stereo"].n_samples == 50 and out["stereo"].sum_pcm == 2 * sum(range(50))
     assert out["junk"].sample_rate is None
+
+
+def test_png_decode_reconstructs_all_filter_types():
+    import struct as _s
+    import zlib as _z
+
+    rng = np.random.default_rng(7)
+    h, w = 6, 5
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.int16)
+    for y, ft in enumerate([0, 1, 2, 3, 4, 4]):
+        row = px[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        ul = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - (left + prev) // 2
+        else:
+            enc = row - np.array(
+                [paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                np.int16,
+            )
+        raw.append(ft)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag, body):
+        c = tag + body
+        return _s.pack(">I", len(body)) + c + _s.pack(">I", _z.crc32(c))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    got = multimodal.decode_png_pixels(png)
+    assert got is not None and (got == px).all()
+    # unsupported profiles refuse: 16-bit depth
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert multimodal.decode_png_pixels(bad) is None
