@@ -1142,6 +1142,30 @@ def q_multimodal_png(spark, sf):
     )
 
 
+def q_multimodal_gif(spark, sf):
+    """REAL GIF decode — general LZW decompression (variable code width,
+    table growth, clear codes) + palette lookup, pure Python. Palette
+    entry i = (i, 2i, 3i) and index(x) = (w+h)%21 + x wrap-free, so the
+    channel means have the closed form base + (w-1)/2 times (1,2,3)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("gif_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/gif").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 57).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 29).cast("int").alias("_h"),
+    )
+    media = media.withColumn(
+        "data", multimodal.synth_gif_udf()(F.col("_w"), F.col("_h"))
+    ).select("media_ref", "mime_type", "data")
+    s = multimodal.image_channel_stats(media)
+    return s.select(
+        "media_ref", "codec", "width", "height",
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1398,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_png": q_multimodal_png,
+        "multimodal_gif": q_multimodal_gif,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2590,6 +2615,15 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_gif": (
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h FROM documents) "
+            "SELECT 'gif_' || CAST(doc_id AS VARCHAR) AS media_ref, 'gif' AS codec, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "(w+h) % 21 + (w-1)/2.0 AS mean_r, "
+            "2.0*((w+h) % 21 + (w-1)/2.0) AS mean_g, "
+            "3.0*((w+h) % 21 + (w-1)/2.0) AS mean_b "
+            "FROM m"
+        ),
         "multimodal_png": (
             # same gradients as multimodal_pixels, reported in R,G,B order;
             # codec alternates png/bmp by doc parity (sniffed, not declared)

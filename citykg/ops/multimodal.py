@@ -15,13 +15,16 @@ raw BGR rows need no codec, only correct stride + bottom-up handling;
 the multimodal_pixels query oracles per-image channel means), for PNG
 8-bit RGB non-interlaced (`decode_png_pixels` — zlib inflate + full
 None/Sub/Up/Average/Paeth filter reconstruction; zlib is stdlib, so
-this is a complete real decoder for that profile), and for 16-bit PCM
-WAV audio (`wav_pcm_stats`). JPEG/GIF pixel work stays stubbed: those
-need entropy codecs this container doesn't ship, so decode_image
-features are a deterministic hash fake behind `_HAVE_PIL`, with
-NotImplementedError when the fake is disallowed. On a real cluster,
-swap `_fake_features` for PIL/ffmpeg calls — the batch contract is
-already per-Arrow-batch numpy, which is where the real codecs plug in.
+this is a complete real decoder for that profile), for GIF
+(`decode_gif_pixels` — full LZW decompression with variable code
+widths, table growth, and clear codes, plus palette lookup), and for
+16-bit PCM WAV audio (`wav_pcm_stats`). Only JPEG pixel work stays
+stubbed: baseline JPEG needs Huffman + IDCT this repo doesn't
+reimplement, so decode_image features are a deterministic hash fake
+behind `_HAVE_PIL`, with NotImplementedError when the fake is
+disallowed. On a real cluster, swap `_fake_features` for PIL/ffmpeg
+calls — the batch contract is already per-Arrow-batch numpy, which is
+where the real codecs plug in.
 """
 
 from __future__ import annotations
@@ -572,6 +575,8 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
                     px, codec, order = decode_bmp_pixels(b), "bmp", (2, 1, 0)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     px, codec, order = decode_png_pixels(b), "png", (0, 1, 2)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    px, codec, order = decode_gif_pixels(b), "gif", (0, 1, 2)
                 else:
                     px, codec = None, None
                 if px is None:
@@ -598,5 +603,144 @@ def synth_png_udf():
     @pandas_udf(BinaryType())
     def make(w: pd.Series, h: pd.Series) -> pd.Series:
         return pd.Series([synth_png_bytes(int(a), int(b)) for a, b in zip(w, h)])
+
+    return make
+
+
+def synth_gif_bytes(width: int, height: int) -> bytes:
+    """COMPLETE GIF89a with REAL LZW-compressed pixel data. Global
+    128-color palette with entry i = (i, 2i, 3i); pixel index(x) =
+    (w+h)%21 + x, wrap-free for w <= 64, so channel means are
+    closed-form: base + (w-1)/2 times (1, 2, 3). The encoder emits
+    literal codes at a fixed 8-bit width with a CLEAR every 100 symbols
+    (a valid, if lazy, LZW stream — decoders must still run the full
+    table machinery)."""
+    base = (width + height) % 21
+    pal = bytearray()
+    for i in range(128):
+        pal += bytes((min(i, 255), min(2 * i, 255), min(3 * i, 255)))
+    hdr = b"GIF89a" + struct.pack("<HH", width, height) + bytes((0xF6, 0, 0)) + pal
+    img = b"," + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    # LZW stream: min code size 7 -> clear=128, end=129, first free=130
+    codes, out, acc, nbits = [], bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 8
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(128)
+    n_since_clear = 0
+    for y in range(height):
+        for x in range(width):
+            emit(base + x)
+            n_since_clear += 1
+            if n_since_clear == 100:  # keep the table under 256 -> width stays 8
+                emit(128)
+                n_since_clear = 0
+    emit(129)
+    if nbits:
+        out.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(out), 255):
+        blk = out[i : i + 255]
+        sub += bytes((len(blk),)) + blk
+    return hdr + img + b"\x07" + bytes(sub) + b"\x00" + b";"
+
+
+def decode_gif_pixels(data: bytes):
+    """REAL GIF decode — general LZW decompression (variable code width,
+    table growth, clear/end codes) + global-palette lookup; pure Python
+    table machinery, no codec library. First image descriptor only;
+    interlaced or local-palette images are rejected. Returns (h, w, 3)
+    uint8 RGB or None."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    if not flags & 0x80:
+        return None  # no global palette
+    psize = 2 << (flags & 7)
+    pos = 13
+    pal = np.frombuffer(data, np.uint8, psize * 3, pos).reshape(psize, 3)
+    pos += psize * 3
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _, _, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0xC0:  # local palette or interlace unsupported
+                return None
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos]:
+                n = data[pos]
+                stream += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            clear, end = 1 << mcs, (1 << mcs) + 1
+            table = [bytes((i,)) for i in range(1 << mcs)] + [b"", b""]
+            width, acc, nbits = mcs + 1, 0, 0
+            prev, out = None, bytearray()
+            for byte in stream:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        table = table[: (1 << mcs) + 2]
+                        width, prev = mcs + 1, None
+                        continue
+                    if code == end:
+                        nbits = 0
+                        break
+                    if code < len(table):
+                        entry = table[code]
+                        if prev is not None:
+                            table.append(prev + entry[:1])
+                    elif code == len(table) and prev is not None:
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        return None
+                    out += entry
+                    prev = entry
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+            if len(out) < iw * ih:
+                return None
+            idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8).reshape(ih, iw)
+            if idx.max() >= psize:
+                return None
+            return pal[idx]
+        elif b0 == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
+def synth_gif_udf():
+    """Vectorized builder: (width, height) columns -> real GIF bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make(w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series([synth_gif_bytes(int(a), int(b)) for a, b in zip(w, h)])
 
     return make

@@ -579,3 +579,62 @@ def test_png_decode_reconstructs_all_filter_types():
            + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
            + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b""))
     assert multimodal.decode_png_pixels(bad) is None
+
+
+def test_gif_decode_handles_growing_lzw_table():
+    import struct as _s
+
+    # independent REAL LZW encoder: growing table, widening codes —
+    # exercises the decoder paths the lazy synth encoder never hits
+    # (table-driven multi-pixel entries, the code==len(table) case,
+    # width bumps past 9 bits)
+    w, h = 80, 60
+    idx = [(x * 7 + y * 13) % 97 for y in range(h) for x in range(w)]  # rich -> deep table
+    mcs = 7
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes((i,)): i for i in range(1 << mcs)}
+    nxt, width = end + 1, mcs + 1
+    out, acc, nbits = bytearray(), 0, 0
+
+    def emit(code, wd):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    cur = b""
+    for px in idx:
+        nxt_seq = cur + bytes((px,))
+        if nxt_seq in table:
+            cur = nxt_seq
+        else:
+            emit(table[cur], width)
+            table[nxt_seq] = nxt
+            nxt += 1
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+            cur = bytes((px,))
+    emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    assert width > 9  # the stream genuinely grew past two width bumps
+
+    pal = bytearray()
+    for i in range(128):
+        pal += bytes((i, min(2 * i, 255), min(3 * i, 255)))
+    gif = (b"GIF89a" + _s.pack("<HH", w, h) + bytes((0xF6, 0, 0)) + pal
+           + b"," + _s.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes((mcs,)))
+    sub = bytearray()
+    for i in range(0, len(out), 255):
+        blk = out[i : i + 255]
+        sub += bytes((len(blk),)) + blk
+    gif += bytes(sub) + b"\x00;"
+
+    px = multimodal.decode_gif_pixels(gif)
+    assert px is not None and px.shape == (h, w, 3)
+    assert [int(v) for v in px[:, :, 0].reshape(-1)] == idx  # R channel == palette index
