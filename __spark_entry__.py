@@ -1166,6 +1166,31 @@ def q_multimodal_gif(spark, sf):
     )
 
 
+def q_multimodal_video(spark, sf):
+    """REAL video-style frame extraction: animated GIFs (2-5 full-screen
+    frames each, real per-frame LZW data) are decoded frame-by-frame and
+    sampled every 2nd frame — the operation frame_sample_plan only
+    planned. Per-frame means are closed-form in (w, h, frame_idx)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("vid_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/gif").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 57).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 29).cast("int").alias("_h"),
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("_n"),
+    )
+    media = media.withColumn(
+        "data", multimodal.synth_animated_gif_udf()(F.col("_w"), F.col("_h"), F.col("_n"))
+    ).select("media_ref", "mime_type", "data")
+    s = multimodal.gif_frame_stats(media, every_n=2)
+    return s.select(
+        "media_ref", "frame_idx", "n_frames", "width", "height",
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1423,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2615,6 +2641,18 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_video": (
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h, "
+            "2 + doc_id % 4 AS nf FROM documents), "
+            "f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM m) "
+            "SELECT 'vid_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CAST(fi AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "(w+h+5*fi) % 21 + (w-1)/2.0 AS mean_r, "
+            "2.0*((w+h+5*fi) % 21 + (w-1)/2.0) AS mean_g, "
+            "3.0*((w+h+5*fi) % 21 + (w-1)/2.0) AS mean_b "
+            "FROM f WHERE fi % 2 = 0"
+        ),
         "multimodal_gif": (
             "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h FROM documents) "
             "SELECT 'gif_' || CAST(doc_id AS VARCHAR) AS media_ref, 'gif' AS codec, "

@@ -652,12 +652,49 @@ def synth_gif_bytes(width: int, height: int) -> bytes:
     return hdr + img + b"\x07" + bytes(sub) + b"\x00" + b";"
 
 
-def decode_gif_pixels(data: bytes):
-    """REAL GIF decode — general LZW decompression (variable code width,
-    table growth, clear/end codes) + global-palette lookup; pure Python
-    table machinery, no codec library. First image descriptor only;
-    interlaced or local-palette images are rejected. Returns (h, w, 3)
-    uint8 RGB or None."""
+def _lzw_decode(stream: bytes, mcs: int):
+    """General GIF LZW: variable code widths up to 12 bits, table growth,
+    clear/end codes. Returns decoded index bytes or None on a bad code."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = [bytes((i,)) for i in range(1 << mcs)] + [b"", b""]
+    width, acc, nbits = mcs + 1, 0, 0
+    prev, out = None, bytearray()
+    for byte in stream:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: (1 << mcs) + 2]
+                width, prev = mcs + 1, None
+                continue
+            if code == end:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes):
+    """REAL multi-frame GIF decode (animated GIF = the container this
+    repo treats as its honest video format): walks every image
+    descriptor, LZW-decodes each frame, maps through the global palette.
+    Full-logical-screen frames only (offset/partial frames would need
+    compositing/disposal handling); interlace and local palettes are
+    rejected. Returns a list of (h, w, 3) uint8 RGB frames, or None."""
     import numpy as np
 
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -670,6 +707,7 @@ def decode_gif_pixels(data: bytes):
     pos = 13
     pal = np.frombuffer(data, np.uint8, psize * 3, pos).reshape(psize, 3)
     pos += psize * 3
+    frames = []
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
@@ -678,10 +716,10 @@ def decode_gif_pixels(data: bytes):
                 pos += 1 + data[pos]
             pos += 1
         elif b0 == 0x2C:
-            _, _, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ox, oy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
             iflags = data[pos + 9]
             pos += 10
-            if iflags & 0xC0:  # local palette or interlace unsupported
+            if iflags & 0xC0 or ox or oy or iw != w or ih != h:
                 return None
             mcs = data[pos]
             pos += 1
@@ -691,48 +729,24 @@ def decode_gif_pixels(data: bytes):
                 stream += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             pos += 1
-            clear, end = 1 << mcs, (1 << mcs) + 1
-            table = [bytes((i,)) for i in range(1 << mcs)] + [b"", b""]
-            width, acc, nbits = mcs + 1, 0, 0
-            prev, out = None, bytearray()
-            for byte in stream:
-                acc |= byte << nbits
-                nbits += 8
-                while nbits >= width:
-                    code = acc & ((1 << width) - 1)
-                    acc >>= width
-                    nbits -= width
-                    if code == clear:
-                        table = table[: (1 << mcs) + 2]
-                        width, prev = mcs + 1, None
-                        continue
-                    if code == end:
-                        nbits = 0
-                        break
-                    if code < len(table):
-                        entry = table[code]
-                        if prev is not None:
-                            table.append(prev + entry[:1])
-                    elif code == len(table) and prev is not None:
-                        entry = prev + prev[:1]
-                        table.append(entry)
-                    else:
-                        return None
-                    out += entry
-                    prev = entry
-                    if len(table) == (1 << width) and width < 12:
-                        width += 1
-            if len(out) < iw * ih:
+            out = _lzw_decode(bytes(stream), mcs)
+            if out is None or len(out) < iw * ih:
                 return None
-            idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8).reshape(ih, iw)
+            idx = np.frombuffer(out[: iw * ih], np.uint8).reshape(ih, iw)
             if idx.max() >= psize:
                 return None
-            return pal[idx]
+            frames.append(pal[idx])
         elif b0 == 0x3B:
-            return None
+            break
         else:
             return None
-    return None
+    return frames or None
+
+
+def decode_gif_pixels(data: bytes):
+    """First frame of decode_gif_frames (see there); (h, w, 3) or None."""
+    frames = decode_gif_frames(data)
+    return None if frames is None else frames[0]
 
 
 def synth_gif_udf():
@@ -742,5 +756,114 @@ def synth_gif_udf():
     @pandas_udf(BinaryType())
     def make(w: pd.Series, h: pd.Series) -> pd.Series:
         return pd.Series([synth_gif_bytes(int(a), int(b)) for a, b in zip(w, h)])
+
+    return make
+
+
+def _lzw_encode_literals(pixels) -> bytes:
+    """Fixed-width literal LZW stream (min code size 7, CLEAR every 100
+    symbols) packaged as GIF sub-blocks — valid input for any decoder."""
+    out, acc, nbits = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 8
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(128)
+    n = 0
+    for p in pixels:
+        emit(p)
+        n += 1
+        if n == 100:
+            emit(128)
+            n = 0
+    emit(129)
+    if nbits:
+        out.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(out), 255):
+        blk = out[i : i + 255]
+        sub += bytes((len(blk),)) + blk
+    return b"\x07" + bytes(sub) + b"\x00"
+
+
+def synth_animated_gif_bytes(width: int, height: int, n_frames: int) -> bytes:
+    """COMPLETE animated GIF89a: n_frames full-screen frames, each behind
+    a graphics-control extension (10 cs delay) with its own real LZW
+    data. Frame f pixel index(x) = (w+h+5f)%21 + x, wrap-free for
+    w <= 64, so per-frame channel means are closed-form:
+    (w+h+5f)%21 + (w-1)/2 times (1, 2, 3) for (R, G, B)."""
+    pal = bytearray()
+    for i in range(128):
+        pal += bytes((min(i, 255), min(2 * i, 255), min(3 * i, 255)))
+    out = bytearray(b"GIF89a" + struct.pack("<HH", width, height) + bytes((0xF6, 0, 0)) + pal)
+    for f in range(n_frames):
+        base = (width + height + 5 * f) % 21
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", 10) + b"\x00\x00"  # GCE: 100ms
+        out += b"," + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += _lzw_encode_literals(
+            base + x for _ in range(height) for x in range(width)
+        )
+    out += b";"
+    return bytes(out)
+
+
+def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video-style frame extraction: decode every frame of each
+    animated GIF, keep every_n-th frame (the sampling that
+    frame_sample_plan only planned), and report per-frame channel means.
+    Output: (media_ref, frame_idx, n_frames, width, height, mean_r,
+    mean_g, mean_b); undecodable payloads yield a single NULL row."""
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_r", FloatType()),
+            StructField("mean_g", FloatType()),
+            StructField("mean_b", FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                frames = decode_gif_frames(bytes(data) if data is not None else b"")
+                if frames is None:
+                    rows.append((ref, None, None, None, None, None, None, None))
+                    continue
+                for i in range(0, len(frames), every_n):
+                    px = frames[i]
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (ref, i, len(frames), px.shape[1], px.shape[0],
+                         round(float(m[0]), 6), round(float(m[1]), 6), round(float(m[2]), 6))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "frame_idx", "n_frames", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def synth_animated_gif_udf():
+    """Vectorized builder: (width, height, n_frames) -> animated GIF bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def make(w: pd.Series, h: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_animated_gif_bytes(int(a), int(b), int(c)) for a, b, c in zip(w, h, n)]
+        )
 
     return make

@@ -638,3 +638,16 @@ def test_gif_decode_handles_growing_lzw_table():
     px = multimodal.decode_gif_pixels(gif)
     assert px is not None and px.shape == (h, w, 3)
     assert [int(v) for v in px[:, :, 0].reshape(-1)] == idx  # R channel == palette index
+
+
+def test_gif_frame_stats_samples_every_n(spark):
+    b = multimodal.synth_animated_gif_bytes(10, 6, 5)
+    df = spark.createDataFrame([("v", "image/gif", b)], multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        (r.frame_idx, r.n_frames, r.mean_r)
+        for r in multimodal.gif_frame_stats(df, every_n=2).collect()
+    )
+    # frames 0, 2, 4 of 5; frame f mean_r = (10+6+5f)%21 + (10-1)/2
+    assert [(i, n) for i, n, _ in out] == [(0, 5), (2, 5), (4, 5)]
+    for i, _, mr in out:
+        assert abs(mr - ((16 + 5 * i) % 21 + 4.5)) < 1e-6
