@@ -1191,6 +1191,26 @@ def q_multimodal_video(spark, sf):
     )
 
 
+def q_multimodal_jpeg(spark, sf):
+    """REAL baseline JPEG decode (grayscale): flat 8x8 blocks are DC-only
+    in DCT space and round-trip exactly through the q=16 table, so the
+    decoded luma sum is closed-form per doc — while the decoder still
+    runs the full generic pipeline (Huffman, dezigzag, dequant, IDCT)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("jpg_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/jpeg").alias("mime_type"),
+        (F.lit(8) * (F.lit(1) + F.col("doc_id") % 8)).cast("int").alias("_w"),
+        (F.lit(8) * (F.lit(1) + F.col("doc_id") % 4)).cast("int").alias("_h"),
+    )
+    media = media.withColumn(
+        "data", multimodal.synth_jpeg_udf()(F.col("_w"), F.col("_h"))
+    ).select("media_ref", "mime_type", "data")
+    return multimodal.jpeg_gray_stats(media).select(
+        "media_ref", "width", "height", "sum_y"
+    )
+
+
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
@@ -1449,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_video": q_multimodal_video,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2641,6 +2662,16 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_jpeg": (
+            # flat blocks decode losslessly: sum_y = 64 * sum over blocks
+            # of 16*((bx+by)%13) + 8
+            "WITH m AS (SELECT doc_id, 8*(1 + doc_id % 8) AS w, 8*(1 + doc_id % 4) AS h FROM documents), "
+            "b AS (SELECT doc_id, w, h, list_sum(flatten(list_transform(range(0, w//8), bx -> "
+            "list_transform(range(0, h//8), by -> 16*((bx+by)%13) + 8)))) AS bsum FROM m) "
+            "SELECT 'jpg_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST(64 * bsum AS BIGINT) AS sum_y FROM b"
+        ),
         "multimodal_video": (
             "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h, "
             "2 + doc_id % 4 AS nf FROM documents), "

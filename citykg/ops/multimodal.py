@@ -18,13 +18,17 @@ None/Sub/Up/Average/Paeth filter reconstruction; zlib is stdlib, so
 this is a complete real decoder for that profile), for GIF
 (`decode_gif_pixels` — full LZW decompression with variable code
 widths, table growth, and clear codes, plus palette lookup), and for
-16-bit PCM WAV audio (`wav_pcm_stats`). Only JPEG pixel work stays
-stubbed: baseline JPEG needs Huffman + IDCT this repo doesn't
-reimplement, so decode_image features are a deterministic hash fake
-behind `_HAVE_PIL`, with NotImplementedError when the fake is
-disallowed. On a real cluster, swap `_fake_features` for PIL/ffmpeg
-calls — the batch contract is already per-Arrow-batch numpy, which is
-where the real codecs plug in.
+16-bit PCM WAV audio (`wav_pcm_stats`), for multi-frame animated GIF
+"video" (`decode_gif_frames` / `gif_frame_stats`), and for baseline
+grayscale JPEG (`ops.jpegcodec.decode_jpeg_gray` — Huffman entropy
+decode, dequant, full 8x8 IDCT; `jpeg_gray_stats`). Every shipped
+format decodes for REAL within its stated profile; out-of-profile
+payloads (color/progressive JPEG, interlaced GIF, 16-bit PNG) return
+NULL rather than fake values. The only remaining fake is
+decode_image's legacy `features` column (a deterministic hash stand-in
+for learned embeddings behind `_HAVE_PIL`, NotImplementedError when
+disallowed) — swap it for a model/PIL call on a real cluster; the
+batch contract is already per-Arrow-batch numpy.
 """
 
 from __future__ import annotations
@@ -864,6 +868,62 @@ def synth_animated_gif_udf():
     def make(w: pd.Series, h: pd.Series, n: pd.Series) -> pd.Series:
         return pd.Series(
             [synth_animated_gif_bytes(int(a), int(b), int(c)) for a, b, c in zip(w, h, n)]
+        )
+
+    return make
+
+
+def jpeg_gray_stats(media: DataFrame) -> DataFrame:
+    """REAL baseline JPEG decode (grayscale profile — see ops.jpegcodec):
+    Huffman entropy decode, dequant, full 8x8 IDCT per block. Output:
+    (media_ref, width, height, sum_y) with sum_y the integer sum of
+    decoded luma samples (exact — no float comparison); NULLs for
+    payloads outside the baseline-grayscale profile."""
+    import numpy as np
+
+    from .jpegcodec import decode_jpeg_gray
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_y", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                px = decode_jpeg_gray(bytes(data) if data is not None else b"")
+                if px is None:
+                    rows.append((ref, None, None, None))
+                    continue
+                rows.append(
+                    (ref, px.shape[1], px.shape[0], int(px.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "sum_y"])
+
+    return media.mapInPandas(run, schema)
+
+
+def synth_jpeg_udf():
+    """Vectorized builder: (width, height) -> flat-block grayscale JPEG
+    with block value 16*((bx+by)%13) + 8 (the multimodal_jpeg fixture)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .jpegcodec import synth_jpeg_gray_bytes
+
+    @pandas_udf(BinaryType())
+    def make(w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_jpeg_gray_bytes(
+                    int(a), int(b), lambda bx, by: 16 * ((bx + by) % 13) + 8
+                )
+                for a, b in zip(w, h)
+            ]
         )
 
     return make

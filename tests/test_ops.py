@@ -651,3 +651,66 @@ def test_gif_frame_stats_samples_every_n(spark):
     assert [(i, n) for i, n, _ in out] == [(0, 5), (2, 5), (4, 5)]
     for i, _, mr in out:
         assert abs(mr - ((16 + 5 * i) % 21 + 4.5)) < 1e-6
+
+
+def test_jpeg_decoder_handles_ac_coefficients_and_rejects_offprofile():
+    import struct as _s
+
+    from citykg.ops import jpegcodec as J
+
+    # hand-build a single-block scan with real AC coefficients (run of 2
+    # zeros then -5 at zigzag k=3, and +9 at k=10) and check the decode
+    # against an independent IDCT
+    dc_codes = J._build_codes(J.DC_BITS, J.DC_VALS)
+    ac_codes = J._build_codes(J.AC_BITS, J.AC_VALS)
+    wtr = J._BitWriter()
+
+    def put(codes, sym):
+        c, l = codes[sym]
+        wtr.write(c, l)
+
+    def put_val(v):
+        cat = J._category(v)
+        bits = v if v >= 0 else v + (1 << cat) - 1
+        return cat, bits
+
+    cat, bits = put_val(12)        # DC = 12
+    put(dc_codes, cat); wtr.write(bits, cat)
+    cat, bits = put_val(-5)        # run 2 -> k=3
+    put(ac_codes, (2 << 4) | cat); wtr.write(bits, cat)
+    cat, bits = put_val(9)         # run 6 -> k=10
+    put(ac_codes, (6 << 4) | cat); wtr.write(bits, cat)
+    put(ac_codes, 0x00)            # EOB
+    scan = wtr.flush()
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + _s.pack(">H", len(body) + 2) + body
+
+    jpg = (b"\xff\xd8"
+           + seg(0xDB, bytes([0]) + bytes([16] * 64))
+           + seg(0xC0, b"\x08" + _s.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+           + seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(J.AC_BITS) + bytes(J.AC_VALS))
+           + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00") + scan + b"\xff\xd9")
+    got = J.decode_jpeg_gray(jpg)
+    assert got is not None and got.shape == (8, 8)
+
+    zz = np.zeros(64)
+    zz[0], zz[3], zz[10] = 12, -5, 9
+    coeffs = np.zeros(64)
+    coeffs[J.ZIGZAG] = zz * 16
+    u = np.arange(8)
+    B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    B[0, :] /= np.sqrt(2)
+    want = np.clip(np.round(B.T @ coeffs.reshape(8, 8) @ B) + 128, 0, 255)
+    assert (got == want.astype(np.uint8)).all()
+    assert got.std() > 0  # genuinely non-flat: the AC path did the work
+
+    # off-profile rejection: 3-component SOF, progressive SOF2
+    color = jpg.replace(
+        seg(0xC0, b"\x08" + _s.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"),
+        seg(0xC0, b"\x08" + _s.pack(">HH", 8, 8) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"),
+    )
+    assert J.decode_jpeg_gray(color) is None
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    assert J.decode_jpeg_gray(prog) is None
