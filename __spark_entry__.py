@@ -1385,6 +1385,96 @@ def q_graph_shortest_paths(spark, sf):
     return graph.shortest_paths(graph.triples_to_edges(t), src[0].subj if src else "none")
 
 
+def q_multimodal_features(spark, sf):
+    """REAL visual feature extraction: payloads rotate bmp24/png/gif per
+    doc (all three with real pixel data), image_grid_features sniffs,
+    decodes, NN-resamples to 2x2 and flattens RGB — the exploded
+    descriptor values are exact integers (raw channel bytes), so the
+    oracle recomputes every one closed-form from (doc_id -> fmt, w, h):
+    x = (gx*w)//2, bmp/png share the RGB gradient formulas, gif is
+    (c+1)*((w+h)%21 + x)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("feat_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/any").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 57).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 29).cast("int").alias("_h"),
+        (F.col("doc_id") % 3).alias("_f"),
+    )
+    media = media.withColumn(
+        "data",
+        F.when(F.col("_f") == 0,
+               multimodal.synth_payload_udf()(F.lit("bmp24"), F.col("_w"), F.col("_h")))
+         .when(F.col("_f") == 1,
+               multimodal.synth_png_udf()(F.col("_w"), F.col("_h")))
+         .otherwise(multimodal.synth_gif_udf()(F.col("_w"), F.col("_h"))),
+    ).select("media_ref", "mime_type", "data")
+    f = multimodal.image_grid_features(media, grid=2)
+    return f.select(
+        "media_ref", "codec", "width", "height",
+        F.posexplode("features").alias("idx", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def q_image_dedup(spark, sf):
+    """Pixel-level duplicate detection across container formats: the same
+    gradient image is saved as BMP for even docs and PNG for odd docs
+    with (w, h) cycling mod (19, 13) — so visually identical images
+    recur under DIFFERENT formats and byte sizes, and only a decoded-
+    pixel comparison can group them. visual_dup_clusters groups by the
+    real grid descriptor in one hash aggregate (no pair join); the
+    oracle groups by the (w, h) class, which provably coincides here
+    (descriptor cells B(0)=w, G(0)=h are injective in (w, h) for
+    w<=26, h<=20)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("dup_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image/any").alias("mime_type"),
+        (F.lit(8) + F.col("doc_id") % 19).cast("int").alias("_w"),
+        (F.lit(8) + F.col("doc_id") % 13).cast("int").alias("_h"),
+        (F.col("doc_id") % 2).alias("_p"),
+    )
+    media = media.withColumn(
+        "data",
+        F.when(F.col("_p") == 0,
+               multimodal.synth_payload_udf()(F.lit("bmp24"), F.col("_w"), F.col("_h")))
+         .otherwise(multimodal.synth_png_udf()(F.col("_w"), F.col("_h"))),
+    ).select("media_ref", "mime_type", "data")
+    return multimodal.visual_dup_clusters(media, grid=2).select(
+        "width", "height", "n_images", "n_codecs", "exemplar"
+    )
+
+
+def q_streaming_extract(spark, sf):
+    """Structured Streaming twin of kg_counts, driver-oracled: the synth
+    corpus is staged once as a landing directory, stream_extract_to_store
+    runs the SAME extraction plan per micro-batch (readStream ->
+    extract_triples -> checkpointed parquet sink, Trigger.AvailableNow
+    drains and stops — the reference's one-shot import agent,
+    CityImportAgent.listenToImport:238-264), and the materialized stream
+    output is aggregated per graph. Passing the kg_counts oracle proves
+    streaming == batch semantics cross-engine, not just rows > 0."""
+    import tempfile
+
+    from citykg import streaming as streammod
+    from citykg.fixtures import SYNTH_VERSION, synth_docs
+
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"citykg_stream_land_v{SYNTH_VERSION}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(land, "_SUCCESS")):
+        synth_docs(spark, sf).repartition(8).write.mode("overwrite").parquet(land)
+    out = tempfile.mkdtemp(prefix="citykg_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_stream_ckpt_")
+    streammod.stream_extract_to_store(spark, land, out, ckpt).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("graph")
+        .agg(F.count("*").alias("n_triples"), F.countDistinct("subj").alias("n_subjects"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -1470,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": q_multimodal_gif,
         "multimodal_video": q_multimodal_video,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_features": q_multimodal_features,
+        "image_dedup": q_image_dedup,
+        "streaming_extract": q_streaming_extract,
         "crs_transform": q_crs_transform,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -2662,6 +2755,39 @@ def oracle_sql() -> dict[str, str]:
         # recomputes them; only pixel features (not in the output) are a
         # declared stub
         "multimodal_decode": _multimodal_decode_sql(),
+        "multimodal_features": (
+            # exploded 2x2 grid descriptor, exact ints: x = (gx*w)//2;
+            # bmp/png share the RGB gradient formulas, gif = (ch+1)*base
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 29 AS h, "
+            "doc_id % 3 AS f FROM documents), "
+            "e AS (SELECT doc_id, w, h, f, unnest(range(0, 12)) AS idx FROM m), "
+            "x AS (SELECT doc_id, w, h, f, idx, idx % 3 AS ch, "
+            "(((idx // 3) % 2) * w) // 2 AS px FROM e) "
+            "SELECT 'feat_' || CAST(doc_id AS VARCHAR) AS media_ref, "
+            "CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS codec, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(idx AS INT) AS idx, "
+            "CAST(CASE WHEN f = 2 THEN (ch+1) * ((w+h) % 21 + px) "
+            "WHEN ch = 0 THEN (w+h) % 61 + px "
+            "WHEN ch = 1 THEN h % 61 + 2*px "
+            "ELSE w % 61 + 3*px END AS DOUBLE) AS val "
+            "FROM x"
+        ),
+        "image_dedup": (
+            # visual identity classes == (w, h) classes (descriptor is
+            # injective in (w, h) on these ranges); parity picks the codec
+            "WITH m AS (SELECT doc_id, 8 + doc_id % 19 AS w, 8 + doc_id % 13 AS h, "
+            "doc_id % 2 AS p FROM documents) "
+            "SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "count(*) AS n_images, count(DISTINCT p) AS n_codecs, "
+            "min('dup_' || CAST(doc_id AS VARCHAR)) AS exemplar "
+            "FROM m GROUP BY w, h"
+        ),
+        "streaming_extract": (
+            # the streaming sink must materialize EXACTLY the batch
+            # extraction's triples — same oracle as kg_counts
+            f"SELECT graph, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects "
+            f"FROM ({triples_oracle_sql()}) GROUP BY graph"
+        ),
         "multimodal_jpeg": (
             # flat blocks decode losslessly: sum_y = 64 * sum over blocks
             # of 16*((bx+by)%13) + 8

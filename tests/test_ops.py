@@ -223,6 +223,55 @@ def test_fingerprint_md5_matches_duckdb(documents, duck):
 
 # ---------------- multimodal ----------------
 
+def test_image_grid_features_real(spark):
+    # REAL descriptor: decode + NN resample must equal an independent
+    # numpy reference over the decoded pixels, across all three codecs
+    payloads = [
+        ("b1", multimodal.synth_image_bytes("bmp24", 11, 9)),
+        ("p1", multimodal.synth_png_bytes(13, 10)),
+        ("g1", multimodal.synth_gif_bytes(12, 8)),
+    ]
+    media = spark.createDataFrame(
+        [(r, "image/any", b) for r, b in payloads], multimodal.MEDIA_SCHEMA
+    )
+    got = {r.media_ref: r for r in multimodal.image_grid_features(media, grid=2).collect()}
+    for ref, b in payloads:
+        codec, px = multimodal.decode_any_rgb(b)
+        h, w = px.shape[:2]
+        xs = (np.arange(2) * w) // 2
+        ys = (np.arange(2) * h) // 2
+        want = [float(v) for v in px[ys][:, xs].astype(np.float32).reshape(-1)]
+        assert got[ref].features == want and got[ref].codec == codec
+        assert (got[ref].width, got[ref].height) == (w, h)
+
+
+def test_visual_dup_clusters_cross_format(spark):
+    # same pixels as BMP and as PNG (different bytes) -> ONE cluster;
+    # different dims -> separate clusters; undecodable payload dropped
+    rows = [
+        ("a_bmp", "x", multimodal.synth_image_bytes("bmp24", 10, 7)),
+        ("b_png", "x", multimodal.synth_png_bytes(10, 7)),
+        ("c_other", "x", multimodal.synth_png_bytes(11, 7)),
+        ("d_junk", "x", b"not an image"),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.exemplar: r for r in multimodal.visual_dup_clusters(media, grid=2).collect()}
+    assert set(got) == {"a_bmp", "c_other"}
+    assert got["a_bmp"].n_images == 2 and got["a_bmp"].n_codecs == 2
+    assert got["c_other"].n_images == 1
+
+
+def test_decode_image_real_features(spark):
+    # decodable payload -> features ARE the grid descriptor (truncated)
+    b = multimodal.synth_png_bytes(9, 9)
+    media = spark.createDataFrame([("p", "image/png", b)], multimodal.MEDIA_SCHEMA)
+    r = multimodal.decode_image(media, n_features=8).collect()[0]
+    _, px = multimodal.decode_any_rgb(b)
+    xs = (np.arange(2) * 9) // 2
+    want = [float(v) for v in px[xs][:, xs].astype(np.float32).reshape(-1)][:8]
+    assert r.features == want
+
+
 def test_media_decode_plumbing(spark, documents):
     media = multimodal.synth_media(documents.limit(50))
     dec = multimodal.decode_image(media, n_features=8)
