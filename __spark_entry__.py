@@ -466,6 +466,27 @@ def q_kml_extruded(spark, sf):
     return kml_extruded_placemarks(g, "gml_id", "lit", "height").select("doc_id", "kml")
 
 
+def q_citygml_export(spark, sf):
+    """Exporter read side: CityGML 2.0 bldg:Building fragment per building
+    reconstructed from the triple store (DBBuilding exporter +
+    CityGMLWriter analog, exporter/database/content/DBBuilding.java:
+    249-420). One pivot shuffle on doc_id, then a codegen'd string
+    Project."""
+    from citykg.ops.citygml_export import building_citygml
+
+    return building_citygml(_triples(spark, sf, ["building", "cityobject"]))
+
+
+def q_cityjson_export(spark, sf):
+    """Exporter read side, CityJSON flavor: CityObjects entry per building
+    with envelope-ring lod1 MultiSurface and 0-indexed vertices (the
+    CityJSON twin of citygml_export; the reference reads CityJSON via S3
+    and the upstream tool writes it in v4)."""
+    from citykg.ops.citygml_export import building_cityjson
+
+    return building_cityjson(_triples(spark, sf, ["building", "cityobject"]))
+
+
 def q_gltf_geometry(spark, sf):
     """S8 (glTF half): complete glTF 2.0 JSON asset per surface — POSITION
     accessor with token-exact min/max, uint16 fan indices, external-uri
@@ -1508,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
         "kml_extruded": q_kml_extruded,
+        "citygml_export": q_citygml_export,
+        "cityjson_export": q_cityjson_export,
         "collada_geometry": q_collada_geometry,
         "gltf_geometry": q_gltf_geometry,
         "owl_cardinality": q_owl_cardinality,
@@ -2002,6 +2025,59 @@ def _kml_extruded_sql() -> str:
         f"{coords} || "
         "'</coordinates></LinearRing></outerBoundaryIs></Polygon>"
         "</MultiGeometry></Placemark>' AS kml FROM g"
+    )
+
+
+def _citygml_export_sql() -> str:
+    from citykg.fixtures import _envelope_lit, attr_exprs, doc_key_expr
+
+    a = attr_exprs("duckdb")["building"]
+    lower = "t[1] || ' ' || t[2] || ' ' || t[3]"
+    upper = "t[7] || ' ' || t[8] || ' ' || t[9]"
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, ({a['gmlId']}) AS gml_id, "
+        f"'<cityObjectMember><bldg:Building gml:id=\"' || ({a['gmlId']}) || '\">"
+        f"<gml:name>' || ({a['name']}) || '</gml:name>"
+        f"<gml:boundedBy><gml:Envelope srsDimension=\"3\"><gml:lowerCorner>' || {lower} || "
+        f"'</gml:lowerCorner><gml:upperCorner>' || {upper} || "
+        f"'</gml:upperCorner></gml:Envelope></gml:boundedBy>"
+        f"<core:creationDate>' || ({a['creationDate']}) || '</core:creationDate>"
+        f"<bldg:class>' || ({a['class']}) || '</bldg:class>"
+        f"<bldg:function>' || ({a['function']}) || '</bldg:function>"
+        f"<bldg:usage>' || ({a['usage']}) || '</bldg:usage>"
+        f"<bldg:yearOfConstruction>' || ({a['yearOfConstruction']}) || '</bldg:yearOfConstruction>"
+        f"<bldg:roofType>' || ({a['roofType']}) || '</bldg:roofType>"
+        f"<bldg:measuredHeight uom=\"#m\">' || ({a['measuredHeight']}) || '</bldg:measuredHeight>"
+        f"<bldg:storeysAboveGround>' || ({a['storeysAboveGround']}) || '</bldg:storeysAboveGround>"
+        f"<bldg:storeysBelowGround>' || ({a['storeysBelowGround']}) || '</bldg:storeysBelowGround>"
+        f"</bldg:Building></cityObjectMember>' AS citygml FROM g"
+    )
+
+
+def _cityjson_export_sql() -> str:
+    from citykg.fixtures import _envelope_lit, attr_exprs, doc_key_expr
+
+    a = attr_exprs("duckdb")["building"]
+    verts = " || ',' || ".join(
+        f"('[' || t[{3 * i + 1}] || ',' || t[{3 * i + 2}] || ',' || t[{3 * i + 3}] || ']')"
+        for i in range(4)
+    )
+    return (
+        f"WITH g AS (SELECT doc_id AS d, string_split({_envelope_lit('duckdb')}, '#') AS t FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, ({a['gmlId']}) AS gml_id, "
+        f"'{{\"' || ({a['gmlId']}) || '\":{{\"type\":\"Building\",\"attributes\":{{"
+        f"\"name\":\"' || ({a['name']}) || '\","
+        f"\"class\":\"' || ({a['class']}) || '\","
+        f"\"function\":\"' || ({a['function']}) || '\","
+        f"\"usage\":\"' || ({a['usage']}) || '\","
+        f"\"yearOfConstruction\":\"' || ({a['yearOfConstruction']}) || '\","
+        f"\"roofType\":\"' || ({a['roofType']}) || '\","
+        f"\"measuredHeight\":\"' || ({a['measuredHeight']}) || '\","
+        f"\"storeysAboveGround\":\"' || ({a['storeysAboveGround']}) || '\","
+        f"\"storeysBelowGround\":\"' || ({a['storeysBelowGround']}) || '\"}},"
+        f"\"geometry\":[{{\"type\":\"MultiSurface\",\"lod\":1,"
+        f"\"boundaries\":[[[0,1,2,3]]]}}],\"vertices\":[' || {verts} || ']}}}}' AS cityjson FROM g"
     )
 
 
@@ -2593,6 +2669,8 @@ def oracle_sql() -> dict[str, str]:
         "nquads_format": _nquads_sql(),
         "kml_placemark": _kml_placemark_sql(),
         "kml_extruded": _kml_extruded_sql(),
+        "citygml_export": _citygml_export_sql(),
+        "cityjson_export": _cityjson_export_sql(),
         "collada_geometry": _collada_geometry_sql(),
         "gltf_geometry": _gltf_geometry_sql(),
         "owl_cardinality": (

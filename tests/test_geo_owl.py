@@ -386,3 +386,53 @@ def test_point_in_polygon_join(spark):
     assert got == {("in1", "sq"), ("in_far", "far")}
     plan = geo.point_in_polygon_join(pts, polys)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_citygml_export_roundtrip(spark):
+    """Exporter fragment for a synthetic building: known attribute values
+    land in the right CityGML elements, envelope corners come from the
+    ring's pt0/pt2, and the JSON twin parses as real JSON."""
+    import json
+
+    from citykg.ops.citygml_export import building_citygml, building_cityjson
+
+    ring = "#".join(map(str, [10, 20, 1, 19, 20, 1, 19, 28, 5, 10, 28, 5, 10, 20, 1]))
+    rows = [
+        ("d1", "s/cityobject/BLDG_1/", "ocgml:gmlId", "BLDG_1", "cityobject"),
+        ("d1", "s/cityobject/BLDG_1/", "ocgml:name", "Building 1", "cityobject"),
+        ("d1", "s/cityobject/BLDG_1/", "ocgml:EnvelopeType", ring, "cityobject"),
+        ("d1", "s/cityobject/BLDG_1/", "ocgml:creationDate", "2014-07-08T00:00Z", "cityobject"),
+        ("d1", "s/building/BLDG_1/", "ocgml:class", "3", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:function", "1004", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:usage", "2001", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:yearOfConstruction", "1984", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:roofType", "2", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:measuredHeigh", "7.5", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:storeysAboveGround", "2", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:storeysBelowGround", "1", "building"),
+        # building-part + non-export preds must be ignored by the pivot
+        ("d1", "s/building/BP_1/", "ocgml:class", "9", "building"),
+        ("d1", "s/building/BLDG_1/", "ocgml:objectClassId", "26", "building"),
+    ]
+    t = spark.createDataFrame(
+        rows, "doc_id string, subj string, pred string, obj string, graph string"
+    )
+    x = building_citygml(t).collect()[0]
+    assert x.gml_id == "BLDG_1"
+    assert '<bldg:Building gml:id="BLDG_1">' in x.citygml
+    assert "<gml:lowerCorner>10 20 1</gml:lowerCorner>" in x.citygml
+    assert "<gml:upperCorner>19 28 5</gml:upperCorner>" in x.citygml
+    assert '<bldg:measuredHeight uom="#m">7.5</bldg:measuredHeight>' in x.citygml
+    assert "<bldg:class>3</bldg:class>" in x.citygml  # not the BP_1 value
+
+    j = building_cityjson(t).collect()[0]
+    parsed = json.loads(j.cityjson)
+    b = parsed["BLDG_1"]
+    assert b["type"] == "Building"
+    assert b["attributes"]["storeysAboveGround"] == "2"
+    assert b["geometry"][0]["boundaries"] == [[[0, 1, 2, 3]]]
+    assert b["vertices"] == [[10, 20, 1], [19, 20, 1], [19, 28, 5], [10, 28, 5]]
+
+    # scale shape: exactly ONE exchange (the pivot agg), no join
+    plan = building_citygml(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 and "Join" not in plan
