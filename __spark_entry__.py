@@ -836,6 +836,26 @@ def q_filter_cascade(spark, sf):
     return text.filter_cascade(d).select("doc_id", "reason", "keep")
 
 
+def q_tfidf_keywords(spark, sf):
+    """Top-3 TF-IDF keywords per document (corpus topic tagging). Two
+    map-side-combinable count shuffles (tf, df) + a per-doc window —
+    no global window, no collect (ops.relevance)."""
+    from citykg.ops.relevance import tfidf_topk
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return tfidf_topk(d, "doc_id", "text", k=3)
+
+
+def q_bm25_search(spark, sf):
+    """BM25 relevance of every document to the query {'spark','join',
+    'window'} (targeted corpus slicing). Corpus stats (N, avg doclen) ride
+    a one-row broadcast; only query-term postings shuffle."""
+    from citykg.ops.relevance import bm25_scores
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return bm25_scores(d, ["spark", "join", "window"])
+
+
 def q_domain_stats(spark, sf):
     """Per-registrable-domain URL stats (domain blocklist / quality
     weighting primitive). URLs are planted deterministically from doc_id
@@ -1569,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bm25_search": q_bm25_search,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
@@ -1834,6 +1856,45 @@ def _point_in_polygon_sql() -> str:
         "384000 + doc_id % 1000 + CASE WHEN doc_id % 2 = 0 THEN 4.5 ELSE 20.0 END AS px, "
         "5820000 + doc_id % 2000 + 4.0 AS py FROM documents) "
         f"SELECT point_id, poly_id FROM pts, polys WHERE ({cross}) % 2 = 1"
+    )
+
+
+_TERMS_CTE = (
+    "terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+    "'[^a-z]+')) AS term FROM documents), "
+    "t2 AS (SELECT doc_id, term FROM terms WHERE term <> '')"
+)
+
+
+def _tfidf_keywords_sql() -> str:
+    return (
+        f"WITH {_TERMS_CTE}, "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, "
+        "round(tf.tf * ln(n_docs / df), 6) AS score "
+        "FROM tf JOIN dfq ON tf.term = dfq.term, n) "
+        "SELECT doc_id, term, tf, score, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, term ASC) AS rank FROM scored) WHERE rank <= 3"
+    )
+
+
+def _bm25_search_sql() -> str:
+    q = "('spark', 'join', 'window')"
+    return (
+        f"WITH {_TERMS_CTE}, "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1), "
+        f"tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 WHERE term IN {q} GROUP BY 1, 2), "
+        f"dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 WHERE term IN {q} GROUP BY 1), "
+        "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "(SELECT avg(dl) FROM dl) AS avg_dl) "
+        "SELECT tf.doc_id, "
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+        "* (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_dl))), 6) AS bm25, "
+        "count(*) AS n_terms_hit "
+        "FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), st GROUP BY 1"
     )
 
 
@@ -2817,6 +2878,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
         "text_repetition": _text_repetition_sql(),
+        "tfidf_keywords": _tfidf_keywords_sql(),
+        "bm25_search": _bm25_search_sql(),
         "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),

@@ -1,0 +1,131 @@
+"""Corpus relevance ops: TF-IDF keyword extraction and BM25 scoring.
+
+Training-data curation needs per-document salient terms (topic tagging,
+near-dup triage, quality audits) and query-relevance scoring (targeted
+corpus slicing). Both are expressed as pure DataFrame aggregations so
+Catalyst keeps every stage JVM-side:
+
+  tokens   : split(lower(text)) -> explode           (narrow, no shuffle)
+  tf       : groupBy(doc, term).count()              (shuffle 1, partial agg)
+  df       : groupBy(term).count_distinct(doc)       (shuffle 2, partial agg)
+  N/avglen : single-row agg, broadcast back          (scalar join, no shuffle
+                                                      of the big side)
+  top-k    : Window.partitionBy(doc)                 (per-doc partitions —
+                                                      NO global window)
+
+At 100 TB the tf and df aggregations are the only wide stages; both are
+map-side combinable (counts), and df's key space is the vocabulary, orders
+of magnitude smaller than the corpus. The scalar (N, avglen) side is a
+one-row broadcast, never a shuffle of the corpus. Scores are rounded to 6
+decimals so the JVM and C libm `ln` agree bit-for-bit after rounding (same
+policy as ops.text token_entropy).
+
+No reference analog (the reference is an importer, not a corpus pipeline);
+built per the round brief's training-data operator requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOKEN_SPLIT = "[^a-z]+"  # shared with the DuckDB oracle (RE2/Java-safe)
+
+
+def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, term): lowercase letter-run tokens."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf * ln(N/df), deterministic (score
+    desc, term asc) tiebreak. Returns (id, term, tf, score, rank)."""
+    terms = _terms(df, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n = df.agg(F.count("*").alias("n_docs"))
+    # dfreq's key space is the vocabulary — usually broadcastable, but web
+    # junk can blow it up, so the planner (AQE size stats) picks the
+    # strategy rather than a mandatory hint; both sides are already
+    # term-keyed aggregates, so a shuffle join reuses tf's partitioning.
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document score for a bag of query terms (Robertson/Sparck
+    Jones idf with the +1 smoothing):
+
+      score(D) = sum_t ln(1 + (N - df + .5)/(df + .5))
+                 * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen))
+
+    Docs matching no term are omitted. The query side is a literal array
+    filter pushed into the tf aggregation; corpus-global N and avglen are
+    a one-row broadcast."""
+    terms = _terms(df, id_col, text_col)
+    doclen = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        terms.where(F.col("term").isin(*qt))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        terms.where(F.col("term").isin(*qt))
+        .groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+    )
+    stats = df.agg(F.count("*").alias("n_docs")).join(
+        doclen.agg(F.avg("dl").alias("avg_dl"))
+    )
+    per_term = (
+        tf.join(doclen, id_col)
+        .join(F.broadcast(dfreq), "term")  # |dfreq| <= |query_terms|: tiny
+        .join(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+            ),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("bm25"),
+        F.count("*").alias("n_terms_hit"),
+    )

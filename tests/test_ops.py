@@ -763,3 +763,44 @@ def test_jpeg_decoder_handles_ac_coefficients_and_rejects_offprofile():
     assert J.decode_jpeg_gray(color) is None
     prog = jpg.replace(b"\xff\xc0", b"\xff\xc2")
     assert J.decode_jpeg_gray(prog) is None
+
+
+def test_tfidf_and_bm25(spark):
+    """Hand-computed TF-IDF/BM25 on a 3-doc corpus + plan shape (no
+    cartesian, per-doc window only)."""
+    import math
+
+    from citykg.ops.relevance import bm25_scores, tfidf_topk
+
+    d = spark.createDataFrame(
+        [
+            ("a", "spark spark join"),
+            ("b", "join window"),
+            ("c", "table scan scan"),
+        ],
+        "doc_id string, text string",
+    )
+    top = {(r.doc_id, r.rank): (r.term, r.tf, r.score)
+           for r in tfidf_topk(d, k=2).collect()}
+    # doc a: spark tf=2 df=1 -> 2*ln(3); join tf=1 df=2 -> ln(1.5)
+    assert top[("a", 1)] == ("spark", 2, round(2 * math.log(3), 6))
+    assert top[("a", 2)] == ("join", 1, round(math.log(3 / 2), 6))
+    # doc c: scan tf=2 df=1 beats table tf=1 df=1
+    assert top[("c", 1)][0] == "scan" and top[("c", 2)][0] == "table"
+
+    bm = {r.doc_id: (r.bm25, r.n_terms_hit)
+          for r in bm25_scores(d, ["spark", "join"]).collect()}
+    assert set(bm) == {"a", "b"}  # doc c hits no query term
+    # doc a: spark(tf=2,df=1) + join(tf=1,df=2), dl=3, avg_dl=8/3
+    idf = lambda df_: math.log(1 + (3 - df_ + 0.5) / (df_ + 0.5))
+    denom = lambda tf, dl: tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8 / 3))
+    expect_a = idf(1) * 2 * 2.2 / denom(2, 3) + idf(2) * 1 * 2.2 / denom(1, 3)
+    assert bm["a"] == (round(expect_a, 6), 2)
+
+    plan = tfidf_topk(d)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the top-k window must be partitioned by doc — never a global window
+    w = [ln for ln in plan.splitlines() if "Window" in ln or "RunningWindowFunction" in ln]
+    assert w and all("doc_id" in ln for ln in w)
+    # the only single-partition exchange allowed is the one-row N agg
+    assert plan.count("Exchange SinglePartition") <= 1
