@@ -466,6 +466,48 @@ def q_kml_extruded(spark, sf):
     return kml_extruded_placemarks(g, "gml_id", "lit", "height").select("doc_id", "kml")
 
 
+def q_genattrib_typed(spark, sf):
+    """P14 typed-value dispatch read back: pivot each atomic generic
+    attribute (GA_ subjects; GAS_ attr-sets carry no value) and resolve
+    the ONE typed value its dataType discriminator selects
+    (DBCityObjectGenericAttrib.java:239-433: 1=STRING, 2=INT, 3=DOUBLE,
+    4=URI, 5=DATE, 7=MEASURE) — the read path CityInformationAgent uses
+    for thematic attributes. One pivot shuffle, then a Project."""
+    t = _triples(spark, sf, ["cityobjectgenericattrib"]).where(
+        F.col("subj").contains("/GA_")
+    )
+
+    def pick(p):
+        return F.max(F.when(F.col("pred") == p, F.col("obj")))
+
+    per = t.groupBy("doc_id").agg(
+        pick("ocgml:attrName").alias("attr_name"),
+        pick("ocgml:dataType").cast("int").alias("data_type"),
+        pick("ocgml:strVal").alias("s"),
+        pick("ocgml:intVal").alias("i"),
+        pick("ocgml:realVal").alias("r"),
+        pick("ocgml:uriVal").alias("u"),
+        pick("ocgml:dateVal").alias("dv"),
+        pick("ocgml:unit").alias("unit"),
+    )
+    kind = (
+        F.when(F.col("data_type") == 1, "STRING")
+        .when(F.col("data_type") == 2, "INT")
+        .when(F.col("data_type") == 3, "DOUBLE")
+        .when(F.col("data_type") == 4, "URI")
+        .when(F.col("data_type") == 5, "DATE")
+        .when(F.col("data_type") == 7, "MEASURE")
+    )
+    return per.select(
+        "doc_id",
+        "attr_name",
+        "data_type",
+        kind.alias("value_kind"),
+        F.coalesce("s", "i", "r", "u", "dv").alias("typed_value"),
+        "unit",
+    )
+
+
 def q_citygml_export(spark, sf):
     """Exporter read side: CityGML 2.0 bldg:Building fragment per building
     reconstructed from the triple store (DBBuilding exporter +
@@ -1549,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
         "kml_extruded": q_kml_extruded,
+        "genattrib_typed": q_genattrib_typed,
         "citygml_export": q_citygml_export,
         "cityjson_export": q_cityjson_export,
         "collada_geometry": q_collada_geometry,
@@ -2086,6 +2129,23 @@ def _kml_extruded_sql() -> str:
         f"{coords} || "
         "'</coordinates></LinearRing></outerBoundaryIs></Polygon>"
         "</MultiGeometry></Placemark>' AS kml FROM g"
+    )
+
+
+def _genattrib_typed_sql() -> str:
+    from citykg.fixtures import attr_exprs, doc_key_expr
+
+    a = attr_exprs("duckdb")["generic_attribute"]
+    dt = f"CAST(({a['dataType']}) AS INTEGER)"
+    return (
+        "WITH g AS (SELECT doc_id AS d FROM documents) "
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        f"({a['name']}) AS attr_name, {dt} AS data_type, "
+        f"CASE {dt} WHEN 1 THEN 'STRING' WHEN 2 THEN 'INT' WHEN 3 THEN 'DOUBLE' "
+        f"WHEN 4 THEN 'URI' WHEN 5 THEN 'DATE' WHEN 7 THEN 'MEASURE' END AS value_kind, "
+        f"COALESCE(({a['strVal']}), ({a['intVal']}), ({a['realVal']}), "
+        f"({a['uriVal']}), ({a['dateVal']})) AS typed_value, "
+        f"({a['unit']}) AS unit FROM g"
     )
 
 
@@ -2730,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "nquads_format": _nquads_sql(),
         "kml_placemark": _kml_placemark_sql(),
         "kml_extruded": _kml_extruded_sql(),
+        "genattrib_typed": _genattrib_typed_sql(),
         "citygml_export": _citygml_export_sql(),
         "cityjson_export": _cityjson_export_sql(),
         "collada_geometry": _collada_geometry_sql(),
