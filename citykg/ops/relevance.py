@@ -49,9 +49,11 @@ def tfidf_topk(
     desc, term asc) tiebreak. Returns (id, term, tf, score, rank)."""
     terms = _terms(df, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    # df(term) = #docs containing it = #rows per term in tf — derived from
+    # the aggregate, NOT a second explode of the corpus: at 100 TB the raw
+    # token stream is scanned once and all downstream stages work on the
+    # (doc, term)-deduped frame, which is smaller by the repetition factor
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
     # dfreq's key space is the vocabulary — usually broadcastable, but web
     # junk can blow it up, so the planner (AQE size stats) picks the
