@@ -267,6 +267,88 @@ def _delete_subjects_df(
     return sum(removed_per_bucket.values())
 
 
+def compact_store(
+    spark: SparkSession,
+    out_dir: str,
+    stage: str = "compact",
+    max_files_per_partition: int = 1,
+    bucket_group: int = 16,
+    fail_after_groups: int | None = None,
+) -> list[tuple[str, int]]:
+    """Small-file compaction (Iceberg `rewrite_data_files` with the
+    table's sort order, binpack-to-one): every upsert appends files, so a
+    hot (graph, bucket) partition accumulates many small sorted files —
+    each individually subj-sorted, but the scan pays per-file open cost
+    and row-group pruning fragments. Compaction rewrites only partitions
+    whose file count exceeds `max_files_per_partition`, restoring ONE
+    subj-sorted file per partition.
+
+    Scale posture: the needs-compaction decision is a metadata-only
+    listing (Iceberg reads it from manifests; the parquet emulation lists
+    partition dirs on the driver — no data is read). The rewrite itself
+    is `repartition(graph, bucket)` so each partition lands wholly in one
+    task -> one output file, with dynamic partition overwrite touching
+    ONLY the compacted partitions. Processed in manifest-tracked groups
+    like write_triples, so a crash mid-compaction resumes without
+    rewriting finished partitions (`fail_after_groups` injects the crash
+    for the resume test). Returns the compacted (graph/bucket, n_files)
+    list."""
+    path = os.path.join(out_dir, "triples")
+    done = {
+        r.partition_range
+        for r in read_manifest(spark, out_dir)
+        .where((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("partition_range")
+        .collect()
+    }
+    todo: list[tuple[str, int, int]] = []  # (graph, bucket, n_files)
+    for gdir in sorted(os.listdir(path)) if os.path.exists(path) else []:
+        if not gdir.startswith("graph="):
+            continue
+        for bdir in sorted(os.listdir(os.path.join(path, gdir))):
+            if not bdir.startswith("bucket="):
+                continue
+            full = os.path.join(path, gdir, bdir)
+            n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+            g, b = gdir.split("=", 1)[1], int(bdir.split("=", 1)[1])
+            if n > max_files_per_partition and f"{g}/{b}" not in done:
+                todo.append((g, b, n))
+    if not todo:
+        return []
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compacted: list[tuple[str, int]] = []
+    groups = [todo[i : i + bucket_group] for i in range(0, len(todo), bucket_group)]
+    for gi, grp in enumerate(groups):
+        if fail_after_groups is not None and gi >= fail_after_groups:
+            raise RuntimeError("injected failure for compaction resume test")
+        t0 = time.time()
+        keys = {(g, b) for g, b, _ in grp}
+        part = (
+            read_triples(spark, out_dir)
+            .where(
+                F.struct(F.col("graph"), F.col("bucket")).isin(
+                    [F.struct(F.lit(g), F.lit(b)) for g, b in sorted(keys)]
+                )
+            )
+            .repartition("graph", "bucket")
+            .sortWithinPartitions("graph", "bucket", "subj")
+            # materialize BEFORE the overwrite: the rewrite reads the very
+            # files dynamic overwrite will delete (Iceberg's snapshot
+            # isolation gives this for free; the parquet emulation pins the
+            # group in executor memory first)
+            .localCheckpoint(eager=True)
+        )
+        part.write.mode("overwrite").partitionBy("graph", "bucket").parquet(path)
+        wall = int((time.time() - t0) * 1000)
+        _append_manifest(
+            spark,
+            out_dir,
+            [(stage, f"{g}/{b}", "", 0, "done", 1, wall) for g, b, _ in grp],
+        )
+        compacted.extend((f"{g}/{b}", n) for g, b, n in grp)
+    return compacted
+
+
 def stage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-stage rollup of the lineage manifest — the operator a resume
     coordinator or progress dashboard reads: (stage, n_partitions, rows,

@@ -192,3 +192,72 @@ def test_upsert_replaces_and_appends(spark, triples, tmp_path_factory):
     m = materialize.read_manifest(spark, out)
     assert m.where(F.col("stage") == "upsert:v2").count() > 0
     assert m.where(F.col("stage") == "upsert-delete:v2").count() > 0
+
+
+def test_compact_store(spark, triples, tmp_path_factory):
+    """Upserts fragment partitions into many small files; compaction
+    restores one subj-sorted file per partition with identical data, is
+    manifest-tracked, resumable after a mid-run crash, and a no-op when
+    nothing exceeds the threshold."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("store_compact"))
+    materialize.write_triples(spark, triples, out, n_buckets=8, input_snapshot="v1")
+    before = materialize.read_triples(spark, out)
+    # two upsert batches re-touching existing subjects -> appended files
+    some = [r.subj for r in triples.select("subj").distinct().limit(6).collect()]
+    for snap, subjects in (("v2", some[:3]), ("v3", some[3:])):
+        batch = spark.createDataFrame(
+            [(s, "ocgml:name", f"renamed_{snap}", "literal", None, "cityobject",
+              "d", 0, 0) for s in subjects],
+            "subj string, pred string, obj string, obj_type string, "
+            "datatype string, graph string, doc_id string, span_idx int, pos int",
+        )
+        materialize.upsert_triples(spark, batch, out, n_buckets=8, input_snapshot=snap)
+    expect = sorted(
+        map(tuple, materialize.read_triples(spark, out).select(
+            "subj", "pred", "obj", "graph").collect())
+    )
+
+    path = os.path.join(out, "triples")
+
+    def file_counts():
+        c = {}
+        for g in os.listdir(path):
+            if not g.startswith("graph="):
+                continue
+            for b in os.listdir(os.path.join(path, g)):
+                if b.startswith("bucket="):
+                    c[(g, b)] = sum(
+                        1 for f in os.listdir(os.path.join(path, g, b))
+                        if f.endswith(".parquet")
+                    )
+        return c
+
+    assert max(file_counts().values()) > 1  # fragmentation happened
+
+    # crash mid-compaction, then resume: finished groups are not redone
+    with pytest.raises(RuntimeError):
+        materialize.compact_store(spark, out, bucket_group=2, fail_after_groups=1)
+    done_after_crash = materialize.read_manifest(spark, out).where(
+        (F.col("stage") == "compact") & (F.col("status") == "done")
+    ).count()
+    assert done_after_crash == 2
+    compacted = materialize.compact_store(spark, out, bucket_group=2)
+    assert all(n > 1 for _, n in compacted)
+
+    counts = file_counts()
+    assert max(counts.values()) == 1  # one file per partition everywhere
+    got = sorted(
+        map(tuple, materialize.read_triples(spark, out).select(
+            "subj", "pred", "obj", "graph").collect())
+    )
+    assert got == expect  # byte-identical content
+    # subj-sorted within the rewritten file (row-group pruning property)
+    g, b = next(iter(counts))
+    fdir = os.path.join(path, g, b)
+    fpath = os.path.join(fdir, next(f for f in os.listdir(fdir) if f.endswith(".parquet")))
+    subs = spark.read.parquet(fpath).select("subj").toPandas()["subj"].tolist()
+    assert subs == sorted(subs)
+    # second run: metadata-only no-op
+    assert materialize.compact_store(spark, out) == []
