@@ -171,6 +171,52 @@ def q_kg_canonical_clusters(spark, sf):
     )
 
 
+def q_kg_canonical_incremental(spark, sf):
+    """Incremental canonicalization: a registry built from the docs with
+    doc_id % 3 == 0 absorbs the remaining two-thirds as a NEW BATCH via
+    canon.incremental_components — only touched components are re-solved,
+    from their star compression. The oracle is the FULL recompute over all
+    docs (identical SQL to kg_canonical_clusters), so the driver verifies
+    the incremental path is exactly equivalent, cross-batch merges and
+    min-lowering included."""
+    docs = _docs(spark, sf).withColumn(
+        "_d", F.expr("cast(substring(doc_id, 5) as bigint)")
+    )
+
+    def groups(d):
+        linked = link.link_exact(link.entity_mentions(d), synth_gazetteer(spark))
+        member = F.concat(
+            F.lit(DEFAULT_BASE + "/address/ADDR_"),
+            F.expr("substring(doc_id, 5)"),
+            F.lit("/"),
+        )
+        return linked.where(F.col("entity_id").isNotNull()).select(
+            "entity_id", member.alias("member")
+        )
+
+    # each group frame feeds two consumers (edges + hubs / edges + CC):
+    # checkpoint so linking runs once per batch, not once per consumer
+    ga = groups(docs.where(F.col("_d") % 3 == 0).drop("_d")).localCheckpoint(
+        eager=False
+    )
+    gb = groups(docs.where(F.col("_d") % 3 != 0).drop("_d")).localCheckpoint(
+        eager=False
+    )
+    registry = canon.connected_components(
+        canon.same_as_edges(ga, "entity_id", "member")
+    )
+    # per-entity anchor carried alongside the registry: bridges the new
+    # batch's mentions of a known entity to its existing component
+    hubs_a = ga.groupBy("entity_id").agg(F.min("member").alias("member"))
+    edges_b = canon.same_as_edges(gb.unionByName(hubs_a), "entity_id", "member")
+    labels = canon.incremental_components(registry, edges_b)
+    return (
+        labels.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("component").alias("canonical_iri"), "cluster_size")
+    )
+
+
 def q_kg_rehome(spark, sf):
     t = _triples(spark, sf, ["building"])
     return canon.rehome_iris(t, DEFAULT_BASE, REHOME_BASE)
@@ -1572,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_exact": q_kg_link_exact,
         "kg_link_fuzzy": q_kg_link_fuzzy,
         "kg_canonical_clusters": q_kg_canonical_clusters,
+        "kg_canonical_incremental": q_kg_canonical_incremental,
         "kg_rehome": q_kg_rehome,
         "kg_envelope_fold": q_kg_envelope_fold,
         "kg_centroid": q_kg_centroid,
@@ -2729,6 +2776,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_exact": _link_exact_sql(),
         "kg_link_fuzzy": _link_fuzzy_sql(),
         "kg_canonical_clusters": _canonical_clusters_sql(),
+        # the incremental path must equal the full recompute — same oracle
+        "kg_canonical_incremental": _canonical_clusters_sql(),
         "kg_rehome": (
             f"SELECT replace(subj, '{DEFAULT_BASE}', '{REHOME_BASE}') AS subj, pred, "
             f"CASE WHEN obj_type = 'iri' THEN replace(obj, '{DEFAULT_BASE}', '{REHOME_BASE}') ELSE obj END AS obj, "

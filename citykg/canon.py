@@ -95,6 +95,50 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    registry: DataFrame, new_edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Incremental canonicalization: fold a new batch's connectivity into
+    an existing (id, component) registry WITHOUT recomputing the world —
+    the only viable mode at 10^12 docs, where re-running global connected
+    components per ingest batch would dominate the pipeline.
+
+    Exactness: the result equals `connected_components(old_edges ∪
+    new_edges)`. Components untouched by the new batch pass through
+    by anti-join (their members share no node with any new edge, so no
+    new edge can change their label). Touched components are re-solved
+    from their STAR COMPRESSION (member -> component edges from the
+    registry) unioned with the new edges — the star has identical
+    connectivity to the original component and diameter 2, so the rerun
+    converges in O(log #merged-components) rounds no matter how deep the
+    original merge history was. Labels stay component-min because the
+    registry label IS the historical min member id.
+
+    Scale shape: `touched` is a semi-join of the registry against the new
+    batch's node set (batch ≪ registry: broadcastable); pulling touched
+    members is one shuffle join on component (co-located if the registry
+    is stored bucketed by component); the CC rerun sees only
+    |touched members| + |new edges| rows."""
+    ids_new = (
+        new_edges.select(F.col("src").alias("id"))
+        .union(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    touched = (
+        registry.join(ids_new, "id").select("component").distinct()
+        .localCheckpoint(eager=True)
+    )
+    sub = registry.join(touched, "component")
+    star = sub.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    labels_new = connected_components(
+        star.unionByName(new_edges.select("src", "dst")), max_iter=max_iter
+    )
+    untouched = registry.join(touched, "component", "left_anti")
+    return untouched.unionByName(labels_new)
+
+
 def canonical_map(labels: DataFrame) -> DataFrame:
     """(id, component) -> (id, canonical_id) dropping self-mappings."""
     return labels.where(F.col("id") != F.col("component")).select(

@@ -117,3 +117,38 @@ def test_rehome_iris(spark):
     assert out[0].subj == "http://twa/central/building/b1/"
     assert out[0].obj == "http://twa/central/building/b1/"
     assert out[1].obj == "http://old/x not an iri"  # literals untouched
+
+
+def test_incremental_components_equals_full(spark):
+    """Folding a second batch into an existing registry must equal a full
+    recompute over all edges — including cross-batch merges of previously
+    SEPARATE components — while leaving untouched components alone."""
+    # batch 1: two components {a1,a2,a3}, {b1,b2}; plus isolated {z1,z2}
+    e1 = spark.createDataFrame(
+        [("a2", "a1"), ("a3", "a1"), ("b2", "b1"), ("z2", "z1")],
+        "src string, dst string",
+    )
+    registry = canon.connected_components(e1)
+    reg = {r.id: r.component for r in registry.collect()}
+    assert reg["a3"] == "a1" and reg["b2"] == "b1" and reg["z2"] == "z1"
+
+    # batch 2: a NEW member a0 joins (and lowers the min of) component a,
+    # an edge MERGES components a and b, and a fresh pair {c1,c2} appears;
+    # component z is untouched
+    e2 = spark.createDataFrame(
+        [("a1", "a0"), ("b2", "a2"), ("c2", "c1")], "src string, dst string"
+    )
+    inc = {r.id: r.component
+           for r in canon.incremental_components(registry, e2).collect()}
+    full = {r.id: r.component
+            for r in canon.connected_components(e1.union(e2)).collect()}
+    assert inc == full
+    assert inc["b1"] == "a0" and inc["a3"] == "a0"  # merged + min lowered
+    assert inc["z2"] == "z1" and inc["c2"] == "c1"
+
+    # untouched components are passed through, not re-solved: z never
+    # enters the CC sub-problem's node set
+    ids_new = (e2.select(F.col("src").alias("id"))
+               .union(e2.select(F.col("dst").alias("id")))).distinct()
+    touched = registry.join(ids_new, "id").select("component").distinct()
+    assert {r.component for r in touched.collect()} == {"a1", "b1"}
