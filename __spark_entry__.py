@@ -1492,6 +1492,23 @@ def q_graph_edge_betweenness(spark, sf):
     return eb.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
 
 
+def q_graph_triangles(spark, sf):
+    """Triangle enumeration over the spatial proximity graph (DWithin
+    3 m pairs): building-cluster detection — triangles are the smallest
+    dense cluster unit (the KG link graph itself is tree/bipartite, hence
+    triangle-free). Degree-oriented wedge join: no hub explosion, no
+    cartesian (ops.graph.triangles)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.triangles(p)
+
+
 def q_graph_pagerank(spark, sf):
     """G1: fixed 8 power iterations (tol=0 disables the early break) so the
     DuckDB oracle — the same recurrence unrolled as 8 chained CTEs — lands
@@ -1706,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "global_shuffle": q_global_shuffle,
+        "graph_triangles": q_graph_triangles,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2996,6 +3014,15 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "global_shuffle": _global_shuffle_sql(),
+        "graph_triangles": (
+            "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
+            "5820000 + doc_id % 2000 AS py FROM documents), "
+            "pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d "
+            "AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 9) "
+            "SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM pairs e1 "
+            "JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v "
+            "JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v"
+        ),
         "graph_pagerank": _pagerank_sql(),
         "graph_shortest_paths": _shortest_paths_sql(),
         # Brandes re-derived by brute shortest-path enumeration (also

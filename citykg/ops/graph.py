@@ -236,6 +236,57 @@ def edge_betweenness_clusters(
     return connected_components(kept).withColumnRenamed("component", "cluster")
 
 
+def triangles(edges: DataFrame) -> DataFrame:
+    """Exact triangle enumeration via degree orientation (the standard
+    O(m^1.5)-work algorithm): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher, enumerate wedges only at
+    each edge's LOW endpoint, and close them against the edge set. The
+    orientation bounds every node's out-degree by O(sqrt(m)), so the
+    wedge join cannot explode on hub nodes — a plain neighbor self-join
+    would square a 10^6-degree hub; this caps its wedge fan-out
+    structurally (the join-side analog of the salted star in canon).
+
+    Input (src, dst) in either orientation, duplicates fine. Output one
+    row per triangle with vertices sorted (x < y < z) so the result is
+    orientation-independent and engine-comparable."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by degree, wedge, and closure
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("p"))
+    w2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("q"))
+    wedges = w1.join(w2, "w").where(F.col("p") < F.col("q"))
+    tri = wedges.join(
+        und,
+        (F.least("p", "q") == F.col("u")) & (F.greatest("p", "q") == F.col("v")),
+        "left_semi",
+    )
+    s = F.array_sort(F.array("w", "p", "q"))
+    return tri.select(
+        s.getItem(0).alias("x"), s.getItem(1).alias("y"), s.getItem(2).alias("z")
+    )
+
+
 def shortest_paths(edges: DataFrame, source: str, max_hops: int = 15) -> DataFrame:
     """Unweighted BFS distances from `source`
     (UnweightedShortestPathTask.java:80 analog). Returns (id, dist)."""

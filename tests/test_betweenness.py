@@ -69,3 +69,25 @@ def test_edge_betweenness_clusters(spark):
     for r in out:
         clusters[r.cluster].add(r.id)
     assert sorted(map(sorted, clusters.values())) == [["a", "b", "c"], ["d", "e", "f"]]
+
+
+def test_triangles_exact_and_oriented(spark):
+    """K4 has exactly 4 triangles; a star hub has none until a closing
+    edge arrives; duplicate/reversed input edges don't double-count; the
+    plan has no cartesian product."""
+    from citykg.ops.graph import triangles
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    star = [("hub", f"s{i}") for i in range(6)]
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + star, "src string, dst string"
+    )
+    got = {(r.x, r.y, r.z) for r in triangles(edges).collect()}
+    assert got == {("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d")}
+
+    closed = edges.union(spark.createDataFrame([("s0", "s1")], "src string, dst string"))
+    got2 = {(r.x, r.y, r.z) for r in triangles(closed).collect()}
+    assert got2 == got | {("hub", "s0", "s1")}
+
+    plan = triangles(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
