@@ -1492,6 +1492,22 @@ def q_graph_edge_betweenness(spark, sf):
     return eb.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
 
 
+def q_dataset_mix(spark, sf):
+    """Training-data mixing: deterministic per-source shuffle + weighted
+    merge (source weight = 1 + src# % 3), producing the 1-based position
+    of every doc in the mixed training stream. Both ranks are two-pass
+    partition-offset ranks — no unpartitioned window over the corpus
+    (ops.sampling.weighted_mix_rank)."""
+    from citykg.ops.sampling import weighted_mix_rank
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "source",
+        "cast(1 + cast(substring(source, 4) as int) % 3 as double) as weight",
+    )
+    return weighted_mix_rank(d).select("doc_id", "source", "intra", "mix_rank")
+
+
 def q_graph_triangles(spark, sf):
     """Triangle enumeration over the spatial proximity graph (DWithin
     3 m pairs): building-cluster detection — triangles are the smallest
@@ -1723,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "global_shuffle": q_global_shuffle,
+        "dataset_mix": q_dataset_mix,
         "graph_triangles": q_graph_triangles,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
@@ -2641,6 +2658,23 @@ def _global_shuffle_sql() -> str:
     )
 
 
+def _dataset_mix_sql() -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    keyed = "(CAST(doc_id AS VARCHAR) || '#' || '42')"
+    h = char_fold_duckdb(keyed)
+    return (
+        f"WITH s AS (SELECT doc_id, source, "
+        "1.0 + CAST(substr(source, 4) AS INTEGER) % 3 AS w, "
+        f"{h} AS h FROM documents), "
+        "i AS (SELECT doc_id, source, w, "
+        "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS intra FROM s) "
+        "SELECT doc_id, source, CAST(intra AS INTEGER) AS intra, "
+        "CAST(row_number() OVER (ORDER BY (intra - 1) / w, source, intra) AS INTEGER) "
+        "AS mix_rank FROM i"
+    )
+
+
 def _spatial_relations_sql() -> str:
     """Brute all-pairs re-derivation (oracle-only; the Spark side is the
     grid-blocked join). The CASE text is shared with the Spark operator
@@ -3014,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "global_shuffle": _global_shuffle_sql(),
+        "dataset_mix": _dataset_mix_sql(),
         "graph_triangles": (
             "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
             "5820000 + doc_id % 2000 AS py FROM documents), "

@@ -137,3 +137,71 @@ def global_shuffle_rank(
         .withColumn(out, (F.col("_off") + F.row_number().over(rn_w)).cast("int"))
         .drop("_h", "_bkt", "_off")
     )
+
+
+def weighted_mix_rank(
+    df: DataFrame,
+    weight_col: str = "weight",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+    out: str = "mix_rank",
+) -> DataFrame:
+    """Weighted corpus mixing (the data-mixing step of a training
+    pipeline): deterministically shuffle each source, then merge sources
+    so that a source with weight w contributes ~w docs for every 1 doc of
+    a weight-1 source — doc number i of source s lands at merge key
+    (i - 1) / w_s, and `mix_rank` is the 1-based position in the merged
+    stream. Deterministic end-to-end (content hash, no RNG), so a resumed
+    or re-run job reproduces the identical training order.
+
+    Scale shape: both ranks are two-pass partition-offset ranks (the
+    global_shuffle_rank pattern) — per-source intra rank windows on
+    (source, hash-bucket), the merge rank on a key-range bucket; the only
+    driver-sized frames are the per-bucket count tables. No unpartitioned
+    window anywhere, no single-task stage over the corpus."""
+    from .hashing import POLY_P
+
+    step = POLY_P // n_buckets + 1
+    h = F.expr(_shuffle_key_expr(id_col, seed))
+    b = df.withColumn("_h", h).withColumn(
+        "_bkt", (F.col("_h") / F.lit(step)).cast("long")
+    )
+    counts = b.groupBy(source_col, "_bkt").agg(F.count("*").alias("_n"))
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+    ).select(source_col, "_bkt", "_off")
+    rn_w = Window.partitionBy(source_col, "_bkt").orderBy(F.col("_h"), F.col(id_col))
+    intra = (
+        b.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .withColumn("intra", (F.col("_off") + F.row_number().over(rn_w)).cast("int"))
+        .drop("_h", "_bkt", "_off")
+        .withColumn("_key", (F.col("intra") - 1) / F.col(weight_col))
+    )
+    # merge rank: bucket by key range (monotone in _key); the range is
+    # bounded by a one-row max agg broadcast back onto the frame
+    mx = intra.agg(F.max("_key").alias("_mx"))
+    keyed = intra.join(F.broadcast(mx)).withColumn(
+        "_kbkt",
+        (F.col("_key") / F.greatest(F.col("_mx") / n_buckets, F.lit(1e-9)))
+        .cast("long"),
+    )
+    kcounts = keyed.groupBy("_kbkt").agg(F.count("*").alias("_n"))
+    koff_w = Window.orderBy("_kbkt").rowsBetween(Window.unboundedPreceding, -1)
+    koffsets = kcounts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(koff_w), F.lit(0))
+    ).select("_kbkt", "_off")
+    krn_w = Window.partitionBy("_kbkt").orderBy(
+        F.col("_key"), F.col(source_col), F.col("intra")
+    )
+    return (
+        keyed.join(F.broadcast(koffsets), "_kbkt")
+        .withColumn(out, (F.col("_off") + F.row_number().over(krn_w)).cast("int"))
+        .drop("_key", "_kbkt", "_off", "_mx")
+    )

@@ -64,3 +64,32 @@ def test_global_shuffle_scale_form_is_range_partitioned(spark):
     plan = sampling.global_shuffle(d, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_weighted_mix_rank_interleaves_by_weight(spark):
+    """A weight-3 source must contribute ~3x the docs of a weight-1 source
+    in every prefix of the mixed stream; ranks are a 1..N permutation; no
+    unpartitioned window over the data frame."""
+    from citykg.ops.sampling import weighted_mix_rank
+
+    rows = [(f"a{i}", "A", 3.0) for i in range(300)] + [
+        (f"b{i}", "B", 1.0) for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, source string, weight double")
+    out = weighted_mix_rank(d).select("doc_id", "source", "mix_rank").collect()
+    ranks = sorted(r.mix_rank for r in out)
+    assert ranks == list(range(1, 601))
+    prefix = [r.source for r in sorted(out, key=lambda r: r.mix_rank)[:200]]
+    n_a = prefix.count("A")
+    # ideal 150 A : 50 B in the first 200; allow +-2 for boundary ties
+    assert abs(n_a - 150) <= 2
+    # determinism across recomputation (resume invariant)
+    again = {r.doc_id: r.mix_rank
+             for r in weighted_mix_rank(d).select("doc_id", "mix_rank").collect()}
+    assert all(again[r.doc_id] == r.mix_rank for r in out)
+
+    plan = weighted_mix_rank(d)._jdf.queryExecution().executedPlan().toString()
+    w = [ln for ln in plan.splitlines() if "Window" in ln]
+    # every data-sized window is bucket-partitioned; the only global-order
+    # windows run on the B-row offset frames
+    assert all(("_bkt" in ln or "_kbkt" in ln) for ln in w if "row_number" in ln)
