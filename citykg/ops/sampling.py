@@ -183,6 +183,9 @@ def weighted_mix_rank(
         .withColumn("intra", (F.col("_off") + F.row_number().over(rn_w)).cast("int"))
         .drop("_h", "_bkt", "_off")
         .withColumn("_key", (F.col("intra") - 1) / F.col(weight_col))
+        # two consumers (max agg + merge rank): materialize so the intra
+        # pipeline runs once, not once per consumer
+        .localCheckpoint(eager=False)
     )
     # merge rank: bucket by key range (monotone in _key); the range is
     # bounded by a one-row max agg broadcast back onto the frame
@@ -191,7 +194,7 @@ def weighted_mix_rank(
         "_kbkt",
         (F.col("_key") / F.greatest(F.col("_mx") / n_buckets, F.lit(1e-9)))
         .cast("long"),
-    )
+    ).localCheckpoint(eager=False)  # consumers: bucket counts + rank join
     kcounts = keyed.groupBy("_kbkt").agg(F.count("*").alias("_n"))
     koff_w = Window.orderBy("_kbkt").rowsBetween(Window.unboundedPreceding, -1)
     koffsets = kcounts.withColumn(
