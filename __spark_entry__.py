@@ -1492,6 +1492,30 @@ def q_graph_edge_betweenness(spark, sf):
     return eb.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
 
 
+def q_distance_writeback(spark, sf):
+    """A8 write-back: every DWithin(3 m) pair rendered as the
+    DistanceAgent insert pattern — an OM-2 Total3DStartEndDistance +
+    Measure individual pair, 10 triples into the `distance` graph
+    (DistanceAgent.getSetDistanceQuery, DistanceAgent.java:293-316) with
+    content-derived ids instead of the reference's UUIDs. Grid-blocked
+    pair join, then a pure explode Project (ops.geo)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0)
+    pairs = p.selectExpr(
+        f"concat('{DEFAULT_BASE}/cityobject/BLDG_', lpad(cast(id_a as string), 8, '0'), '/') as iri_a",
+        f"concat('{DEFAULT_BASE}/cityobject/BLDG_', lpad(cast(id_b as string), 8, '0'), '/') as iri_b",
+        "round(dist, 6) as dist",
+        "concat(lpad(cast(id_a as string), 8, '0'), '_', lpad(cast(id_b as string), 8, '0')) as pair_key",
+    )
+    return geo.distance_writeback_triples(
+        pairs, "iri_a", "iri_b", "dist", DEFAULT_BASE, "pair_key"
+    )
+
+
 def q_dataset_mix(spark, sf):
     """Training-data mixing: deterministic per-source shuffle + weighted
     merge (source weight = 1 + src# % 3), producing the 1-based position
@@ -1523,6 +1547,44 @@ def q_graph_triangles(spark, sf):
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return graph.triangles(p)
+
+
+def q_pagerank_writeback(spark, sf):
+    """G1 write-back: every PageRank score rendered as the reference's
+    OntoInfer insert pattern — 3 triples per ranked node in the
+    `ontoinfer` graph: hasInferenceObject / hasInferenceAlgorithm
+    PageRankAlgorithm / hasInferredValue (PageRankTask.prepareUpdate,
+    PageRankTask.java:153-166; constants InferenceAgent.java:53-59).
+    Inference ids are content-derived (md5 of the node IRI) instead of
+    the reference's UUIDs — P24 policy, resume-stable."""
+    pr = q_graph_pagerank(spark, sf)
+    inf = F.concat(
+        F.lit(DEFAULT_BASE + "/ontoinfer/INF_"), F.md5(F.col("id")), F.lit("/")
+    )
+    alg = "http://www.theworldavatar.com/ontologies/OntoInfer.owl#PageRankAlgorithm"
+    rows = F.array(
+        F.struct(
+            inf.alias("subj"),
+            F.lit("oninf:hasInferenceObject").alias("pred"),
+            F.col("id").alias("obj"),
+            F.lit("iri").alias("obj_type"),
+        ),
+        F.struct(
+            inf.alias("subj"),
+            F.lit("oninf:hasInferenceAlgorithm").alias("pred"),
+            F.lit(alg).alias("obj"),
+            F.lit("iri").alias("obj_type"),
+        ),
+        F.struct(
+            inf.alias("subj"),
+            F.lit("oninf:hasInferredValue").alias("pred"),
+            F.format_string("%.8f", F.col("rank")).alias("obj"),
+            F.lit("literal").alias("obj_type"),
+        ),
+    )
+    return pr.select(F.explode(rows).alias("t")).select(
+        "t.subj", "t.pred", "t.obj", "t.obj_type", F.lit("ontoinfer").alias("graph")
+    )
 
 
 def q_graph_pagerank(spark, sf):
@@ -1740,7 +1802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "global_shuffle": q_global_shuffle,
         "dataset_mix": q_dataset_mix,
+        "distance_writeback": q_distance_writeback,
         "graph_triangles": q_graph_triangles,
+        "pagerank_writeback": q_pagerank_writeback,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2658,6 +2722,41 @@ def _global_shuffle_sql() -> str:
     )
 
 
+def _distance_writeback_sql() -> str:
+    from citykg.ops.geo import DISTANCE_WRITEBACK_ROWS
+
+    base = DEFAULT_BASE
+    duri = f"'{base}/distance/DIST_' || ka || '_' || kb || '/'"
+    vuri = f"'{base}/distance/VAL_' || ka || '_' || kb || '/'"
+    selects = []
+    for subj_kind, pred, obj_kind in DISTANCE_WRITEBACK_ROWS:
+        subj = duri if subj_kind == "dist" else vuri
+        if obj_kind == "a":
+            obj, kind = f"'{base}/cityobject/BLDG_' || ka || '/'", "iri"
+        elif obj_kind == "b":
+            obj, kind = f"'{base}/cityobject/BLDG_' || kb || '/'", "iri"
+        elif obj_kind == "vuri":
+            obj, kind = vuri, "iri"
+        elif obj_kind == "val":
+            obj, kind = "val", "literal"
+        else:
+            obj, kind = f"'{obj_kind[4:]}'", "literal"
+        selects.append(
+            f"SELECT ({subj}) AS subj, '{pred}' AS pred, ({obj}) AS obj, "
+            f"'{kind}' AS obj_type, 'distance' AS graph FROM pr"
+        )
+    return (
+        "WITH p AS (SELECT doc_id AS d, CAST(384000 + doc_id % 1000 AS DOUBLE) AS x, "
+        "CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents), "
+        "pr AS (SELECT lpad(CAST(a.d AS VARCHAR), 8, '0') AS ka, "
+        "lpad(CAST(b.d AS VARCHAR), 8, '0') AS kb, "
+        "printf('%.6f', round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6)) AS val "
+        "FROM p a JOIN p b ON a.d < b.d "
+        "WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < 3.0) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 def _dataset_mix_sql() -> str:
     from citykg.ops.hashing import char_fold_duckdb
 
@@ -3049,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "dataset_mix": _dataset_mix_sql(),
+        "distance_writeback": _distance_writeback_sql(),
         "graph_triangles": (
             "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
             "5820000 + doc_id % 2000 AS py FROM documents), "
@@ -3059,6 +3159,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v"
         ),
         "graph_pagerank": _pagerank_sql(),
+        "pagerank_writeback": (
+            f"WITH pr AS ({_pagerank_sql()}) "
+            f"SELECT '{DEFAULT_BASE}/ontoinfer/INF_' || md5(id) || '/' AS subj, "
+            "'oninf:hasInferenceObject' AS pred, id AS obj, 'iri' AS obj_type, "
+            "'ontoinfer' AS graph FROM pr "
+            f"UNION ALL SELECT '{DEFAULT_BASE}/ontoinfer/INF_' || md5(id) || '/', "
+            "'oninf:hasInferenceAlgorithm', "
+            "'http://www.theworldavatar.com/ontologies/OntoInfer.owl#PageRankAlgorithm', "
+            "'iri', 'ontoinfer' FROM pr "
+            f"UNION ALL SELECT '{DEFAULT_BASE}/ontoinfer/INF_' || md5(id) || '/', "
+            "'oninf:hasInferredValue', printf('%.8f', rank), 'literal', 'ontoinfer' FROM pr"
+        ),
         "graph_shortest_paths": _shortest_paths_sql(),
         # Brandes re-derived by brute shortest-path enumeration (also
         # locked by tests/test_betweenness.py vs a pure-Python oracle)

@@ -449,3 +449,64 @@ def envelope_relations(
         .where(F.col("relation") != "disjoint")
         .select("id_a", "id_b", "relation")
     )
+
+
+# A8 write-back: the triple pattern DistanceAgent inserts per measured pair
+# into the `distance` named graph (DistanceAgent.getSetDistanceQuery,
+# agents/.../DistanceAgent.java:293-316) — an OM-2 Measure individual. The
+# reference mints UUID subjects; here ids are content-derived (P24 policy:
+# resume-stable, dedupable). (pred, obj_kind) per row; obj_kind 'a'/'b'
+# substitutes the pair endpoints, 'val' the rendered distance, 'vuri' the
+# value individual.
+DISTANCE_WRITEBACK_ROWS = [
+    ("dist", "rdf:type", "lit:om:Total3DStartEndDistance"),
+    ("dist", "rdf:type", "lit:owl:NamedIndividual"),
+    ("dist", "om:hasPhenomenon", "a"),
+    ("dist", "om:hasPhenomenon", "b"),
+    ("dist", "om:hasDimension", "lit:om:lengthDimension"),
+    ("dist", "om:hasValue", "vuri"),
+    ("vuri", "rdf:type", "lit:owl:NamedIndividual"),
+    ("vuri", "rdf:type", "lit:om:Measure"),
+    ("vuri", "om:hasNumericValue", "val"),
+    ("vuri", "om:hasUnit", "lit:om:metre"),
+]
+
+
+def distance_writeback_triples(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    dist_col: str,
+    base: str,
+    key_col: str,
+) -> DataFrame:
+    """Render measured distances as the DistanceAgent insert pattern: 10
+    triples per pair in the `distance` graph. Pure Project + explode of a
+    10-element literal array — zero shuffles beyond whatever produced the
+    pairs; the numeric value is %.6f-rendered so the string is identical
+    across engines."""
+    duri = F.concat(F.lit(f"{base}/distance/DIST_"), F.col(key_col), F.lit("/"))
+    vuri = F.concat(F.lit(f"{base}/distance/VAL_"), F.col(key_col), F.lit("/"))
+    val = F.format_string("%.6f", F.col(dist_col))
+    cols = []
+    for subj_kind, pred, obj_kind in DISTANCE_WRITEBACK_ROWS:
+        subj = duri if subj_kind == "dist" else vuri
+        if obj_kind == "a":
+            obj, kind = F.col(id_a), F.lit("iri")
+        elif obj_kind == "b":
+            obj, kind = F.col(id_b), F.lit("iri")
+        elif obj_kind == "vuri":
+            obj, kind = vuri, F.lit("iri")
+        elif obj_kind == "val":
+            obj, kind = val, F.lit("literal")
+        else:
+            obj, kind = F.lit(obj_kind[4:]), F.lit("literal")
+        cols.append(F.struct(subj.alias("subj"), F.lit(pred).alias("pred"),
+                             obj.alias("obj"), kind.alias("obj_type")))
+    return pairs.select(F.explode(F.array(*cols)).alias("t")).select(
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_type").alias("obj_type"),
+        F.lit("distance").alias("graph"),
+    )
