@@ -56,8 +56,15 @@ def building_export_pivot(triples: DataFrame) -> DataFrame:
         & F.col("pred").isin(*sorted({p for _, _, p in BUILDING_EXPORT_PREDS}))
     )
     aggs = [
-        F.max(
-            F.when((F.col("graph") == g) & (F.col("pred") == p), F.col("obj"))
+        # coalesce to '': a feature missing an attribute must still export
+        # (the reference omits absent elements; the flat fragment renders
+        # them empty) — without this, concat() null-propagates and a
+        # single absent pred would null the whole document
+        F.coalesce(
+            F.max(
+                F.when((F.col("graph") == g) & (F.col("pred") == p), F.col("obj"))
+            ),
+            F.lit(""),
         ).alias(a)
         for a, g, p in BUILDING_EXPORT_PREDS
     ]
@@ -69,8 +76,11 @@ def _corner(env_col: str, first: int) -> F.Column:
     1-indexed. lower = pt0 (tokens 1..3), upper = pt2 (tokens 7..9) per
     the envelope ring convention (DBCityObject.java:324-331)."""
     t = F.split(F.col(env_col), "#")
+    # F.get (not getItem/element_at): returns NULL out-of-range even under
+    # ANSI, so a feature with a missing/short envelope exports an empty
+    # corner instead of failing the job
     return F.concat_ws(
-        " ", t.getItem(first - 1), t.getItem(first), t.getItem(first + 1)
+        " ", F.get(t, first - 1), F.get(t, first), F.get(t, first + 1)
     )
 
 
@@ -119,7 +129,7 @@ def building_cityjson(triples: DataFrame) -> DataFrame:
             F.concat(
                 F.lit("["),
                 F.concat_ws(
-                    ",", t.getItem(3 * i), t.getItem(3 * i + 1), t.getItem(3 * i + 2)
+                    ",", F.get(t, 3 * i), F.get(t, 3 * i + 1), F.get(t, 3 * i + 2)
                 ),
                 F.lit("]"),
             )

@@ -436,3 +436,23 @@ def test_citygml_export_roundtrip(spark):
     # scale shape: exactly ONE exchange (the pivot agg), no join
     plan = building_citygml(t)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1 and "Join" not in plan
+
+
+def test_citygml_export_missing_attrs(spark):
+    """A feature missing attributes (incl. the envelope) still exports an
+    empty-element fragment instead of a NULL row or an ANSI index error."""
+    from citykg.ops.citygml_export import building_citygml
+
+    t = spark.createDataFrame(
+        [
+            ("d2", "s/cityobject/BLDG_2/", "ocgml:gmlId", "BLDG_2", "cityobject"),
+            ("d2", "s/building/BLDG_2/", "ocgml:storeysAboveGround", "4", "building"),
+        ],
+        "doc_id string, subj string, pred string, obj string, graph string",
+    )
+    x = building_citygml(t).collect()[0]
+    assert x.citygml is not None
+    assert '<bldg:Building gml:id="BLDG_2">' in x.citygml
+    assert "<bldg:storeysAboveGround>4</bldg:storeysAboveGround>" in x.citygml
+    assert "<gml:name></gml:name>" in x.citygml  # absent -> empty element
+    assert "<gml:lowerCorner></gml:lowerCorner>" in x.citygml
