@@ -204,6 +204,10 @@ def headline(sf_dir: str, cores: int) -> None:
         "dataset_split",
         "pack_sequences",
         "kg_link_fuzzy",
+        "tfidf_keywords",
+        "dataset_mix",
+        "citygml_export",
+        "graph_triangles",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
