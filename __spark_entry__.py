@@ -688,6 +688,22 @@ def q_owl_max_cardinality(spark, sf):
     )
 
 
+def q_owl_disjointness(spark, sf):
+    """G5 disjointness (ClassDisjointnessCheckingTask analog): treat both
+    ocgml:class and ocgml:objectClassId as class assertions and declare
+    class '0' disjoint with objectClassId-class '26' — main buildings with
+    class code 0 (10% of docs by construction) then assert two disjoint
+    classes and violate. Self-join on near-unique subj + broadcast axiom
+    table (ops.owl.disjoint_class_violations)."""
+    t = (
+        _triples(spark, sf, ["building"])
+        .where(F.col("pred").isin("ocgml:class", "ocgml:objectClassId"))
+        .withColumn("pred", F.lit(owl.CLASS_PRED))
+    )
+    v = owl.disjoint_class_violations(spark, t, [("0", "26")])
+    return v.dropDuplicates(["subj", "class_a", "class_b"])
+
+
 def q_owl_consistency(spark, sf):
     """G5/CC: one row per check family with its violation count;
     consistent == all-zero (ConsistencyCheckingTask analog)."""
@@ -1745,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_range": q_owl_range,
         "owl_value_restriction": q_owl_value_restriction,
         "owl_max_cardinality": q_owl_max_cardinality,
+        "owl_disjointness": q_owl_disjointness,
         "owl_consistency": q_owl_consistency,
         "zoning_gfa": q_zoning_gfa,
         "projection_filter": q_projection_filter,
@@ -3016,6 +3033,11 @@ def oracle_sql() -> dict[str, str]:
         "owl_range": _owl_range_sql(),
         "owl_value_restriction": _owl_value_restriction_sql(),
         "owl_max_cardinality": _owl_max_cardinality_sql(),
+        "owl_disjointness": (
+            f"SELECT '{DEFAULT_BASE}/building/BLDG_' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/' AS subj, "
+            "'0' AS class_a, '26' AS class_b FROM documents WHERE doc_id % 10 = 0"
+        ),
         "owl_consistency": _owl_consistency_sql(),
         "zoning_gfa": _zoning_gfa_sql(),
         "projection_filter": (
