@@ -107,3 +107,80 @@ def stream_extract_to_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_canonicalize(
+    spark: SparkSession,
+    landing_dir: str,
+    registry_dir: str,
+    checkpoint_dir: str,
+    groups_fn,
+    available_now: bool = True,
+    max_files_per_batch: int = 64,
+):
+    """Streaming canonicalization: maintain the canonical-entity registry
+    ACROSS micro-batches with canon.incremental_components — the streaming
+    twin of the batch CC stage, and the shape a 10^12-doc deployment
+    actually runs (per-batch global CC is unaffordable; folding each batch
+    into the registry is O(batch + touched components)).
+
+    Per micro-batch (foreachBatch, exactly-once via the checkpointed
+    batch id + idempotent overwrite):
+      1. `groups_fn(batch_docs) -> (entity_id, member)` — the caller's
+         linking step (mentions joined to the gazetteer).
+      2. bridge the batch to history: union the registry-side per-entity
+         anchors (min member per entity, kept in `<registry_dir>/hubs`)
+         so a known entity's new mentions connect to its existing
+         component, then star-compress to edges.
+      3. `incremental_components(registry, edges)` -> overwrite the
+         registry + refreshed hubs.
+
+    The registry lives as parquet (`<registry_dir>/labels`): (id,
+    component). Overwrite-per-batch is the sandbox stand-in for an
+    Iceberg MERGE; the write is deterministic, so replaying a batch after
+    a crash converges to the same registry (resume-safe)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import canon
+
+    labels_path = os.path.join(registry_dir, "labels")
+    hubs_path = os.path.join(registry_dir, "hubs")
+
+    def fold_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        groups = groups_fn(batch_docs).localCheckpoint(eager=True)
+        if groups.isEmpty():
+            return
+        sp = groups.sparkSession
+        if os.path.exists(labels_path):
+            registry = sp.read.parquet(labels_path).localCheckpoint(eager=True)
+            hubs = sp.read.parquet(hubs_path)
+            bridged = groups.unionByName(
+                hubs.select("entity_id", F.col("hub").alias("member"))
+            )
+            edges = canon.same_as_edges(bridged, "entity_id", "member")
+            labels = canon.incremental_components(registry, edges)
+        else:
+            edges = canon.same_as_edges(groups, "entity_id", "member")
+            labels = canon.connected_components(edges)
+        labels = labels.localCheckpoint(eager=True)
+        new_hubs = groups.groupBy("entity_id").agg(F.min("member").alias("hub"))
+        if os.path.exists(hubs_path):
+            old = sp.read.parquet(hubs_path).localCheckpoint(eager=True)
+            new_hubs = (
+                old.unionByName(new_hubs)
+                .groupBy("entity_id")
+                .agg(F.min("hub").alias("hub"))
+            )
+            new_hubs = new_hubs.localCheckpoint(eager=True)
+        labels.write.mode("overwrite").parquet(labels_path)
+        new_hubs.write.mode("overwrite").parquet(hubs_path)
+
+    docs = stream_docs(spark, landing_dir, max_files_per_batch)
+    writer = docs.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

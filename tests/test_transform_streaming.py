@@ -194,3 +194,52 @@ def test_streaming_pii_redaction_matches_batch(spark, tmp_path_factory):
         }
 
     assert key(spark.read.parquet(out)) == key(t.redact_pii(t.with_pii_counts(df)))
+
+
+def test_stream_canonicalize_matches_batch_cc(spark, tmp_path_factory):
+    """Streaming registry maintenance == batch connected components: docs
+    arrive in two checkpointed drops; after each drain the registry equals
+    the full batch CC over everything ingested so far (cross-batch entity
+    merges included). The fold itself is canon.incremental_components —
+    only touched components are re-solved per batch."""
+    from citykg import canon, link
+    from citykg.fixtures import synth_gazetteer
+
+    land = str(tmp_path_factory.mktemp("cc_landing"))
+    reg = str(tmp_path_factory.mktemp("cc_registry"))
+    ckpt = str(tmp_path_factory.mktemp("cc_ckpt"))
+
+    def groups_fn(batch_docs):
+        linked = link.link_exact(link.entity_mentions(batch_docs), synth_gazetteer(spark))
+        member = F.concat(
+            F.lit("iri://addr/ADDR_"), F.expr("substring(doc_id, 5)"), F.lit("/")
+        )
+        return linked.where(F.col("entity_id").isNotNull()).select(
+            "entity_id", member.alias("member")
+        )
+
+    docs = synth_docs(spark, SF_SMOKE).persist()
+    first = docs.where(F.expr("substring(doc_id, 5) < '00000250'"))
+    second = docs.where(F.expr("substring(doc_id, 5) >= '00000250'"))
+
+    def batch_cc(d):
+        edges = canon.same_as_edges(groups_fn(d), "entity_id", "member")
+        return {
+            (r.id, r.component)
+            for r in canon.connected_components(edges).collect()
+        }
+
+    first.write.mode("append").parquet(land)
+    q = streaming.stream_canonicalize(spark, land, reg, ckpt, groups_fn)
+    q.awaitTermination(180)
+    got1 = {(r.id, r.component) for r in spark.read.parquet(f"{reg}/labels").collect()}
+    assert got1 == batch_cc(first)
+
+    # second drop: checkpointed restart folds ONLY the new files into the
+    # registry; result must equal a full recompute over all docs
+    second.write.mode("append").parquet(land)
+    q2 = streaming.stream_canonicalize(spark, land, reg, ckpt, groups_fn)
+    q2.awaitTermination(180)
+    got2 = {(r.id, r.component) for r in spark.read.parquet(f"{reg}/labels").collect()}
+    assert got2 == batch_cc(docs)
+    docs.unpersist()
