@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(80 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(112 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -220,6 +220,32 @@ def q_kg_canonical_incremental(spark, sf):
 def q_kg_rehome(spark, sf):
     t = _triples(spark, sf, ["building"])
     return canon.rehome_iris(t, DEFAULT_BASE, REHOME_BASE)
+
+
+def q_kg_snapshot_diff(spark, sf):
+    """Snapshot diff / changed-triples audit — the read-side twin of the
+    reference's delete+upsert maintenance ops (Importer delete/upsert,
+    our materialize.delete_subjects/upsert_triples): given two triple-
+    store snapshots, emit what changed as (graph, subj, pred, obj,
+    change). The "new" snapshot is the "old" one with ocgml:description
+    rewritten to obj || ' v2' on every 10th document's triples — the
+    update an upsert would apply. Diff = two left_anti joins (added =
+    new∖old, removed = old∖new) over distinct (graph,subj,pred,obj) —
+    one hash exchange per side on the 4-column key, no window, no
+    collect; at 100 TB both sides are bucketed by subject hash in the
+    store, so the anti joins co-locate without a re-shuffle."""
+    t = _triples(spark, sf).select("graph", "subj", "pred", "obj", "doc_id")
+    changed = (F.col("pred") == "ocgml:description") & (
+        F.substring("doc_id", 5, 8).cast("long") % 10 == 0
+    )
+    old = t.select("graph", "subj", "pred", "obj").distinct()
+    new = t.withColumn(
+        "obj", F.when(changed, F.concat(F.col("obj"), F.lit(" v2"))).otherwise(F.col("obj"))
+    ).select("graph", "subj", "pred", "obj").distinct()
+    keys = ["graph", "subj", "pred", "obj"]
+    added = new.join(old, keys, "left_anti").withColumn("change", F.lit("added"))
+    removed = old.join(new, keys, "left_anti").withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
 
 
 def q_kg_envelope_fold(spark, sf):
@@ -899,6 +925,44 @@ def q_asof_join(spark, sf):
     return out.select("user_id", "event_id", F.round("asof_rv", 6).alias("asof_rv"))
 
 
+def q_time_rollup(spark, sf):
+    """Hypertable-style multi-resolution time rollup: daily and hourly
+    aggregates of the events stream in ONE pass via GROUPING SETS —
+    Catalyst expands the sets into a single Expand + hash aggregate with
+    map-side partial aggregation, so the 100 TB shape is one scan + one
+    shuffle keyed on (event_type, day, hr, grouping_id), never one job
+    per resolution. Hour-level rows carry hr; day-level rows carry
+    hr = NULL (the standard rollup encoding both engines share)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")  # string: the
+    # engines' date carriers differ (date vs datetime64) but the rollup
+    # key is the rendered day either way
+    hr = F.expr("extract(hour FROM ts)").cast("int").alias("hr")
+    base = e.select("event_type", day, hr, "value")
+    base.createOrReplaceTempView("_time_rollup_base")
+    return spark.sql(
+        "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
+        "FROM _time_rollup_base "
+        "GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
+    )
+
+
+def q_event_quantiles(spark, sf):
+    """Exact percentiles of event value per type (p25/p50/p75/p90/p99),
+    Spark's exact `percentile` vs DuckDB quantile_cont — both interpolate
+    at index p*(n-1). Exact percentile buffers each group's values; at
+    100 TB swap to approx_percentile (t-digest, mergeable partial aggs) —
+    the exact form here is the oracle-checkable contract of that swap."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    pct = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
+    return e.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+            for name, p in pct.items()
+        ]
+    )
+
+
 def q_text_metrics(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     return text.with_token_counts(d).select("doc_id", "n_tokens", "n_subwords")
@@ -1151,6 +1215,23 @@ def q_ann_ivf_topk(spark, sf):
     return similarity.ivf_ann_topk(e, q, k=5, n_centroids=8, nprobe=8).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def q_ann_range_search(spark, sf):
+    """Radius search at verification strength: 4 planes x 48 tables (the
+    q_ann_lsh_topk bound: per-neighbor miss probability ~2e-5 at this
+    corpus's neighbor angles), so the blocked result equals the exact
+    threshold scan and the brute-force SQL stays as the oracle. The
+    threshold cut is applied to the 4-dp-rounded cosine on both sides so
+    the engines cut at the same value (same trick as dedup_embedding);
+    0.38 sits inside the synthetic corpus's near-orthogonal band (max
+    pairwise cosine ~0.51) so the result is non-trivial at every SF."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_range_search(e, q, threshold=0.3, n_planes=4, tables=48)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    ).where("cosine >= 0.38")
 
 
 def q_multimodal_decode(spark, sf):
@@ -1731,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_clusters": q_kg_canonical_clusters,
         "kg_canonical_incremental": q_kg_canonical_incremental,
         "kg_rehome": q_kg_rehome,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_envelope_fold": q_kg_envelope_fold,
         "kg_centroid": q_kg_centroid,
         "kg_distance": q_kg_distance,
@@ -1777,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "event_quantiles": q_event_quantiles,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -1799,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_range_search": q_ann_range_search,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2954,6 +3039,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_envelope_fold": _envelope_fold_sql(),
         "kg_centroid": _centroid_sql(),
+        "kg_snapshot_diff": (
+            f"WITH t AS ({triples_oracle_sql()}), "
+            "o AS (SELECT DISTINCT graph, subj, pred, obj FROM t), "
+            "n AS (SELECT DISTINCT graph, subj, pred, "
+            "CASE WHEN pred = 'ocgml:description' "
+            "AND CAST(substr(doc_id, 5, 8) AS BIGINT) % 10 = 0 "
+            "THEN obj || ' v2' ELSE obj END AS obj FROM t) "
+            "SELECT graph, subj, pred, obj, 'added' AS change FROM "
+            "(SELECT * FROM n EXCEPT SELECT * FROM o) "
+            "UNION ALL "
+            "SELECT graph, subj, pred, obj, 'removed' AS change FROM "
+            "(SELECT * FROM o EXCEPT SELECT * FROM n)"
+        ),
         "kg_distance": _distance_sql(),
         "kg_affine": (
             f"SELECT ({dk}) AS doc_id, "
@@ -3068,6 +3166,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, side ROWS UNBOUNDED PRECEDING), 6) AS asof_rv "
             "FROM u QUALIFY side = 1"
         ),
+        "time_rollup": (
+            "WITH b AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(extract(hour FROM ts) AS INT) AS hr, value FROM events) "
+            "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
+            "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
+        ),
+        "event_quantiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.25), 6) AS p25, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.75), 6) AS p75, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(quantile_cont(value, 0.99), 6) AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
         "filter_algebra": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
             "WHERE l_quantity BETWEEN 10 AND 20 AND (l_returnflag LIKE 'A%' OR l_linestatus = 'F') "
@@ -3155,6 +3268,16 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
         "ann_ivf_topk": _ann_brute_sql(),
+        # range search blocked == exact at verification strength too; the
+        # oracle is the brute threshold scan with the same rounded cut
+        "ann_range_search": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cosine "
+            "FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.38"
+        ),
         "crs_transform": _crs_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),

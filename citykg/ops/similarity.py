@@ -170,6 +170,47 @@ def lsh_ann_topk(
     )
 
 
+def lsh_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 4,
+    tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Radius (range) search: every corpus vector with cosine >= threshold
+    of each query, blocked by the same sign-LSH tables as lsh_ann_topk —
+    candidates are same-bucket pairs in ANY table, then exact cosine
+    verify. Unlike top-k there is no window: the threshold filter applies
+    directly to the verified cosine, so the plan is bucket-join ->
+    dropDuplicates -> filter (no per-query sort). At 100 TB the bucket
+    join touches tables x |q| buckets, never the full corpus; a query's
+    recall at a given threshold follows the same (1-(1-(1-theta/pi)^p)^L)
+    collision bound as top-k — choose tables so misses are negligible at
+    the target radius (verification strength here: see q_ann_range_search).
+    Output: (query_id, vec_id, cosine)."""
+    cb = with_lsh_buckets(corpus.select(id_col, vec_col), vec_col, dim, n_planes, tables, seed)
+    qb = with_lsh_buckets(
+        queries.select(query_id_col, F.col(vec_col).alias("_qv")), "_qv", dim, n_planes, tables, seed
+    )
+    cands = (
+        cb.join(qb, ["table_id", "bucket"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, "_qv", id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = with_norm(with_norm(cands, vec_col, "_nc"), "_qv", "_nq").withColumn(
+        "cosine", cosine_expr(vec_col, "_qv", "_nc", "_nq")
+    )
+    return scored.where(F.col("cosine") >= threshold).select(
+        query_id_col, id_col, "cosine"
+    )
+
+
 def ivf_centroids(corpus: DataFrame, vec_col: str = "embedding", n_centroids: int = 16,
                   seed: int = 42, train_sample: int = 4096, iters: int = 10) -> "list[list[float]]":
     """Deterministic coarse-quantizer TRAINING, the faiss pattern: collect

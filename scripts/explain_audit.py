@@ -56,6 +56,10 @@ AUDITS = [
     ("kg_canonical_incremental", "incremental CC: touched-component semi-join + star-compressed rerun, no global recompute"),
     ("distance_writeback", "distance write-back: grid pair join + explode Project, no cartesian"),
     ("owl_disjointness", "disjointness: subj self-join (near-unique key) + broadcast axioms"),
+    ("kg_snapshot_diff", "snapshot diff: two distinct + left_anti exchanges on the 4-col key, no window, no collect"),
+    ("time_rollup", "multi-resolution rollup: ONE Expand + partial-agg exchange for both grains, no per-grain jobs"),
+    ("event_quantiles", "exact percentiles: one partial-agg exchange on event_type (swap to approx_percentile at scale)"),
+    ("ann_range_search", "radius search: LSH bucket equi-join + threshold filter, NO CartesianProduct, no window"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -67,6 +71,7 @@ NO_CARTESIAN = {
     "dedup_embedding",
     "spatial_relations",
     "decontaminate",
+    "ann_range_search",
 }
 
 out = io.StringIO()

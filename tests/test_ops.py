@@ -160,6 +160,30 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_lsh_range_search_equals_brute_at_verification_strength(spark, embeddings):
+    corpus = [(r.vec_id, list(r.embedding)) for r in embeddings.collect()]
+    queries = corpus[:5]
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+    C = np.array([c for _, c in corpus])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    thr = 0.3
+    want = set()
+    for qid, qv in queries:
+        q = np.array(qv)
+        sims = Cn @ (q / np.linalg.norm(q))
+        for i, s in enumerate(sims):
+            if corpus[i][0] != qid and s >= thr:
+                want.add((qid, corpus[i][0]))
+    got = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_range_search(
+            embeddings, qdf, threshold=thr, n_planes=4, tables=48
+        ).collect()
+    }
+    assert want, "threshold too high for the test corpus — no pairs to verify"
+    assert got == want
+
+
 def test_ivf_ann_runs_and_overlaps(spark, embeddings):
     corpus = [(r.vec_id, list(r.embedding)) for r in embeddings.collect()]
     queries = corpus[:5]
