@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(112 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(113 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1014,6 +1014,18 @@ def q_tfidf_keywords(spark, sf):
     return tfidf_topk(d, "doc_id", "text", k=3)
 
 
+def q_text_lm_score(spark, sf):
+    """Unigram-LM quality scoring: average log-probability of each doc
+    under the corpus's own MLE unigram model (the CCNet/KenLM filtering
+    signal without the external binary). One corpus token scan -> tf
+    aggregate; vocab counts and corpus total derive from tf (ops.relevance
+    docstring has the 100 TB shape)."""
+    from citykg.ops.relevance import unigram_lm_scores
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return unigram_lm_scores(d)
+
+
 def q_bm25_search(spark, sf):
     """BM25 relevance of every document to the query {'spark','join',
     'window'} (targeted corpus slicing). Corpus stats (N, avg doclen) ride
@@ -1877,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_search": q_bm25_search,
+        "text_lm_score": q_text_lm_score,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
@@ -3286,6 +3299,15 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _text_repetition_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "bm25_search": _bm25_search_sql(),
+        "text_lm_score": (
+            f"WITH {_TERMS_CTE}, "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), "
+            "vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS n_total FROM vocab) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, "
+            "round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS avg_logprob "
+            "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
+        ),
         "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),

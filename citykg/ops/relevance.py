@@ -131,3 +131,43 @@ def bm25_scores(
         F.round(F.sum("contrib"), 6).alias("bm25"),
         F.count("*").alias("n_terms_hit"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    MLE unigram model — the LM-based quality signal of CCNet/KenLM-style
+    filtering, reduced to a pure aggregation so no external LM binary is
+    needed: low (very negative) scores flag rare-token junk, high scores
+    flag common-token boilerplate; filters cut both tails.
+
+      avg_logprob(D) = sum_t tf(D,t) * ln(c(t)/N) / len(D)
+
+    Plan shape at 100 TB: the raw token stream is scanned ONCE into the
+    (doc, term) tf aggregate (map-side combinable); the vocabulary counts
+    c(t) and the corpus total N both derive from tf, never from a second
+    corpus pass. The tf-vocab join is term-keyed — stop-words make the key
+    skewed, but the vocab side is aggregate-sized (planner broadcasts it
+    under AQE; same policy as tfidf_topk's dfreq join) so the skew never
+    drives a shuffle of the big side. Returns (id, n_terms, avg_logprob),
+    rounded to 6 so JVM and C libm `ln` agree after rounding."""
+    terms = _terms(df, id_col, text_col)
+    # tf feeds three consumers (the per-doc join, vocab, and the corpus
+    # total); without materializing it, Catalyst re-derives each from the
+    # raw token scan — three corpus passes. Same multi-consumer policy as
+    # ops.sampling.mix_sources.
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = tf.join(vocab, "term").join(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_terms"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.col("c") / F.col("n_total"))) / F.sum("tf"), 6
+        ).alias("avg_logprob"),
+    )

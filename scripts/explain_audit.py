@@ -60,6 +60,7 @@ AUDITS = [
     ("time_rollup", "multi-resolution rollup: ONE Expand + partial-agg exchange for both grains, no per-grain jobs"),
     ("event_quantiles", "exact percentiles: one partial-agg exchange on event_type (swap to approx_percentile at scale)"),
     ("ann_range_search", "radius search: LSH bucket equi-join + threshold filter, NO CartesianProduct, no window"),
+    ("text_lm_score", "unigram LM score: one token scan into tf, vocab+total derived from tf, one-row total broadcast"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -160,6 +160,21 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_unigram_lm_scores_hand_computed(spark):
+    import math
+
+    from citykg.ops.relevance import unigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=2, c=1, N=5
+    got = {r.doc_id: (r.n_terms, r.avg_logprob) for r in unigram_lm_scores(df).collect()}
+    want1 = round((2 * math.log(2 / 5) + math.log(2 / 5)) / 3, 6)
+    want2 = round((math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
+    assert got == {1: (3, want1), 2: (2, want2)}
+
+
 def test_lsh_range_search_equals_brute_at_verification_strength(spark, embeddings):
     corpus = [(r.vec_id, list(r.embedding)) for r in embeddings.collect()]
     queries = corpus[:5]
