@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(113 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(114 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1014,6 +1014,32 @@ def q_tfidf_keywords(spark, sf):
     return tfidf_topk(d, "doc_id", "text", k=3)
 
 
+def q_dedup_url(spark, sf):
+    """Exact URL dedup after canonicalization (ops.text.canonical_url):
+    three deterministic URL variants are planted per doc (same pattern as
+    domain_stats — the testdata corpus has no native URLs); two of them
+    are the SAME resource dressed differently (https+www+UPPER host+utm
+    params vs http+:80+fragment) and must fold to one canonical group of
+    size 2, the third stays its own group after its tracking param drops.
+    Canonicalization is a codegen'd regex Project; the one shuffle is the
+    map-side-combinable group count."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    k = "cast(doc_id % 5 as string)"
+    i = "cast(doc_id as string)"
+    u = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array("
+                f"concat('https://www.Example', {k}, '.COM/page/', {i}, '/?utm_source=x&utm_campaign=y'), "
+                f"concat('http://example', {k}, '.com:80/page/', {i}, '/#frag'), "
+                f"concat('https://other.org/items?id=', {i}, '&utm_medium=z'))"
+            )
+        ).alias("url"),
+    )
+    return text.url_dedup_groups(u)
+
+
 def q_text_lm_score(spark, sf):
     """Unigram-LM quality scoring: average log-probability of each doc
     under the corpus's own MLE unigram model (the CCNet/KenLM filtering
@@ -1890,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_search": q_bm25_search,
         "text_lm_score": q_text_lm_score,
+        "dedup_url": q_dedup_url,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
@@ -3307,6 +3334,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, "
             "round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS avg_logprob "
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
+        ),
+        # same planted variants and the same canonicalization chain as
+        # q_dedup_url; DuckDB regexp_replace defaults to first-match, so
+        # the multi-param tracking strip passes the 'g' flag (Java's
+        # replaceAll semantics)
+        "dedup_url": (
+            "WITH u AS (SELECT doc_id, unnest(["
+            "'https://www.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM/page/' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&utm_campaign=y', "
+            "'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com:80/page/' || CAST(doc_id AS VARCHAR) || '/#frag', "
+            "'https://other.org/items?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=z'"
+            "]) AS url FROM documents), "
+            "c AS (SELECT doc_id, 'https://' || "
+            "regexp_replace(regexp_replace(lower(regexp_extract(regexp_replace(url, '^https?://', ''), '^[^/?#]+')), '^www\\.', ''), ':(80|443)$', '') || "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(url, '^https?://', ''), '^[^/?#]+', ''), '#.*$', ''), '(utm_[A-Za-z_]+|fbclid)=[^&#]*&?', '', 'g'), '[?&]$', ''), '/$', '') "
+            "AS canon_url FROM u) "
+            "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM c GROUP BY 1"
         ),
         "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),

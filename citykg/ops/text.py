@@ -228,3 +228,47 @@ def filter_cascade(
     return j.select(
         id_col, reason.alias("reason"), (reason == "ok").alias("keep")
     )
+
+
+# tracking params stripped by canonical_url; the trailing '&?' eats the
+# separator of a following param so '?utm_x=1&a=2' folds to '?a=2'
+TRACKING_PARAM_RE = "(utm_[A-Za-z_]+|fbclid)=[^&#]*&?"
+
+
+def canonical_url(url):
+    """Canonical URL form for exact URL dedup, byte-identical to the
+    DuckDB oracle chain (Java regexp_replace is replace-ALL; the oracle
+    passes the 'g' flag where that matters):
+
+      1. scheme folded to https (http/https are the same resource)
+      2. host lowercased, leading 'www.' and default ports :80/:443 gone
+      3. fragment stripped (never sent to the server)
+      4. utm_*/fbclid tracking params dropped, dangling '?'/'&' repaired
+      5. one trailing slash stripped
+
+    All JVM regex built-ins on one column — a codegen'd Project, no
+    Python, no shuffle; the dedup groupBy downstream is the only wide
+    stage."""
+    rest = F.regexp_replace(url, "^https?://", "")
+    host = F.lower(F.regexp_extract(rest, "^[^/?#]+", 0))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    tail = F.regexp_replace(rest, "^[^/?#]+", "")
+    tail = F.regexp_replace(tail, "#.*$", "")
+    tail = F.regexp_replace(tail, TRACKING_PARAM_RE, "")
+    tail = F.regexp_replace(tail, "[?&]$", "")
+    tail = F.regexp_replace(tail, "/$", "")
+    return F.concat(F.lit("https://"), host, tail)
+
+
+def url_dedup_groups(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:
+    """Exact URL dedup after canonicalization: (canon_url, n_urls,
+    n_docs). The scheme/www/port/tracking noise that makes byte-equal
+    dedup miss real duplicates folds out in the Project; the single
+    groupBy is map-side combinable, so hot URLs (link farms) combine per
+    task before the one exchange."""
+    return (
+        df.select(id_col, canonical_url(F.col(url_col)).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_urls"), F.countDistinct(id_col).alias("n_docs"))
+    )

@@ -61,6 +61,7 @@ AUDITS = [
     ("event_quantiles", "exact percentiles: one partial-agg exchange on event_type (swap to approx_percentile at scale)"),
     ("ann_range_search", "radius search: LSH bucket equi-join + threshold filter, NO CartesianProduct, no window"),
     ("text_lm_score", "unigram LM score: one token scan into tf, vocab+total derived from tf, one-row total broadcast"),
+    ("dedup_url", "URL dedup: canonicalization is a codegen'd regex Project; ONE map-side-combinable group exchange"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

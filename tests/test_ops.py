@@ -160,6 +160,28 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_canonical_url_folds_noise(spark):
+    from citykg.ops import text as t
+
+    cases = [
+        # (raw, canonical)
+        ("https://www.Example.COM/page/1/?utm_source=x&utm_campaign=y",
+         "https://example.com/page/1"),
+        ("http://example.com:80/page/1/#frag", "https://example.com/page/1"),
+        ("https://example.com:443/page/1", "https://example.com/page/1"),
+        ("https://other.org/items?id=7&utm_medium=z", "https://other.org/items?id=7"),
+        ("https://other.org/items?utm_medium=z&id=7", "https://other.org/items?id=7"),
+        ("http://www.a.net", "https://a.net"),
+        ("https://a.net/?fbclid=abc", "https://a.net"),
+        # :8080 is NOT a default port and must survive
+        ("http://cdn.a.net:8080/x?y=1", "https://cdn.a.net:8080/x?y=1"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, url string")
+    got = {r.i: r.c for r in df.select("i", t.canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
 def test_unigram_lm_scores_hand_computed(spark):
     import math
 
