@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(114 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(115 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1136,6 +1136,21 @@ def q_dedup_ngram_jaccard(spark, sf):
     return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental dedup: every 10th doc plays the NEW batch, the rest the
+    existing store; pairs are batch-vs-batch and batch-vs-store only —
+    the store-vs-store quadrant that dominates at 10^12 docs is excluded
+    by construction (ops.dedup.incremental_jaccard_pairs). Oracle = the
+    full exact-Jaccard pair SQL restricted to the same quadrants."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    p = dedup.incremental_jaccard_pairs(corpus, batch, threshold=0.8)
+    return p.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"), "pair_kind"
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     p = dedup.minhash_lsh_pairs(d, threshold=0.8)
@@ -1917,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "text_lm_score": q_text_lm_score,
         "dedup_url": q_dedup_url,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
@@ -3352,6 +3368,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls, "
             "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM c GROUP BY 1"
         ),
+        # the full exact-Jaccard pair set restricted to the batch quadrants
+        # (doc_id%10=0 is the batch): new-new ordered a<b, new-old unordered
+        "dedup_incremental": r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s
+       FROM toks, UNNEST(range(1, len(w)-1)) t(i)),
+p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i FROM sh a JOIN sh b
+      ON a.s=b.s AND a.doc_id % 10 = 0
+      AND (b.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+      AND a.doc_id <> b.doc_id GROUP BY 1,2),
+z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b, round(i*1.0/(z1.n+z2.n-i), 6) AS jaccard,
+CASE WHEN doc_b % 10 <> 0 THEN 'new_old' ELSE 'new_new' END AS pair_kind
+FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
+WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
+""",
         "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),
         "dataset_split": _dataset_split_sql(),

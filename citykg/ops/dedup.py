@@ -109,6 +109,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: Jaccard pairs of a NEW batch against itself and
+    against the existing corpus — the corpus x corpus quadrant is excluded
+    BY CONSTRUCTION, which is the whole point at scale: a daily batch
+    joined into a 10^12-doc store pays |batch| x index-fanout, never
+    |corpus|^2 (the store was already deduped when it was the batch). At
+    scale the corpus side of the inverted index is the persisted shingle
+    index (append-only, bucketed by shingle hash); here it derives
+    in-plan from the corpus frame. Output: (doc_a from the batch, doc_b,
+    jaccard, pair_kind in {'new_new','new_old'}); new_new pairs are
+    ordered doc_a < doc_b."""
+    u = corpus.select(id_col, text_col).withColumn("_old", F.lit(True)).unionByName(
+        batch.select(id_col, text_col).withColumn("_old", F.lit(False))
+    )
+    # sh feeds three consumers (sizes, the batch side, the full side);
+    # materialize it or Catalyst re-runs the corpus shingle explode per
+    # consumer — same multi-consumer policy as relevance.unigram_lm_scores
+    sh = (
+        word_shingles(fanout_to_parallelism(u, id_col, text_col, "_old"), text_col, n)
+        .select(id_col, "_old", "shingle")
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.where(~F.col("_old")).select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_old").alias("_old_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("_old_b") | (F.col("doc_a") < F.col("doc_b")))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_old_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .withColumn(
+            "pair_kind", F.when(F.col("_old_b"), "new_old").otherwise("new_new")
+        )
+        .select("doc_a", "doc_b", "jaccard", "pair_kind")
+    )
+
+
 def repeated_substring_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -62,6 +62,7 @@ AUDITS = [
     ("ann_range_search", "radius search: LSH bucket equi-join + threshold filter, NO CartesianProduct, no window"),
     ("text_lm_score", "unigram LM score: one token scan into tf, vocab+total derived from tf, one-row total broadcast"),
     ("dedup_url", "URL dedup: canonicalization is a codegen'd regex Project; ONE map-side-combinable group exchange"),
+    ("dedup_incremental", "incremental dedup: batch-side inverted-index join, corpus x corpus quadrant structurally absent"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

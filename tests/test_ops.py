@@ -160,6 +160,30 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_incremental_jaccard_excludes_old_old_quadrant(spark):
+    base = " ".join(f"w{i:03d}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " tail")],  # old near-dup pair: must NOT appear
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, base), (12, "completely different words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.pair_kind
+        for r in dedup.incremental_jaccard_pairs(corpus, batch, threshold=0.8).collect()
+    }
+    # new-new ordered a<b; new-old pairs to BOTH old docs; (1,2) absent
+    assert got == {
+        (10, 11): "new_new",
+        (10, 1): "new_old",
+        (10, 2): "new_old",
+        (11, 1): "new_old",
+        (11, 2): "new_old",
+    }
+
+
 def test_canonical_url_folds_noise(spark):
     from citykg.ops import text as t
 
