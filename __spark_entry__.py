@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(115 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(117 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -246,6 +246,24 @@ def q_kg_snapshot_diff(spark, sf):
     added = new.join(old, keys, "left_anti").withColumn("change", F.lit("added"))
     removed = old.join(new, keys, "left_anti").withColumn("change", F.lit("removed"))
     return added.unionByName(removed)
+
+
+def q_kg_void_stats(spark, sf):
+    """VoID-style dataset description of the triple store: per (graph,
+    pred) triple count + distinct subject/object counts — what a KG ops
+    team publishes as the dataset summary (void:triples,
+    void:distinctSubjects, void:distinctObjects per partition). One
+    grouped aggregation; the two exact distincts expand to the standard
+    two-phase distinct-agg plan, both phases map-side combinable, keyed
+    on (graph, pred) — a few hundred groups regardless of corpus size.
+    At 10^12 triples swap the exact distincts for HLL sketches
+    (approx_count_distinct) at the same call site."""
+    t = _triples(spark, sf)
+    return t.groupBy("graph", "pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    )
 
 
 def q_kg_envelope_fold(spark, sf):
@@ -944,6 +962,32 @@ def q_time_rollup(spark, sf):
         "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
         "FROM _time_rollup_base "
         "GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
+    )
+
+
+def q_event_anomaly(spark, sf):
+    """Event-rate anomaly detection: hours whose event count sits >= 2
+    standard deviations from their type's mean hourly rate. The hourly
+    aggregate is one map-side-combinable shuffle; per-type (mu, sigma)
+    is a 5-row aggregate broadcast back — the corpus is never windowed
+    or re-shuffled. The cut applies to the 6-dp-rounded z on both
+    engines (same boundary policy as dedup_embedding); stddev is the
+    sample form both engines default to."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr("extract(hour FROM ts)").cast("int").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("_mu"), F.stddev("n").alias("_sd")
+    )
+    z = F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 6)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 2)
+        .select("event_type", "day", "hr", "n", "z")
     )
 
 
@@ -1866,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_incremental": q_kg_canonical_incremental,
         "kg_rehome": q_kg_rehome,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_void_stats": q_kg_void_stats,
         "kg_envelope_fold": q_kg_envelope_fold,
         "kg_centroid": q_kg_centroid,
         "kg_distance": q_kg_distance,
@@ -1914,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "time_rollup": q_time_rollup,
         "event_quantiles": q_event_quantiles,
+        "event_anomaly": q_event_anomaly,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -3108,6 +3154,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT graph, subj, pred, obj, 'removed' AS change FROM "
             "(SELECT * FROM o EXCEPT SELECT * FROM n)"
         ),
+        "kg_void_stats": (
+            f"WITH t AS ({triples_oracle_sql()}) "
+            "SELECT graph, pred, count(*) AS n_triples, "
+            "CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects, "
+            "CAST(count(DISTINCT obj) AS BIGINT) AS n_objects "
+            "FROM t GROUP BY 1, 2"
+        ),
         "kg_distance": _distance_sql(),
         "kg_affine": (
             f"SELECT ({dk}) AS doc_id, "
@@ -3227,6 +3280,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(extract(hour FROM ts) AS INT) AS hr, value FROM events) "
             "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
             "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
+        ),
+        "event_anomaly": (
+            "WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n "
+            "FROM events GROUP BY 1, 2, 3), "
+            "s AS (SELECT event_type, avg(n) AS mu, stddev(n) AS sd FROM h GROUP BY 1) "
+            "SELECT h.event_type, day, hr, n, round((n - mu) / sd, 6) AS z "
+            "FROM h JOIN s USING (event_type) "
+            "WHERE abs(round((n - mu) / sd, 6)) >= 2"
         ),
         "event_quantiles": (
             "SELECT event_type, "

@@ -63,6 +63,8 @@ AUDITS = [
     ("text_lm_score", "unigram LM score: one token scan into tf, vocab+total derived from tf, one-row total broadcast"),
     ("dedup_url", "URL dedup: canonicalization is a codegen'd regex Project; ONE map-side-combinable group exchange"),
     ("dedup_incremental", "incremental dedup: batch-side inverted-index join, corpus x corpus quadrant structurally absent"),
+    ("kg_void_stats", "VoID summary: one grouped agg, two-phase distinct on (graph,pred) keys, both phases partial"),
+    ("event_anomaly", "rate anomaly: hourly partial agg + 5-row stats broadcast back, corpus never windowed"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
