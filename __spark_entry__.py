@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(117 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(119 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -264,6 +264,18 @@ def q_kg_void_stats(spark, sf):
         F.countDistinct("subj").alias("n_subjects"),
         F.countDistinct("obj").alias("n_objects"),
     )
+
+
+def q_kg_degree_stats(spark, sf):
+    """Out-degree distribution of the KG: (graph, degree, n_subjects) —
+    the histogram a 100 TB deployment computes BEFORE choosing its join
+    strategy (it is the evidence for salting/skew-join decisions; the
+    north_rule's mega-entity skew shows up here as a heavy tail). Two
+    map-side-combinable aggregations: per-subject degree, then the
+    degree histogram — group keys shrink at each step, never grow."""
+    t = _triples(spark, sf)
+    deg = t.groupBy("graph", "subj").agg(F.count("*").alias("degree"))
+    return deg.groupBy("graph", "degree").agg(F.count("*").alias("n_subjects"))
 
 
 def q_kg_envelope_fold(spark, sf):
@@ -1056,6 +1068,16 @@ def q_tfidf_keywords(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     return tfidf_topk(d, "doc_id", "text", k=3)
+
+
+def q_text_collocations(spark, sf):
+    """Collocation mining: PMI of adjacent token pairs seen >= 5 times —
+    the multi-word-expression pass of a tokenizer/vocab pipeline
+    (ops.relevance.bigram_pmi for the plan shape)."""
+    from citykg.ops.relevance import bigram_pmi
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return bigram_pmi(d, min_count=5)
 
 
 def q_dedup_url(spark, sf):
@@ -1911,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rehome": q_kg_rehome,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_void_stats": q_kg_void_stats,
+        "kg_degree_stats": q_kg_degree_stats,
         "kg_envelope_fold": q_kg_envelope_fold,
         "kg_centroid": q_kg_centroid,
         "kg_distance": q_kg_distance,
@@ -1977,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_search": q_bm25_search,
         "text_lm_score": q_text_lm_score,
+        "text_collocations": q_text_collocations,
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
         "dedup_embedding": q_dedup_embedding,
@@ -3161,6 +3185,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT obj) AS BIGINT) AS n_objects "
             "FROM t GROUP BY 1, 2"
         ),
+        "kg_degree_stats": (
+            f"WITH t AS ({triples_oracle_sql()}), "
+            "d AS (SELECT graph, subj, count(*) AS degree FROM t GROUP BY 1, 2) "
+            "SELECT graph, degree, count(*) AS n_subjects FROM d GROUP BY 1, 2"
+        ),
         "kg_distance": _distance_sql(),
         "kg_affine": (
             f"SELECT ({dk}) AS doc_id, "
@@ -3412,6 +3441,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, "
             "round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS avg_logprob "
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
+        ),
+        "text_collocations": (
+            "WITH toks AS (SELECT list_filter(string_split_regex(lower(text), "
+            "'[^a-z]+'), x -> x <> '') AS w FROM documents), "
+            "bg AS (SELECT w[i] AS a, w[i+1] AS b FROM toks, "
+            "UNNEST(range(1, len(w))) t(i)), "
+            "cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2 "
+            "HAVING count(*) >= 5), "
+            "uni AS (SELECT w2, count(*) AS c FROM "
+            "(SELECT unnest(w) AS w2 FROM toks) GROUP BY 1), "
+            "nt AS (SELECT sum(c) AS n_tokens FROM uni), "
+            "nb AS (SELECT count(*) AS n_bigrams FROM bg) "
+            "SELECT a, b, c_ab, "
+            "round(ln((c_ab * 1.0 / n_bigrams) / ((ua.c * 1.0 / n_tokens) * (ub.c * 1.0 / n_tokens))), 6) AS pmi "
+            "FROM cab JOIN uni ua ON cab.a = ua.w2 JOIN uni ub ON cab.b = ub.w2, nt, nb"
         ),
         # same planted variants and the same canonicalization chain as
         # q_dedup_url; DuckDB regexp_replace defaults to first-match, so

@@ -171,3 +171,60 @@ def unigram_lm_scores(
             F.sum(F.col("tf") * F.log(F.col("c") / F.col("n_total"))) / F.sum("tf"), 6
         ).alias("avg_logprob"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Collocation (phrase) mining: pointwise mutual information of
+    adjacent token pairs over the corpus —
+
+      pmi(a, b) = ln( p(a,b) / (p(a) * p(b)) ),
+      p(a,b) = c(ab)/N_bigrams, p(w) = c(w)/N_tokens
+
+    — the standard first pass of multi-word-expression extraction for a
+    tokenizer/vocab pipeline. Two corpus passes over ONE pruned string
+    column (bigram counts; unigram counts), each a single
+    map-side-combinable aggregation; materializing the exploded token
+    stream to save the second scan would cost more I/O than the columnar
+    re-scan at any scale. The unigram table is vocabulary-sized — the
+    planner broadcasts it into the two attach joins. min_count prunes
+    the hapax tail BEFORE the joins, so the pair table that ships is the
+    frequent-collocation head, not the long tail."""
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    bg = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks}) - 1, 0)),"
+                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab")).where(
+        F.col("c_ab") >= min_count
+    )
+    uni = (
+        df.select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tokens"))
+    n_bg = bg.agg(F.count("*").alias("n_bigrams"))
+    return (
+        cab.join(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b")), "b")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_bg))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bigrams"))
+                    / ((F.col("c_a") / F.col("n_tokens")) * (F.col("c_b") / F.col("n_tokens")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -65,6 +65,8 @@ AUDITS = [
     ("dedup_incremental", "incremental dedup: batch-side inverted-index join, corpus x corpus quadrant structurally absent"),
     ("kg_void_stats", "VoID summary: one grouped agg, two-phase distinct on (graph,pred) keys, both phases partial"),
     ("event_anomaly", "rate anomaly: hourly partial agg + 5-row stats broadcast back, corpus never windowed"),
+    ("kg_degree_stats", "degree histogram: two shrinking partial aggs (subj degree, then histogram), no join"),
+    ("text_collocations", "bigram PMI: two partial-agg corpus passes over one pruned column, vocab-sized attach joins"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

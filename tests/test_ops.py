@@ -206,6 +206,32 @@ def test_canonical_url_folds_noise(spark):
         assert got[i] == want, (cases[i][0], got[i])
 
 
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over the cross product of
+    every noise dimension — the property that makes re-canonicalizing an
+    already-canonical store a no-op."""
+    import itertools
+
+    from citykg.ops import text as t
+
+    urls = [
+        f"{scheme}://{host}{port}{path}{query}{frag}"
+        for scheme, host, port, path, query, frag in itertools.product(
+            ["http", "https"],
+            ["www.Example.COM", "example.com", "CDN.a-b.net"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/", "/P/1", "/P/1/"],
+            ["", "?id=7", "?utm_source=x", "?utm_source=x&id=7", "?id=7&fbclid=z"],
+            ["", "#frag"],
+        )
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    once = df.select("i", t.canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("i", "c1", t.canonical_url(F.col("c1")).alias("c2"))
+    bad = twice.where(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
+
+
 def test_unigram_lm_scores_hand_computed(spark):
     import math
 
