@@ -208,6 +208,9 @@ def headline(sf_dir: str, cores: int) -> None:
         "dataset_mix",
         "citygml_export",
         "graph_triangles",
+        "dedup_incremental",
+        "text_lm_score",
+        "time_rollup",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
