@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(119 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(121 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -953,6 +953,27 @@ def q_asof_join(spark, sf):
     right = e.where(F.col("event_type") == b).select("user_id", "ts", F.col("value").alias("rv"))
     out = asof_join(left, right, on="user_id", ts_col="ts")
     return out.select("user_id", "event_id", F.round("asof_rv", 6).alias("asof_rv"))
+
+
+def q_interval_join(spark, sf):
+    """Range (interval) join: every event inside its user's first-two-
+    hours activity window, via ops.temporal.interval_join — an equi-join
+    on the user key with the range predicate as residual (one hash
+    exchange per side, no BroadcastNestedLoop; see the op docstring for
+    the keyless time-bucket variant). Intervals derive from a per-user
+    min(ts) aggregate."""
+    from citykg.ops.temporal import interval_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    iv = e.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = interval_join(e.select("user_id", "ts", "event_id"), iv)
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return out.select(
+        "user_id", "event_id", (sec("ts") - sec("start_ts")).alias("secs_into_window")
+    )
 
 
 def q_time_rollup(spark, sf):
@@ -1915,6 +1936,46 @@ def q_streaming_extract(spark, sf):
     )
 
 
+def q_streaming_dedup(spark, sf):
+    """Structured Streaming stateful dedup, driver-oracled on its
+    GUARANTEED invariant: stream_dedup_first_seen (the reference's UID
+    cache as applyInPandasWithState) emits exactly ONE row per key across
+    all micro-batches. Keys are planted with ~20x duplication
+    (doc_id % 500) and the landing dir is split into 8 files with
+    maxFilesPerTrigger=2, so dedup must hold ACROSS micro-batches, not
+    just within one. WHICH duplicate wins is arrival-order-dependent
+    (exactly like the reference cache), so the oracle checks the key
+    set — the deterministic part of the contract; per-key
+    emitted-exactly-once is pytest-locked including restart."""
+    import tempfile
+
+    from citykg import streaming as streammod
+
+    land = tempfile.mkdtemp(prefix="citykg_sdd_land_")
+    out = tempfile.mkdtemp(prefix="citykg_sdd_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_sdd_ckpt_")
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        (F.col("doc_id") % 500).alias("key"), "doc_id"
+    )
+    d.repartition(8).write.mode("overwrite").parquet(land)
+    s = (
+        spark.readStream.schema("key long, doc_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(land)
+    )
+    q = (
+        streammod.stream_dedup_first_seen(s, "key")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -1983,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "event_quantiles": q_event_quantiles,
         "event_anomaly": q_event_anomaly,
+        "interval_join": q_interval_join,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -2003,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
+        "streaming_dedup": q_streaming_dedup,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
@@ -3310,6 +3373,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
             "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
         ),
+        "interval_join": (
+            "WITH i AS (SELECT user_id, min(ts) AS start_ts, "
+            "min(ts) + INTERVAL 2 HOUR AS end_ts FROM events GROUP BY 1) "
+            "SELECT e.user_id, e.event_id, "
+            "CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(start_ts)) AS BIGINT) "
+            "AS secs_into_window "
+            "FROM events e JOIN i USING (user_id) "
+            "WHERE e.ts BETWEEN start_ts AND end_ts"
+        ),
         "event_anomaly": (
             "WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n "
@@ -3562,6 +3634,10 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             f"SELECT graph, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects "
             f"FROM ({triples_oracle_sql()}) GROUP BY graph"
         ),
+        # exactly one row per key across micro-batches: the key SET is
+        # the deterministic half of the first-seen contract (the winner
+        # row is arrival-order-dependent, pytest-locked separately)
+        "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
         "multimodal_jpeg": (
             # flat blocks decode losslessly: sum_y = 64 * sum over blocks
             # of 16*((bx+by)%13) + 8

@@ -83,3 +83,36 @@ def asof_join(
     for c in right_cols:
         out = out.withColumn(f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
     return out.where(F.col("_side") == 1).drop("_side", *[f"_r_{c}" for c in right_cols])
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Range (interval) join: attach every interval of the same key that
+    contains the event's timestamp (start <= ts <= end, inclusive).
+
+    Plan shape: the key equality makes this an EQUI-join with the range
+    predicate as a residual filter — one hash exchange per side on
+    key_col, no BroadcastNestedLoop, no cartesian. That is the right
+    plan whenever a selective equi-key exists (here: per-user sessions).
+    For keyless interval joins (pure time overlap at 100 TB) the scale
+    path is time-bucketing: explode each interval to its covered coarse
+    buckets, equi-join on (bucket), refine with the residual — same
+    technique as ops.geo's grid-cell DWithin, one axis instead of two."""
+    e = events.alias("e")
+    i = intervals.alias("i")
+    ts = F.col(f"e.{ts_col}")
+    return e.join(
+        i,
+        (F.col(f"e.{key_col}") == F.col(f"i.{key_col}"))
+        & ts.between(F.col(f"i.{start_col}"), F.col(f"i.{end_col}")),
+    ).select(
+        "e.*",
+        F.col(f"i.{start_col}").alias(start_col),
+        F.col(f"i.{end_col}").alias(end_col),
+    )

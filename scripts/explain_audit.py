@@ -67,6 +67,7 @@ AUDITS = [
     ("event_anomaly", "rate anomaly: hourly partial agg + 5-row stats broadcast back, corpus never windowed"),
     ("kg_degree_stats", "degree histogram: two shrinking partial aggs (subj degree, then histogram), no join"),
     ("text_collocations", "bigram PMI: two partial-agg corpus passes over one pruned column, vocab-sized attach joins"),
+    ("interval_join", "range join: EQUI-join on the key with the range residual, no BroadcastNestedLoop/cartesian"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -79,6 +80,7 @@ NO_CARTESIAN = {
     "spatial_relations",
     "decontaminate",
     "ann_range_search",
+    "interval_join",
 }
 
 out = io.StringIO()
