@@ -192,10 +192,14 @@ def bigram_pmi(
     the hapax tail BEFORE the joins, so the pair table that ships is the
     frequent-collocation head, not the long tail."""
     toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    # the index list is bounds-filtered BEFORE element_at: for docs with
+    # < 2 tokens, sequence(1, greatest(n-1, 1)) would otherwise run
+    # descending ([1, 0]) and index 0 / past-the-end errors under ANSI
     bg = df.select(
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size({toks}) - 1, 0)),"
+                f"transform(filter(sequence(1, greatest(size({toks}) - 1, 1)),"
+                f" i -> i < size({toks})),"
                 f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
             )
         ).alias("p")

@@ -160,6 +160,26 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_bigram_pmi_handles_short_docs_and_counts(spark):
+    """Docs with < 2 tokens must not error under ANSI (the index list is
+    bounds-filtered before element_at) and bigram counts are exact."""
+    import math
+
+    from citykg.ops.relevance import bigram_pmi
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "  "), (4, "a b a b a b a b a b")],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): (r.c_ab, r.pmi) for r in bigram_pmi(df, min_count=2).collect()}
+    # 10 tokens -> 9 bigrams: (a,b) x5, (b,a) x4; unigrams a=5, b=5, N=11
+    # (incl. 'hello'); N_bigrams = 9
+    def pmi(c_ab):
+        return round(math.log((c_ab / 9) / ((5 / 11) * (5 / 11))), 6)
+
+    assert got == {("a", "b"): (5, pmi(5)), ("b", "a"): (4, pmi(4))}
+
+
 def test_incremental_jaccard_excludes_old_old_quadrant(spark):
     base = " ".join(f"w{i:03d}" for i in range(40))
     corpus = spark.createDataFrame(
