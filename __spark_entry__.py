@@ -1018,6 +1018,10 @@ def q_event_anomaly(spark, sf):
     z = F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 6)
     return (
         hourly.join(F.broadcast(stats), "event_type")
+        # sd = 0 (every hour identical) diverges between engines: Spark
+        # double/0 is Infinity, DuckDB's is NULL — a degenerate type has
+        # no anomalies by definition, so both sides drop it explicitly
+        .where(F.col("_sd") > 0)
         .withColumn("z", z)
         .where(F.abs(F.col("z")) >= 2)
         .select("event_type", "day", "hr", "n", "z")
@@ -3389,7 +3393,7 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT event_type, avg(n) AS mu, stddev(n) AS sd FROM h GROUP BY 1) "
             "SELECT h.event_type, day, hr, n, round((n - mu) / sd, 6) AS z "
             "FROM h JOIN s USING (event_type) "
-            "WHERE abs(round((n - mu) / sd, 6)) >= 2"
+            "WHERE sd > 0 AND abs(round((n - mu) / sd, 6)) >= 2"
         ),
         "event_quantiles": (
             "SELECT event_type, "
