@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(121 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(122 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1940,6 +1940,30 @@ def q_streaming_extract(spark, sf):
     )
 
 
+def q_kg_materialize_roundtrip(spark, sf):
+    """S5 sink under the driver's oracle: write the extracted triples
+    through the REAL materialize path (bucketed by subject hash,
+    per-bucket lineage manifest, resumable groups — materialize.
+    write_triples), then read the store back and aggregate per graph.
+    Passing the kg_counts-shaped oracle proves the sink wrote every
+    triple exactly once (no bucket lost, none duplicated across the
+    group commits). The kill-and-resume half of the contract is
+    pytest-locked (tests/test_materialize.py)."""
+    import shutil
+    import tempfile
+
+    from citykg import materialize
+
+    t = _triples(spark, sf)
+    out = tempfile.mkdtemp(prefix="citykg_mat_rt_")
+    shutil.rmtree(out, ignore_errors=True)  # write_triples owns the dir
+    materialize.write_triples(spark, t, out, n_buckets=16, bucket_group=8)
+    store = materialize.read_triples(spark, out)
+    return store.groupBy("graph").agg(
+        F.count("*").alias("n_triples"), F.countDistinct("subj").alias("n_subjects")
+    )
+
+
 def q_streaming_dedup(spark, sf):
     """Structured Streaming stateful dedup, driver-oracled on its
     GUARANTEED invariant: stream_dedup_first_seen (the reference's UID
@@ -2070,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
         "streaming_dedup": q_streaming_dedup,
+        "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
@@ -3642,6 +3667,12 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # the deterministic half of the first-seen contract (the winner
         # row is arrival-order-dependent, pytest-locked separately)
         "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
+        # the sink must hold every extracted triple exactly once — the
+        # kg_counts-shaped oracle over the independent SQL derivation
+        "kg_materialize_roundtrip": (
+            f"SELECT graph, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects "
+            f"FROM ({triples_oracle_sql()}) GROUP BY graph"
+        ),
         "multimodal_jpeg": (
             # flat blocks decode losslessly: sum_y = 64 * sum over blocks
             # of 16*((bx+by)%13) + 8
