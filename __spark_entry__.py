@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(122 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(123 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1105,6 +1105,16 @@ def q_text_collocations(spark, sf):
     return bigram_pmi(d, min_count=5)
 
 
+def q_domain_cap(spark, sf):
+    """Per-source cap: at most 10 docs per source, deterministically
+    selected by md5(doc_id # seed) rank (ops.sampling.stratified_cap) —
+    the head-domain damping rule of every web-corpus mixture."""
+    from citykg.ops.sampling import stratified_cap
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "source")
+    return stratified_cap(d, "source", cap=10)
+
+
 def q_dedup_url(spark, sf):
     """Exact URL dedup after canonicalization (ops.text.canonical_url):
     three deterministic URL variants are planted per doc (same pattern as
@@ -2093,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
+        "domain_cap": q_domain_cap,
         "streaming_dedup": q_streaming_dedup,
         "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
@@ -3667,6 +3678,12 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # the deterministic half of the first-seen contract (the winner
         # row is arrival-order-dependent, pytest-locked separately)
         "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
+        "domain_cap": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || '42'), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
+        ),
         # the sink must hold every extracted triple exactly once — the
         # kg_counts-shaped oracle over the independent SQL derivation
         "kg_materialize_roundtrip": (

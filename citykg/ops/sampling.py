@@ -208,3 +208,31 @@ def weighted_mix_rank(
         .withColumn(out, (F.col("_off") + F.row_number().over(krn_w)).cast("int"))
         .drop("_key", "_kbkt", "_off", "_mx")
     )
+
+
+def stratified_cap(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    cap: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum cap: keep at most `cap` rows per stratum — the "no
+    more than N documents per domain/source" rule every web corpus
+    applies so head domains cannot dominate the mixture. Selection is
+    deterministic and resume-stable: rows rank by md5(id # seed) inside
+    their stratum (the same auditable content-hash policy as with_split;
+    md5 because both engines share it bit-for-bit), so a retried
+    partition keeps exactly the same rows and adding new docs to a
+    stratum displaces only hash-later rows. One shuffle on the stratum
+    key; heavy strata are exactly the point of the op, and the window
+    ranks each stratum in one partition — at extreme head-domain skew,
+    pre-filter with an approximate per-stratum count and only window the
+    strata above the cap."""
+    rk = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed))))
+    w = Window.partitionBy(stratum_col).orderBy(rk, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

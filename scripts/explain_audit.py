@@ -68,6 +68,7 @@ AUDITS = [
     ("kg_degree_stats", "degree histogram: two shrinking partial aggs (subj degree, then histogram), no join"),
     ("text_collocations", "bigram PMI: two partial-agg corpus passes over one pruned column, vocab-sized attach joins"),
     ("interval_join", "range join: EQUI-join on the key with the range residual, no BroadcastNestedLoop/cartesian"),
+    ("domain_cap", "per-stratum cap: one stratum-keyed exchange into a per-stratum window, no global sort"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

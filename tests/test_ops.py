@@ -160,6 +160,23 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_stratified_cap_deterministic_and_stable_under_growth(spark):
+    """The kept set is a pure function of (id, seed), and adding new rows
+    to a stratum can only displace hash-later rows — never reshuffle the
+    survivors arbitrarily (the resume/append invariant)."""
+    from citykg.ops.sampling import stratified_cap
+
+    rows = [(i, "s%d" % (i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {r.doc_id for r in stratified_cap(df, "source", cap=5).collect()}
+    kept2 = {r.doc_id for r in stratified_cap(df, "source", cap=5).collect()}
+    assert kept1 == kept2 and len(kept1) == 10
+    grown = spark.createDataFrame(rows + [(100, "s0"), (101, "s1")], "doc_id long, source string")
+    kept3 = {r.doc_id for r in stratified_cap(grown, "source", cap=5).collect()}
+    # survivors after growth are a subset of {old kept} U {new ids}
+    assert kept3 <= kept1 | {100, 101} and len(kept3) == 10
+
+
 def test_bigram_pmi_handles_short_docs_and_counts(spark):
     """Docs with < 2 tokens must not error under ANSI (the index list is
     bounds-filtered before element_at) and bigram counts are exact."""
