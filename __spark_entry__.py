@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(123 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(124 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1974,6 +1974,42 @@ def q_kg_materialize_roundtrip(spark, sf):
     )
 
 
+def q_kg_negative_sample(spark, sf):
+    """Negative sampling for KG-embedding training (TransE-style): each
+    positive (thematicsurface)-[buildingId]->(building) edge gets K=2
+    corrupted tails drawn deterministically from a candidate pool. The
+    pool is the 256 hash-first distinct entities (driver-collected and
+    broadcast — bounded at 256 rows regardless of corpus size, the same
+    economics as similarity.ivf_centroids); the pick index is the
+    cross-engine char-fold of (subj # pos # k), so a retried partition
+    regenerates byte-identical negatives and DuckDB re-derives them
+    independently. Accidental positives (pick == true tail) are filtered
+    — the standard 'corrupt and reject' loop, here a single plan."""
+    from citykg.ops.hashing import char_fold_spark
+
+    t = _triples(spark, sf, ["thematicsurface"]).where(
+        F.col("pred") == "ocgml:buildingId"
+    )
+    edges = t.select("subj", F.col("obj").alias("pos_obj"))
+    pool_rows = (
+        edges.select("pos_obj").distinct()
+        .orderBy(F.md5("pos_obj"), "pos_obj")
+        .limit(256)
+        .collect()
+    )
+    pool = spark.createDataFrame(
+        [(i, r.pos_obj) for i, r in enumerate(pool_rows)], "idx long, neg_obj string"
+    )
+    key = "concat(subj, '#', pos_obj, '#', cast(k as string))"
+    out = (
+        edges.withColumn("k", F.explode(F.expr("sequence(0, 1)")))
+        .withColumn("idx", F.expr(f"pmod({char_fold_spark(key)}, {len(pool_rows)}L)"))
+        .join(F.broadcast(pool), "idx")
+        .where(F.col("neg_obj") != F.col("pos_obj"))
+    )
+    return out.select("subj", "pos_obj", "k", "neg_obj")
+
+
 def q_streaming_dedup(spark, sf):
     """Structured Streaming stateful dedup, driver-oracled on its
     GUARANTEED invariant: stream_dedup_first_seen (the reference's UID
@@ -2104,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
         "domain_cap": q_domain_cap,
+        "kg_negative_sample": q_kg_negative_sample,
         "streaming_dedup": q_streaming_dedup,
         "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
@@ -3235,6 +3272,27 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
 """
 
 
+def _negative_sample_sql() -> str:
+    """Closed-form edges (one TS->BLDG per doc) + the same hash-first-256
+    pool and char-fold pick index, re-derived in DuckDB."""
+    from citykg.ops.hashing import char_fold_duckdb
+
+    lp8 = "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+    key = "subj || '#' || pos_obj || '#' || CAST(k AS VARCHAR)"
+    return (
+        f"WITH e AS (SELECT '{DEFAULT_BASE}/thematicsurface/TS_' || {lp8} || '/' AS subj, "
+        f"'{DEFAULT_BASE}/building/BLDG_' || {lp8} || '/' AS pos_obj FROM documents), "
+        "p AS (SELECT row_number() OVER (ORDER BY md5(neg_obj), neg_obj) - 1 AS idx, neg_obj "
+        "FROM (SELECT DISTINCT pos_obj AS neg_obj FROM e) "
+        "QUALIFY row_number() OVER (ORDER BY md5(neg_obj), neg_obj) <= 256), "
+        "n AS (SELECT count(*) AS n_pool FROM p), "
+        "x AS (SELECT subj, pos_obj, k FROM e, UNNEST([0, 1]) t(k)), "
+        f"j AS (SELECT subj, pos_obj, k, ({char_fold_duckdb(f'({key})')}) % n_pool AS idx FROM x, n) "
+        "SELECT subj, pos_obj, k, neg_obj FROM j JOIN p USING (idx) "
+        "WHERE neg_obj <> pos_obj"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
@@ -3678,6 +3736,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # the deterministic half of the first-seen contract (the winner
         # row is arrival-order-dependent, pytest-locked separately)
         "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
+        "kg_negative_sample": _negative_sample_sql(),
         "domain_cap": (
             "SELECT doc_id, source FROM (SELECT doc_id, source, "
             "row_number() OVER (PARTITION BY source "

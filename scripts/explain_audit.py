@@ -69,6 +69,7 @@ AUDITS = [
     ("text_collocations", "bigram PMI: two partial-agg corpus passes over one pruned column, vocab-sized attach joins"),
     ("interval_join", "range join: EQUI-join on the key with the range residual, no BroadcastNestedLoop/cartesian"),
     ("domain_cap", "per-stratum cap: one stratum-keyed exchange into a per-stratum window, no global sort"),
+    ("kg_negative_sample", "negative sampling: 256-row broadcast pool join on the char-fold index, corpus scanned once"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
