@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(124 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(125 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1095,6 +1095,16 @@ def q_tfidf_keywords(spark, sf):
     return tfidf_topk(d, "doc_id", "text", k=3)
 
 
+def q_text_lm_bigram(spark, sf):
+    """Interpolated bigram-LM quality scoring (Jelinek-Mercer lambda=0.75)
+    — the KenLM-shaped refinement of text_lm_score; all model tables fold
+    out of one per-doc bigram aggregate (ops.relevance.bigram_lm_scores)."""
+    from citykg.ops.relevance import bigram_lm_scores
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return bigram_lm_scores(d)
+
+
 def q_text_collocations(spark, sf):
     """Collocation mining: PMI of adjacent token pairs seen >= 5 times —
     the multi-word-expression pass of a tokenizer/vocab pipeline
@@ -2136,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_search": q_bm25_search,
         "text_lm_score": q_text_lm_score,
+        "text_lm_bigram": q_text_lm_bigram,
         "text_collocations": q_text_collocations,
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
@@ -3611,6 +3622,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, "
             "round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS avg_logprob "
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
+        ),
+        "text_lm_bigram": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z]+'), x -> x <> '') AS w FROM documents), "
+            "bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b FROM toks, "
+            "UNNEST(range(1, len(w))) t(i)), "
+            "tf AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3), "
+            "cab AS (SELECT a, b, sum(tf) AS c_ab FROM tf GROUP BY 1, 2), "
+            "ca AS (SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY 1), "
+            "cb AS (SELECT b, sum(c_ab) AS c_b FROM cab GROUP BY 1), "
+            "n AS (SELECT sum(c_b) AS n_total FROM cb) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+            "round(sum(tf * ln(0.75 * c_ab / c_a + 0.25 * c_b / n_total)) / sum(tf), 6) "
+            "AS avg_logprob "
+            "FROM tf JOIN cab USING (a, b) JOIN ca USING (a) JOIN cb USING (b), n "
+            "GROUP BY 1"
         ),
         "text_collocations": (
             "WITH toks AS (SELECT list_filter(string_split_regex(lower(text), "

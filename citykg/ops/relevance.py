@@ -232,3 +232,67 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document average log-probability under an interpolated bigram
+    LM trained on the corpus itself — one step closer to the KenLM
+    filtering model than unigram_lm_scores:
+
+      p(b | a) = lam * c(ab)/c(a) + (1 - lam) * c(b)/N
+
+    scored over each doc's adjacent token pairs (docs with < 2 tokens
+    have no bigrams and drop out, same convention as the bigram miner).
+    Plan shape: one explode into per-doc bigram counts (map-side
+    combinable); corpus bigram counts c(ab) and unigram counts derive
+    from the per-doc aggregate, never a second corpus pass; both model
+    tables are vocabulary-sized attach joins. The fixed-lambda Jelinek-
+    Mercer interpolation means every factor is a ratio of counts — the
+    DuckDB oracle recomputes it exactly."""
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(1, greatest(size({toks}) - 1, 1)),"
+                f" i -> i < size({toks})),"
+                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b")
+    # per-doc bigram tf: the only corpus-sized aggregate; everything
+    # downstream folds out of it (multi-consumer -> materialize once)
+    tf = (
+        bg.groupBy(id_col, "a", "b")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cab = tf.groupBy("a", "b").agg(F.sum("tf").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # unigram counts as FIRST elements of bigrams: consistent with the
+    # conditional denominator (c(a) sums its continuations)
+    cb = cab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    n = cb.agg(F.sum("c_b").alias("n_total"))
+    scored = (
+        tf.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(n))
+        .withColumn(
+            "_lp",
+            F.col("tf")
+            * F.log(
+                lam * F.col("c_ab") / F.col("c_a")
+                + (1 - lam) * F.col("c_b") / F.col("n_total")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("_lp") / F.sum("tf"), 6).alias("avg_logprob"),
+    )

@@ -70,6 +70,7 @@ AUDITS = [
     ("interval_join", "range join: EQUI-join on the key with the range residual, no BroadcastNestedLoop/cartesian"),
     ("domain_cap", "per-stratum cap: one stratum-keyed exchange into a per-stratum window, no global sort"),
     ("kg_negative_sample", "negative sampling: 256-row broadcast pool join on the char-fold index, corpus scanned once"),
+    ("text_lm_bigram", "bigram LM: one per-doc bigram aggregate materialized, model tables fold out of it"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -197,6 +197,23 @@ def test_bigram_pmi_handles_short_docs_and_counts(spark):
     assert got == {("a", "b"): (5, pmi(5)), ("b", "a"): (4, pmi(4))}
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    from citykg.ops.relevance import bigram_lm_scores
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "b a")], "doc_id long, text string")
+    # bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (b,a)x1 -> c(ab): (a,b)=2, (b,a)=2
+    # c_a: a=2, b=2 (as first element); c_b: b=2, a=2; N=4
+    lam = 0.75
+    p_ab = lam * 2 / 2 + (1 - lam) * 2 / 4  # (a,b): c_ab/c_a=1, c_b/N=.5
+    p_ba = lam * 2 / 2 + (1 - lam) * 2 / 4
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in bigram_lm_scores(df).collect()}
+    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    want2 = round(math.log(p_ba), 6)
+    assert got == {1: (3, want1), 2: (1, want2)}
+
+
 def test_incremental_jaccard_excludes_old_old_quadrant(spark):
     base = " ".join(f"w{i:03d}" for i in range(40))
     corpus = spark.createDataFrame(
