@@ -224,15 +224,24 @@ def stratified_cap(
     their stratum (the same auditable content-hash policy as with_split;
     md5 because both engines share it bit-for-bit), so a retried
     partition keeps exactly the same rows and adding new docs to a
-    stratum displaces only hash-later rows. One shuffle on the stratum
-    key; heavy strata are exactly the point of the op, and the window
-    ranks each stratum in one partition — at extreme head-domain skew,
-    pre-filter with an approximate per-stratum count and only window the
-    strata above the cap."""
+    stratum displaces only hash-later rows.
+
+    Skew-safe shape: strata at or under the cap pass through with NO
+    window at all — only oversized strata are ranked. The per-stratum
+    count table (one row per stratum) broadcasts back onto the corpus,
+    so under head-domain skew the expensive single-partition window
+    touches exactly the head strata's rows and the long tail streams
+    through a filter."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    flagged = df.join(F.broadcast(counts), stratum_col)
+    small = flagged.where(F.col("_n") <= cap).drop("_n")
     rk = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed))))
     w = Window.partitionBy(stratum_col).orderBy(rk, F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    big = (
+        flagged.where(F.col("_n") > cap)
+        .drop("_n")
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+    return small.unionByName(big)
