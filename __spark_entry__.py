@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(125 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(126 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1398,6 +1398,19 @@ def q_ann_range_search(spark, sf):
     ).where("cosine >= 0.38")
 
 
+def q_emb_project(spark, sf):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims (the
+    embedding-compression step before a coarse ANN tier), exploded to
+    (vec_id, j, v) scalars so the driver value-hashes every component.
+    One Arrow-batched matmul pass, zero shuffles; the oracle re-derives
+    the identical seeded matrix as literal dot products."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p = similarity.with_projection(e.select("vec_id", "embedding"))
+    return p.select(
+        "vec_id", F.posexplode("proj").alias("j", "v")
+    ).select("vec_id", "j", F.round("v", 6).alias("v"))
+
+
 def q_multimodal_decode(spark, sf):
     """Interleaved-payload path end-to-end: media references come out of
     the documents' OWN media spans (kind='media', imageURI/mimeType
@@ -2161,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_range_search": q_ann_range_search,
+        "emb_project": q_emb_project,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -3283,6 +3297,20 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
 """
 
 
+def _emb_project_sql() -> str:
+    """The same seeded JL matrix rendered as 16 literal dot products."""
+    rows = similarity.projection_rows()
+    branches = []
+    for j, r in enumerate(rows):
+        lit = "[" + ", ".join(repr(float(x)) for x in r) + "]"
+        branches.append(
+            f"SELECT vec_id, {j} AS j, round(list_dot_product("
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE)), {lit}), 6) AS v "
+            "FROM embeddings"
+        )
+    return " UNION ALL ".join(branches)
+
+
 def _negative_sample_sql() -> str:
     """Closed-form edges (one TS->BLDG per doc) + the same hash-first-256
     pool and char-fold pick index, re-derived in DuckDB."""
@@ -3764,6 +3792,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # row is arrival-order-dependent, pytest-locked separately)
         "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
         "kg_negative_sample": _negative_sample_sql(),
+        "emb_project": _emb_project_sql(),
         "domain_cap": (
             "SELECT doc_id, source FROM (SELECT doc_id, source, "
             "row_number() OVER (PARTITION BY source "

@@ -58,6 +58,47 @@ def with_quantized(
     )
 
 
+def with_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+    out: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = R x with a seeded
+    Gaussian R (out_dim x dim) — the standard embedding-compression step
+    before a coarse ANN tier (4x fewer floats to shuffle; pairwise
+    distances preserved to ~1/sqrt(out_dim)). One Arrow-batched numpy
+    matmul pass, no shuffle, R generated from the seed on every executor
+    (deterministic, nothing broadcast). Outputs float64 rounded to 6 so
+    the DuckDB oracle (the same R rendered as literal dot products)
+    matches after rounding."""
+    import numpy as np
+
+    R = _hyperplanes(dim, out_dim, seed)  # reuse the seeded Gaussian rows
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Rm = np.asarray(R)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            res = pdf.copy()
+            res[out] = (M @ Rm.T).round(6).tolist()
+            yield res
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out} array<double>"
+    return df.mapInPandas(project, schema)
+
+
+def projection_rows(dim: int = 64, out_dim: int = 16, seed: int = 7) -> "list[list[float]]":
+    """The projection matrix rows, exposed so an external engine (the
+    DuckDB oracle) can re-derive the identical projection."""
+    return _hyperplanes(dim, out_dim, seed)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

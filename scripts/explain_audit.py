@@ -71,6 +71,7 @@ AUDITS = [
     ("domain_cap", "per-stratum cap: one stratum-keyed exchange into a per-stratum window, no global sort"),
     ("kg_negative_sample", "negative sampling: 256-row broadcast pool join on the char-fold index, corpus scanned once"),
     ("text_lm_bigram", "bigram LM: one per-doc bigram aggregate materialized, model tables fold out of it"),
+    ("emb_project", "JL projection: one Arrow-batched matmul pass, zero Exchange"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
