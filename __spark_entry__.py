@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(126 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(127 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -953,6 +953,52 @@ def q_asof_join(spark, sf):
     right = e.where(F.col("event_type") == b).select("user_id", "ts", F.col("value").alias("rv"))
     out = asof_join(left, right, on="user_id", ts_col="ts")
     return out.select("user_id", "event_id", F.round("asof_rv", 6).alias("asof_rv"))
+
+
+def q_event_funnel(spark, sf):
+    """Ordered funnel: per user, the earliest view, the earliest click
+    strictly after that view, and the earliest purchase strictly after
+    that click — then one row per funnel stage with how many users
+    reached it. The per-user fold is ONE groupBy on user_id: the view
+    stage is a plain conditional min; the strictly-after stages collect
+    the user's click/purchase epochs and fold them with array_min over
+    a filter — per-user event lists are session-sized, so the buffered
+    state is bounded by user activity, not the corpus (the same
+    economics as sessionize's per-user partitions; a pathological
+    single-user firehose would want pre-aggregation to per-minute
+    mins first). No window, no self-join; one exchange then a 1-row
+    result."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", sec)).alias("v"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.struct(sec.alias("t")))
+            ).alias("_clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.struct(sec.alias("t")))
+            ).alias("_purchases"),
+        )
+        .withColumn(
+            "c",
+            F.expr(
+                "array_min(transform(filter(_clicks, x -> x.t > v), x -> x.t))"
+            ),
+        )
+        .withColumn(
+            "p",
+            F.expr(
+                "array_min(transform(filter(_purchases, x -> x.t > c), x -> x.t))"
+            ),
+        )
+    )
+    return per_user.agg(
+        F.count(F.col("v")).alias("n_view"),
+        F.count(F.col("c")).alias("n_click_after_view"),
+        F.count(F.col("p")).alias("n_purchase_after_click"),
+    )
 
 
 def q_interval_join(spark, sf):
@@ -2142,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "event_anomaly": q_event_anomaly,
         "interval_join": q_interval_join,
+        "event_funnel": q_event_funnel,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -3509,6 +3556,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(extract(hour FROM ts) AS INT) AS hr, value FROM events) "
             "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
             "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
+        ),
+        "event_funnel": (
+            "WITH e AS (SELECT user_id, event_type, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events), "
+            "p1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN s END) AS v "
+            "FROM e GROUP BY 1), "
+            "p2 AS (SELECT e.user_id, min(s) AS c FROM e JOIN p1 USING (user_id) "
+            "WHERE event_type = 'click' AND s > v GROUP BY 1), "
+            "p3 AS (SELECT e.user_id, min(s) AS p FROM e JOIN p2 USING (user_id) "
+            "WHERE event_type = 'purchase' AND s > c GROUP BY 1) "
+            "SELECT count(v) AS n_view, count(c) AS n_click_after_view, "
+            "count(p) AS n_purchase_after_click "
+            "FROM p1 LEFT JOIN p2 USING (user_id) LEFT JOIN p3 USING (user_id)"
         ),
         "interval_join": (
             "WITH i AS (SELECT user_id, min(ts) AS start_ts, "

@@ -72,6 +72,7 @@ AUDITS = [
     ("kg_negative_sample", "negative sampling: 256-row broadcast pool join on the char-fold index, corpus scanned once"),
     ("text_lm_bigram", "bigram LM: one per-doc bigram aggregate materialized, model tables fold out of it"),
     ("emb_project", "JL projection: one Arrow-batched matmul pass, zero Exchange"),
+    ("event_funnel", "ordered funnel: ONE user-keyed exchange, per-user array fold, no window/self-join"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
