@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(127 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(128 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2019,6 +2019,44 @@ def q_streaming_extract(spark, sf):
     )
 
 
+def q_streaming_windowed(spark, sf):
+    """Watermarked event-time windowed counts under the driver's oracle:
+    the events table streams through withWatermark(2h) + window(1h)
+    in append mode (Trigger.AvailableNow); the emitted set is exactly
+    the windows whose end the final watermark passed — i.e. win_end <=
+    max(ts) - 2h, which the DuckDB oracle computes in closed form
+    (verified equal empirically: Spark's no-data flush batch emits all
+    watermark-closed state). Window starts render as strings so the
+    engines' timestamp carriers stay out of the comparison (same policy
+    as time_rollup). Late-data semantics beyond the cutoff are
+    pytest-locked."""
+    import tempfile
+
+    from citykg import streaming as streammod
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("ts", "event_type")
+    land = tempfile.mkdtemp(prefix="citykg_swin_land_")
+    out = tempfile.mkdtemp(prefix="citykg_swin_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_swin_ckpt_")
+    ev.write.mode("overwrite").parquet(land)
+    s = spark.readStream.schema(ev.schema).parquet(land)
+    wc = streammod.stream_windowed_counts(s, "ts", "event_type", "1 hour", "2 hours")
+    q = (
+        wc.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    )
+
+
 def q_kg_materialize_roundtrip(spark, sf):
     """S5 sink under the driver's oracle: write the extracted triples
     through the REAL materialize path (bucketed by subject hash,
@@ -2213,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "kg_negative_sample": q_kg_negative_sample,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_windowed": q_streaming_windowed,
         "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
@@ -3852,6 +3891,15 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # row is arrival-order-dependent, pytest-locked separately)
         "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
         "kg_negative_sample": _negative_sample_sql(),
+        # append-mode emission in closed form: hour windows whose end the
+        # final watermark (max ts - 2h) passed
+        "streaming_windowed": (
+            "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), "
+            "m AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM e), "
+            "w AS (SELECT date_trunc('hour', ts) AS ws, event_type FROM e) "
+            "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type, "
+            "count(*) AS n FROM w, m WHERE ws + INTERVAL 1 HOUR <= cutoff GROUP BY 1, 2"
+        ),
         "emb_project": _emb_project_sql(),
         "domain_cap": (
             "SELECT doc_id, source FROM (SELECT doc_id, source, "
