@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(128 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(129 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -460,6 +460,35 @@ _CORNERS = (
 
 def _ring_sql(*pts) -> str:
     return "concat_ws('#', " + ", ".join(f"string({c})" for p in pts for c in p) + ")"
+
+
+def q_kg_zorder(spark, sf):
+    """Z-order (Morton) layout keys for the spatial store: each feature's
+    envelope min-corner grid cell interleaves into a Morton code, and
+    the code's high bits give the layout bucket — sorting the store by
+    (zbucket, zcode) places spatially-adjacent buildings in the same
+    files so bbox scans prune to intersecting Morton ranges (see
+    ops.geo.morton_interleave_sql; the write-side twin of spatial
+    partition pruning). Pure integer Project over one scan; the oracle
+    recomputes the interleave bit-exactly."""
+    from citykg.ops.geo import morton_interleave_sql
+
+    b = _triples(spark, sf, ["cityobject"]).where(F.col("pred") == "ocgml:EnvelopeType")
+    d = b.select(
+        "doc_id",
+        F.expr("cast(split(obj, '#')[0] as double)").cast("long").alias("_x"),
+        F.expr("cast(split(obj, '#')[1] as double)").cast("long").alias("_y"),
+    ).select(
+        "doc_id",
+        (F.col("_x") - 384000).alias("gx"),
+        (F.col("_y") - 5820000).alias("gy"),
+    )
+    z = morton_interleave_sql("gx", "gy")
+    return d.select(
+        "doc_id",
+        F.expr(z).cast("long").alias("zcode"),
+        F.expr(f"{z} >> 12").cast("long").alias("zbucket"),
+    ).distinct()  # every cityobject of a doc shares the doc's envelope
 
 
 def q_geo_surface_class(spark, sf):
@@ -2176,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_void_stats": q_kg_void_stats,
         "kg_degree_stats": q_kg_degree_stats,
+        "kg_zorder": q_kg_zorder,
         "kg_envelope_fold": q_kg_envelope_fold,
         "kg_centroid": q_kg_centroid,
         "kg_distance": q_kg_distance,
@@ -3383,6 +3413,18 @@ SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
 """
 
 
+def _zorder_sql() -> str:
+    """Same Morton interleave rendered over the closed-form grid cell."""
+    from citykg.ops.geo import morton_interleave_sql
+
+    z = morton_interleave_sql("(d % 1000)", "(d % 2000)")
+    return (
+        f"SELECT ({doc_key_expr('duckdb')}) AS doc_id, "
+        f"CAST({z} AS BIGINT) AS zcode, CAST(({z}) >> 12 AS BIGINT) AS zbucket "
+        "FROM (SELECT doc_id AS d FROM documents) b"
+    )
+
+
 def _emb_project_sql() -> str:
     """The same seeded JL matrix rendered as 16 literal dot products."""
     rows = similarity.projection_rows()
@@ -3901,6 +3943,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             "count(*) AS n FROM w, m WHERE ws + INTERVAL 1 HOUR <= cutoff GROUP BY 1, 2"
         ),
         "emb_project": _emb_project_sql(),
+        "kg_zorder": _zorder_sql(),
         "domain_cap": (
             "SELECT doc_id, source FROM (SELECT doc_id, source, "
             "row_number() OVER (PARTITION BY source "

@@ -510,3 +510,23 @@ def distance_writeback_triples(
         F.col("t.obj_type").alias("obj_type"),
         F.lit("distance").alias("graph"),
     )
+
+
+def morton_interleave_sql(gx: str, gy: str, bits: int = 11) -> str:
+    """Dialect-portable integer SQL for the Morton (Z-order) code of two
+    grid coordinates: bit i of gx lands at position 2i, bit i of gy at
+    2i+1. Fully parenthesized so shift/and precedence is identical in
+    Spark SQL and DuckDB; pure bigint arithmetic, so the driver's oracle
+    recomputes it bit-exactly.
+
+    Why it exists: sorting/range-partitioning the store by this code
+    places spatially-adjacent features in the same files (the Iceberg
+    z-ordering layout), so a bbox query prunes to the handful of file
+    ranges whose Morton intervals intersect the query box instead of
+    scanning every partition — the read-side complement of the
+    bucket(subj) write layout."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({gx}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({gy}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

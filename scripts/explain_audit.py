@@ -73,6 +73,7 @@ AUDITS = [
     ("text_lm_bigram", "bigram LM: one per-doc bigram aggregate materialized, model tables fold out of it"),
     ("emb_project", "JL projection: one Arrow-batched matmul pass, zero Exchange"),
     ("event_funnel", "ordered funnel: ONE user-keyed exchange, per-user array fold, no window/self-join"),
+    ("kg_zorder", "Morton layout keys: pure integer Project over one scan + distinct"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
