@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(129 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(131 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -982,6 +982,59 @@ def q_asof_join(spark, sf):
     right = e.where(F.col("event_type") == b).select("user_id", "ts", F.col("value").alias("rv"))
     out = asof_join(left, right, on="user_id", ts_col="ts")
     return out.select("user_id", "event_id", F.round("asof_rv", 6).alias("asof_rv"))
+
+
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment — the canonical 3-way join + aggregate + top-k. Catalyst
+    broadcasts the filtered customer side (plan-audited), the
+    orders-lineitem join shuffles on the order key, and the top-10 is
+    TakeOrdered (no global sort materialized). Deterministic tiebreak on
+    the order key; dates render as strings (time_rollup policy)."""
+    c = spark.read.parquet(f"{sf}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").where(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return j.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for each (cohort, day-offset) cell how many of them were active —
+    the canonical growth-analytics rollup. Two map-side-combinable
+    aggregates (first-day per user; distinct active days) joined on the
+    user key, then one matrix aggregation; no window, no self-join of
+    the raw stream."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("_cohort"))
+    act = e.select("user_id", F.to_date("ts").alias("_day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("_day", "_cohort").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
 
 
 def q_event_funnel(spark, sf):
@@ -2257,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly": q_event_anomaly,
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
+        "shipping_priority": q_shipping_priority,
+        "cohort_retention": q_cohort_retention,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -3637,6 +3692,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(extract(hour FROM ts) AS INT) AS hr, value FROM events) "
             "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
             "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "cohort_retention": (
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events "
+            "GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+            "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, "
+            "date_diff('day', cohort, day) AS day_offset, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "event_funnel": (
             "WITH e AS (SELECT user_id, event_type, "

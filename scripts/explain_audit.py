@@ -74,6 +74,8 @@ AUDITS = [
     ("emb_project", "JL projection: one Arrow-batched matmul pass, zero Exchange"),
     ("event_funnel", "ordered funnel: ONE user-keyed exchange, per-user array fold, no window/self-join"),
     ("kg_zorder", "Morton layout keys: pure integer Project over one scan + distinct"),
+    ("shipping_priority", "TPC-H Q3 shape: filtered customer broadcast, order-key shuffle join, TakeOrdered top-10"),
+    ("cohort_retention", "cohort matrix: two user-keyed partial aggs joined, one matrix agg, no raw-stream self-join"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
