@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(131 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(132 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1015,6 +1015,37 @@ def q_shipping_priority(spark, sf):
         )
     )
     return j.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+def q_regional_part_revenue(spark, sf):
+    """Star-schema rollup across every dimension table: lineitem fact
+    joined to supplier -> nation -> region and to part, aggregated to
+    (region, brand) revenue. All four dimension sides are
+    broadcast-joined (plan-audited — the fact table never shuffles for
+    a join); the only exchange is the final partial-agg rollup on the
+    tiny (region, brand) key space. The snowflake chain
+    supplier->nation->region collapses driver-free: Catalyst folds the
+    dim-dim joins before broadcasting."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    s = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_regionkey")
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
 
 
 def q_cohort_retention(spark, sf):
@@ -2311,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
+        "regional_part_revenue": q_regional_part_revenue,
         "cohort_retention": q_cohort_retention,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
@@ -3702,6 +3734,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "regional_part_revenue": (
+            "SELECT r_name, p_brand, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1, 2"
         ),
         "cohort_retention": (
             "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events "

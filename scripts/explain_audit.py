@@ -76,6 +76,7 @@ AUDITS = [
     ("kg_zorder", "Morton layout keys: pure integer Project over one scan + distinct"),
     ("shipping_priority", "TPC-H Q3 shape: filtered customer broadcast, order-key shuffle join, TakeOrdered top-10"),
     ("cohort_retention", "cohort matrix: two user-keyed partial aggs joined, one matrix agg, no raw-stream self-join"),
+    ("regional_part_revenue", "star rollup: ALL dims broadcast (fact never join-shuffles), one partial-agg exchange"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
