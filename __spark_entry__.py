@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(132 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(133 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1965,6 +1965,44 @@ def q_dataset_mix(spark, sf):
     return weighted_mix_rank(d).select("doc_id", "source", "intra", "mix_rank")
 
 
+def q_graph_clustering(spark, sf):
+    """Global clustering coefficient of the spatial proximity graph:
+    3 x triangles / wedges — the one-number density summary on top of
+    the degree-oriented triangle count. Wedges come from the degree
+    aggregate (sum d(d-1)/2, two shrinking partial aggs); the triangle
+    count reuses the wedge-join enumeration. Both sides reduce to
+    one-row frames before the final cross of two scalars."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    tri = graph.triangles(p).agg(F.count("*").alias("n_triangles"))
+    deg = (
+        p.select(F.col("src").alias("v"))
+        .unionAll(p.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.join(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            3.0
+            * F.col("n_triangles")
+            / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),  # NULL, not
+            # Infinity, on a wedge-free graph (DuckDB NULLIF parity)
+            6,
+        ).alias("global_cc"),
+    )
+
+
 def q_graph_triangles(spark, sf):
     """Triangle enumeration over the spatial proximity graph (DWithin
     3 m pairs): building-cluster detection — triangles are the smallest
@@ -2400,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "distance_writeback": q_distance_writeback,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering": q_graph_clustering,
         "pagerank_writeback": q_pagerank_writeback,
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
@@ -3981,6 +4020,21 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         "global_shuffle": _global_shuffle_sql(),
         "dataset_mix": _dataset_mix_sql(),
         "distance_writeback": _distance_writeback_sql(),
+        "graph_clustering": (
+            "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
+            "5820000 + doc_id % 2000 AS py FROM documents), "
+            "pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d "
+            "AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 9), "
+            "tri AS (SELECT count(*) AS n_triangles FROM pairs e1 "
+            "JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v "
+            "JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            "deg AS (SELECT v, count(*) AS d FROM "
+            "(SELECT u AS v FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1), "
+            "w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg) "
+            "SELECT n_triangles, n_wedges, "
+            "round(3.0 * n_triangles / NULLIF(n_wedges, 0), 6) AS global_cc "
+            "FROM tri, w"
+        ),
         "graph_triangles": (
             "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
             "5820000 + doc_id % 2000 AS py FROM documents), "

@@ -77,6 +77,7 @@ AUDITS = [
     ("shipping_priority", "TPC-H Q3 shape: filtered customer broadcast, order-key shuffle join, TakeOrdered top-10"),
     ("cohort_retention", "cohort matrix: two user-keyed partial aggs joined, one matrix agg, no raw-stream self-join"),
     ("regional_part_revenue", "star rollup: ALL dims broadcast (fact never join-shuffles), one partial-agg exchange"),
+    ("graph_clustering", "clustering coefficient: wedge-join triangle count + shrinking degree aggs, scalar cross only"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
