@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(133 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(134 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1045,6 +1045,33 @@ def q_regional_part_revenue(spark, sf):
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+def q_market_basket(spark, sf):
+    """Market-basket co-occurrence: part pairs bought in the same order
+    with support >= 3 — the itemset-mining support count. Same skew
+    discipline as the text dedup family: baskets are deduped to
+    distinct (order, part) and baskets with > 64 distinct parts are
+    excluded BEFORE the pair join (a degenerate mega-basket contributes
+    k^2/2 pairs and no signal; the cap is a no-op on sane data and the
+    oracle applies it identically), so the self-join fan-out is bounded
+    per order. One order-keyed join + one pair aggregation."""
+    l = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sized = l.groupBy("l_orderkey").agg(F.count("*").alias("_k"))
+    items = l.join(sized.where(F.col("_k") <= 64).select("l_orderkey"), "l_orderkey")
+    a = items.toDF("l_orderkey", "part_a")
+    b = items.toDF("l_orderkey", "part_b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
     )
 
 
@@ -2381,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
         "regional_part_revenue": q_regional_part_revenue,
+        "market_basket": q_market_basket,
         "cohort_retention": q_cohort_retention,
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
@@ -3784,6 +3812,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey "
             "JOIN part ON l_partkey = p_partkey "
             "GROUP BY 1, 2"
+        ),
+        "market_basket": (
+            "WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "ok AS (SELECT l_orderkey FROM i GROUP BY 1 HAVING count(*) <= 64), "
+            "j AS (SELECT i.* FROM i JOIN ok USING (l_orderkey)) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS support FROM j a JOIN j b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 3"
         ),
         "cohort_retention": (
             "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events "

@@ -78,6 +78,7 @@ AUDITS = [
     ("cohort_retention", "cohort matrix: two user-keyed partial aggs joined, one matrix agg, no raw-stream self-join"),
     ("regional_part_revenue", "star rollup: ALL dims broadcast (fact never join-shuffles), one partial-agg exchange"),
     ("graph_clustering", "clustering coefficient: wedge-join triangle count + shrinking degree aggs, scalar cross only"),
+    ("market_basket", "itemset support: basket-size cap BEFORE the order-keyed pair join, one pair aggregation"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
