@@ -160,6 +160,26 @@ def test_lsh_ann_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_morton_interleave_known_values(spark):
+    """Bit-exact Morton codes: gx bits land at even positions, gy at odd."""
+    from citykg.ops.geo import morton_interleave_sql
+
+    cases = [
+        (0, 0, 0),
+        (1, 0, 1),       # gx bit0 -> position 0
+        (0, 1, 2),       # gy bit0 -> position 1
+        (1, 1, 3),
+        (3, 5, 0b100111),  # gx=11 -> pos 0,2; gy=101 -> pos 1,5
+        (1023, 0, sum(1 << (2 * i) for i in range(10))),
+    ]
+    df = spark.createDataFrame(
+        [(gx, gy, want) for gx, gy, want in cases], "gx long, gy long, want long"
+    )
+    z = morton_interleave_sql("gx", "gy")
+    bad = df.selectExpr("gx", "gy", "want", f"{z} as got").where("got <> want").collect()
+    assert not bad, bad
+
+
 def test_stratified_cap_deterministic_and_stable_under_growth(spark):
     """The kept set is a pure function of (id, seed), and adding new rows
     to a stratum can only displace hash-later rows — never reshuffle the
