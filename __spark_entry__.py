@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(134 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(135 as of round 3) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1337,6 +1337,26 @@ def q_dedup_url(spark, sf):
     return text.url_dedup_groups(u)
 
 
+def q_k_anonymity(spark, sf):
+    """Privacy audit: k-anonymity over the quasi-identifier combination
+    (lang, source, length-bucket) — equivalence classes smaller than
+    k = 5 are re-identification risks a release pipeline must suppress
+    or generalize. One map-side-combinable aggregation on the QI key;
+    the QI key space is bounded by the attribute domains, not the
+    corpus, so the plan is corpus-scan -> partial agg -> tiny result at
+    any scale."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") < 5)
+    )
+
+
 def q_text_lm_score(spark, sf):
     """Unigram-LM quality scoring: average log-probability of each doc
     under the corpus's own MLE unigram model (the CCNet/KenLM filtering
@@ -2432,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dedup_incremental": q_dedup_incremental,
         "domain_cap": q_domain_cap,
+        "k_anonymity": q_k_anonymity,
         "kg_negative_sample": q_kg_negative_sample,
         "streaming_dedup": q_streaming_dedup,
         "streaming_windowed": q_streaming_windowed,
@@ -4141,6 +4162,12 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # row is arrival-order-dependent, pytest-locked separately)
         "streaming_dedup": "SELECT DISTINCT doc_id % 500 AS key FROM documents",
         "kg_negative_sample": _negative_sample_sql(),
+        "k_anonymity": (
+            "SELECT lang, source, "
+            "CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket, "
+            "count(*) AS k FROM documents "
+            "GROUP BY 1, 2, 3 HAVING count(*) < 5"
+        ),
         # append-mode emission in closed form: hour windows whose end the
         # final watermark (max ts - 2h) passed
         "streaming_windowed": (

@@ -79,6 +79,7 @@ AUDITS = [
     ("regional_part_revenue", "star rollup: ALL dims broadcast (fact never join-shuffles), one partial-agg exchange"),
     ("graph_clustering", "clustering coefficient: wedge-join triangle count + shrinking degree aggs, scalar cross only"),
     ("market_basket", "itemset support: basket-size cap BEFORE the order-keyed pair join, one pair aggregation"),
+    ("k_anonymity", "k-anonymity audit: ONE partial agg on the bounded QI key space"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
