@@ -629,12 +629,22 @@ def q_genattrib_typed(spark, sf):
         .when(F.col("data_type") == 5, "DATE")
         .when(F.col("data_type") == 7, "MEASURE")
     )
+    # the discriminator SELECTS the value column (DBCityObjectGenericAttrib's
+    # switch) — a blind coalesce would disagree with value_kind on rows that
+    # legally populate several value columns
+    typed = (
+        F.when(F.col("data_type") == 1, F.col("s"))
+        .when(F.col("data_type") == 2, F.col("i"))
+        .when((F.col("data_type") == 3) | (F.col("data_type") == 7), F.col("r"))
+        .when(F.col("data_type") == 4, F.col("u"))
+        .when(F.col("data_type") == 5, F.col("dv"))
+    )
     return per.select(
         "doc_id",
         "attr_name",
         "data_type",
         kind.alias("value_kind"),
-        F.coalesce("s", "i", "r", "u", "dv").alias("typed_value"),
+        typed.alias("typed_value"),
         "unit",
     )
 
@@ -1476,7 +1486,7 @@ def q_dedup_minhash_lsh(spark, sf):
 
 def q_dedup_simhash(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    return dedup.simhash(d)  # rows-only: blake2b/numpy fold is not SQL
+    return dedup.simhash(d)  # oracled: _simhash_sql() replays the bit fold
 
 
 def q_dedup_substring(spark, sf):
@@ -1823,7 +1833,7 @@ def q_multimodal_jpeg(spark, sf):
 def q_crs_transform(spark, sf):
     """A4: UTM33 -> WGS84 re-projection of each doc's envelope corner
     (GeoSpatialProcessor.Transform / DistanceAgent analog). Krueger-series
-    numpy kernel inside mapInPandas — rows-only; exactness locked by
+    numpy kernel inside mapInPandas — oracled via _crs_sql(); also locked by
     tests/test_crs.py (round-trip + independent-series cross-check)."""
     from citykg.ops import crs
 
@@ -1965,8 +1975,9 @@ def q_source_validate(spark, sf):
 
 def q_graph_edge_betweenness(spark, sf):
     """G2: Brandes edge betweenness over the address<->building link graph
-    (EdgeBetweennessTask analog; iterative — rows-only check, exactness is
-    locked by tests/test_betweenness.py against a pure-Python oracle)."""
+    (EdgeBetweennessTask analog). Fully oracled: _edge_betweenness_sql()
+    replays Brandes in recursive SQL; exactness additionally locked by
+    tests/test_betweenness.py against a pure-Python oracle."""
     t = _triples(spark, sf, ["addresstobuilding"]).where("doc_id < 'doc_00000050'")
     eb = graph.edge_betweenness(graph.triples_to_edges(t))
     return eb.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
@@ -2973,8 +2984,9 @@ def _genattrib_typed_sql() -> str:
         f"({a['name']}) AS attr_name, {dt} AS data_type, "
         f"CASE {dt} WHEN 1 THEN 'STRING' WHEN 2 THEN 'INT' WHEN 3 THEN 'DOUBLE' "
         f"WHEN 4 THEN 'URI' WHEN 5 THEN 'DATE' WHEN 7 THEN 'MEASURE' END AS value_kind, "
-        f"COALESCE(({a['strVal']}), ({a['intVal']}), ({a['realVal']}), "
-        f"({a['uriVal']}), ({a['dateVal']})) AS typed_value, "
+        f"CASE {dt} WHEN 1 THEN ({a['strVal']}) WHEN 2 THEN ({a['intVal']}) "
+        f"WHEN 3 THEN ({a['realVal']}) WHEN 7 THEN ({a['realVal']}) "
+        f"WHEN 4 THEN ({a['uriVal']}) WHEN 5 THEN ({a['dateVal']}) END AS typed_value, "
         f"({a['unit']}) AS unit FROM g"
     )
 
@@ -4082,7 +4094,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
             "5820000 + doc_id % 2000 AS py FROM documents), "
             "pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d "
-            "AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 9), "
+            "AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9), "
             "tri AS (SELECT count(*) AS n_triangles FROM pairs e1 "
             "JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v "
             "JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v), "
@@ -4097,7 +4109,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
             "5820000 + doc_id % 2000 AS py FROM documents), "
             "pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d "
-            "AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 9) "
+            "AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9) "
             "SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM pairs e1 "
             "JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v "
             "JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v"

@@ -288,19 +288,18 @@ def compact_store(
     partition dirs on the driver — no data is read). The rewrite itself
     is `repartition(graph, bucket)` so each partition lands wholly in one
     task -> one output file, with dynamic partition overwrite touching
-    ONLY the compacted partitions. Processed in manifest-tracked groups
-    like write_triples, so a crash mid-compaction resumes without
-    rewriting finished partitions (`fail_after_groups` injects the crash
-    for the resume test). Returns the compacted (graph/bucket, n_files)
-    list."""
+    ONLY the compacted partitions. Processed in groups; resume after a
+    mid-run crash needs no manifest consultation because it is decided by
+    PHYSICAL state: a group whose overwrite committed leaves exactly one
+    file per partition, so the file-count test alone excludes it, while a
+    group that crashed pre-commit still exceeds the threshold and is
+    redone (idempotent rewrite). Crucially this also means a partition
+    re-fragmented by LATER upserts becomes eligible again — compaction is
+    recurring maintenance, not once-per-stage-name. Manifest `done` rows
+    are still appended per group purely as lineage/metrics records
+    (`fail_after_groups` injects the crash for the resume test). Returns
+    the compacted (graph/bucket, n_files) list."""
     path = os.path.join(out_dir, "triples")
-    done = {
-        r.partition_range
-        for r in read_manifest(spark, out_dir)
-        .where((F.col("stage") == stage) & (F.col("status") == "done"))
-        .select("partition_range")
-        .collect()
-    }
     todo: list[tuple[str, int, int]] = []  # (graph, bucket, n_files)
     for gdir in sorted(os.listdir(path)) if os.path.exists(path) else []:
         if not gdir.startswith("graph="):
@@ -311,7 +310,7 @@ def compact_store(
             full = os.path.join(path, gdir, bdir)
             n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
             g, b = gdir.split("=", 1)[1], int(bdir.split("=", 1)[1])
-            if n > max_files_per_partition and f"{g}/{b}" not in done:
+            if n > max_files_per_partition:
                 todo.append((g, b, n))
     if not todo:
         return []

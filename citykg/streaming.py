@@ -62,7 +62,7 @@ def stream_dedup_first_seen(stream_df: DataFrame, key_col: str) -> DataFrame:
 
     def first_only(key, pdfs, state):
         if state.exists:
-            for _ in pdfs:
+            for _ in pdfs:  # drain: the state API requires exhausting the batch iterator
                 pass
             return
         state.update((1,))
@@ -70,7 +70,7 @@ def stream_dedup_first_seen(stream_df: DataFrame, key_col: str) -> DataFrame:
             if len(pdf):
                 yield pdf.head(1)
                 break
-        for _ in pdfs:
+        for _ in pdfs:  # drain the remaining batches of this key (see above)
             pass
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
@@ -109,6 +109,30 @@ def stream_extract_to_store(
     return writer.start()
 
 
+def _registry_current(registry_dir: str) -> str | None:
+    """Resolve the committed registry snapshot name from the CURRENT
+    pointer (None if no snapshot has ever committed)."""
+    import os
+
+    ptr = os.path.join(registry_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip()
+
+
+def read_registry(spark: SparkSession, registry_dir: str, what: str = "labels") -> DataFrame:
+    """Read the committed canonical-entity registry (`what` = 'labels' or
+    'hubs') at its CURRENT snapshot — the only supported read path; the
+    versioned layout underneath is a commit-protocol detail."""
+    import os
+
+    current = _registry_current(registry_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed registry under {registry_dir}")
+    return spark.read.parquet(os.path.join(registry_dir, current, what))
+
+
 def stream_canonicalize(
     spark: SparkSession,
     landing_dir: str,
@@ -135,27 +159,32 @@ def stream_canonicalize(
       3. `incremental_components(registry, edges)` -> overwrite the
          registry + refreshed hubs.
 
-    The registry lives as parquet (`<registry_dir>/labels`): (id,
-    component). Overwrite-per-batch is the sandbox stand-in for an
-    Iceberg MERGE; the write is deterministic, so replaying a batch after
-    a crash converges to the same registry (resume-safe)."""
+    The registry lives as versioned parquet snapshots
+    (`<registry_dir>/v<batch_id>/{labels,hubs}`) with a `CURRENT` pointer
+    file flipped via atomic rename AFTER both writes commit — the parquet
+    emulation of an Iceberg snapshot commit. A crash mid-write therefore
+    never touches the live registry: readers keep seeing the previous
+    version until the pointer flips, and replaying the batch (the write is
+    deterministic) rebuilds the same snapshot (resume-safe during the
+    write, not just between batches). Superseded versions older than the
+    immediately-previous one are pruned after each successful flip."""
     import os
 
     from pyspark.sql import functions as F
 
     from . import canon
 
-    labels_path = os.path.join(registry_dir, "labels")
-    hubs_path = os.path.join(registry_dir, "hubs")
-
     def fold_batch(batch_docs: DataFrame, batch_id: int) -> None:
         groups = groups_fn(batch_docs).localCheckpoint(eager=True)
         if groups.isEmpty():
             return
         sp = groups.sparkSession
-        if os.path.exists(labels_path):
-            registry = sp.read.parquet(labels_path).localCheckpoint(eager=True)
-            hubs = sp.read.parquet(hubs_path)
+        current = _registry_current(registry_dir)
+        if current is not None:
+            registry = sp.read.parquet(
+                os.path.join(registry_dir, current, "labels")
+            ).localCheckpoint(eager=True)
+            hubs = sp.read.parquet(os.path.join(registry_dir, current, "hubs"))
             bridged = groups.unionByName(
                 hubs.select("entity_id", F.col("hub").alias("member"))
             )
@@ -166,16 +195,35 @@ def stream_canonicalize(
             labels = canon.connected_components(edges)
         labels = labels.localCheckpoint(eager=True)
         new_hubs = groups.groupBy("entity_id").agg(F.min("member").alias("hub"))
-        if os.path.exists(hubs_path):
-            old = sp.read.parquet(hubs_path).localCheckpoint(eager=True)
+        if current is not None:
+            old = sp.read.parquet(
+                os.path.join(registry_dir, current, "hubs")
+            ).localCheckpoint(eager=True)
             new_hubs = (
                 old.unionByName(new_hubs)
                 .groupBy("entity_id")
                 .agg(F.min("hub").alias("hub"))
             )
             new_hubs = new_hubs.localCheckpoint(eager=True)
-        labels.write.mode("overwrite").parquet(labels_path)
-        new_hubs.write.mode("overwrite").parquet(hubs_path)
+        version = f"v{batch_id:012d}"
+        vdir = os.path.join(registry_dir, version)
+        labels.write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
+        new_hubs.write.mode("overwrite").parquet(os.path.join(vdir, "hubs"))
+        # commit: write-temp + rename is atomic on POSIX, so the pointer
+        # either still names the old snapshot or fully names the new one
+        tmp = os.path.join(registry_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(registry_dir, "CURRENT"))
+        # prune snapshots older than the immediately-previous one
+        versions = sorted(
+            d for d in os.listdir(registry_dir)
+            if d.startswith("v") and d != version
+        )
+        for stale in versions[:-1]:
+            import shutil
+
+            shutil.rmtree(os.path.join(registry_dir, stale), ignore_errors=True)
 
     docs = stream_docs(spark, landing_dir, max_files_per_batch)
     writer = docs.writeStream.foreachBatch(fold_batch).option(

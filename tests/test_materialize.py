@@ -261,3 +261,20 @@ def test_compact_store(spark, triples, tmp_path_factory):
     assert subs == sorted(subs)
     # second run: metadata-only no-op
     assert materialize.compact_store(spark, out) == []
+    # a LATER upsert re-fragments an already-compacted partition: it must
+    # become eligible again (recurring maintenance, not once-per-stage)
+    batch = spark.createDataFrame(
+        [(some[0], "ocgml:name", "renamed_v4", "literal", None, "cityobject",
+          "d", 0, 0)],
+        "subj string, pred string, obj string, obj_type string, "
+        "datatype string, graph string, doc_id string, span_idx int, pos int",
+    )
+    materialize.upsert_triples(spark, batch, out, n_buckets=8, input_snapshot="v4")
+    assert max(file_counts().values()) > 1
+    recompacted = materialize.compact_store(spark, out, bucket_group=2)
+    assert recompacted and max(file_counts().values()) == 1
+    again = sorted(
+        map(tuple, materialize.read_triples(spark, out).select(
+            "subj", "pred", "obj", "graph").collect())
+    )
+    assert ("renamed_v4" in {o for _, _, o, _ in again}) and len(again) == len(expect)

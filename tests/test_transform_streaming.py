@@ -232,7 +232,7 @@ def test_stream_canonicalize_matches_batch_cc(spark, tmp_path_factory):
     first.write.mode("append").parquet(land)
     q = streaming.stream_canonicalize(spark, land, reg, ckpt, groups_fn)
     q.awaitTermination(180)
-    got1 = {(r.id, r.component) for r in spark.read.parquet(f"{reg}/labels").collect()}
+    got1 = {(r.id, r.component) for r in streaming.read_registry(spark, reg).collect()}
     assert got1 == batch_cc(first)
 
     # second drop: checkpointed restart folds ONLY the new files into the
@@ -240,6 +240,13 @@ def test_stream_canonicalize_matches_batch_cc(spark, tmp_path_factory):
     second.write.mode("append").parquet(land)
     q2 = streaming.stream_canonicalize(spark, land, reg, ckpt, groups_fn)
     q2.awaitTermination(180)
-    got2 = {(r.id, r.component) for r in spark.read.parquet(f"{reg}/labels").collect()}
+    got2 = {(r.id, r.component) for r in streaming.read_registry(spark, reg).collect()}
     assert got2 == batch_cc(docs)
+    # commit protocol: a CURRENT pointer names the live snapshot; at most
+    # the previous snapshot is retained (crash-safety window), older pruned
+    import os
+    versions = sorted(d for d in os.listdir(reg) if d.startswith("v"))
+    with open(os.path.join(reg, "CURRENT")) as fh:
+        assert fh.read().strip() == versions[-1]
+    assert len(versions) <= 2
     docs.unpersist()
