@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(135 as of round 3) has a DuckDB oracle in oracle_sql() — including the
+(139 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -102,6 +102,36 @@ def q_kg_extract_genattrib(spark, sf):
 
 def q_kg_extract_linktable(spark, sf):
     return _triples(spark, sf, ["addresstobuilding"])
+
+
+def q_kg_extract_bridge(spark, sf):
+    """P25/P26: bridge + tunnel graphs — entity types whose SPARQL path the
+    reference stubs (AbstractDBImporter.java:88-90); templates mirror the
+    SQL importers' insert column order (DBBridge.java:102, DBTunnel.java:90)."""
+    return _triples(spark, sf, ["bridge", "tunnel"])
+
+
+def q_kg_extract_vegetation(spark, sf):
+    """P27+: the nature/terrain SQL-only types — plant cover, solitary
+    vegetation, land use, water body, relief feature (DBPlantCover.java:75,
+    DBSolitaryVegetatObject.java:85, DBLandUse.java:73, DBWaterBody.java:82,
+    DBReliefFeature.java:72)."""
+    return _triples(
+        spark, sf,
+        ["plantcover", "solitaryvegetatobject", "landuse", "waterbody", "relieffeature"],
+    )
+
+
+def q_kg_extract_transport_group(spark, sf):
+    """P25+ remainder: transportation complex (with Road/Railway subtype
+    objectClassIds), city object group + its member link rows (the
+    XlinkGroupToCityObject.java:59 GROUP_TO_CITYOBJECT table as a
+    deterministic-id link graph), and implicit geometry
+    (DBImplicitGeometry.java:77, not a city object — no cityobject row)."""
+    return _triples(
+        spark, sf,
+        ["transportationcomplex", "cityobjectgroup", "grouptocityobject", "implicitgeometry"],
+    )
 
 
 def q_kg_span_order(spark, sf):
@@ -406,6 +436,80 @@ def q_spatial_relations(spark, sf):
         ")) AS s"
     ).select("s.*")
     return geo.envelope_relations(env, "id")
+
+
+# (variant, ring A pts, ring B pts, envelope relation, ring-exact relation)
+# used by q_spatial_relations_exact — the first three rows are exactly the
+# divergence cases the envelope classifier gets wrong
+_SRX_SQ = lambda x0, y0, s: [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]  # noqa: E731
+_SRX_VARIANTS = [
+    ("env_contains_ring_disjoint",
+     [(0, 0), (10, 0), (0, 10)], [(9, 9), (10, 9), (9, 10)], "contains", "disjoint"),
+    ("env_equals_ring_touches",
+     [(0, 0), (6, 0), (0, 6)], [(6, 0), (6, 6), (0, 6)], "equals", "touches"),
+    ("env_contains_diamond_disjoint",
+     [(5, 0), (10, 5), (5, 10), (0, 5)], _SRX_SQ(0, 0, 2), "contains", "disjoint"),
+    ("equals", _SRX_SQ(0, 0, 4), _SRX_SQ(0, 0, 4), "equals", "equals"),
+    ("within", _SRX_SQ(1, 1, 2), _SRX_SQ(0, 0, 10), "within", "within"),
+    ("overlaps", _SRX_SQ(0, 0, 4), _SRX_SQ(2, 2, 4), "overlaps", "overlaps"),
+    ("touch_corner", _SRX_SQ(0, 0, 4), _SRX_SQ(4, 4, 4), "touches", "touches"),
+]
+
+
+def q_spatial_relations_exact(spark, sf):
+    """Q7 ring-exact spatial relations (VERDICT r3 item 2): classify polygon
+    pairs on their actual rings — segment-intersection + containment as
+    Catalyst higher-order-function algebra (geo.ring_relation_case), the
+    geometry-level semantics of the reference's SQL export side
+    (SpatialOperatorBuilder.java; SpatialOperatorName.java:35-49) that its
+    KG path stubs. Constructed per-doc pairs, translated by doc arithmetic;
+    the first three variants are cases where the envelope classifier and
+    the ring classifier DIVERGE (env says contains/equals, rings say
+    disjoint/touches) — both classifications are computed from the parsed
+    geometry (bbox fold for env, exact test for ring) and both are oracled."""
+    from citykg.ops.geo import ring_relation_case, with_coords
+
+    def lit_expr(pts):
+        toks = []
+        for px, py in pts + [pts[0]]:
+            toks += [f"cast(tx + {px} as string)", f"cast(ty + {py} as string)", "'0'"]
+        return "concat_ws('#', " + ", ".join(toks) + ")"
+
+    structs = ", ".join(
+        f"named_struct('variant', '{name}', 'la', {lit_expr(a)}, 'lb', {lit_expr(b)})"
+        for name, a, b, _, _ in _SRX_VARIANTS
+    )
+    pairs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "doc_id AS d",
+            "cast(doc_id % 50 as int) AS tx",
+            "cast(doc_id % 30 as int) AS ty",
+        )
+        .selectExpr("d", f"explode(array({structs})) AS v")
+        .selectExpr(
+            "'doc_' || lpad(cast(d as string), 8, '0') AS doc_id",
+            "v.variant AS variant", "v.la AS la", "v.lb AS lb",
+        )
+    )
+    g = with_coords(with_coords(pairs, "la", out="ca"), "lb", out="cb")
+    xs = lambda arr: f"filter(transform({arr}, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 0)"  # noqa: E731
+    ys = lambda arr: f"filter(transform({arr}, (v, i) -> named_struct('v', v, 'i', i)), s -> s.i % 3 = 1)"  # noqa: E731
+    amin = lambda arr: f"aggregate({arr}, cast('Infinity' as double), (a, s) -> least(a, s.v))"  # noqa: E731
+    amax = lambda arr: f"aggregate({arr}, cast('-Infinity' as double), (a, s) -> greatest(a, s.v))"  # noqa: E731
+    g = g.selectExpr(
+        "doc_id", "variant", "ca", "cb",
+        f"{amin(xs('ca'))} AS axmin", f"{amin(ys('ca'))} AS aymin",
+        f"{amax(xs('ca'))} AS axmax", f"{amax(ys('ca'))} AS aymax",
+        f"{amin(xs('cb'))} AS bxmin", f"{amin(ys('cb'))} AS bymin",
+        f"{amax(xs('cb'))} AS bxmax", f"{amax(ys('cb'))} AS bymax",
+    )
+    return g.select(
+        "doc_id",
+        "variant",
+        F.expr(geo.envelope_relation_case("a", "b")).alias("env_relation"),
+        F.expr(ring_relation_case("ca", "cb")).alias("relation"),
+    )
 
 
 def q_lod_filter(spark, sf):
@@ -2374,6 +2478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_geometry": q_kg_extract_geometry,
         "kg_extract_genattrib": q_kg_extract_genattrib,
         "kg_extract_linktable": q_kg_extract_linktable,
+        "kg_extract_bridge": q_kg_extract_bridge,
+        "kg_extract_vegetation": q_kg_extract_vegetation,
+        "kg_extract_transport_group": q_kg_extract_transport_group,
         "kg_span_order": q_kg_span_order,
         "kg_counts": q_kg_counts,
         "kg_counts_rollup": q_kg_counts_rollup,
@@ -2394,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lod_filter": q_lod_filter,
         "spatial_bbox": q_spatial_bbox,
         "spatial_relations": q_spatial_relations,
+        "spatial_relations_exact": q_spatial_relations_exact,
         "geo_area": q_geo_area,
         "geo_surface_class": q_geo_surface_class,
         "geo_validity": q_geo_validity,
@@ -3656,6 +3764,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_geometry": triples_oracle_sql(graphs=["surfacegeometry"]),
         "kg_extract_genattrib": triples_oracle_sql(graphs=["cityobjectgenericattrib"]),
         "kg_extract_linktable": triples_oracle_sql(graphs=["addresstobuilding"]),
+        "kg_extract_bridge": triples_oracle_sql(graphs=["bridge", "tunnel"]),
+        "kg_extract_vegetation": triples_oracle_sql(
+            graphs=["plantcover", "solitaryvegetatobject", "landuse", "waterbody", "relieffeature"]
+        ),
+        "kg_extract_transport_group": triples_oracle_sql(
+            graphs=["transportationcomplex", "cityobjectgroup", "grouptocityobject", "implicitgeometry"]
+        ),
         "kg_span_order": _span_order_sql(),
         "kg_counts": (
             f"SELECT graph, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects "
@@ -3718,7 +3833,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'surfacegeometry' AS graph, 'ocgml:cityObjectId' AS pred, count(*) AS n FROM documents "
             "UNION ALL SELECT 'cityobjectgenericattrib', 'ocgml:cityObjectId', 2 * count(*) FROM documents "
             "UNION ALL SELECT 'externalreference', 'ocgml:cityObjectId', count(*) FROM documents "
-            "UNION ALL SELECT 'appearance', 'ocgml:cityObjectId', count(*) FROM documents"
+            "UNION ALL SELECT 'appearance', 'ocgml:cityObjectId', count(*) FROM documents "
+            # P25+ group member rows point into the dropped cityobject graph
+            "UNION ALL SELECT 'grouptocityobject', 'ocgml:cityObjectId', count(*) FROM documents"
         ),
         "lod_filter": (
             f"SELECT '{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS feature_iri, "
@@ -3732,6 +3849,16 @@ def oracle_sql() -> dict[str, str]:
             "AND (5820000 + d % 2000) <= 5820200 AND (5820000 + d % 2000 + 8) >= 5820000"
         ),
         "spatial_relations": _spatial_relations_sql(),
+        "spatial_relations_exact": (
+            # ground truth per constructed variant (translation-invariant);
+            # the Spark side derives BOTH columns from the parsed geometry
+            "SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id, "
+            "v.variant, v.env_relation, v.relation FROM documents, (VALUES "
+            + ", ".join(
+                f"('{n}', '{e}', '{r}')" for n, _, _, e, r in _SRX_VARIANTS
+            )
+            + ") v(variant, env_relation, relation)"
+        ),
         "geo_area": _geo_area_sql(),
         "geo_surface_class": (
             f"SELECT ({dk}) AS doc_id, v.variant, v.surf_class "

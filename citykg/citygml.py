@@ -385,6 +385,195 @@ def parse_building(member: ET.Element, feature: ET.Element) -> _Doc:
     return doc
 
 
+# ---------------------------------------------------------------------------
+# P25+ feature parsing — spec-driven branches for the entity types whose
+# importers are SQL-only in the reference (DBBridge/DBTunnel/... — see
+# vocab.py P25+ block). Each spec: CityGML element localname -> span kind,
+# scalar property -> attr-key map, geometry property -> ref-attr map, uom
+# side-channel keys, and an objectClassId override for subtype elements
+# (Road/Railway/Track/Square, Util.getObjectClassId analog).
+# ---------------------------------------------------------------------------
+
+_CFU = {"class": "class", "function": "function", "usage": "usage"}
+
+
+def _lods(*specs: str) -> dict:
+    """('MultiSurface:1-4', 'Solid:1-4', ...) -> {lodNProp: lodNAttrKey}."""
+    out = {}
+    for spec in specs:
+        name, rng = spec.split(":")
+        lo, hi = (int(x) for x in rng.split("-"))
+        key = {"MultiSurface": "MultiSurfaceId", "Solid": "SolidId",
+               "MultiSolid": "MultiSolidId", "Geometry": "BrepId"}[name]
+        for i in range(lo, hi + 1):
+            out[f"lod{i}{name}"] = f"lod{i}{key}"
+    return out
+
+
+_FEATURE_SPECS = {
+    "Bridge": dict(
+        kind="bridge",
+        props={**_CFU, "yearOfConstruction": "yearOfConstruction",
+               "yearOfDemolition": "yearOfDemolition", "isMovable": "isMovable"},
+        lods=_lods("MultiSurface:1-4", "Solid:1-4"),
+    ),
+    "Tunnel": dict(
+        kind="tunnel",
+        props={**_CFU, "yearOfConstruction": "yearOfConstruction",
+               "yearOfDemolition": "yearOfDemolition"},
+        lods=_lods("MultiSurface:1-4", "Solid:1-4"),
+    ),
+    "TransportationComplex": dict(
+        kind="transportation_complex", props=_CFU, lods=_lods("MultiSurface:1-4"),
+    ),
+    # subtype elements override the objectClassId (3dcitydb-schema.xml)
+    "Railway": dict(kind="transportation_complex", props=_CFU,
+                    lods=_lods("MultiSurface:1-4"), class_id=43),
+    "Track": dict(kind="transportation_complex", props=_CFU,
+                  lods=_lods("MultiSurface:1-4"), class_id=44),
+    "Road": dict(kind="transportation_complex", props=_CFU,
+                 lods=_lods("MultiSurface:1-4"), class_id=45),
+    "Square": dict(kind="transportation_complex", props=_CFU,
+                   lods=_lods("MultiSurface:1-4"), class_id=46),
+    "ReliefFeature": dict(kind="relief_feature", props={"lod": "lod"}, lods={}),
+    "LandUse": dict(kind="land_use", props=_CFU, lods=_lods("MultiSurface:0-4")),
+    "PlantCover": dict(
+        kind="plant_cover",
+        props={**_CFU, "averageHeight": "averageHeight"},
+        uoms={"averageHeight": "averageHeightUnit"},
+        lods=_lods("MultiSurface:1-4", "MultiSolid:1-4"),
+    ),
+    "SolitaryVegetationObject": dict(
+        kind="solitary_vegetation",
+        props={**_CFU, "species": "species", "height": "height",
+               "trunkDiameter": "trunkDiameter", "crownDiameter": "crownDiameter"},
+        uoms={"height": "heightUnit", "trunkDiameter": "trunkDiameterUnit",
+              "crownDiameter": "crownDiameterUnit"},
+        # CityGML veg:lodXGeometry lands in the brep columns
+        # (DBSolitaryVegetatObject importSurfaceGeometryProperties "_brep_id")
+        lods=_lods("Geometry:1-4"),
+    ),
+    "WaterBody": dict(
+        kind="water_body", props=_CFU,
+        lods=_lods("MultiSurface:0-1", "Solid:1-4"),
+    ),
+    "CityObjectGroup": dict(
+        kind="city_object_group", props=_CFU,
+        # grp:geometry -> brep_id (DBCityObjectGroup.java geometry property)
+        lods={"geometry": "brepId"},
+    ),
+}
+
+
+def parse_feature(member: ET.Element, feature: ET.Element, spec: dict) -> _Doc:
+    """P25+ generic feature parse: scalar props + generic attributes +
+    geometry tree, emitted in the importer's order (cityobject analog span
+    first, then genattribs, then geometry rows) — same stitching as
+    parse_building."""
+    gid = _gml_id(feature, "unknown")
+    doc = _Doc(doc_id=gid)
+    props, lods = spec["props"], spec["lods"]
+    uoms = spec.get("uoms", {})
+
+    attrs: dict = {"gmlId": gid}
+    if spec["kind"] in ("bridge", "tunnel"):
+        attrs["rootId"] = gid
+    if "class_id" in spec:
+        attrs["objectClassId"] = str(spec["class_id"])
+    name_el = None
+    gen_attrs = []
+    geoms: list[tuple[str, ET.Element]] = []
+    members: list[tuple[str, str]] = []  # (href gmlId, role)
+
+    for child in feature:
+        ln = _local(child.tag)
+        if ln == "name":
+            name_el = child
+        elif ln == "creationDate" and child.text:
+            attrs["creationDate"] = _fmt_date(child.text)
+        elif ln == "terminationDate" and child.text:
+            attrs["terminationDate"] = _fmt_date(child.text)
+        elif ln in _GEN_ATTR:
+            gen_attrs.append(child)
+        elif ln == "groupMember":
+            h = _href(child)
+            if h is not None:
+                members.append((h, child.attrib.get("role")))
+        elif ln in props and child.text is not None:
+            key = props[ln]
+            val = child.text.strip()
+            if ln in _MULTI and key in attrs:
+                attrs[key] = attrs[key] + DELIM + val
+            else:
+                attrs[key] = val
+            uom = child.attrib.get("uom")
+            if uom and ln in uoms:
+                attrs[uoms[ln]] = uom
+        elif ln in lods:
+            geoms.append((ln, child))
+
+    if name_el is not None and name_el.text:
+        attrs["name"] = name_el.text.strip()
+    attrs.update(_envelope_attrs(feature))
+    attrs["lastModificationDate"] = LAST_MOD
+
+    geo_doc = _Doc(doc_id=gid)
+    id_index = {
+        _gml_id(el, ""): el
+        for el in feature.iter()
+        if _local(el.tag) in _GeomWalker.CONTAINERS
+        or _local(el.tag) in ("Polygon", "Triangle", "Rectangle")
+    }
+    id_index.pop("", None)
+    walker = _GeomWalker(geo_doc, gid, id_index)
+    for ln, prop in geoms:
+        for g in prop:
+            top = walker.walk(g, None, None)
+            if top:
+                attrs[lods[ln]] = top
+    if walker.all_coords and "envelope" not in attrs:
+        b = compute_bounds(walker.all_coords, 3)
+        ring = [
+            b[0], b[1], b[2], b[3], b[1], b[2], b[3], b[4], b[5],
+            b[0], b[4], b[5], b[0], b[1], b[2],
+        ]
+        attrs["envelope"] = "#".join(fmt_double(v) for v in ring)
+        attrs["envelopeDatatype"] = "POLYGON-3-15"
+
+    doc.add(spec["kind"], attrs)
+
+    for ga in gen_attrs:
+        code, vkey = _GEN_ATTR[_local(ga.tag)]
+        aname = ga.attrib.get("name", "")
+        val_el = _first(ga, "value")
+        val = (val_el.text or "").strip() if val_el is not None else ""
+        ga_attrs = {
+            "gmlId": f"{gid}_ga_{aname}",
+            "rootGenattribId": f"{gid}_ga_{aname}",
+            "name": aname,
+            "dataType": str(code),
+            vkey: val,
+            "cityObjectId": gid,
+        }
+        uom = ga.attrib.get("uom")
+        if uom:
+            ga_attrs["unit"] = uom
+        doc.add("generic_attribute", ga_attrs)
+
+    # grp:groupMember xlinks -> group_to_cityobject link rows
+    # (DBCityObjectGroup.java:192-208 via XlinkGroupToCityObject)
+    for href, role in members:
+        doc.add(
+            "group_to_cityobject",
+            {"gmlId": f"{gid}_m_{href}", "cityObjectId": href,
+             "cityObjectGroupId": gid, "role": role},
+        )
+
+    for kind, text, media_ref, _ in geo_doc.spans:
+        doc.spans.append((kind, text, media_ref, len(doc.spans)))
+    return doc
+
+
 def parse_citygml(xml_text: str) -> list[tuple[str, list[tuple[str, str, str, int]]]]:
     """One CityGML document string -> [(doc_id, spans), ...] rows."""
     root = ET.fromstring(xml_text)
@@ -393,11 +582,14 @@ def parse_citygml(xml_text: str) -> list[tuple[str, list[tuple[str, str, str, in
         if _local(member.tag) != "cityObjectMember":
             continue
         for feature in member:
-            if _local(feature.tag) == "Building":
-                try:
+            ln = _local(feature.tag)
+            try:
+                if ln == "Building":
                     docs.append(parse_building(member, feature))
-                except CircularXlinkError:
-                    # reference behavior: abort THIS feature, keep the rest
-                    # (DBCityObject.java:437-446)
-                    continue
+                elif ln in _FEATURE_SPECS:
+                    docs.append(parse_feature(member, feature, _FEATURE_SPECS[ln]))
+            except CircularXlinkError:
+                # reference behavior: abort THIS feature, keep the rest
+                # (DBCityObject.java:437-446)
+                continue
     return [(d.doc_id, d.spans) for d in docs]

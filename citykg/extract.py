@@ -31,7 +31,13 @@ from .vocab import BASE_URL_LITERALS, CLASS_ID, DEFAULT_BASE, template_rows
 # graphs whose subject is a minted (deterministic) id, not a feature gmlId —
 # the reference uses fresh UUIDs there (DBAddressToBuilding.java:84); we mint
 # md5(doc_id#span_idx#graph) so re-runs/resume produce identical IRIs
-LINK_GRAPHS = {"addresstobuilding", "openingtothemsurface", "appeartosurfacedata", "textureparam"}
+LINK_GRAPHS = {
+    "addresstobuilding",
+    "openingtothemsurface",
+    "appeartosurfacedata",
+    "textureparam",
+    "grouptocityobject",
+}
 
 
 def _template_df(spark: SparkSession) -> DataFrame:

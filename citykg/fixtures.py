@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .vocab import CLASS_ID, BASE_URL_LITERALS, DEFAULT_BASE, KIND_EMISSIONS
 
 # bump when the synthesis changes — invalidates bench-staged corpora
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 # span layout: (span_idx, kind, media_ref) — ALL spans unconditional so
 # span_idx constants stay stable for the md5 link-graph subjects; value
@@ -52,6 +52,19 @@ SPAN_LAYOUT = [
     (17, "texture_param", ""),
     (18, "building_furniture", ""),
     (19, "generic_attribute_set", ""),
+    # P25+ SQL-only types (vocab.py template block): appended so existing
+    # span_idx constants — baked into the md5 link-graph subjects — stay put
+    (20, "bridge", ""),
+    (21, "tunnel", ""),
+    (22, "transportation_complex", ""),
+    (23, "relief_feature", ""),
+    (24, "land_use", ""),
+    (25, "plant_cover", ""),
+    (26, "solitary_vegetation", ""),
+    (27, "water_body", ""),
+    (28, "city_object_group", ""),
+    (29, "group_to_cityobject", ""),
+    (30, "implicit_geometry", ""),
 ]
 
 LAST_MOD = "2026-01-01T00:00Z"  # deterministic stand-in for the reference's
@@ -260,6 +273,94 @@ def attr_exprs(dialect: str) -> dict[str, dict[str, str]]:
             "dataType": "'107'",  # attr-set marker (reference template 1)
             "genattribsetCodespace": f"'cs_' || {_s('d % 3', dialect)}",
             "cityObjectId": bldg,
+        },
+        # P25+ SQL-only types — value shapes mirror what each DB* importer
+        # would bind from a real feature (class/function code lists, year,
+        # measured dimensions); every doc carries one of each
+        "bridge": {
+            "gmlId": f"'BRDG_' || {lp8}",
+            "parentId": f"'BRDG_' || {lp8}",
+            "rootId": f"'BRDG_' || {lp8}",
+            "class": _s("d % 4", dialect),
+            "function": _s("7000 + d % 5", dialect),
+            "yearOfConstruction": _s("1850 + d % 170", dialect),
+            "isMovable": _s("d % 2", dialect),
+            "lod1MultiSurfaceId": f"'SURF_' || {lp8}",
+            "lod2SolidId": f"CASE WHEN d % 3 = 0 THEN 'SURF_' || {lp8} END",
+        },
+        "tunnel": {
+            "gmlId": f"'TUN_' || {lp8}",
+            "parentId": f"'TUN_' || {lp8}",
+            "rootId": f"'TUN_' || {lp8}",
+            "class": _s("d % 3", dialect),
+            "usage": _s("7100 + d % 4", dialect),
+            "yearOfConstruction": _s("1900 + d % 125", dialect),
+            "lod2MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "transportation_complex": {
+            "gmlId": f"'TC_' || {lp8}",
+            # road 45 / railway 43 / track 44 / square 46 — attr overrides
+            # the template constant (same mechanism as thematic_surface)
+            "objectClassId": _s("43 + d % 4", dialect),
+            "class": _s("d % 5", dialect),
+            "function": _s("7200 + d % 6", dialect),
+            "lod2MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "relief_feature": {
+            "gmlId": f"'RF_' || {lp8}",
+            "lod": _s("d % 5", dialect),
+        },
+        "land_use": {
+            "gmlId": f"'LU_' || {lp8}",
+            "class": _s("d % 9", dialect),
+            "usage": _s("7300 + d % 3", dialect),
+            "lod0MultiSurfaceId": f"'SURF_' || {lp8}",
+            "lod2MultiSurfaceId": f"CASE WHEN d % 2 = 0 THEN 'SURF_' || {lp8} END",
+        },
+        "plant_cover": {
+            "gmlId": f"'PC_' || {lp8}",
+            "class": _s("d % 6", dialect),
+            "averageHeight": f"{_s('1 + d % 30', dialect)} || '.' || {_s('d % 10', dialect)}",
+            "averageHeightUnit": "'m'",
+            "lod1MultiSurfaceId": f"'SURF_' || {lp8}",
+            "lod1MultiSolidId": f"CASE WHEN d % 4 = 0 THEN 'SURF_' || {lp8} END",
+        },
+        "solitary_vegetation": {
+            "gmlId": f"'VEG_' || {lp8}",
+            "class": _s("d % 7", dialect),
+            "species": f"'species_' || {_s('d % 40', dialect)}",
+            "height": f"{_s('2 + d % 35', dialect)} || '.' || {_s('d % 10', dialect)}",
+            "heightUnit": "'m'",
+            "trunkDiameter": f"'0.' || {_s('1 + d % 9', dialect)}",
+            "trunkDiameterUnit": "'m'",
+            "crownDiameter": f"{_s('1 + d % 12', dialect)} || '.0'",
+            "crownDiameterUnit": "'m'",
+            "lod1BrepId": f"'SURF_' || {lp8}",
+        },
+        "water_body": {
+            "gmlId": f"'WB_' || {lp8}",
+            "class": _s("d % 4", dialect),
+            "function": _s("7400 + d % 5", dialect),
+            "lod0MultiSurfaceId": f"'SURF_' || {lp8}",
+            "lod1SolidId": f"CASE WHEN d % 5 <> 0 THEN 'SURF_' || {lp8} END",
+        },
+        "city_object_group": {
+            "gmlId": f"'GRP_' || {lp8}",
+            "class": _s("d % 3", dialect),
+            "function": _s("7500 + d % 2", dialect),
+            "brepId": f"CASE WHEN d % 6 = 0 THEN 'SURF_' || {lp8} END",
+        },
+        "group_to_cityobject": {
+            "gmlId": f"'GTC_' || {lp8}",
+            "cityObjectId": f"'BLDG_' || {lp8}",
+            "cityObjectGroupId": f"'GRP_' || {lp8}",
+            "role": f"'role_' || {_s('d % 4', dialect)}",
+        },
+        "implicit_geometry": {
+            "gmlId": f"'IG_' || {lp8}",
+            "referenceToLibrary": f"'lib/tree_' || {_s('d % 25', dialect)} || '.gml'",
+            "mimeType": "'model/gml+xml'",
+            "relativeBrepId": f"'SURF_' || {lp8}",
         },
     }
 

@@ -451,6 +451,187 @@ def envelope_relations(
     )
 
 
+def _rx(arr: str, i: str) -> str:
+    """x of ring point `i` in a stride-3 coord array (1-indexed element_at)."""
+    return f"element_at({arr}, cast(3 * ({i}) + 1 as int))"
+
+
+def _ry(arr: str, i: str) -> str:
+    return f"element_at({arr}, cast(3 * ({i}) + 2 as int))"
+
+
+def _orient(px, py, qx, qy, rx, ry) -> str:
+    """sign of the cross product (q-p) x (r-p): +1 left turn, -1 right, 0
+    collinear."""
+    return (
+        f"sign((({qx}) - ({px})) * (({ry}) - ({py})) - "
+        f"(({qy}) - ({py})) * (({rx}) - ({px})))"
+    )
+
+
+def _on_seg(px, py, qx, qy, rx, ry) -> str:
+    """Given r collinear with segment p-q: is r within its bbox?"""
+    return (
+        f"least({px}, {qx}) <= ({rx}) AND ({rx}) <= greatest({px}, {qx}) AND "
+        f"least({py}, {qy}) <= ({ry}) AND ({ry}) <= greatest({py}, {qy})"
+    )
+
+
+def _seg_pair(ca: str, cb: str, pred_of) -> str:
+    """exists over all (segment of ca) x (segment of cb) with `pred_of`
+    built from the 8 endpoint exprs — one nested higher-order exists,
+    evaluated JVM-side per candidate pair."""
+    ax, ay = _rx(ca, "i"), _ry(ca, "i")
+    ax1, ay1 = _rx(ca, "i + 1"), _ry(ca, "i + 1")
+    bx, by = _rx(cb, "j"), _ry(cb, "j")
+    bx1, by1 = _rx(cb, "j + 1"), _ry(cb, "j + 1")
+    pred = pred_of(ax, ay, ax1, ay1, bx, by, bx1, by1)
+    return (
+        f"exists(sequence(0, int(size({ca}) / 3) - 2), i -> "
+        f"exists(sequence(0, int(size({cb}) / 3) - 2), j -> ({pred})))"
+    )
+
+
+def _proper_cross(ca: str, cb: str) -> str:
+    """Any pair of boundary segments crossing at an interior point of both
+    (strict straddle both ways) — the unambiguous 'interiors overlap'
+    witness."""
+
+    def pred(ax, ay, ax1, ay1, bx, by, bx1, by1):
+        s1 = _orient(ax, ay, ax1, ay1, bx, by)
+        s2 = _orient(ax, ay, ax1, ay1, bx1, by1)
+        s3 = _orient(bx, by, bx1, by1, ax, ay)
+        s4 = _orient(bx, by, bx1, by1, ax1, ay1)
+        return f"({s1}) * ({s2}) < 0 AND ({s3}) * ({s4}) < 0"
+
+    return _seg_pair(ca, cb, pred)
+
+
+def _boundaries_meet(ca: str, cb: str) -> str:
+    """Any segment intersection at all (proper, endpoint-touch, or
+    collinear overlap) — the standard orientation test with the four
+    collinear endpoint cases."""
+
+    def pred(ax, ay, ax1, ay1, bx, by, bx1, by1):
+        s1 = _orient(ax, ay, ax1, ay1, bx, by)
+        s2 = _orient(ax, ay, ax1, ay1, bx1, by1)
+        s3 = _orient(bx, by, bx1, by1, ax, ay)
+        s4 = _orient(bx, by, bx1, by1, ax1, ay1)
+        return (
+            f"(({s1}) != ({s2}) AND ({s3}) != ({s4})) "
+            f"OR (({s1}) = 0 AND {_on_seg(ax, ay, ax1, ay1, bx, by)}) "
+            f"OR (({s2}) = 0 AND {_on_seg(ax, ay, ax1, ay1, bx1, by1)}) "
+            f"OR (({s3}) = 0 AND {_on_seg(bx, by, bx1, by1, ax, ay)}) "
+            f"OR (({s4}) = 0 AND {_on_seg(bx, by, bx1, by1, ax1, ay1)})"
+        )
+
+    return _seg_pair(ca, cb, pred)
+
+
+def _pt_on_boundary(px: str, py: str, arr: str) -> str:
+    qx, qy = _rx(arr, "i"), _ry(arr, "i")
+    qx1, qy1 = _rx(arr, "i + 1"), _ry(arr, "i + 1")
+    return (
+        f"exists(sequence(0, int(size({arr}) / 3) - 2), i -> "
+        f"({_orient(qx, qy, qx1, qy1, px, py)}) = 0 AND "
+        f"{_on_seg(qx, qy, qx1, qy1, px, py)})"
+    )
+
+
+def _pt_raycast(px: str, py: str, arr: str) -> str:
+    """Even-odd crossing count of point (px, py) vs ring `arr` (same form
+    as _ray_cast_inside; only reliable off the boundary — combine with
+    _pt_on_boundary)."""
+    xi, yi = _rx(arr, "i"), _ry(arr, "i")
+    xj, yj = _rx(arr, "i + 1"), _ry(arr, "i + 1")
+    return (
+        f"(aggregate(sequence(0, int(size({arr}) / 3) - 2), 0, (acc, i) -> acc + "
+        f"IF(((({yi}) > ({py})) != (({yj}) > ({py}))) AND "
+        f"(({px}) < (({xj}) - ({xi})) * (({py}) - ({yi})) / (({yj}) - ({yi})) + ({xi})), "
+        f"1, 0)) % 2 = 1)"
+    )
+
+
+def _verts(ca: str, cb: str, quantifier: str, closed: bool) -> str:
+    """forall/exists over ca's ring vertices: inside cb (closed = boundary
+    counts as in; strict = boundary excluded)."""
+    px, py = _rx(ca, "k"), _ry(ca, "k")
+    on_b = _pt_on_boundary(px, py, cb)
+    ray = _pt_raycast(px, py, cb)
+    inside = f"(({on_b}) OR ({ray}))" if closed else f"((NOT ({on_b})) AND ({ray}))"
+    return f"{quantifier}(sequence(0, int(size({ca}) / 3) - 2), k -> {inside})"
+
+
+def _rings_equal(ca: str, cb: str) -> str:
+    """Same vertex point-set (closing duplicate dropped, order/start-point
+    free) — the single-ring 'equals' witness."""
+
+    def norm(arr):
+        return (
+            f"array_sort(array_distinct(transform(sequence(0, int(size({arr}) / 3) - 2), "
+            f"k -> struct({_rx(arr, 'k')} AS x, {_ry(arr, 'k')} AS y))))"
+        )
+
+    return f"{norm(ca)} = {norm(cb)}"
+
+
+def ring_relation_case(ca: str = "ca", cb: str = "cb") -> str:
+    """SQL CASE classifying the DE-9IM-style relation between two polygon
+    OUTER RINGS (stride-3 coord arrays `ca`, `cb`, closed, XY projection) —
+    the ring-exact upgrade of envelope_relation_case, matching what the
+    reference's SQL export side builds geometry-level
+    (SpatialOperatorBuilder.java, 287 LoC; SpatialOperatorName.java:35-49 —
+    its Blazegraph KG path stubs ALL of these,
+    blazegraph/SQLAdapter.java:139-147).
+
+    Decision order: equal vertex sets -> 'equals'; a proper boundary
+    crossing, or vertices of each strictly inside the other -> 'overlaps';
+    all-vertices-in-closed containment -> 'within'/'contains' (boundary
+    contact allowed, JTS semantics); one-sided strict containment with the
+    rest outside -> 'overlaps'; boundaries meeting without any interior
+    exchange -> 'touches'; else 'disjoint'.
+
+    Scope (documented): single outer ring per geometry, no holes; ring
+    assumed simple (non-self-intersecting), as produced by the importer's
+    ring validation. Everything is Catalyst higher-order-function algebra
+    over the candidate pair — O(|segA| x |segB|) per pair, JVM-side, no
+    Python."""
+    eq = _rings_equal(ca, cb)
+    cross = _proper_cross(ca, cb)
+    meet = _boundaries_meet(ca, cb)
+    a_all_in = _verts(ca, cb, "forall", closed=True)
+    b_all_in = _verts(cb, ca, "forall", closed=True)
+    a_any_strict = _verts(ca, cb, "exists", closed=False)
+    b_any_strict = _verts(cb, ca, "exists", closed=False)
+    return (
+        f"CASE WHEN {eq} THEN 'equals' "
+        f"WHEN {cross} THEN 'overlaps' "
+        f"WHEN ({a_any_strict}) AND ({b_any_strict}) THEN 'overlaps' "
+        f"WHEN {a_all_in} THEN 'within' "
+        f"WHEN {b_all_in} THEN 'contains' "
+        f"WHEN ({a_any_strict}) OR ({b_any_strict}) THEN 'overlaps' "
+        f"WHEN {meet} THEN 'touches' "
+        f"ELSE 'disjoint' END"
+    )
+
+
+def ring_relations(
+    pairs: DataFrame, lit_a: str, lit_b: str, out: str = "relation"
+) -> DataFrame:
+    """Classify pre-paired geometry literals ring-exactly. At scale the
+    pair candidates come from the same grid-cell equi-join as
+    envelope_relations (envelope test as the cheap prefilter — anything it
+    calls 'disjoint' IS ring-disjoint, so only non-disjoint candidates pay
+    the O(segA x segB) exact test); this operator is the per-pair
+    classification stage."""
+    return (
+        with_coords(pairs, lit_a, out="ca")
+        .transform(lambda d: with_coords(d, lit_b, out="cb"))
+        .withColumn(out, F.expr(ring_relation_case("ca", "cb")))
+        .drop("ca", "cb")
+    )
+
+
 # A8 write-back: the triple pattern DistanceAgent inserts per measured pair
 # into the `distance` named graph (DistanceAgent.getSetDistanceQuery,
 # agents/.../DistanceAgent.java:293-316) — an OM-2 Measure individual. The

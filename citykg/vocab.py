@@ -68,6 +68,18 @@ GRAPHS = [
     "databasesrs",
     "distance",
     "ontoinfer",
+    # P25+ SQL-only types (getIriGraphObjectRel of each importer)
+    "bridge",
+    "tunnel",
+    "transportationcomplex",
+    "relieffeature",
+    "landuse",
+    "plantcover",
+    "solitaryvegetatobject",
+    "waterbody",
+    "cityobjectgroup",
+    "grouptocityobject",
+    "implicitgeometry",
 ]
 
 # objectClassId constants (3DCityDB object class registry; whitelist used by
@@ -83,6 +95,16 @@ CLASS_ID = {
     "generic_city_object": 5,
     "building_furniture": 40,
     "surface_data": 53,
+    # P25+ (3dcitydb-schema.xml featureType objectClassId entries)
+    "bridge": 64,
+    "tunnel": 85,
+    "transportation_complex": 42,
+    "relief_feature": 14,
+    "land_use": 4,
+    "plant_cover": 8,
+    "solitary_vegetation": 7,
+    "water_body": 9,
+    "city_object_group": 23,
 }
 
 # ---------------------------------------------------------------------------
@@ -453,6 +475,241 @@ T_TEXTURE_PARAM = [
 ]
 
 # ---------------------------------------------------------------------------
+# P25+ — the reference's SQL-ONLY entity types. Their importers exist in
+# full (DBBridge.java, DBTunnel.java, DBTransportationComplex.java,
+# DBReliefFeature.java, DBLandUse.java, DBPlantCover.java,
+# DBSolitaryVegetatObject.java, DBWaterBody.java, DBCityObjectGroup.java,
+# DBImplicitGeometry.java) but their SPARQL/blazegraph path is stubbed
+# (AbstractDBImporter.java:88-90 returns "SPARQL import not implemented"),
+# so a real city model's bridges/vegetation/waterbodies emit NOTHING on the
+# KG path. We close that gap: predicate order mirrors each importer's SQL
+# insert column order verbatim, names follow the blazegraph
+# SchemaManagerAdapter's snake_case->camelCase convention (e.g.
+# building_parent_id -> buildingParentId), graph names are the importers'
+# own getIriGraphObjectRel() values, and objectClassIds come from
+# 3dcitydb-schema.xml.
+# ---------------------------------------------------------------------------
+
+# DBBridge.java:102-109 (insert into bridge ...); graph DBBridge.java:97
+T_BRIDGE = [
+    ("id", "@iri", "iri"),
+    ("bridgeParentId", "@ref/bridge/parentId", "iri"),
+    ("bridgeRootId", "@ref/bridge/rootId", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("yearOfConstruction", "yearOfConstruction", "literal"),
+    ("yearOfDemolition", "yearOfDemolition", "literal"),
+    ("isMovable", "isMovable", "literal"),
+    ("lod1TerrainIntersection", None, "literal"),
+    ("lod2TerrainIntersection", None, "literal"),
+    ("lod3TerrainIntersection", None, "literal"),
+    ("lod4TerrainIntersection", None, "literal"),
+    ("lod2MultiCurve", None, "literal"),
+    ("lod3MultiCurve", None, "literal"),
+    ("lod4MultiCurve", None, "literal"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("lod1SolidId", "@ref/surfacegeometry/lod1SolidId", "iri"),
+    ("lod2SolidId", "@ref/surfacegeometry/lod2SolidId", "iri"),
+    ("lod3SolidId", "@ref/surfacegeometry/lod3SolidId", "iri"),
+    ("lod4SolidId", "@ref/surfacegeometry/lod4SolidId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBTunnel.java:90-97 — bridge minus is_movable; graph DBTunnel.java:89
+T_TUNNEL = [
+    ("id", "@iri", "iri"),
+    ("tunnelParentId", "@ref/tunnel/parentId", "iri"),
+    ("tunnelRootId", "@ref/tunnel/rootId", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("yearOfConstruction", "yearOfConstruction", "literal"),
+    ("yearOfDemolition", "yearOfDemolition", "literal"),
+    ("lod1TerrainIntersection", None, "literal"),
+    ("lod2TerrainIntersection", None, "literal"),
+    ("lod3TerrainIntersection", None, "literal"),
+    ("lod4TerrainIntersection", None, "literal"),
+    ("lod2MultiCurve", None, "literal"),
+    ("lod3MultiCurve", None, "literal"),
+    ("lod4MultiCurve", None, "literal"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("lod1SolidId", "@ref/surfacegeometry/lod1SolidId", "iri"),
+    ("lod2SolidId", "@ref/surfacegeometry/lod2SolidId", "iri"),
+    ("lod3SolidId", "@ref/surfacegeometry/lod3SolidId", "iri"),
+    ("lod4SolidId", "@ref/surfacegeometry/lod4SolidId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBTransportationComplex.java:80-82 (objectclass_id is 2nd, unconditional);
+# graph DBTransportationComplex.java:75
+T_TRANSPORTATION_COMPLEX = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("lod0Network", None, "literal"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+]
+
+# DBReliefFeature.java:72-75; graph DBReliefFeature.java:67
+T_RELIEF_FEATURE = [
+    ("id", "@iri", "iri"),
+    ("lod", "lod", "literal"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBLandUse.java:73-76; graph DBLandUse.java:68
+T_LAND_USE = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("lod0MultiSurfaceId", "@ref/surfacegeometry/lod0MultiSurfaceId", "iri"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBPlantCover.java:75-80; graph DBPlantCover.java:70
+T_PLANT_COVER = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("averageHeight", "averageHeight", "literal"),
+    ("averageHeightUnit", "averageHeightUnit", "literal"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("lod1MultiSolidId", "@ref/surfacegeometry/lod1MultiSolidId", "iri"),
+    ("lod2MultiSolidId", "@ref/surfacegeometry/lod2MultiSolidId", "iri"),
+    ("lod3MultiSolidId", "@ref/surfacegeometry/lod3MultiSolidId", "iri"),
+    ("lod4MultiSolidId", "@ref/surfacegeometry/lod4MultiSolidId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBSolitaryVegetatObject.java:85-93; graph DBSolitaryVegetatObject.java:80
+T_SOLITARY_VEGETAT_OBJECT = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("species", "species", "literal"),
+    ("speciesCodespace", "speciesCodespace", "literal"),
+    ("height", "height", "literal"),
+    ("heightUnit", "heightUnit", "literal"),
+    ("trunkDiameter", "trunkDiameter", "literal"),
+    ("trunkDiameterUnit", "trunkDiameterUnit", "literal"),
+    ("crownDiameter", "crownDiameter", "literal"),
+    ("crownDiameterUnit", "crownDiameterUnit", "literal"),
+    ("lod1BrepId", "@ref/surfacegeometry/lod1BrepId", "iri"),
+    ("lod2BrepId", "@ref/surfacegeometry/lod2BrepId", "iri"),
+    ("lod3BrepId", "@ref/surfacegeometry/lod3BrepId", "iri"),
+    ("lod4BrepId", "@ref/surfacegeometry/lod4BrepId", "iri"),
+    ("lod1OtherGeom", None, "literal"),
+    ("lod2OtherGeom", None, "literal"),
+    ("lod3OtherGeom", None, "literal"),
+    ("lod4OtherGeom", None, "literal"),
+    ("lod1ImplicitRepId", None, "iri"),
+    ("lod2ImplicitRepId", None, "iri"),
+    ("lod3ImplicitRepId", None, "iri"),
+    ("lod4ImplicitRepId", None, "iri"),
+    ("lod1ImplicitRefPoint", None, "literal"),
+    ("lod2ImplicitRefPoint", None, "literal"),
+    ("lod3ImplicitRefPoint", None, "literal"),
+    ("lod4ImplicitRefPoint", None, "literal"),
+    ("lod1ImplicitTransformation", None, "literal"),
+    ("lod2ImplicitTransformation", None, "literal"),
+    ("lod3ImplicitTransformation", None, "literal"),
+    ("lod4ImplicitTransformation", None, "literal"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBWaterBody.java:82-86; graph DBWaterBody.java:77
+T_WATER_BODY = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("lod0MultiCurve", None, "literal"),
+    ("lod1MultiCurve", None, "literal"),
+    ("lod0MultiSurfaceId", "@ref/surfacegeometry/lod0MultiSurfaceId", "iri"),
+    ("lod1MultiSurfaceId", "@ref/surfacegeometry/lod1MultiSurfaceId", "iri"),
+    ("lod1SolidId", "@ref/surfacegeometry/lod1SolidId", "iri"),
+    ("lod2SolidId", "@ref/surfacegeometry/lod2SolidId", "iri"),
+    ("lod3SolidId", "@ref/surfacegeometry/lod3SolidId", "iri"),
+    ("lod4SolidId", "@ref/surfacegeometry/lod4SolidId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBCityObjectGroup.java:80-83; graph DBCityObjectGroup.java:75
+T_CITY_OBJECT_GROUP = [
+    ("id", "@iri", "iri"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("brepId", "@ref/surfacegeometry/brepId", "iri"),
+    ("otherGeom", None, "literal"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# group member link rows resolve through the xlink cache
+# (XlinkGroupToCityObject.java:59 insert into GROUP_TO_CITYOBJECT)
+T_GROUP_TO_CITYOBJECT = [
+    ("cityObjectId", "@ref/cityobject/cityObjectId", "iri"),
+    ("cityObjectGroupId", "@ref/cityobjectgroup/cityObjectGroupId", "iri"),
+    ("role", "role", "literal"),
+]
+
+# DBImplicitGeometry.java:77-79 (insert + deferred update columns; NOT a
+# city object — no DBCityObject row is imported for it)
+T_IMPLICIT_GEOMETRY = [
+    ("id", "@iri", "iri"),
+    ("referenceToLibrary", "referenceToLibrary", "literal"),
+    ("mimeType", "mimeType", "literal"),
+    ("relativeBrepId", "@ref/surfacegeometry/relativeBrepId", "iri"),
+    ("relativeOtherGeom", None, "literal"),
+]
+
+# ---------------------------------------------------------------------------
 # span-kind -> list of (graph, template, emits_cityobject_row)
 # mirrors which DB* importers fire per feature (DBBuilding.doImport calls
 # DBCityObject first — DBBuilding.java:177 — hence the cityobject row)
@@ -479,6 +736,28 @@ KIND_EMISSIONS: dict[str, list[tuple[str, list]]] = {
     "surface_data": [("surfacedata", T_SURFACE_DATA)],
     "media": [("teximage", T_TEX_IMAGE)],
     "texture_param": [("textureparam", T_TEXTURE_PARAM)],
+    # P25+ SQL-only types (see the template block above); every one except
+    # implicit_geometry imports its cityobject row first, same as building
+    "bridge": [("cityobject", T_CITYOBJECT), ("bridge", T_BRIDGE)],
+    "tunnel": [("cityobject", T_CITYOBJECT), ("tunnel", T_TUNNEL)],
+    "transportation_complex": [
+        ("cityobject", T_CITYOBJECT),
+        ("transportationcomplex", T_TRANSPORTATION_COMPLEX),
+    ],
+    "relief_feature": [("cityobject", T_CITYOBJECT), ("relieffeature", T_RELIEF_FEATURE)],
+    "land_use": [("cityobject", T_CITYOBJECT), ("landuse", T_LAND_USE)],
+    "plant_cover": [("cityobject", T_CITYOBJECT), ("plantcover", T_PLANT_COVER)],
+    "solitary_vegetation": [
+        ("cityobject", T_CITYOBJECT),
+        ("solitaryvegetatobject", T_SOLITARY_VEGETAT_OBJECT),
+    ],
+    "water_body": [("cityobject", T_CITYOBJECT), ("waterbody", T_WATER_BODY)],
+    "city_object_group": [
+        ("cityobject", T_CITYOBJECT),
+        ("cityobjectgroup", T_CITY_OBJECT_GROUP),
+    ],
+    "group_to_cityobject": [("grouptocityobject", T_GROUP_TO_CITYOBJECT)],
+    "implicit_geometry": [("implicitgeometry", T_IMPLICIT_GEOMETRY)],
 }
 
 # kinds whose subject lives in a graph other than the first emission graph

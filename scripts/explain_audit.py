@@ -17,12 +17,16 @@ spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=8)
 
 AUDITS = [
     ("kg_extract_full", "stage 1 extraction: expect ONE BroadcastHashJoin, zero ShuffleExchange"),
+    ("kg_extract_bridge", "P25+ bridge/tunnel graphs: same single map-side broadcast-join stage"),
+    ("kg_extract_vegetation", "P25+ nature/terrain graphs: same single map-side broadcast-join stage"),
+    ("kg_extract_transport_group", "P25+ transport/group/implicit graphs incl. grouptocityobject link rows"),
     ("kg_link_exact", "linking: gazetteer side must be BroadcastHashJoin"),
     ("lineitem_pricing", "agg pushdown: expect PushedFilters on l_shipdate + partial_ hash agg"),
     ("join_pipeline", "dim joins: nation broadcast; lineitem-orders shuffle on keys"),
     ("dedup_minhash_lsh", "LSH: band join then verify; no cartesian"),
     ("text_quality", "text ops: pure Project, no Python, full codegen"),
     ("spatial_dwithin", "DWithin: grid-cell equi-join, NO CartesianProduct/NestedLoop"),
+    ("spatial_relations_exact", "ring-exact relations: HOF algebra per pair, no Python, no cartesian"),
     ("geo_footprint", "footprint union: validity filter then ONE partial-agg shuffle"),
     ("zoning_gfa", "GFA: one conditional-agg shuffle + broadcast zone join"),
     ("dataset_split", "split assignment: pure Project, ZERO Exchange"),

@@ -283,3 +283,109 @@ def test_circular_xlink_aborts_feature_only():
     """L5: a circular href chain aborts THAT feature; siblings import."""
     rows = parse_citygml(GML_CYCLE)
     assert [d for d, _ in rows] == ["BOK"]
+
+
+GML_P25 = """<?xml version="1.0" encoding="UTF-8"?>
+<CityModel xmlns="http://www.opengis.net/citygml/2.0"
+  xmlns:gml="http://www.opengis.net/gml"
+  xmlns:brid="http://www.opengis.net/citygml/bridge/2.0"
+  xmlns:tun="http://www.opengis.net/citygml/tunnel/2.0"
+  xmlns:tran="http://www.opengis.net/citygml/transportation/2.0"
+  xmlns:veg="http://www.opengis.net/citygml/vegetation/2.0"
+  xmlns:wtr="http://www.opengis.net/citygml/waterbody/2.0"
+  xmlns:luse="http://www.opengis.net/citygml/landuse/2.0"
+  xmlns:dem="http://www.opengis.net/citygml/relief/2.0"
+  xmlns:grp="http://www.opengis.net/citygml/cityobjectgroup/2.0"
+  xmlns:xlink="http://www.w3.org/1999/xlink">
+ <cityObjectMember>
+  <brid:Bridge gml:id="BR1">
+   <gml:name>Old Bridge</gml:name>
+   <brid:function>1510</brid:function>
+   <brid:yearOfConstruction>1903</brid:yearOfConstruction>
+   <brid:isMovable>false</brid:isMovable>
+   <brid:lod1MultiSurface>
+    <gml:MultiSurface>
+     <gml:surfaceMember>
+      <gml:Polygon gml:id="brp1"><gml:exterior><gml:LinearRing>
+       <gml:posList>0 0 0 4 0 0 4 4 0 0 0 0</gml:posList>
+      </gml:LinearRing></gml:exterior></gml:Polygon>
+     </gml:surfaceMember>
+    </gml:MultiSurface>
+   </brid:lod1MultiSurface>
+  </brid:Bridge>
+ </cityObjectMember>
+ <cityObjectMember>
+  <tran:Road gml:id="RD1"><tran:function>1000</tran:function></tran:Road>
+ </cityObjectMember>
+ <cityObjectMember>
+  <veg:PlantCover gml:id="PC1">
+   <veg:averageHeight uom="m">3.5</veg:averageHeight>
+  </veg:PlantCover>
+ </cityObjectMember>
+ <cityObjectMember>
+  <veg:SolitaryVegetationObject gml:id="SV1">
+   <veg:species>Tilia</veg:species>
+   <veg:height uom="m">12.0</veg:height>
+  </veg:SolitaryVegetationObject>
+ </cityObjectMember>
+ <cityObjectMember>
+  <wtr:WaterBody gml:id="WB1"><wtr:class>1030</wtr:class></wtr:WaterBody>
+ </cityObjectMember>
+ <cityObjectMember>
+  <luse:LandUse gml:id="LU1"><luse:usage>2020</luse:usage></luse:LandUse>
+ </cityObjectMember>
+ <cityObjectMember>
+  <dem:ReliefFeature gml:id="RF1"><dem:lod>2</dem:lod></dem:ReliefFeature>
+ </cityObjectMember>
+ <cityObjectMember>
+  <tun:Tunnel gml:id="TU1"><tun:yearOfConstruction>1988</tun:yearOfConstruction></tun:Tunnel>
+ </cityObjectMember>
+ <cityObjectMember>
+  <grp:CityObjectGroup gml:id="GR1">
+   <grp:function>ensemble</grp:function>
+   <grp:groupMember role="main" xlink:href="#BR1"/>
+   <grp:groupMember xlink:href="#TU1"/>
+  </grp:CityObjectGroup>
+ </cityObjectMember>
+</CityModel>"""
+
+
+def test_p25_feature_types_parse_and_extract(spark):
+    """P25+: the SQL-only entity types parse into their span kinds and
+    extract into their graphs (predicate order = the importer's SQL insert
+    column order; subtype Road overrides objectClassId to 45)."""
+    rows = parse_citygml(GML_P25)
+    by_kind = {}
+    for _, spans in rows:
+        for k, t, _, _ in spans:
+            by_kind.setdefault(k, []).append(dict(
+                kv.split("=", 1) for kv in t.split(";")))
+    assert set(by_kind) >= {
+        "bridge", "tunnel", "transportation_complex", "plant_cover",
+        "solitary_vegetation", "water_body", "land_use", "relief_feature",
+        "city_object_group", "group_to_cityobject", "surface_geometry",
+    }
+    assert by_kind["bridge"][0]["isMovable"] == "false"
+    assert by_kind["bridge"][0]["lod1MultiSurfaceId"]  # geometry threaded
+    assert by_kind["transportation_complex"][0]["objectClassId"] == "45"
+    assert by_kind["plant_cover"][0]["averageHeightUnit"] == "m"
+    assert by_kind["solitary_vegetation"][0]["heightUnit"] == "m"
+    assert by_kind["relief_feature"][0]["lod"] == "2"
+    roles = {(m["cityObjectId"], m.get("role")) for m in by_kind["group_to_cityobject"]}
+    assert roles == {("BR1", "main"), ("TU1", None)}
+
+    docs = spark.createDataFrame(
+        [(d, [tuple(s) for s in spans]) for d, spans in rows], DOC_SCHEMA)
+    t = extract_triples(spark, docs)
+    got = {(r.graph, r.pred, r.obj) for r in t.collect()}
+    assert ("bridge", "ocgml:id", f"{B}/bridge/BR1/") in got
+    assert ("bridge", "ocgml:yearOfConstruction", "1903") in got
+    assert ("transportationcomplex", "ocgml:objectClassId", "45") in got
+    assert ("relieffeature", "ocgml:objectClassId", "14") in got
+    assert ("cityobjectgroup", "ocgml:id", f"{B}/cityobjectgroup/GR1/") in got
+    assert ("grouptocityobject", "ocgml:role", "main") in got
+    assert ("grouptocityobject", "ocgml:cityObjectGroupId",
+            f"{B}/cityobjectgroup/GR1/") in got
+    # every P25+ feature also got its cityobject row
+    co = {o for g, p, o in got if g == "cityobject" and p == "ocgml:gmlId"}
+    assert co >= {"BR1", "RD1", "PC1", "SV1", "WB1", "LU1", "RF1", "TU1", "GR1"}

@@ -456,3 +456,34 @@ def test_citygml_export_missing_attrs(spark):
     assert "<bldg:storeysAboveGround>4</bldg:storeysAboveGround>" in x.citygml
     assert "<gml:name></gml:name>" in x.citygml  # absent -> empty element
     assert "<gml:lowerCorner></gml:lowerCorner>" in x.citygml
+
+
+def test_ring_relations_exact(spark):
+    """Q7 ring-exact classifier: DE-9IM-style relations computed on actual
+    rings, including the cases where the envelope classifier diverges
+    (bbox contains/equals while rings are disjoint/touching)."""
+    from citykg.ops import geo
+
+    def ring(*pts):
+        flat = []
+        for x, y in list(pts) + [pts[0]]:
+            flat += [x, y, 0]
+        return "#".join(str(float(v)) for v in flat)
+
+    sq = lambda x0, y0, s: ring((x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s))  # noqa: E731
+    cases = [
+        ("env_div_disjoint", ring((0, 0), (10, 0), (0, 10)), ring((9, 9), (10, 9), (9, 10)), "disjoint"),
+        ("equals", sq(0, 0, 4), sq(0, 0, 4), "equals"),
+        ("equals_rotated_start", ring((0, 0), (4, 0), (4, 4), (0, 4)), ring((4, 4), (0, 4), (0, 0), (4, 0)), "equals"),
+        ("within", sq(1, 1, 2), sq(0, 0, 10), "within"),
+        ("within_boundary_touch", sq(0, 0, 4), sq(0, 0, 10), "within"),
+        ("contains", sq(0, 0, 10), sq(3, 3, 1), "contains"),
+        ("overlaps", sq(0, 0, 4), sq(2, 2, 4), "overlaps"),
+        ("touch_corner", sq(0, 0, 4), sq(4, 4, 4), "touches"),
+        ("touch_edge_env_equal", ring((0, 0), (6, 0), (0, 6)), ring((6, 0), (6, 6), (0, 6)), "touches"),
+        ("disjoint_far", sq(0, 0, 1), sq(50, 50, 1), "disjoint"),
+    ]
+    df = spark.createDataFrame(cases, "name string, la string, lb string, expect string")
+    out = geo.ring_relations(df, "la", "lb")
+    bad = [(r.name, r.relation, r.expect) for r in out.collect() if r.relation != r.expect]
+    assert not bad, bad

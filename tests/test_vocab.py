@@ -65,6 +65,79 @@ GOLDEN_ORDERS = {
         "surfaceGeometryId", "isTextureParametrization", "worldToTexture",
         "textureCoordinates", "surfaceDataId",
     ],
+    # P25+ SQL-only types: no blazegraph golden tests exist (the reference
+    # stubs their SPARQL path) — the contract is each importer's SQL insert
+    # column order, transcribed here from getSQLStatement()
+    "bridge": [
+        "id", "bridgeParentId", "bridgeRootId", "class", "classCodespace",
+        "function", "functionCodespace", "usage", "usageCodespace",
+        "yearOfConstruction", "yearOfDemolition", "isMovable",
+        "lod1TerrainIntersection", "lod2TerrainIntersection",
+        "lod3TerrainIntersection", "lod4TerrainIntersection",
+        "lod2MultiCurve", "lod3MultiCurve", "lod4MultiCurve",
+        "lod1MultiSurfaceId", "lod2MultiSurfaceId", "lod3MultiSurfaceId",
+        "lod4MultiSurfaceId", "lod1SolidId", "lod2SolidId", "lod3SolidId",
+        "lod4SolidId", "objectClassId",
+    ],
+    "tunnel": [
+        "id", "tunnelParentId", "tunnelRootId", "class", "classCodespace",
+        "function", "functionCodespace", "usage", "usageCodespace",
+        "yearOfConstruction", "yearOfDemolition",
+        "lod1TerrainIntersection", "lod2TerrainIntersection",
+        "lod3TerrainIntersection", "lod4TerrainIntersection",
+        "lod2MultiCurve", "lod3MultiCurve", "lod4MultiCurve",
+        "lod1MultiSurfaceId", "lod2MultiSurfaceId", "lod3MultiSurfaceId",
+        "lod4MultiSurfaceId", "lod1SolidId", "lod2SolidId", "lod3SolidId",
+        "lod4SolidId", "objectClassId",
+    ],
+    "transportationcomplex": [
+        "id", "objectClassId", "class", "classCodespace", "function",
+        "functionCodespace", "usage", "usageCodespace", "lod0Network",
+        "lod1MultiSurfaceId", "lod2MultiSurfaceId", "lod3MultiSurfaceId",
+        "lod4MultiSurfaceId",
+    ],
+    "relieffeature": ["id", "lod", "objectClassId"],
+    "landuse": [
+        "id", "class", "classCodespace", "function", "functionCodespace",
+        "usage", "usageCodespace", "lod0MultiSurfaceId", "lod1MultiSurfaceId",
+        "lod2MultiSurfaceId", "lod3MultiSurfaceId", "lod4MultiSurfaceId",
+        "objectClassId",
+    ],
+    "plantcover": [
+        "id", "class", "classCodespace", "function", "functionCodespace",
+        "usage", "usageCodespace", "averageHeight", "averageHeightUnit",
+        "lod1MultiSurfaceId", "lod2MultiSurfaceId", "lod3MultiSurfaceId",
+        "lod4MultiSurfaceId", "lod1MultiSolidId", "lod2MultiSolidId",
+        "lod3MultiSolidId", "lod4MultiSolidId", "objectClassId",
+    ],
+    "solitaryvegetatobject": [
+        "id", "class", "classCodespace", "function", "functionCodespace",
+        "usage", "usageCodespace", "species", "speciesCodespace", "height",
+        "heightUnit", "trunkDiameter", "trunkDiameterUnit", "crownDiameter",
+        "crownDiameterUnit", "lod1BrepId", "lod2BrepId", "lod3BrepId",
+        "lod4BrepId", "lod1OtherGeom", "lod2OtherGeom", "lod3OtherGeom",
+        "lod4OtherGeom", "lod1ImplicitRepId", "lod2ImplicitRepId",
+        "lod3ImplicitRepId", "lod4ImplicitRepId", "lod1ImplicitRefPoint",
+        "lod2ImplicitRefPoint", "lod3ImplicitRefPoint", "lod4ImplicitRefPoint",
+        "lod1ImplicitTransformation", "lod2ImplicitTransformation",
+        "lod3ImplicitTransformation", "lod4ImplicitTransformation",
+        "objectClassId",
+    ],
+    "waterbody": [
+        "id", "class", "classCodespace", "function", "functionCodespace",
+        "usage", "usageCodespace", "lod0MultiCurve", "lod1MultiCurve",
+        "lod0MultiSurfaceId", "lod1MultiSurfaceId", "lod1SolidId",
+        "lod2SolidId", "lod3SolidId", "lod4SolidId", "objectClassId",
+    ],
+    "cityobjectgroup": [
+        "id", "class", "classCodespace", "function", "functionCodespace",
+        "usage", "usageCodespace", "brepId", "otherGeom", "objectClassId",
+    ],
+    "grouptocityobject": ["cityObjectId", "cityObjectGroupId", "role"],
+    "implicitgeometry": [
+        "id", "referenceToLibrary", "mimeType", "relativeBrepId",
+        "relativeOtherGeom",
+    ],
 }
 
 TEMPLATE_BY_GRAPH = {
@@ -82,6 +155,17 @@ TEMPLATE_BY_GRAPH = {
     "appearance": vocab.T_APPEARANCE,
     "appeartosurfacedata": vocab.T_APPEAR_TO_SURFACE_DATA,
     "textureparam": vocab.T_TEXTURE_PARAM,
+    "bridge": vocab.T_BRIDGE,
+    "tunnel": vocab.T_TUNNEL,
+    "transportationcomplex": vocab.T_TRANSPORTATION_COMPLEX,
+    "relieffeature": vocab.T_RELIEF_FEATURE,
+    "landuse": vocab.T_LAND_USE,
+    "plantcover": vocab.T_PLANT_COVER,
+    "solitaryvegetatobject": vocab.T_SOLITARY_VEGETAT_OBJECT,
+    "waterbody": vocab.T_WATER_BODY,
+    "cityobjectgroup": vocab.T_CITY_OBJECT_GROUP,
+    "grouptocityobject": vocab.T_GROUP_TO_CITYOBJECT,
+    "implicitgeometry": vocab.T_IMPLICIT_GEOMETRY,
 }
 
 
