@@ -2060,6 +2060,45 @@ def q_source_zip(spark, sf):
     )
 
 
+def _media_dir() -> str:
+    """Deterministic on-disk media corpus for source_media: 64 small REAL
+    image files (png/jpeg/bmp headers + full GIF), dims from index
+    arithmetic — written once, idempotent (content-derived, so re-runs
+    byte-match)."""
+    import os
+
+    from citykg.ops.multimodal import synth_gif_bytes, synth_image_bytes
+
+    d = "/tmp/citykg_media_v1"
+    exts = ["png", "jpeg", "bmp", "gif"]
+    if os.path.isdir(d) and len(os.listdir(d)) == 64:
+        return d
+    os.makedirs(d, exist_ok=True)
+    for i in range(64):
+        fmt = exts[i % 4]
+        w, h = 8 + i % 16, 8 + i % 8
+        data = synth_gif_bytes(w, h) if fmt == "gif" else synth_image_bytes(fmt, w, h)
+        with open(os.path.join(d, f"img_{i:04d}.{fmt}"), "wb") as fh:
+            fh.write(data)
+    return d
+
+
+def q_source_media(spark, sf):
+    """S1/P19 texture-file ingest (VERDICT r3 item 4): binaryFile scan of
+    an images dir -> header-level decode (magic-byte sniffed mime + dims)
+    -> teximage subject mint, the DBTexImage.java:60-120 path. The oracle
+    recomputes mime/dims/subject closed-form from the file-index
+    arithmetic (md5 of the uri on both engines); the triple render
+    (sources.teximage_triples) is pytest-locked."""
+    from citykg.sources import media_files
+
+    m = media_files(spark, _media_dir())
+    return m.selectExpr(
+        "uri", "mime", "width", "height",
+        f"'{DEFAULT_BASE}/teximage/' || md5(uri) || '/' AS subj",
+    )
+
+
 def q_source_validate(spark, sf):
     """S2/S3 validate operation: per-input parse report with every 7th
     input deterministically corrupted (truncated JSON). Oracle re-derives
@@ -2599,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
+        "source_media": q_source_media,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -4211,6 +4251,17 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
 """,
         "spatial_point_in_polygon": _point_in_polygon_sql(),
         "source_validate": _source_validate_sql(),
+        "source_media": (
+            # closed-form replay of the synthetic media corpus: 64 files,
+            # ext/mime by i%4, dims by index arithmetic, subject md5(uri)
+            "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 4, '0') || '.' || "
+            "CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp' ELSE 'gif' END AS uri, "
+            "'image/' || CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp' ELSE 'gif' END AS mime, "
+            "CAST(8 + i % 16 AS INTEGER) AS width, CAST(8 + i % 8 AS INTEGER) AS height, "
+            f"'{DEFAULT_BASE}/teximage/' || md5('img_' || lpad(CAST(i AS VARCHAR), 4, '0') || '.' || "
+            "CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp' ELSE 'gif' END) || '/' AS subj "
+            "FROM range(64) t(i)"
+        ),
         "dataset_split": _dataset_split_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .session import stable
+
 
 def same_as_edges(groups: DataFrame, key: str, member: str, salt: int = 16) -> DataFrame:
     """(group key, member id) -> star edges (member -> group min member).
@@ -60,9 +62,9 @@ def connected_components(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst"), F.col("src")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stable)
     )
-    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    nodes = stable(sym.select(F.col("src").alias("id")).distinct())
     labels = nodes.withColumn("component", F.col("id"))
 
     for i in range(max_iter):
@@ -82,7 +84,9 @@ def connected_components(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # stable(): localCheckpoint by default; reliable checkpoint(dir)
+            # when spark.citykg.checkpointDir is set (executor-loss-safe)
+            new_labels = stable(new_labels)
         changed = (
             new_labels.withColumnRenamed("component", "new_comp")
             .join(labels, "id")
@@ -126,7 +130,7 @@ def incremental_components(
     )
     touched = (
         registry.join(ids_new, "id").select("component").distinct()
-        .localCheckpoint(eager=True)
+        .transform(stable)
     )
     sub = registry.join(touched, "component")
     star = sub.where(F.col("id") != F.col("component")).select(

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import stable
+
 
 def triples_to_edges(triples: DataFrame) -> DataFrame:
     """s-p-o triples with IRI objects -> (src, dst) edge list
@@ -31,26 +33,28 @@ def pagerank(
     sum(rank) == 1. Dangling mass is redistributed uniformly.
 
     Each iteration: one join (rank -> out-edges) + one sum-aggregate; both
-    map-side combinable. persist + localCheckpoint keeps lineage flat.
+    map-side combinable. stable() cuts lineage each round (localCheckpoint
+    by default; reliable checkpoint(dir) via spark.citykg.checkpointDir —
+    see citykg.session.stable for the executor-loss trade-off).
     """
     # materialize the static sides ONCE — every iteration re-reading the
     # upstream lineage (e.g. a full extraction plan) turns O(iters) into
     # O(iters x extract); at 100 TB the edge list is a checkpointed table
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(stable)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stable)
     )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).transform(stable)
     # dangling flag carried on the rank frame so the per-iteration driver
     # round-trips collapse to ONE aggregation (delta + next dangling mass
     # together) instead of separate dangling and delta jobs
     flags = nodes.join(
         deg.select(F.col("src").alias("id"), F.lit(1).alias("has_out")), "id", "left"
-    ).localCheckpoint(eager=True)
+    ).transform(stable)
     ranks = flags.withColumn("rank", F.lit(1.0 / n))
     dangling = 0.0
     if tol > 0.0:
@@ -89,7 +93,7 @@ def pagerank(
                         + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(stable)
             )
             ranks = new_ranks
             continue
@@ -100,7 +104,7 @@ def pagerank(
                 "has_out",
                 (F.lit(base) + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stable)
         )
         row = (
             new_ranks.withColumnRenamed("rank", "nr")
@@ -141,7 +145,7 @@ def edge_betweenness(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stable)
     )
     if sources is None:
         srcs = sym.select(F.col("src").alias("s")).distinct()
@@ -151,7 +155,7 @@ def edge_betweenness(
     # forward BFS with shortest-path counting: visited(s, v, dist, sigma)
     frontier = srcs.select(
         "s", F.col("s").alias("v"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).transform(stable)
     visited = frontier
     levels = [frontier]
     depth = 0
@@ -165,12 +169,12 @@ def edge_betweenness(
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("dist", F.lit(depth))
             .select("s", "v", "dist", "sigma")
-            .localCheckpoint(eager=True)
+            .transform(stable)
         )
         if nxt.isEmpty():
             depth -= 1
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt).transform(stable)
         levels.append(nxt)
         frontier = nxt
 
@@ -196,7 +200,7 @@ def edge_betweenness(
             .withColumn(
                 "c", F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
             )
-            .localCheckpoint(eager=True)
+            .transform(stable)
         )
         per_level.append(pairs.select(F.col("v").alias("a"), F.col("dst").alias("b"), "c"))
         delta = pairs.groupBy("s", "v").agg(F.sum("c").alias("delta"))
@@ -204,7 +208,7 @@ def edge_betweenness(
             up.select("s", "v", "sigma")
             .join(delta, ["s", "v"], "left")
             .fillna(0.0, subset=["delta"])
-            .localCheckpoint(eager=True)
+            .transform(stable)
         )
 
     if not per_level:
@@ -296,7 +300,7 @@ def shortest_paths(edges: DataFrame, source: str, max_hops: int = 15) -> DataFra
         edges.select("src", "dst")
         .union(edges.select(F.col("dst"), F.col("src")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stable)
     )
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(source, 0)], "id string, dist int")
@@ -310,9 +314,9 @@ def shortest_paths(edges: DataFrame, source: str, max_hops: int = 15) -> DataFra
             .join(visited, "id", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(stable)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt).transform(stable)
         frontier = nxt
     return visited

@@ -59,3 +59,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def stable(df, eager: bool = True):
+    """Lineage cut for iterative loops (CC / PageRank / betweenness / BFS).
+
+    Default is `localCheckpoint` — executor-local blocks, no extra IO, the
+    right call in this sandbox and for short loops. Its documented weakness
+    on a real cluster: the cut RDD's blocks live only on executors, so an
+    executor loss mid-loop loses partitions whose lineage no longer exists
+    and the job fails (the reference's agents simply re-run the task;
+    Spark needs a durable cut instead).
+
+    Set `spark.citykg.checkpointDir` (session conf or --conf) to an
+    HDFS/object-store path to flip EVERY loop cut to reliable
+    `checkpoint()`: each cut is written to and re-read from durable
+    storage, so executor loss only recomputes the current iteration. Cost:
+    one write+read per cut — size `checkpoint_every` accordingly (the
+    loops already expose it)."""
+    sp = df.sparkSession
+    ckpt_dir = sp.conf.get("spark.citykg.checkpointDir", "")
+    if ckpt_dir:
+        sc = sp.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

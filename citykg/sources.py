@@ -257,3 +257,66 @@ def read_cityjson(spark: SparkSession, path: str, fanout: int | None = None) -> 
 def read_docs_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Iceberg/parquet docs table scan (S5 staging analog)."""
     return spark.read.parquet(path)
+
+
+def media_files(spark: SparkSession, media_dir: str) -> DataFrame:
+    """Texture/media FILE ingest (VERDICT r3 item 4): `binaryFile` scan of
+    an images directory -> (uri, mime, width, height, n_bytes), the
+    metadata DBTexImage.java:60-120 derives when it reads each texture
+    file off disk (ImageIO there; our header-level decoders here —
+    magic-byte sniffed, so a lying extension doesn't matter).
+
+    Scale shape: binaryFile is a standard FileScan (splits = files, column
+    pruning applies — the content column is read once per file), the
+    header parse is an Arrow-batched mapInPandas touching only the first
+    bytes of each payload; no shuffle at all."""
+    from .ops.multimodal import parse_image_header
+
+    bf = spark.read.format("binaryFile").load(media_dir)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [parse_image_header(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "uri": [p.rsplit("/", 1)[-1] for p in pdf["path"]],
+                    "mime": [m[0] for m in meta],
+                    "width": pd.array([m[1] for m in meta], dtype="Int32"),
+                    "height": pd.array([m[2] for m in meta], dtype="Int32"),
+                    "n_bytes": pdf["length"],
+                }
+            )
+
+    return bf.select("path", "length", "content").mapInPandas(
+        parse, "uri string, mime string, width int, height int, n_bytes long"
+    )
+
+
+def teximage_triples(meta: DataFrame, base: str | None = None) -> DataFrame:
+    """Render media-file metadata as teximage graph rows in T_TEX_IMAGE
+    predicate order (DBTexImage.getSQLStatement: id, tex_image_uri,
+    tex_mime_type, tex_mime_type_codespace — codespace never populated by
+    file ingest, omitted per blank-node policy). Subject = md5 of the
+    image URI, exactly the md5URI dedup key DBTexImage.java:112 mints.
+    Pure Project + explode; zero shuffles."""
+    from pyspark.sql import functions as F
+
+    from .vocab import DEFAULT_BASE
+
+    base = base or DEFAULT_BASE
+    subj = F.concat(F.lit(base + "/teximage/"), F.md5("uri"), F.lit("/"))
+    row = lambda pred, obj, ot, pos: F.struct(  # noqa: E731
+        F.lit(pred).alias("pred"), obj.alias("obj"),
+        F.lit(ot).alias("obj_type"), F.lit(pos).alias("pos"),
+    )
+    rows = F.array(
+        row("ocgml:id", subj, "iri", 0),
+        row("ocgml:texImageURI", F.col("uri"), "literal", 1),
+        row("ocgml:texMimeType", F.col("mime"), "literal", 2),
+    )
+    return (
+        meta.select(subj.alias("subj"), F.explode(rows).alias("t"))
+        .select("subj", "t.pred", "t.obj", "t.obj_type", "t.pos",
+                F.lit("teximage").alias("graph"))
+        .where(F.col("obj").isNotNull())
+    )

@@ -152,3 +152,31 @@ def test_incremental_components_equals_full(spark):
                .union(e2.select(F.col("dst").alias("id")))).distinct()
     touched = registry.join(ids_new, "id").select("component").distinct()
     assert {r.component for r in touched.collect()} == {"a1", "b1"}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path_factory):
+    """stable() flips localCheckpoint -> reliable checkpoint(dir) when
+    spark.citykg.checkpointDir is set: same results, durable cut files
+    written under the dir (the executor-loss-safe mode for cluster runs;
+    VERDICT r3 item 3)."""
+    import os
+
+    from citykg.ops import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "a")], "src string, dst string"
+    )
+    base = {tuple(r) for r in canon.connected_components(edges).collect()}
+    pr_base = {r.id: round(r.rank, 9) for r in graph.pagerank(edges, max_iter=5).collect()}
+
+    ckpt = str(tmp_path_factory.mktemp("reliable_ckpt"))
+    spark.conf.set("spark.citykg.checkpointDir", ckpt)
+    try:
+        got = {tuple(r) for r in canon.connected_components(edges).collect()}
+        pr_got = {r.id: round(r.rank, 9) for r in graph.pagerank(edges, max_iter=5).collect()}
+    finally:
+        spark.conf.unset("spark.citykg.checkpointDir")
+    assert got == base and pr_got == pr_base
+    # durable cut files actually landed under the reliable dir
+    files = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "no reliable checkpoint files written"

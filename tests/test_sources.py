@@ -94,3 +94,43 @@ def test_zipped_reference_fixture_equals_bare(spark, tmp_path, rename):
         for r in rows
     )
     assert key(a) == key(b) and len(a) > 0
+
+
+def test_media_files_and_teximage_triples(spark, tmp_path_factory):
+    """P19 file ingest: binaryFile scan -> magic-byte header decode (a
+    lying extension must not matter) -> T_TEX_IMAGE-ordered triple rows
+    with md5(uri) subjects; unrecognized bytes yield NULL mime/dims and
+    emit no mime triple (blank-node policy)."""
+    import hashlib
+    import os
+
+    from citykg.ops.multimodal import synth_image_bytes
+    from citykg.sources import media_files, teximage_triples
+    from citykg.vocab import DEFAULT_BASE
+
+    d = str(tmp_path_factory.mktemp("media"))
+    with open(os.path.join(d, "a.png"), "wb") as f:
+        f.write(synth_image_bytes("png", 12, 7))
+    # lying extension: BMP bytes named .png — sniff must say bmp
+    with open(os.path.join(d, "liar.png"), "wb") as f:
+        f.write(synth_image_bytes("bmp", 5, 9))
+    with open(os.path.join(d, "junk.bin"), "wb") as f:
+        f.write(b"not an image at all")
+
+    m = {r.uri: r for r in media_files(spark, d).collect()}
+    assert m["a.png"].mime == "image/png" and (m["a.png"].width, m["a.png"].height) == (12, 7)
+    assert m["liar.png"].mime == "image/bmp" and m["liar.png"].height == 9
+    assert m["junk.bin"].mime is None and m["junk.bin"].width is None
+
+    t = teximage_triples(media_files(spark, d)).collect()
+    subj = f"{DEFAULT_BASE}/teximage/{hashlib.md5(b'a.png').hexdigest()}/"
+    rows = sorted([(r.pred, r.obj, r.pos) for r in t if r.subj == subj])
+    assert rows == [
+        ("ocgml:id", subj, 0),
+        ("ocgml:texImageURI", "a.png", 1),
+        ("ocgml:texMimeType", "image/png", 2),
+    ]
+    junk_subj = f"{DEFAULT_BASE}/teximage/{hashlib.md5(b'junk.bin').hexdigest()}/"
+    junk_preds = {r.pred for r in t if r.subj == junk_subj}
+    assert junk_preds == {"ocgml:id", "ocgml:texImageURI"}  # no mime triple
+    assert all(r.graph == "teximage" for r in t)
