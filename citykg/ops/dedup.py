@@ -52,11 +52,20 @@ def fanout_to_parallelism(df: DataFrame, *cols: str) -> DataFrame:
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) docs: (doc_id, group_id, group_size).
-    group_id = min doc_id of the group; singletons excluded."""
+    group_id = min doc_id of the group; singletons excluded.
+
+    The shuffle key is a 128-bit content hash pair (xxhash64 under two
+    seeds), NOT the normalized text itself — the exchange carries 16 bytes
+    per row instead of whole documents (at 100 TB the difference is the
+    whole shuffle). Collision posture: a false group needs BOTH 64-bit
+    hashes to collide on different text (~2^-128 per pair); same policy as
+    the reference's md5URI teximage dedup key."""
     n = fanout_to_parallelism(df, id_col, text_col).select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        F.col(id_col),
+        F.xxhash64(normalize_text(F.col(text_col))).alias("_h1"),
+        F.xxhash64(normalize_text(F.col(text_col)), F.lit(0x9E3779B9)).alias("_h2"),
     )
-    w = Window.partitionBy("_norm")
+    w = Window.partitionBy("_h1", "_h2")
     return (
         n.withColumn("group_id", F.min(id_col).over(w))
         .withColumn("group_size", F.count("*").over(w))
@@ -393,9 +402,18 @@ def embedding_near_dup_pairs_lsh(
     that equality is what lets the brute path serve as the oracle."""
     from .similarity import cosine_expr, with_lsh_buckets, with_norm
 
-    b = with_lsh_buckets(
-        emb.select(id_col, vec_col), vec_col, dim, n_planes, tables, seed
-    ).select(id_col, "table_id", "bucket")
+    # persist the narrow (id, table_id, bucket) frame: the self-join below
+    # would otherwise re-evaluate the with_lsh_buckets MapInPandas subtree
+    # once PER SIDE — the hyperplane matmul is the expensive pass (same
+    # persist rationale as the MinHash banded frame above; at 100 TB the
+    # bucket table is written to a store table instead)
+    b = (
+        with_lsh_buckets(
+            emb.select(id_col, vec_col), vec_col, dim, n_planes, tables, seed
+        )
+        .select(id_col, "table_id", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = (
         b.toDF("doc_a", "table_id", "bucket")
         .join(b.toDF("doc_b", "table_id", "bucket"), ["table_id", "bucket"])

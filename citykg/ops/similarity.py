@@ -234,18 +234,30 @@ def lsh_range_search(
     collision bound as top-k — choose tables so misses are negligible at
     the target radius (verification strength here: see q_ann_range_search).
     Output: (query_id, vec_id, cosine)."""
-    cb = with_lsh_buckets(corpus.select(id_col, vec_col), vec_col, dim, n_planes, tables, seed)
+    # NARROW bucket join: ids only flow through the explode/join/dedup —
+    # the wide vectors attach AFTER the candidate pairs are deduped, so a
+    # vector is shuffled once per surviving pair, not once per bucket
+    # collision (same trick as minhash_lsh_pairs / embedding_near_dup_lsh)
+    cb = with_lsh_buckets(
+        corpus.select(id_col, vec_col), vec_col, dim, n_planes, tables, seed
+    ).select(id_col, "table_id", "bucket")
     qb = with_lsh_buckets(
         queries.select(query_id_col, F.col(vec_col).alias("_qv")), "_qv", dim, n_planes, tables, seed
-    )
+    ).select(query_id_col, "table_id", "bucket")
     cands = (
         cb.join(qb, ["table_id", "bucket"])
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, "_qv", id_col, vec_col)
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = with_norm(with_norm(cands, vec_col, "_nc"), "_qv", "_nq").withColumn(
-        "cosine", cosine_expr(vec_col, "_qv", "_nc", "_nq")
+    cv = with_norm(corpus.select(id_col, vec_col), vec_col, "_nc")
+    qv = with_norm(
+        queries.select(query_id_col, F.col(vec_col).alias("_qv")), "_qv", "_nq"
+    )
+    scored = (
+        cands.join(cv, id_col)
+        .join(qv, query_id_col)
+        .withColumn("cosine", cosine_expr(vec_col, "_qv", "_nc", "_nq"))
     )
     return scored.where(F.col("cosine") >= threshold).select(
         query_id_col, id_col, "cosine"
