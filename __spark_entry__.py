@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(140 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(141 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2083,6 +2083,20 @@ def _media_dir() -> str:
     return d
 
 
+def q_kg_extract_subfeatures(spark, sf):
+    """P25+ nested sub-feature importers: traffic areas (FK column into the
+    enclosing transportation complex, DBTrafficArea.java:66), water
+    boundary surfaces + the waterbod_to_waterbnd_srf link table
+    (DBWaterBoundarySurface.java:66, DBWaterBodToWaterBndSrf.java:56),
+    relief components with the TIN flavor + relief_feat_to_rel_comp
+    (DBReliefComponent.java:78-85, DBReliefFeatToRelComp.java:54)."""
+    return _triples(
+        spark, sf,
+        ["trafficarea", "waterboundarysurface", "waterbodtowaterbndsrf",
+         "reliefcomponent", "tinrelief", "relieffeattorelcomp"],
+    )
+
+
 def q_source_media(spark, sf):
     """S1/P19 texture-file ingest (VERDICT r3 item 4): binaryFile scan of
     an images dir -> header-level decode (magic-byte sniffed mime + dims)
@@ -2520,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_bridge": q_kg_extract_bridge,
         "kg_extract_vegetation": q_kg_extract_vegetation,
         "kg_extract_transport_group": q_kg_extract_transport_group,
+        "kg_extract_subfeatures": q_kg_extract_subfeatures,
         "kg_span_order": q_kg_span_order,
         "kg_counts": q_kg_counts,
         "kg_counts_rollup": q_kg_counts_rollup,
@@ -3810,6 +3825,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_extract_transport_group": triples_oracle_sql(
             graphs=["transportationcomplex", "cityobjectgroup", "grouptocityobject", "implicitgeometry"]
+        ),
+        "kg_extract_subfeatures": triples_oracle_sql(
+            graphs=["trafficarea", "waterboundarysurface", "waterbodtowaterbndsrf",
+                    "reliefcomponent", "tinrelief", "relieffeattorelcomp"]
         ),
         "kg_span_order": _span_order_sql(),
         "kg_counts": (

@@ -134,6 +134,8 @@ def kg_pipeline_run(spark, sf_dir: str, repl: int = 1) -> dict:
         n_triples, counts, n_linked = job()
         walls.append(time.time() - t0)
     wall = min(walls)
+    from citykg.fixtures import SYNTH_VERSION
+
     return {
         "docs": n_docs,
         "triples": n_triples,
@@ -141,6 +143,10 @@ def kg_pipeline_run(spark, sf_dir: str, repl: int = 1) -> dict:
         "linked": n_linked,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
+        # r4 corpus is ~1.8x heavier per doc (31 spans vs 20 — the P25+
+        # entity types); triples_per_sec is the cross-round comparable
+        "triples_per_sec": round(n_triples / wall, 1),
+        "synth_version": SYNTH_VERSION,
     }
 
 
@@ -211,6 +217,9 @@ def headline(sf_dir: str, cores: int) -> None:
         "dedup_incremental",
         "text_lm_score",
         "time_rollup",
+        "kg_extract_vegetation",
+        "spatial_relations_exact",
+        "source_media",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -456,37 +456,108 @@ _FEATURE_SPECS = {
     "WaterBody": dict(
         kind="water_body", props=_CFU,
         lods=_lods("MultiSurface:0-1", "Solid:1-4"),
+        # wtr:boundedBy holds Water*Surface sub-features; each emits its own
+        # doc spans plus a waterbod_to_waterbnd_srf link row
+        # (DBWaterBody.java boundary-surface import + DBWaterBodToWaterBndSrf)
+        subs={"boundedBy": dict(link=("waterbod_to_waterbnd_srf",
+                                      "waterBoundarySurfaceId", "waterBodyId"))},
     ),
     "CityObjectGroup": dict(
         kind="city_object_group", props=_CFU,
         # grp:geometry -> brep_id (DBCityObjectGroup.java geometry property)
         lods={"geometry": "brepId"},
     ),
+    # nested sub-feature types
+    "TrafficArea": dict(
+        kind="traffic_area",
+        props={**_CFU, "surfaceMaterial": "surfaceMaterial"},
+        lods=_lods("MultiSurface:2-4"),
+    ),
+    "AuxiliaryTrafficArea": dict(
+        kind="traffic_area",
+        props={**_CFU, "surfaceMaterial": "surfaceMaterial"},
+        lods=_lods("MultiSurface:2-4"), class_id=48,
+    ),
+    "WaterSurface": dict(
+        kind="water_boundary_surface", props={"waterLevel": "waterLevel"},
+        lods={f"lod{i}Surface": f"lod{i}SurfaceId" for i in (2, 3, 4)},
+    ),
+    "WaterGroundSurface": dict(
+        kind="water_boundary_surface", props={"waterLevel": "waterLevel"},
+        lods={f"lod{i}Surface": f"lod{i}SurfaceId" for i in (2, 3, 4)}, class_id=12,
+    ),
+    "WaterClosureSurface": dict(
+        kind="water_boundary_surface", props={"waterLevel": "waterLevel"},
+        lods={f"lod{i}Surface": f"lod{i}SurfaceId" for i in (2, 3, 4)}, class_id=13,
+    ),
+    "TINRelief": dict(
+        kind="tin_relief",
+        props={"lod": "lod", "maxLength": "maxLength", "extent": "extent"},
+        uoms={"maxLength": "maxLengthUnit"},
+        # dem:tin wraps the gml:TriangulatedSurface/Tin container
+        lods={"tin": "surfaceGeometryId"},
+    ),
+}
+
+# parent specs that import nested sub-features: property localname ->
+# link spec (kind, sub-id key, parent-id key). TransportationComplex and
+# ReliefFeature bind the parent via an FK attr / link table respectively.
+for _n in ("TransportationComplex", "Railway", "Track", "Road", "Square"):
+    _FEATURE_SPECS[_n]["subs"] = {
+        "trafficArea": dict(fk="transportationComplexId"),
+        "auxiliaryTrafficArea": dict(fk="transportationComplexId"),
+    }
+_FEATURE_SPECS["ReliefFeature"]["subs"] = {
+    "reliefComponent": dict(link=("relief_feat_to_rel_comp",
+                                  "reliefComponentId", "reliefFeatureId")),
 }
 
 
-def parse_feature(member: ET.Element, feature: ET.Element, spec: dict) -> _Doc:
+def parse_feature(
+    member: ET.Element,
+    feature: ET.Element,
+    spec: dict,
+    extra_attrs: dict | None = None,
+) -> _Doc:
     """P25+ generic feature parse: scalar props + generic attributes +
     geometry tree, emitted in the importer's order (cityobject analog span
     first, then genattribs, then geometry rows) — same stitching as
-    parse_building."""
+    parse_building. Nested sub-features declared in spec['subs'] (traffic
+    areas inside a transportation complex, Water*Surfaces inside a water
+    body, relief components inside a relief feature) are parsed
+    recursively AFTER the parent, their spans appended to the parent's doc
+    with either an FK attr injected (traffic_area.transportationComplexId)
+    or a link-table span emitted — exactly the child-import order of
+    DBTransportationComplex / DBWaterBody / DBReliefFeature."""
     gid = _gml_id(feature, "unknown")
     doc = _Doc(doc_id=gid)
     props, lods = spec["props"], spec["lods"]
     uoms = spec.get("uoms", {})
+    subs = spec.get("subs", {})
 
     attrs: dict = {"gmlId": gid}
     if spec["kind"] in ("bridge", "tunnel"):
         attrs["rootId"] = gid
     if "class_id" in spec:
         attrs["objectClassId"] = str(spec["class_id"])
+    if extra_attrs:
+        attrs.update(extra_attrs)
     name_el = None
     gen_attrs = []
     geoms: list[tuple[str, ET.Element]] = []
     members: list[tuple[str, str]] = []  # (href gmlId, role)
+    sub_els: list[tuple[dict, ET.Element]] = []  # (sub spec entry, feature el)
 
     for child in feature:
         ln = _local(child.tag)
+        if ln in subs and any(_local(g.tag) in _FEATURE_SPECS for g in child):
+            # sub-feature property wrapper (checked before everything else:
+            # wtr:boundedBy shares its localname with gml:boundedBy, but
+            # only the former contains a feature element)
+            for g in child:
+                if _local(g.tag) in _FEATURE_SPECS:
+                    sub_els.append((subs[ln], g))
+            continue
         if ln == "name":
             name_el = child
         elif ln == "creationDate" and child.text:
@@ -571,6 +642,25 @@ def parse_feature(member: ET.Element, feature: ET.Element, spec: dict) -> _Doc:
 
     for kind, text, media_ref, _ in geo_doc.spans:
         doc.spans.append((kind, text, media_ref, len(doc.spans)))
+
+    # nested sub-features: parsed after the parent, spans appended in
+    # document order; FK attr or link-table span binds them to the parent
+    for entry, sub_el in sub_els:
+        sub_spec = _FEATURE_SPECS[_local(sub_el.tag)]
+        fk = entry.get("fk")
+        sub_doc = parse_feature(
+            member, sub_el, sub_spec, extra_attrs={fk: gid} if fk else None
+        )
+        sub_gid = sub_doc.doc_id
+        for kind, text, media_ref, _ in sub_doc.spans:
+            doc.spans.append((kind, text, media_ref, len(doc.spans)))
+        link = entry.get("link")
+        if link:
+            link_kind, sub_key, parent_key = link
+            doc.add(
+                link_kind,
+                {"gmlId": f"{gid}_l_{sub_gid}", sub_key: sub_gid, parent_key: gid},
+            )
     return doc
 
 

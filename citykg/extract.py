@@ -37,6 +37,8 @@ LINK_GRAPHS = {
     "appeartosurfacedata",
     "textureparam",
     "grouptocityobject",
+    "waterbodtowaterbndsrf",
+    "relieffeattorelcomp",
 }
 
 

@@ -65,6 +65,13 @@ SPAN_LAYOUT = [
     (28, "city_object_group", ""),
     (29, "group_to_cityobject", ""),
     (30, "implicit_geometry", ""),
+    # nested sub-feature importers (traffic areas, water boundary
+    # surfaces, relief components + their link tables)
+    (31, "traffic_area", ""),
+    (32, "water_boundary_surface", ""),
+    (33, "waterbod_to_waterbnd_srf", ""),
+    (34, "tin_relief", ""),
+    (35, "relief_feat_to_rel_comp", ""),
 ]
 
 LAST_MOD = "2026-01-01T00:00Z"  # deterministic stand-in for the reference's
@@ -361,6 +368,40 @@ def attr_exprs(dialect: str) -> dict[str, dict[str, str]]:
             "referenceToLibrary": f"'lib/tree_' || {_s('d % 25', dialect)} || '.gml'",
             "mimeType": "'model/gml+xml'",
             "relativeBrepId": f"'SURF_' || {lp8}",
+        },
+        "traffic_area": {
+            "gmlId": f"'TA_' || {lp8}",
+            # 47 TrafficArea / 48 AuxiliaryTrafficArea
+            "objectClassId": _s("47 + d % 2", dialect),
+            "function": _s("7600 + d % 4", dialect),
+            "surfaceMaterial": f"'material_' || {_s('d % 6', dialect)}",
+            "lod2MultiSurfaceId": f"'SURF_' || {lp8}",
+            "transportationComplexId": f"'TC_' || {lp8}",
+        },
+        "water_boundary_surface": {
+            "gmlId": f"'WBS_' || {lp8}",
+            # 11 WaterSurface / 12 WaterGroundSurface / 13 WaterClosureSurface
+            "objectClassId": _s("11 + d % 3", dialect),
+            "waterLevel": f"CASE WHEN d % 3 = 0 THEN 'level_' || {_s('d % 5', dialect)} END",
+            "lod2SurfaceId": f"'SURF_' || {lp8}",
+        },
+        "waterbod_to_waterbnd_srf": {
+            "gmlId": f"'WBL_' || {lp8}",
+            "waterBoundarySurfaceId": f"'WBS_' || {lp8}",
+            "waterBodyId": f"'WB_' || {lp8}",
+        },
+        "tin_relief": {
+            "gmlId": f"'TIN_' || {lp8}",
+            "lod": _s("1 + d % 3", dialect),
+            "extent": f"CASE WHEN d % 2 = 0 THEN 'POLYGON_' || {_s('d % 10', dialect)} END",
+            "maxLength": f"{_s('10 + d % 40', dialect)} || '.0'",
+            "maxLengthUnit": "'m'",
+            "surfaceGeometryId": f"'SURF_' || {lp8}",
+        },
+        "relief_feat_to_rel_comp": {
+            "gmlId": f"'RFL_' || {lp8}",
+            "reliefComponentId": f"'TIN_' || {lp8}",
+            "reliefFeatureId": f"'RF_' || {lp8}",
         },
     }
 

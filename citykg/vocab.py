@@ -80,6 +80,12 @@ GRAPHS = [
     "cityobjectgroup",
     "grouptocityobject",
     "implicitgeometry",
+    "trafficarea",
+    "waterboundarysurface",
+    "waterbodtowaterbndsrf",
+    "reliefcomponent",
+    "tinrelief",
+    "relieffeattorelcomp",
 ]
 
 # objectClassId constants (3DCityDB object class registry; whitelist used by
@@ -105,6 +111,10 @@ CLASS_ID = {
     "solitary_vegetation": 7,
     "water_body": 9,
     "city_object_group": 23,
+    # sub-feature importers (3dcitydb-schema.xml)
+    "traffic_area": 47,            # 48 AuxiliaryTrafficArea via attr override
+    "water_boundary_surface": 11,  # 12/13 ground/closure via attr override
+    "tin_relief": 16,              # 17/18 masspoint/breakline via attr override
 }
 
 # ---------------------------------------------------------------------------
@@ -691,6 +701,72 @@ T_CITY_OBJECT_GROUP = [
     ("objectClassId", "@class", "literal"),
 ]
 
+# DBTrafficArea.java:66-70 (objectclass_id 2nd, unconditional — 47 traffic /
+# 48 auxiliary via attr override); graph DBTrafficArea.java:62; the
+# transportation_complex_id FK column binds the enclosing complex
+T_TRAFFIC_AREA = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+    ("surfaceMaterial", "surfaceMaterial", "literal"),
+    ("surfaceMaterialCodespace", "surfaceMaterialCodespace", "literal"),
+    ("lod2MultiSurfaceId", "@ref/surfacegeometry/lod2MultiSurfaceId", "iri"),
+    ("lod3MultiSurfaceId", "@ref/surfacegeometry/lod3MultiSurfaceId", "iri"),
+    ("lod4MultiSurfaceId", "@ref/surfacegeometry/lod4MultiSurfaceId", "iri"),
+    ("transportationComplexId", "@ref/transportationcomplex/transportationComplexId", "iri"),
+]
+
+# DBWaterBoundarySurface.java:66-68 (objectclass 11 WaterSurface /
+# 12 WaterGroundSurface / 13 WaterClosureSurface via attr override);
+# graph DBWaterBoundarySurface.java:62
+T_WATER_BOUNDARY_SURFACE = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("waterLevel", "waterLevel", "literal"),
+    ("waterLevelCodespace", "waterLevelCodespace", "literal"),
+    ("lod2SurfaceId", "@ref/surfacegeometry/lod2SurfaceId", "iri"),
+    ("lod3SurfaceId", "@ref/surfacegeometry/lod3SurfaceId", "iri"),
+    ("lod4SurfaceId", "@ref/surfacegeometry/lod4SurfaceId", "iri"),
+]
+
+# DBWaterBodToWaterBndSrf.java:56-57; graph :52
+T_WATERBOD_TO_WATERBND_SRF = [
+    ("waterBoundarySurfaceId", "@ref/waterboundarysurface/waterBoundarySurfaceId", "iri"),
+    ("waterBodyId", "@ref/waterbody/waterBodyId", "iri"),
+]
+
+# DBReliefComponent.java:78-85 — the component row plus the TIN flavor
+# (tin_relief; masspoint/breakline analogous). DBReliefComponent is a raw
+# SQL importer with no graph rel of its own; graph names follow its table
+# names, consistent with every other importer's convention.
+T_RELIEF_COMPONENT = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("lod", "lod", "literal"),
+    ("extent", "extent", "literal"),
+]
+T_TIN_RELIEF = [
+    ("id", "@iri", "iri"),
+    ("maxLength", "maxLength", "literal"),
+    ("maxLengthUnit", "maxLengthUnit", "literal"),
+    ("stopLines", None, "literal"),
+    ("breakLines", None, "literal"),
+    ("controlPoints", None, "literal"),
+    ("surfaceGeometryId", "@ref/surfacegeometry/surfaceGeometryId", "iri"),
+    ("objectClassId", "@class", "literal"),
+]
+
+# DBReliefFeatToRelComp.java:54-55; graph :50
+T_RELIEF_FEAT_TO_REL_COMP = [
+    ("reliefComponentId", "@ref/reliefcomponent/reliefComponentId", "iri"),
+    ("reliefFeatureId", "@ref/relieffeature/reliefFeatureId", "iri"),
+]
+
 # group member link rows resolve through the xlink cache
 # (XlinkGroupToCityObject.java:59 insert into GROUP_TO_CITYOBJECT)
 T_GROUP_TO_CITYOBJECT = [
@@ -758,6 +834,21 @@ KIND_EMISSIONS: dict[str, list[tuple[str, list]]] = {
     ],
     "group_to_cityobject": [("grouptocityobject", T_GROUP_TO_CITYOBJECT)],
     "implicit_geometry": [("implicitgeometry", T_IMPLICIT_GEOMETRY)],
+    # nested sub-feature importers of the P25+ types
+    "traffic_area": [("cityobject", T_CITYOBJECT), ("trafficarea", T_TRAFFIC_AREA)],
+    "water_boundary_surface": [
+        ("cityobject", T_CITYOBJECT),
+        ("waterboundarysurface", T_WATER_BOUNDARY_SURFACE),
+    ],
+    "waterbod_to_waterbnd_srf": [("waterbodtowaterbndsrf", T_WATERBOD_TO_WATERBND_SRF)],
+    # a TIN component writes BOTH relief_component and tin_relief rows
+    # (DBReliefComponent.doImport -> psReliefComponent + tinStmt)
+    "tin_relief": [
+        ("cityobject", T_CITYOBJECT),
+        ("reliefcomponent", T_RELIEF_COMPONENT),
+        ("tinrelief", T_TIN_RELIEF),
+    ],
+    "relief_feat_to_rel_comp": [("relieffeattorelcomp", T_RELIEF_FEAT_TO_REL_COMP)],
 }
 
 # kinds whose subject lives in a graph other than the first emission graph

@@ -315,7 +315,14 @@ GML_P25 = """<?xml version="1.0" encoding="UTF-8"?>
   </brid:Bridge>
  </cityObjectMember>
  <cityObjectMember>
-  <tran:Road gml:id="RD1"><tran:function>1000</tran:function></tran:Road>
+  <tran:Road gml:id="RD1"><tran:function>1000</tran:function>
+   <tran:trafficArea>
+    <tran:TrafficArea gml:id="TA1"><tran:surfaceMaterial>asphalt</tran:surfaceMaterial></tran:TrafficArea>
+   </tran:trafficArea>
+   <tran:auxiliaryTrafficArea>
+    <tran:AuxiliaryTrafficArea gml:id="ATA1"><tran:function>1700</tran:function></tran:AuxiliaryTrafficArea>
+   </tran:auxiliaryTrafficArea>
+  </tran:Road>
  </cityObjectMember>
  <cityObjectMember>
   <veg:PlantCover gml:id="PC1">
@@ -329,13 +336,27 @@ GML_P25 = """<?xml version="1.0" encoding="UTF-8"?>
   </veg:SolitaryVegetationObject>
  </cityObjectMember>
  <cityObjectMember>
-  <wtr:WaterBody gml:id="WB1"><wtr:class>1030</wtr:class></wtr:WaterBody>
+  <wtr:WaterBody gml:id="WB1"><wtr:class>1030</wtr:class>
+   <wtr:boundedBy>
+    <wtr:WaterSurface gml:id="WS1"><wtr:waterLevel>mean</wtr:waterLevel></wtr:WaterSurface>
+   </wtr:boundedBy>
+   <wtr:boundedBy>
+    <wtr:WaterGroundSurface gml:id="WGS1"/>
+   </wtr:boundedBy>
+  </wtr:WaterBody>
  </cityObjectMember>
  <cityObjectMember>
   <luse:LandUse gml:id="LU1"><luse:usage>2020</luse:usage></luse:LandUse>
  </cityObjectMember>
  <cityObjectMember>
-  <dem:ReliefFeature gml:id="RF1"><dem:lod>2</dem:lod></dem:ReliefFeature>
+  <dem:ReliefFeature gml:id="RF1"><dem:lod>2</dem:lod>
+   <dem:reliefComponent>
+    <dem:TINRelief gml:id="TIN1">
+     <dem:lod>2</dem:lod>
+     <dem:maxLength uom="m">25.0</dem:maxLength>
+    </dem:TINRelief>
+   </dem:reliefComponent>
+  </dem:ReliefFeature>
  </cityObjectMember>
  <cityObjectMember>
   <tun:Tunnel gml:id="TU1"><tun:yearOfConstruction>1988</tun:yearOfConstruction></tun:Tunnel>
@@ -364,7 +385,25 @@ def test_p25_feature_types_parse_and_extract(spark):
         "bridge", "tunnel", "transportation_complex", "plant_cover",
         "solitary_vegetation", "water_body", "land_use", "relief_feature",
         "city_object_group", "group_to_cityobject", "surface_geometry",
+        "traffic_area", "water_boundary_surface", "waterbod_to_waterbnd_srf",
+        "tin_relief", "relief_feat_to_rel_comp",
     }
+    # nested sub-features: FK attr injection + link-table spans
+    ta = {t["gmlId"]: t for t in by_kind["traffic_area"]}
+    assert ta["TA1"]["transportationComplexId"] == "RD1"
+    assert ta["TA1"]["surfaceMaterial"] == "asphalt"
+    assert ta["ATA1"]["objectClassId"] == "48"  # AuxiliaryTrafficArea
+    wbs = {t["gmlId"]: t for t in by_kind["water_boundary_surface"]}
+    assert wbs["WS1"]["waterLevel"] == "mean"
+    assert wbs["WGS1"]["objectClassId"] == "12"  # WaterGroundSurface
+    wl = {(t["waterBoundarySurfaceId"], t["waterBodyId"])
+          for t in by_kind["waterbod_to_waterbnd_srf"]}
+    assert wl == {("WS1", "WB1"), ("WGS1", "WB1")}
+    tin = by_kind["tin_relief"][0]
+    assert tin["maxLength"] == "25.0" and tin["maxLengthUnit"] == "m"
+    rl = {(t["reliefComponentId"], t["reliefFeatureId"])
+          for t in by_kind["relief_feat_to_rel_comp"]}
+    assert rl == {("TIN1", "RF1")}
     assert by_kind["bridge"][0]["isMovable"] == "false"
     assert by_kind["bridge"][0]["lod1MultiSurfaceId"]  # geometry threaded
     assert by_kind["transportation_complex"][0]["objectClassId"] == "45"
@@ -387,5 +426,8 @@ def test_p25_feature_types_parse_and_extract(spark):
     assert ("grouptocityobject", "ocgml:cityObjectGroupId",
             f"{B}/cityobjectgroup/GR1/") in got
     # every P25+ feature also got its cityobject row
+    assert ("trafficarea", "ocgml:transportationComplexId",
+            f"{B}/transportationcomplex/RD1/") in got
     co = {o for g, p, o in got if g == "cityobject" and p == "ocgml:gmlId"}
-    assert co >= {"BR1", "RD1", "PC1", "SV1", "WB1", "LU1", "RF1", "TU1", "GR1"}
+    assert co >= {"BR1", "RD1", "PC1", "SV1", "WB1", "LU1", "RF1", "TU1", "GR1",
+                  "TA1", "ATA1", "WS1", "WGS1", "TIN1"}

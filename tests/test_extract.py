@@ -56,10 +56,12 @@ def test_mention_counts(spark):
     t = extract_triples(spark, synth_docs(spark, SF_SMOKE))
     c = {r.graph: r.n_subjects for r in mention_counts(t).collect()}
     # 500 docs; building graph holds building + building_part subjects;
-    # 19 feature kinds emit cityobject rows (10 original + 9 P25+ types)
-    assert c["building"] == 1000 and c["cityobject"] == 9500 and c["address"] == 500
+    # 22 feature kinds emit cityobject rows (10 original + 9 P25+ types +
+    # 3 nested sub-feature types)
+    assert c["building"] == 1000 and c["cityobject"] == 11000 and c["address"] == 500
     assert c["bridge"] == 500 and c["waterbody"] == 500 and c["grouptocityobject"] == 500
-    assert len(c) == 31  # every graph with a template emits
+    assert c["trafficarea"] == 500 and c["tinrelief"] == 500
+    assert len(c) == 37  # every graph with a template emits
 
 
 def test_hostile_inputs_no_crash(spark):
