@@ -1,12 +1,12 @@
 """Stage 1 — triple extraction: interleaved documents -> OntoCityGML triples.
 
-Spark-first replacement for the reference's 20 `DB*Importer` classes +
+Spark-first replacement for the reference's 30+ `DB*Importer` classes +
 worker pool (SURVEY.md §2.2, §3.1). The whole stage is declarative
 DataFrame code — Catalyst sees one plan:
 
     posexplode(spans)                       # SAX chunking analog, no queue
     -> str_to_map(text)                     # attribute parse, JVM-side
-    -> broadcast hash join vs ~450-row      # the 20 SPARQL templates as DATA
+    -> broadcast hash join vs ~850-row      # the 37-kind templates as DATA
        template table on `kind`
     -> CASE-resolved object bindings        # whole-stage codegen
     -> filter(obj IS NOT NULL)              # blank-node policy: omit
@@ -14,7 +14,7 @@ DataFrame code — Catalyst sees one plan:
                                             #  analog; FIXTURES.md §2)
 
 No Python runs per row: at 100 TB this is a single map-side stage with
-zero shuffles (the broadcast side is ~450 rows), so it scales linearly
+zero shuffles (the broadcast side is ~850 rows), so it scales linearly
 with input splits.
 
 Span-order invariant: `span_idx` from posexplode + `pos` from the template
@@ -43,7 +43,7 @@ LINK_GRAPHS = {
 
 
 def _template_df(spark: SparkSession) -> DataFrame:
-    """The 20 ordered predicate templates as a broadcastable table.
+    """The per-kind ordered predicate templates as a broadcastable table.
 
     Columns: kind, graph, pos, pred, btype, key, refgraph, obj_type, class_id.
     """

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .vocab import CLASS_ID, BASE_URL_LITERALS, DEFAULT_BASE, KIND_EMISSIONS
 
 # bump when the synthesis changes — invalidates bench-staged corpora
-SYNTH_VERSION = 3
+# (r4: 3 = P25+ spans 20-30; 4 = nested sub-feature spans 31-35)
+SYNTH_VERSION = 4
 
 # span layout: (span_idx, kind, media_ref) — ALL spans unconditional so
 # span_idx constants stay stable for the md5 link-graph subjects; value

@@ -1,7 +1,8 @@
 """OntoCityGML predicate vocabulary + per-entity ordered triple templates.
 
-This is the data-driven replacement for the reference's 20 ``DB*`` importer
-classes (SURVEY.md §2.2). Each entity kind maps to one or more named graphs,
+This is the data-driven replacement for the reference's DB* importer
+classes — the 20 SPARQL-enabled ones AND (round 4) the 10 SQL-only entity
+types plus their nested sub-feature importers (SURVEY.md §2.2). Each entity kind maps to one or more named graphs,
 and each graph carries a FIXED, ORDERED predicate sequence. The orders below
 are mirrored 1:1 from the reference's golden SPARQL-template unit tests
 (e.g. DBBuildingTest.java:11-24, DBCityObjectTest.java, DBSurfaceGeometryTest
