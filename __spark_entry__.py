@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(141 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(142 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2097,6 +2097,23 @@ def q_kg_extract_subfeatures(spark, sf):
     )
 
 
+def q_kg_extract_interiors(spark, sf):
+    """Bridge/tunnel interior families (all SQL-only in the reference):
+    thematic surfaces, installations, rooms/hollow spaces, furniture,
+    openings, construction elements + their opening/address link tables
+    (DBBridgeThematicSurface/DBBridgeInstallation/DBBridgeRoom/
+    DBBridgeFurniture/DBBridgeOpening/DBBridgeOpenToThemSrf/
+    DBBridgeConstrElement/DBAddressToBridge and tunnel analogs)."""
+    return _triples(
+        spark, sf,
+        ["bridgethematicsurface", "bridgeinstallation", "bridgeroom",
+         "bridgefurniture", "bridgeopening", "bridgeopentothemsrf",
+         "bridgeconstrelement", "addresstobridge", "tunnelthematicsurface",
+         "tunnelinstallation", "tunnelhollowspace", "tunnelfurniture",
+         "tunnelopening", "tunnelopentothemsrf"],
+    )
+
+
 def q_source_media(spark, sf):
     """S1/P19 texture-file ingest (VERDICT r3 item 4): binaryFile scan of
     an images dir -> header-level decode (magic-byte sniffed mime + dims)
@@ -2535,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_vegetation": q_kg_extract_vegetation,
         "kg_extract_transport_group": q_kg_extract_transport_group,
         "kg_extract_subfeatures": q_kg_extract_subfeatures,
+        "kg_extract_interiors": q_kg_extract_interiors,
         "kg_span_order": q_kg_span_order,
         "kg_counts": q_kg_counts,
         "kg_counts_rollup": q_kg_counts_rollup,
@@ -3829,6 +3847,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_subfeatures": triples_oracle_sql(
             graphs=["trafficarea", "waterboundarysurface", "waterbodtowaterbndsrf",
                     "reliefcomponent", "tinrelief", "relieffeattorelcomp"]
+        ),
+        "kg_extract_interiors": triples_oracle_sql(
+            graphs=["bridgethematicsurface", "bridgeinstallation", "bridgeroom",
+                    "bridgefurniture", "bridgeopening", "bridgeopentothemsrf",
+                    "bridgeconstrelement", "addresstobridge", "tunnelthematicsurface",
+                    "tunnelinstallation", "tunnelhollowspace", "tunnelfurniture",
+                    "tunnelopening", "tunnelopentothemsrf"]
         ),
         "kg_span_order": _span_order_sql(),
         "kg_counts": (

@@ -499,9 +499,49 @@ _FEATURE_SPECS = {
     ),
 }
 
+# bridge / tunnel interior families (element localnames are bridge/tunnel
+# namespace-unique: BridgeConstructionElement, HollowSpace, etc.)
+_FEATURE_SPECS.update({
+    "BridgeConstructionElement": dict(
+        kind="bridge_constr_element", props=_CFU,
+        lods=_lods("Geometry:1-4"),
+    ),
+    "BridgeInstallation": dict(
+        kind="bridge_installation", props=_CFU, lods=_lods("Geometry:2-4"),
+    ),
+    "IntBridgeInstallation": dict(
+        kind="bridge_installation", props=_CFU, lods=_lods("Geometry:4-4"),
+        class_id=66,
+    ),
+    "BridgeRoom": dict(
+        kind="bridge_room", props=_CFU,
+        lods=_lods("MultiSurface:4-4", "Solid:4-4"),
+        subs={"interiorFurniture": dict(fk="bridgeRoomId")},
+    ),
+    "BridgeFurniture": dict(
+        kind="bridge_furniture", props=_CFU, lods=_lods("Geometry:4-4"),
+    ),
+    "TunnelInstallation": dict(
+        kind="tunnel_installation", props=_CFU, lods=_lods("Geometry:2-4"),
+    ),
+    "IntTunnelInstallation": dict(
+        kind="tunnel_installation", props=_CFU, lods=_lods("Geometry:4-4"),
+        class_id=87,
+    ),
+    "HollowSpace": dict(
+        kind="tunnel_hollow_space", props=_CFU,
+        lods=_lods("MultiSurface:4-4", "Solid:4-4"),
+        subs={"interiorFurniture": dict(fk="tunnelHollowSpaceId")},
+    ),
+    "TunnelFurniture": dict(
+        kind="tunnel_furniture", props=_CFU, lods=_lods("Geometry:4-4"),
+    ),
+})
+
 # parent specs that import nested sub-features: property localname ->
 # link spec (kind, sub-id key, parent-id key). TransportationComplex and
-# ReliefFeature bind the parent via an FK attr / link table respectively.
+# ReliefFeature bind the parent via an FK attr / link table respectively;
+# Bridge/Tunnel bind their interiors via FK columns.
 for _n in ("TransportationComplex", "Railway", "Track", "Road", "Square"):
     _FEATURE_SPECS[_n]["subs"] = {
         "trafficArea": dict(fk="transportationComplexId"),
@@ -510,6 +550,18 @@ for _n in ("TransportationComplex", "Railway", "Track", "Road", "Square"):
 _FEATURE_SPECS["ReliefFeature"]["subs"] = {
     "reliefComponent": dict(link=("relief_feat_to_rel_comp",
                                   "reliefComponentId", "reliefFeatureId")),
+}
+_FEATURE_SPECS["Bridge"]["subs"] = {
+    "outerBridgeConstructionElement": dict(fk="bridgeId"),
+    "outerBridgeConstruction": dict(fk="bridgeId"),
+    "outerBridgeInstallation": dict(fk="bridgeId"),
+    "interiorBridgeInstallation": dict(fk="bridgeId"),
+    "interiorBridgeRoom": dict(fk="bridgeId"),
+}
+_FEATURE_SPECS["Tunnel"]["subs"] = {
+    "outerTunnelInstallation": dict(fk="tunnelId"),
+    "interiorTunnelInstallation": dict(fk="tunnelId"),
+    "interiorHollowSpace": dict(fk="tunnelId"),
 }
 
 

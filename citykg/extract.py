@@ -39,6 +39,9 @@ LINK_GRAPHS = {
     "grouptocityobject",
     "waterbodtowaterbndsrf",
     "relieffeattorelcomp",
+    "bridgeopentothemsrf",
+    "addresstobridge",
+    "tunnelopentothemsrf",
 }
 
 

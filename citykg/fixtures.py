@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from .vocab import CLASS_ID, BASE_URL_LITERALS, DEFAULT_BASE, KIND_EMISSIONS
 
 # bump when the synthesis changes — invalidates bench-staged corpora
-# (r4: 3 = P25+ spans 20-30; 4 = nested sub-feature spans 31-35)
-SYNTH_VERSION = 4
+# (r4: 3 = P25+ spans 20-30; 4 = nested sub-feature spans 31-35;
+#  5 = bridge/tunnel interior family spans 36-51)
+SYNTH_VERSION = 5
 
 # span layout: (span_idx, kind, media_ref) — ALL spans unconditional so
 # span_idx constants stay stable for the md5 link-graph subjects; value
@@ -73,6 +74,23 @@ SPAN_LAYOUT = [
     (33, "waterbod_to_waterbnd_srf", ""),
     (34, "tin_relief", ""),
     (35, "relief_feat_to_rel_comp", ""),
+    # bridge / tunnel interior families
+    (36, "bridge_part", ""),
+    (37, "bridge_thematic_surface", ""),
+    (38, "bridge_installation", ""),
+    (39, "bridge_room", ""),
+    (40, "bridge_furniture", ""),
+    (41, "bridge_opening", ""),
+    (42, "bridge_open_to_them_srf", ""),
+    (43, "bridge_constr_element", ""),
+    (44, "address_to_bridge", ""),
+    (45, "tunnel_part", ""),
+    (46, "tunnel_thematic_surface", ""),
+    (47, "tunnel_installation", ""),
+    (48, "tunnel_hollow_space", ""),
+    (49, "tunnel_furniture", ""),
+    (50, "tunnel_opening", ""),
+    (51, "tunnel_open_to_them_srf", ""),
 ]
 
 LAST_MOD = "2026-01-01T00:00Z"  # deterministic stand-in for the reference's
@@ -403,6 +421,109 @@ def attr_exprs(dialect: str) -> dict[str, dict[str, str]]:
             "gmlId": f"'RFL_' || {lp8}",
             "reliefComponentId": f"'TIN_' || {lp8}",
             "reliefFeatureId": f"'RF_' || {lp8}",
+        },
+        # bridge / tunnel interior families
+        "bridge_part": {
+            "gmlId": f"'BRP_' || {lp8}",
+            "parentId": f"'BRDG_' || {lp8}",
+            "rootId": f"'BRDG_' || {lp8}",
+            "class": _s("d % 3", dialect),
+            "yearOfConstruction": _s("1880 + d % 140", dialect),
+        },
+        "bridge_thematic_surface": {
+            "gmlId": f"'BTS_' || {lp8}",
+            # roof 71 / wall 72 / ground 73
+            "objectClassId": _s("71 + d % 3", dialect),
+            "bridgeId": f"'BRDG_' || {lp8}",
+            "lod2MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "bridge_installation": {
+            "gmlId": f"'BIN_' || {lp8}",
+            # 65 outer / 66 interior
+            "objectClassId": _s("65 + d % 2", dialect),
+            "class": _s("d % 4", dialect),
+            "bridgeId": f"'BRDG_' || {lp8}",
+            "lod2BrepId": f"'SURF_' || {lp8}",
+        },
+        "bridge_room": {
+            "gmlId": f"'BRM_' || {lp8}",
+            "usage": _s("7700 + d % 3", dialect),
+            "bridgeId": f"'BRDG_' || {lp8}",
+            "lod4MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "bridge_furniture": {
+            "gmlId": f"'BFU_' || {lp8}",
+            "class": _s("d % 5", dialect),
+            "bridgeRoomId": f"'BRM_' || {lp8}",
+            "lod4BrepId": f"'SURF_' || {lp8}",
+        },
+        "bridge_opening": {
+            "gmlId": f"'BOP_' || {lp8}",
+            # window 78 / door 79
+            "objectClassId": _s("78 + d % 2", dialect),
+            "addressId": f"CASE WHEN d % 2 = 1 THEN 'ADDR_' || {lp8} END",
+            "lod3MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "bridge_open_to_them_srf": {
+            "gmlId": f"'BOL_' || {lp8}",
+            "bridgeOpeningId": f"'BOP_' || {lp8}",
+            "bridgeThematicSurfaceId": f"'BTS_' || {lp8}",
+        },
+        "bridge_constr_element": {
+            "gmlId": f"'BCE_' || {lp8}",
+            "class": _s("d % 6", dialect),
+            "function": _s("7800 + d % 4", dialect),
+            "bridgeId": f"'BRDG_' || {lp8}",
+            "lod1BrepId": f"'SURF_' || {lp8}",
+        },
+        "address_to_bridge": {
+            "gmlId": f"'ABL_' || {lp8}",
+            "bridgeId": f"'BRDG_' || {lp8}",
+            "addressId": f"'ADDR_' || {lp8}",
+        },
+        "tunnel_part": {
+            "gmlId": f"'TUP_' || {lp8}",
+            "parentId": f"'TUN_' || {lp8}",
+            "rootId": f"'TUN_' || {lp8}",
+            "class": _s("d % 2", dialect),
+        },
+        "tunnel_thematic_surface": {
+            "gmlId": f"'TTS_' || {lp8}",
+            # roof 92 / wall 93 / ground 94
+            "objectClassId": _s("92 + d % 3", dialect),
+            "tunnelId": f"'TUN_' || {lp8}",
+            "lod2MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "tunnel_installation": {
+            "gmlId": f"'TIN2_' || {lp8}",
+            # 86 outer / 87 interior
+            "objectClassId": _s("86 + d % 2", dialect),
+            "function": _s("7900 + d % 3", dialect),
+            "tunnelId": f"'TUN_' || {lp8}",
+            "lod3BrepId": f"'SURF_' || {lp8}",
+        },
+        "tunnel_hollow_space": {
+            "gmlId": f"'THS_' || {lp8}",
+            "class": _s("d % 3", dialect),
+            "tunnelId": f"'TUN_' || {lp8}",
+            "lod4SolidId": f"'SURF_' || {lp8}",
+        },
+        "tunnel_furniture": {
+            "gmlId": f"'TFU_' || {lp8}",
+            "usage": _s("8000 + d % 2", dialect),
+            "tunnelHollowSpaceId": f"'THS_' || {lp8}",
+            "lod4BrepId": f"'SURF_' || {lp8}",
+        },
+        "tunnel_opening": {
+            "gmlId": f"'TOP_' || {lp8}",
+            # window 99 / door 100
+            "objectClassId": _s("99 + d % 2", dialect),
+            "lod3MultiSurfaceId": f"'SURF_' || {lp8}",
+        },
+        "tunnel_open_to_them_srf": {
+            "gmlId": f"'TOL_' || {lp8}",
+            "tunnelOpeningId": f"'TOP_' || {lp8}",
+            "tunnelThematicSurfaceId": f"'TTS_' || {lp8}",
         },
     }
 

@@ -87,6 +87,20 @@ GRAPHS = [
     "reliefcomponent",
     "tinrelief",
     "relieffeattorelcomp",
+    "bridgethematicsurface",
+    "bridgeinstallation",
+    "bridgeroom",
+    "bridgefurniture",
+    "bridgeopening",
+    "bridgeopentothemsrf",
+    "bridgeconstrelement",
+    "addresstobridge",
+    "tunnelthematicsurface",
+    "tunnelinstallation",
+    "tunnelhollowspace",
+    "tunnelfurniture",
+    "tunnelopening",
+    "tunnelopentothemsrf",
 ]
 
 # objectClassId constants (3DCityDB object class registry; whitelist used by
@@ -116,6 +130,20 @@ CLASS_ID = {
     "traffic_area": 47,            # 48 AuxiliaryTrafficArea via attr override
     "water_boundary_surface": 11,  # 12/13 ground/closure via attr override
     "tin_relief": 16,              # 17/18 masspoint/breakline via attr override
+    # bridge / tunnel interior families (3dcitydb-schema.xml)
+    "bridge_part": 63,
+    "tunnel_part": 84,
+    "bridge_thematic_surface": 72,  # 71 roof / 73 ground via attr override
+    "bridge_installation": 65,      # 66 interior via attr override
+    "bridge_room": 81,
+    "bridge_furniture": 80,
+    "bridge_opening": 78,           # 79 door via attr override
+    "bridge_constr_element": 82,
+    "tunnel_thematic_surface": 93,  # 92 roof / 94 ground via attr override
+    "tunnel_installation": 86,      # 87 interior via attr override
+    "tunnel_hollow_space": 102,
+    "tunnel_furniture": 101,
+    "tunnel_opening": 99,           # 100 door via attr override
 }
 
 # ---------------------------------------------------------------------------
@@ -768,6 +796,175 @@ T_RELIEF_FEAT_TO_REL_COMP = [
     ("reliefFeatureId", "@ref/relieffeature/reliefFeatureId", "iri"),
 ]
 
+# ---------------------------------------------------------------------------
+# Bridge / tunnel interior families (all SQL-only in the reference, same
+# AbstractDBImporter stub): thematic surfaces, installations, rooms/hollow
+# spaces, furniture, openings, construction elements + their link tables.
+# Column orders from each importer's getSQLStatement; note the reference's
+# DBBridgeOpening.getIriGraphObjectRel returns "bridgefurniture/" — a
+# copy-paste slip that is dead code on its stubbed SPARQL path; we use the
+# correct "bridgeopening" graph.
+# ---------------------------------------------------------------------------
+
+_CFU_T = [
+    ("class", "class", "literal"),
+    ("classCodespace", "classCodespace", "literal"),
+    ("function", "function", "literal"),
+    ("functionCodespace", "functionCodespace", "literal"),
+    ("usage", "usage", "literal"),
+    ("usageCodespace", "usageCodespace", "literal"),
+]
+
+
+def _never(preds: list[str], obj_type: str = "literal") -> list[tuple]:
+    return [(p, None, obj_type) for p in preds]
+
+
+def _sg_refs(preds: list[str]) -> list[tuple]:
+    return [(p, f"@ref/surfacegeometry/{p}", "iri") for p in preds]
+
+
+def _implicit_block(lods: list[int]) -> list[tuple]:
+    return (
+        _never([f"lod{i}ImplicitRepId" for i in lods], "iri")
+        + _never([f"lod{i}ImplicitRefPoint" for i in lods])
+        + _never([f"lod{i}ImplicitTransformation" for i in lods])
+    )
+
+
+# DBBridgeThematicSurface.java:73-75; graph :69
+T_BRIDGE_THEMATIC_SURFACE = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("bridgeId", "@ref/bridge/bridgeId", "iri"),
+    ("bridgeRoomId", "@ref/bridgeroom/bridgeRoomId", "iri"),
+    ("bridgeInstallationId", "@ref/bridgeinstallation/bridgeInstallationId", "iri"),
+    ("bridgeConstrElementId", "@ref/bridgeconstrelement/bridgeConstrElementId", "iri"),
+] + _sg_refs(["lod2MultiSurfaceId", "lod3MultiSurfaceId", "lod4MultiSurfaceId"])
+
+# DBBridgeInstallation.java:86-91; graph :82
+T_BRIDGE_INSTALLATION = (
+    [("id", "@iri", "iri"), ("objectClassId", "@class", "literal")]
+    + _CFU_T
+    + [
+        ("bridgeId", "@ref/bridge/bridgeId", "iri"),
+        ("bridgeRoomId", "@ref/bridgeroom/bridgeRoomId", "iri"),
+    ]
+    + _sg_refs(["lod2BrepId", "lod3BrepId", "lod4BrepId"])
+    + _never(["lod2OtherGeom", "lod3OtherGeom", "lod4OtherGeom"])
+    + _implicit_block([2, 3, 4])
+)
+
+# DBBridgeRoom.java:83-86; graph :79
+T_BRIDGE_ROOM = (
+    [("id", "@iri", "iri")]
+    + _CFU_T
+    + [("bridgeId", "@ref/bridge/bridgeId", "iri")]
+    + _sg_refs(["lod4MultiSurfaceId", "lod4SolidId"])
+    + [("objectClassId", "@class", "literal")]
+)
+
+# DBBridgeFurniture.java:87-90; graph :83
+T_BRIDGE_FURNITURE = (
+    [("id", "@iri", "iri")]
+    + _CFU_T
+    + [("bridgeRoomId", "@ref/bridgeroom/bridgeRoomId", "iri")]
+    + _sg_refs(["lod4BrepId"])
+    + _never(["lod4OtherGeom"])
+    + _implicit_block([4])
+    + [("objectClassId", "@class", "literal")]
+)
+
+# DBBridgeOpening.java:86-90; graph intent "bridgeopening" (see note above)
+T_BRIDGE_OPENING = (
+    [
+        ("id", "@iri", "iri"),
+        ("objectClassId", "@class", "literal"),
+        ("addressId", "@ref/address/addressId", "iri"),
+    ]
+    + _sg_refs(["lod3MultiSurfaceId", "lod4MultiSurfaceId"])
+    + _implicit_block([3, 4])
+)
+
+# DBBridgeOpenToThemSrf.java:53-54; graph :49
+T_BRIDGE_OPEN_TO_THEM_SRF = [
+    ("bridgeOpeningId", "@ref/bridgeopening/bridgeOpeningId", "iri"),
+    ("bridgeThematicSurfaceId", "@ref/bridgethematicsurface/bridgeThematicSurfaceId", "iri"),
+]
+
+# DBBridgeConstrElement.java:94-100; graph :90
+T_BRIDGE_CONSTR_ELEMENT = (
+    [("id", "@iri", "iri")]
+    + _CFU_T
+    + [("bridgeId", "@ref/bridge/bridgeId", "iri")]
+    + _never([f"lod{i}TerrainIntersection" for i in (1, 2, 3, 4)])
+    + _sg_refs(["lod1BrepId", "lod2BrepId", "lod3BrepId", "lod4BrepId"])
+    + _never([f"lod{i}OtherGeom" for i in (1, 2, 3, 4)])
+    + _implicit_block([1, 2, 3, 4])
+    + [("objectClassId", "@class", "literal")]
+)
+
+# DBAddressToBridge.java:54-55; graph :50
+T_ADDRESS_TO_BRIDGE = [
+    ("bridgeId", "@ref/bridge/bridgeId", "iri"),
+    ("addressId", "@ref/address/addressId", "iri"),
+]
+
+# DBTunnelThematicSurface.java:71-73; graph :67
+T_TUNNEL_THEMATIC_SURFACE = [
+    ("id", "@iri", "iri"),
+    ("objectClassId", "@class", "literal"),
+    ("tunnelId", "@ref/tunnel/tunnelId", "iri"),
+    ("tunnelHollowSpaceId", "@ref/tunnelhollowspace/tunnelHollowSpaceId", "iri"),
+    ("tunnelInstallationId", "@ref/tunnelinstallation/tunnelInstallationId", "iri"),
+] + _sg_refs(["lod2MultiSurfaceId", "lod3MultiSurfaceId", "lod4MultiSurfaceId"])
+
+# DBTunnelInstallation.java:87-92; graph :83
+T_TUNNEL_INSTALLATION = (
+    [("id", "@iri", "iri"), ("objectClassId", "@class", "literal")]
+    + _CFU_T
+    + [
+        ("tunnelId", "@ref/tunnel/tunnelId", "iri"),
+        ("tunnelHollowSpaceId", "@ref/tunnelhollowspace/tunnelHollowSpaceId", "iri"),
+    ]
+    + _sg_refs(["lod2BrepId", "lod3BrepId", "lod4BrepId"])
+    + _never(["lod2OtherGeom", "lod3OtherGeom", "lod4OtherGeom"])
+    + _implicit_block([2, 3, 4])
+)
+
+# DBTunnelHollowSpace.java:79-82; graph :75
+T_TUNNEL_HOLLOW_SPACE = (
+    [("id", "@iri", "iri")]
+    + _CFU_T
+    + [("tunnelId", "@ref/tunnel/tunnelId", "iri")]
+    + _sg_refs(["lod4MultiSurfaceId", "lod4SolidId"])
+    + [("objectClassId", "@class", "literal")]
+)
+
+# DBTunnelFurniture.java:85-88; graph :81
+T_TUNNEL_FURNITURE = (
+    [("id", "@iri", "iri")]
+    + _CFU_T
+    + [("tunnelHollowSpaceId", "@ref/tunnelhollowspace/tunnelHollowSpaceId", "iri")]
+    + _sg_refs(["lod4BrepId"])
+    + _never(["lod4OtherGeom"])
+    + _implicit_block([4])
+    + [("objectClassId", "@class", "literal")]
+)
+
+# DBTunnelOpening.java:78-82; graph :74
+T_TUNNEL_OPENING = (
+    [("id", "@iri", "iri"), ("objectClassId", "@class", "literal")]
+    + _sg_refs(["lod3MultiSurfaceId", "lod4MultiSurfaceId"])
+    + _implicit_block([3, 4])
+)
+
+# DBTunnelOpenToThemSrf.java:54-55; graph :50
+T_TUNNEL_OPEN_TO_THEM_SRF = [
+    ("tunnelOpeningId", "@ref/tunnelopening/tunnelOpeningId", "iri"),
+    ("tunnelThematicSurfaceId", "@ref/tunnelthematicsurface/tunnelThematicSurfaceId", "iri"),
+]
+
 # group member link rows resolve through the xlink cache
 # (XlinkGroupToCityObject.java:59 insert into GROUP_TO_CITYOBJECT)
 T_GROUP_TO_CITYOBJECT = [
@@ -850,6 +1047,47 @@ KIND_EMISSIONS: dict[str, list[tuple[str, list]]] = {
         ("tinrelief", T_TIN_RELIEF),
     ],
     "relief_feat_to_rel_comp": [("relieffeattorelcomp", T_RELIEF_FEAT_TO_REL_COMP)],
+    # bridge / tunnel interior families
+    "bridge_part": [("cityobject", T_CITYOBJECT), ("bridge", T_BRIDGE)],
+    "tunnel_part": [("cityobject", T_CITYOBJECT), ("tunnel", T_TUNNEL)],
+    "bridge_thematic_surface": [
+        ("cityobject", T_CITYOBJECT),
+        ("bridgethematicsurface", T_BRIDGE_THEMATIC_SURFACE),
+    ],
+    "bridge_installation": [
+        ("cityobject", T_CITYOBJECT),
+        ("bridgeinstallation", T_BRIDGE_INSTALLATION),
+    ],
+    "bridge_room": [("cityobject", T_CITYOBJECT), ("bridgeroom", T_BRIDGE_ROOM)],
+    "bridge_furniture": [
+        ("cityobject", T_CITYOBJECT),
+        ("bridgefurniture", T_BRIDGE_FURNITURE),
+    ],
+    "bridge_opening": [("cityobject", T_CITYOBJECT), ("bridgeopening", T_BRIDGE_OPENING)],
+    "bridge_open_to_them_srf": [("bridgeopentothemsrf", T_BRIDGE_OPEN_TO_THEM_SRF)],
+    "bridge_constr_element": [
+        ("cityobject", T_CITYOBJECT),
+        ("bridgeconstrelement", T_BRIDGE_CONSTR_ELEMENT),
+    ],
+    "address_to_bridge": [("addresstobridge", T_ADDRESS_TO_BRIDGE)],
+    "tunnel_thematic_surface": [
+        ("cityobject", T_CITYOBJECT),
+        ("tunnelthematicsurface", T_TUNNEL_THEMATIC_SURFACE),
+    ],
+    "tunnel_installation": [
+        ("cityobject", T_CITYOBJECT),
+        ("tunnelinstallation", T_TUNNEL_INSTALLATION),
+    ],
+    "tunnel_hollow_space": [
+        ("cityobject", T_CITYOBJECT),
+        ("tunnelhollowspace", T_TUNNEL_HOLLOW_SPACE),
+    ],
+    "tunnel_furniture": [
+        ("cityobject", T_CITYOBJECT),
+        ("tunnelfurniture", T_TUNNEL_FURNITURE),
+    ],
+    "tunnel_opening": [("cityobject", T_CITYOBJECT), ("tunnelopening", T_TUNNEL_OPENING)],
+    "tunnel_open_to_them_srf": [("tunnelopentothemsrf", T_TUNNEL_OPEN_TO_THEM_SRF)],
 }
 
 # kinds whose subject lives in a graph other than the first emission graph

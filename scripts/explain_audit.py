@@ -21,6 +21,7 @@ AUDITS = [
     ("kg_extract_vegetation", "P25+ nature/terrain graphs: same single map-side broadcast-join stage"),
     ("kg_extract_transport_group", "P25+ transport/group/implicit graphs incl. grouptocityobject link rows"),
     ("kg_extract_subfeatures", "nested sub-feature graphs: same single map-side broadcast-join stage"),
+    ("kg_extract_interiors", "bridge/tunnel interior graphs: same single map-side broadcast-join stage"),
     ("kg_link_exact", "linking: gazetteer side must be BroadcastHashJoin"),
     ("lineitem_pricing", "agg pushdown: expect PushedFilters on l_shipdate + partial_ hash agg"),
     ("join_pipeline", "dim joins: nation broadcast; lineitem-orders shuffle on keys"),

@@ -312,6 +312,19 @@ GML_P25 = """<?xml version="1.0" encoding="UTF-8"?>
      </gml:surfaceMember>
     </gml:MultiSurface>
    </brid:lod1MultiSurface>
+   <brid:outerBridgeInstallation>
+    <brid:BridgeInstallation gml:id="BI1"><brid:function>901</brid:function></brid:BridgeInstallation>
+   </brid:outerBridgeInstallation>
+   <brid:outerBridgeConstructionElement>
+    <brid:BridgeConstructionElement gml:id="BC1"><brid:class>pylon</brid:class></brid:BridgeConstructionElement>
+   </brid:outerBridgeConstructionElement>
+   <brid:interiorBridgeRoom>
+    <brid:BridgeRoom gml:id="BRM1">
+     <brid:interiorFurniture>
+      <brid:BridgeFurniture gml:id="BF1"><brid:usage>seat</brid:usage></brid:BridgeFurniture>
+     </brid:interiorFurniture>
+    </brid:BridgeRoom>
+   </brid:interiorBridgeRoom>
   </brid:Bridge>
  </cityObjectMember>
  <cityObjectMember>
@@ -359,7 +372,11 @@ GML_P25 = """<?xml version="1.0" encoding="UTF-8"?>
   </dem:ReliefFeature>
  </cityObjectMember>
  <cityObjectMember>
-  <tun:Tunnel gml:id="TU1"><tun:yearOfConstruction>1988</tun:yearOfConstruction></tun:Tunnel>
+  <tun:Tunnel gml:id="TU1"><tun:yearOfConstruction>1988</tun:yearOfConstruction>
+   <tun:interiorHollowSpace>
+    <tun:HollowSpace gml:id="HS1"><tun:class>cavity</tun:class></tun:HollowSpace>
+   </tun:interiorHollowSpace>
+  </tun:Tunnel>
  </cityObjectMember>
  <cityObjectMember>
   <grp:CityObjectGroup gml:id="GR1">
@@ -404,6 +421,13 @@ def test_p25_feature_types_parse_and_extract(spark):
     rl = {(t["reliefComponentId"], t["reliefFeatureId"])
           for t in by_kind["relief_feat_to_rel_comp"]}
     assert rl == {("TIN1", "RF1")}
+    # bridge/tunnel interiors: FK chains parent -> room -> furniture
+    assert by_kind["bridge_installation"][0]["bridgeId"] == "BR1"
+    assert by_kind["bridge_constr_element"][0]["bridgeId"] == "BR1"
+    assert by_kind["bridge_room"][0]["bridgeId"] == "BR1"
+    assert by_kind["bridge_furniture"][0]["bridgeRoomId"] == "BRM1"
+    hs = by_kind["tunnel_hollow_space"][0]
+    assert hs["tunnelId"] == "TU1" and hs["class"] == "cavity"
     assert by_kind["bridge"][0]["isMovable"] == "false"
     assert by_kind["bridge"][0]["lod1MultiSurfaceId"]  # geometry threaded
     assert by_kind["transportation_complex"][0]["objectClassId"] == "45"

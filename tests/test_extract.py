@@ -55,13 +55,16 @@ def test_span_order_invariant(spark):
 def test_mention_counts(spark):
     t = extract_triples(spark, synth_docs(spark, SF_SMOKE))
     c = {r.graph: r.n_subjects for r in mention_counts(t).collect()}
-    # 500 docs; building graph holds building + building_part subjects;
-    # 22 feature kinds emit cityobject rows (10 original + 9 P25+ types +
-    # 3 nested sub-feature types)
-    assert c["building"] == 1000 and c["cityobject"] == 11000 and c["address"] == 500
-    assert c["bridge"] == 500 and c["waterbody"] == 500 and c["grouptocityobject"] == 500
+    # 500 docs; building graph holds building + building_part subjects
+    # (bridge/tunnel graphs likewise hold their parts); 35 feature kinds
+    # emit cityobject rows (10 original + 9 P25+ + 3 nested sub-features +
+    # 13 bridge/tunnel interior types)
+    assert c["building"] == 1000 and c["cityobject"] == 17500 and c["address"] == 500
+    assert c["bridge"] == 1000 and c["tunnel"] == 1000  # + parts
+    assert c["waterbody"] == 500 and c["grouptocityobject"] == 500
     assert c["trafficarea"] == 500 and c["tinrelief"] == 500
-    assert len(c) == 37  # every graph with a template emits
+    assert c["bridgethematicsurface"] == 500 and c["tunnelhollowspace"] == 500
+    assert len(c) == 51  # every graph with a template emits
 
 
 def test_hostile_inputs_no_crash(spark):

@@ -198,3 +198,145 @@ def test_cityobject_emitted_first_for_features():
         graphs = [g for g, _ in emissions]
         if "cityobject" in graphs:
             assert graphs[0] == "cityobject", kind
+
+
+# Bridge/tunnel interior families + r4 sub-features: the contract is each
+# importer's SQL insert column list, transcribed VERBATIM from
+# getSQLStatement() and camelCased here independently of vocab.py's
+# hand-written templates (objectclass_id -> objectClassId is the one
+# naming special case the blazegraph adapter uses).
+SQL_COLUMN_ORDERS = {
+    # DBTrafficArea.java:66-69
+    "trafficarea": "id, objectclass_id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, surface_material, "
+    "surface_material_codespace, lod2_multi_surface_id, lod3_multi_surface_id, "
+    "lod4_multi_surface_id, transportation_complex_id",
+    # DBWaterBoundarySurface.java:66-68
+    "waterboundarysurface": "id, objectclass_id, water_level, "
+    "water_level_codespace, lod2_surface_id, lod3_surface_id, lod4_surface_id",
+    # DBWaterBodToWaterBndSrf.java:56
+    "waterbodtowaterbndsrf": "waterboundary_surface_id, waterbody_id",
+    # DBReliefComponent.java:78 / :82 (tin flavor)
+    "reliefcomponent": "id, objectclass_id, lod, extent",
+    "tinrelief": "id, max_length, max_length_unit, stop_lines, break_lines, "
+    "control_points, surface_geometry_id, objectclass_id",
+    # DBReliefFeatToRelComp.java:54
+    "relieffeattorelcomp": "relief_component_id, relief_feature_id",
+    # DBBridgeThematicSurface.java:73-75
+    "bridgethematicsurface": "id, objectclass_id, bridge_id, bridge_room_id, "
+    "bridge_installation_id, bridge_constr_element_id, lod2_multi_surface_id, "
+    "lod3_multi_surface_id, lod4_multi_surface_id",
+    # DBBridgeInstallation.java:86-91
+    "bridgeinstallation": "id, objectclass_id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, bridge_id, bridge_room_id, "
+    "lod2_brep_id, lod3_brep_id, lod4_brep_id, lod2_other_geom, lod3_other_geom, "
+    "lod4_other_geom, lod2_implicit_rep_id, lod3_implicit_rep_id, "
+    "lod4_implicit_rep_id, lod2_implicit_ref_point, lod3_implicit_ref_point, "
+    "lod4_implicit_ref_point, lod2_implicit_transformation, "
+    "lod3_implicit_transformation, lod4_implicit_transformation",
+    # DBBridgeRoom.java:83-86
+    "bridgeroom": "id, class, class_codespace, function, function_codespace, "
+    "usage, usage_codespace, bridge_id, lod4_multi_surface_id, lod4_solid_id, "
+    "objectclass_id",
+    # DBBridgeFurniture.java:87-90
+    "bridgefurniture": "id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, bridge_room_id, lod4_brep_id, "
+    "lod4_other_geom, lod4_implicit_rep_id, lod4_implicit_ref_point, "
+    "lod4_implicit_transformation, objectclass_id",
+    # DBBridgeOpening.java:86-90
+    "bridgeopening": "id, objectclass_id, address_id, lod3_multi_surface_id, "
+    "lod4_multi_surface_id, lod3_implicit_rep_id, lod4_implicit_rep_id, "
+    "lod3_implicit_ref_point, lod4_implicit_ref_point, "
+    "lod3_implicit_transformation, lod4_implicit_transformation",
+    # DBBridgeOpenToThemSrf.java:53
+    "bridgeopentothemsrf": "bridge_opening_id, bridge_thematic_surface_id",
+    # DBBridgeConstrElement.java:94-100
+    "bridgeconstrelement": "id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, bridge_id, "
+    "lod1_terrain_intersection, lod2_terrain_intersection, "
+    "lod3_terrain_intersection, lod4_terrain_intersection, lod1_brep_id, "
+    "lod2_brep_id, lod3_brep_id, lod4_brep_id, lod1_other_geom, lod2_other_geom, "
+    "lod3_other_geom, lod4_other_geom, lod1_implicit_rep_id, "
+    "lod2_implicit_rep_id, lod3_implicit_rep_id, lod4_implicit_rep_id, "
+    "lod1_implicit_ref_point, lod2_implicit_ref_point, lod3_implicit_ref_point, "
+    "lod4_implicit_ref_point, lod1_implicit_transformation, "
+    "lod2_implicit_transformation, lod3_implicit_transformation, "
+    "lod4_implicit_transformation, objectclass_id",
+    # DBAddressToBridge.java:54
+    "addresstobridge": "bridge_id, address_id",
+    # DBTunnelThematicSurface.java:71-73
+    "tunnelthematicsurface": "id, objectclass_id, tunnel_id, "
+    "tunnel_hollow_space_id, tunnel_installation_id, lod2_multi_surface_id, "
+    "lod3_multi_surface_id, lod4_multi_surface_id",
+    # DBTunnelInstallation.java:87-92
+    "tunnelinstallation": "id, objectclass_id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, tunnel_id, "
+    "tunnel_hollow_space_id, lod2_brep_id, lod3_brep_id, lod4_brep_id, "
+    "lod2_other_geom, lod3_other_geom, lod4_other_geom, lod2_implicit_rep_id, "
+    "lod3_implicit_rep_id, lod4_implicit_rep_id, lod2_implicit_ref_point, "
+    "lod3_implicit_ref_point, lod4_implicit_ref_point, "
+    "lod2_implicit_transformation, lod3_implicit_transformation, "
+    "lod4_implicit_transformation",
+    # DBTunnelHollowSpace.java:79-82
+    "tunnelhollowspace": "id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, tunnel_id, "
+    "lod4_multi_surface_id, lod4_solid_id, objectclass_id",
+    # DBTunnelFurniture.java:85-88
+    "tunnelfurniture": "id, class, class_codespace, function, "
+    "function_codespace, usage, usage_codespace, tunnel_hollow_space_id, "
+    "lod4_brep_id, lod4_other_geom, lod4_implicit_rep_id, "
+    "lod4_implicit_ref_point, lod4_implicit_transformation, objectclass_id",
+    # DBTunnelOpening.java:78-82
+    "tunnelopening": "id, objectclass_id, lod3_multi_surface_id, "
+    "lod4_multi_surface_id, lod3_implicit_rep_id, lod4_implicit_rep_id, "
+    "lod3_implicit_ref_point, lod4_implicit_ref_point, "
+    "lod3_implicit_transformation, lod4_implicit_transformation",
+    # DBTunnelOpenToThemSrf.java:54
+    "tunnelopentothemsrf": "tunnel_opening_id, tunnel_thematic_surface_id",
+}
+
+SQL_TEMPLATE_BY_GRAPH = {
+    "trafficarea": vocab.T_TRAFFIC_AREA,
+    "waterboundarysurface": vocab.T_WATER_BOUNDARY_SURFACE,
+    "waterbodtowaterbndsrf": vocab.T_WATERBOD_TO_WATERBND_SRF,
+    "reliefcomponent": vocab.T_RELIEF_COMPONENT,
+    "tinrelief": vocab.T_TIN_RELIEF,
+    "relieffeattorelcomp": vocab.T_RELIEF_FEAT_TO_REL_COMP,
+    "bridgethematicsurface": vocab.T_BRIDGE_THEMATIC_SURFACE,
+    "bridgeinstallation": vocab.T_BRIDGE_INSTALLATION,
+    "bridgeroom": vocab.T_BRIDGE_ROOM,
+    "bridgefurniture": vocab.T_BRIDGE_FURNITURE,
+    "bridgeopening": vocab.T_BRIDGE_OPENING,
+    "bridgeopentothemsrf": vocab.T_BRIDGE_OPEN_TO_THEM_SRF,
+    "bridgeconstrelement": vocab.T_BRIDGE_CONSTR_ELEMENT,
+    "addresstobridge": vocab.T_ADDRESS_TO_BRIDGE,
+    "tunnelthematicsurface": vocab.T_TUNNEL_THEMATIC_SURFACE,
+    "tunnelinstallation": vocab.T_TUNNEL_INSTALLATION,
+    "tunnelhollowspace": vocab.T_TUNNEL_HOLLOW_SPACE,
+    "tunnelfurniture": vocab.T_TUNNEL_FURNITURE,
+    "tunnelopening": vocab.T_TUNNEL_OPENING,
+    "tunnelopentothemsrf": vocab.T_TUNNEL_OPEN_TO_THEM_SRF,
+}
+
+_CAMEL_SPECIAL = {
+    "objectclass_id": "objectClassId",
+    "waterboundary_surface_id": "waterBoundarySurfaceId",
+    "waterbody_id": "waterBodyId",
+}
+
+
+def _camel(col: str) -> str:
+    col = col.strip()
+    if col in _CAMEL_SPECIAL:
+        return _CAMEL_SPECIAL[col]
+    if col.endswith("_id") and col != "id":
+        col = col[:-3] + "_id"
+    parts = col.split("_")
+    return parts[0] + "".join(p[:1].upper() + p[1:] for p in parts[1:])
+
+
+def test_sql_only_predicate_orders_match_insert_columns():
+    for graph, cols in SQL_COLUMN_ORDERS.items():
+        want = [_camel(c) for c in cols.split(",")]
+        got = [p for p, _, _ in SQL_TEMPLATE_BY_GRAPH[graph]]
+        assert got == want, f"{graph}: {got} != {want}"
