@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(142 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(146 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1359,6 +1359,42 @@ def q_text_quality(spark, sf):
     return text.with_quality(d).select("doc_id", "n_tokens", "quality")
 
 
+def q_text_winnowing(spark, sf):
+    """MOSS robust winnowing fingerprints (k=3-word grams, window w=4):
+    the distinct (position, hash) minima selected per sliding window,
+    rightmost-min tie rule packed into one BIGINT so both engines run the
+    identical window MIN (see text.winnowing_fingerprints)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.winnowing_fingerprints(d).select("doc_id", "fp_pos", "fp_hash")
+
+
+def q_quality_classifier(spark, sf):
+    """Hashed-bag-of-words linear quality classifier (fastText-style
+    serving shape, seeded literal weights): score + keep/drop label as
+    ONE JVM expression — pure Project, zero Exchange."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.classifier_scores(d).select("doc_id", "score", "label")
+
+
+def q_boilerplate_ngrams(spark, sf):
+    """C4/RefinedWeb-style boilerplate pass: top-20 word 3-grams by
+    document frequency (distinct per doc) with corpus ratio; k-boundary
+    ties break on the gram string so the top set is deterministic."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.boilerplate_ngrams(d)
+
+
+def q_dedup_semantic(spark, sf):
+    """SemDeDup over deterministic quantizer cells: per-vector verdict
+    (cell, dropped, keeper). The cell derives from seeded literal
+    hyperplanes, so the DuckDB oracle re-derives the IDENTICAL partition
+    and the full decision is value-checked (cells, in-cell pairs at
+    rounded cosine >= 0.42, min-id survivor). Production swaps k-means
+    cells in via similarity.ivf_centroids — same join shape."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return dedup.semantic_dedup(e).select("vec_id", "cell", "dropped", "keeper")
+
+
 def q_text_langid(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     return text.with_lang_id(d).select("doc_id", "lang_pred")
@@ -2624,6 +2660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
+        "text_winnowing": q_text_winnowing,
+        "quality_classifier": q_quality_classifier,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "dedup_semantic": q_dedup_semantic,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -3771,6 +3811,88 @@ def _emb_quantize_sql() -> str:
     )
 
 
+def _winnowing_sql(k: int = 3, w: int = 4) -> str:
+    """The identical packed-key window MIN, DuckDB-rendered."""
+    from citykg.ops.hashing import char_fold_duckdb
+
+    fold = char_fold_duckdb("gram")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+g AS (SELECT doc_id, i AS pos,
+        array_to_string(list_slice(toks, i + 1, i + {k}), ' ') AS gram,
+        greatest(len(toks) - {k}, 0) AS maxpos
+      FROM t, unnest(range(0, greatest(len(toks) - {k}, 0) + 1)) AS u(i)),
+h AS (SELECT doc_id, pos, maxpos,
+        (({fold}) % 1099511627776) * 1048576 + (1048575 - pos) AS key
+      FROM g),
+w AS (SELECT doc_id, pos, maxpos,
+        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS selkey
+      FROM h)
+SELECT DISTINCT doc_id,
+  CAST(1048575 - (selkey % 1048576) AS BIGINT) AS fp_pos,
+  CAST(selkey // 1048576 AS BIGINT) AS fp_hash
+FROM w WHERE pos >= {w - 1} OR pos = maxpos
+"""
+
+
+def _classifier_sql() -> str:
+    """Same literal weight array, same left-to-right float fold."""
+    from citykg.ops.hashing import char_fold_duckdb
+    from citykg.ops.text import CLASSIFIER_BUCKETS, classifier_weights
+
+    wlit = "[" + ", ".join(repr(x) for x in classifier_weights()) + "]"
+    fold = char_fold_duckdb("t")
+    score = (
+        f"round(list_reduce([0.0::DOUBLE] || list_transform(toks, "
+        f"t -> list_extract({wlit}, CAST(({fold}) % {CLASSIFIER_BUCKETS} AS INT) + 1)), "
+        f"(a, x) -> a + x) / len(toks), 6)"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents) "
+        f"SELECT doc_id, {score} AS score, "
+        f"CASE WHEN {score} >= 0 THEN 'keep' ELSE 'drop' END AS label FROM t"
+    )
+
+
+def _boilerplate_sql(n: int = 3, top: int = 20) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - {n}, 0) + 1),
+       i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS grams FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+f AS (SELECT gram, count(*) AS doc_freq FROM e GROUP BY gram),
+tot AS (SELECT count(*) AS total FROM documents)
+SELECT gram, doc_freq, round(doc_freq * 1.0 / total, 6) AS doc_ratio
+FROM f, tot ORDER BY doc_freq DESC, gram ASC LIMIT {top}
+"""
+
+
+def _semantic_dedup_sql(dim: int = 64, n_planes: int = 4, seed: int = 911) -> str:
+    """Cells from the SAME hyperplane literals the Spark side folds."""
+    from citykg.ops.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    cell = " + ".join(terms)
+    return f"""
+WITH c AS (SELECT vec_id, embedding, CAST({cell} AS BIGINT) AS cell FROM embeddings),
+p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id > b.vec_id),
+d AS (SELECT va AS vec_id, min(vb) AS keeper FROM p WHERE cos >= 0.42 GROUP BY va)
+SELECT c.vec_id, c.cell,
+  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped,
+  coalesce(d.keeper, -1) AS keeper
+FROM c LEFT JOIN d ON c.vec_id = d.vec_id
+"""
+
+
 def _ann_brute_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -4169,6 +4291,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality": _quality_sql(),
+        "text_winnowing": _winnowing_sql(),
+        "quality_classifier": _classifier_sql(),
+        "boilerplate_ngrams": _boilerplate_sql(),
+        "dedup_semantic": _semantic_dedup_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -7,7 +7,7 @@ so the driver's value-hash comparison is meaningful)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # minimal per-language stopword lists for the n-gram/stopword-ratio
 # language heuristic (languages match the testdata lang column domain)
@@ -271,4 +271,142 @@ def url_dedup_groups(df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
         df.select(id_col, canonical_url(F.col(url_col)).alias("canon_url"))
         .groupBy("canon_url")
         .agg(F.count("*").alias("n_urls"), F.countDistinct(id_col).alias("n_docs"))
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    fingerprint): hash every word k-gram, slide a window of w consecutive
+    hashes, record the minimum of each window (rightmost position on
+    ties), and emit the distinct selected (position, hash) pairs. Any
+    shared substring of >= w+k-1 words between two documents is then
+    guaranteed to share a fingerprint — the contract exact shingle
+    sampling (every-nth) does not give.
+
+    Cross-engine trick: the "min hash, ties -> max position" selection is
+    packed into ONE orderable BIGINT — key = (hash mod 2^40) * 2^20 +
+    (2^20-1-pos) — so a plain window MIN implements the argmin on both
+    engines bit-identically (positions are bounded by the 2^20 pack;
+    the 2^40 fold keeps the product inside int64).
+
+    Scale shape: posexplode fans each doc to ~n_tokens rows, the only
+    shuffle is the per-document window partition (bounded partitions —
+    one doc each), and the hash is the JVM char-fold expression (no
+    Python). Short documents with fewer than w k-grams still emit their
+    global minimum (the `pos = maxpos` branch), matching the paper's
+    definition on short inputs.
+    """
+    from .hashing import char_fold_spark
+
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    grams = (
+        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))"
+    )
+    g = df.select(
+        F.col(id_col),
+        F.expr(f"greatest(size({toks}) - {k}, 0)").alias("_maxpos"),
+        F.posexplode(F.expr(grams)).alias("_pos", "_gram"),
+    )
+    key = f"(({char_fold_spark('_gram')}) % 1099511627776) * 1048576 + (1048575 - _pos)"
+    win = (
+        Window.partitionBy(id_col).orderBy("_pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        g.withColumn("_key", F.expr(key))
+        .withColumn("_selkey", F.min("_key").over(win))
+        .where((F.col("_pos") >= w - 1) | (F.col("_pos") == F.col("_maxpos")))
+    )
+    return sel.select(
+        F.col(id_col),
+        (F.lit(1048575) - F.col("_selkey") % 1048576).cast("long").alias("fp_pos"),
+        F.expr("_selkey div 1048576").cast("long").alias("fp_hash"),
+    ).distinct()
+
+
+#: seeded literal weights for the hashed-bag-of-words quality classifier —
+#: the stand-in for a trained fastText/logistic quality model's weight
+#: vector (the serving plumbing is what matters here; swap real weights in
+#: without touching the plan shape).
+CLASSIFIER_BUCKETS = 64
+CLASSIFIER_SEED = 20260818
+
+
+def classifier_weights() -> "list[float]":
+    import numpy as np
+
+    rng = np.random.default_rng(CLASSIFIER_SEED)
+    return [round(float(x), 4) for x in rng.standard_normal(CLASSIFIER_BUCKETS)]
+
+
+def classifier_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality filtering, fastText-style (Joulin et al. 2016;
+    the CCNet/GPT-3 quality-classifier stage): each token hashes into one
+    of B weight buckets, the document score is the mean bucket weight,
+    and the keep/drop label thresholds the score at 0. Weights here are
+    seeded literals standing in for a trained model (see
+    `classifier_weights`) — the point is the serving shape: the entire
+    classifier is ONE JVM expression (transform + element_at + aggregate
+    fold over a literal array), pure Project, zero shuffles, zero Python,
+    so it runs at scan speed over 100 TB. The DuckDB oracle re-derives
+    the identical score from the same literals (same left-to-right float
+    fold -> bit-equal at 6 dp)."""
+    from .hashing import char_fold_spark
+
+    wlit = "array(" + ", ".join(repr(x) for x in classifier_weights()) + ")"
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    fold = char_fold_spark("t")
+    score = (
+        f"round(aggregate(transform({toks}, "
+        f"t -> element_at({wlit}, cast(({fold}) % {CLASSIFIER_BUCKETS} as int) + 1)), "
+        f"0.0D, (a, x) -> a + x) / size({toks}), 6)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(score).alias("score"),
+        F.expr(f"CASE WHEN {score} >= 0 THEN 'keep' ELSE 'drop' END").alias("label"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4/RefinedWeb pass that
+    strips lines/phrases recurring across many pages): rank word n-grams
+    by DOCUMENT frequency — distinct per doc, so a phrase repeated inside
+    one page counts once — and return the top offenders with their
+    corpus ratio. Downstream, the returned set joins back as a removal
+    or down-weight list.
+
+    Scale shape: one map-side-combinable count per distinct (doc, gram)
+    -> one partial-agg exchange on gram; the total-docs denominator is a
+    one-row frame broadcast back (no second scan barrier); top-k is
+    TakeOrderedAndProject (no global sort materialization). Determinism:
+    ties at the k-boundary break on the gram string."""
+    from .dedup import word_shingles
+
+    grams = word_shingles(df.select(id_col, text_col), text_col, n=n, out="gram")
+    freq = grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    total = df.select(F.count("*").alias("_total"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("_total"), 6).alias("doc_ratio"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(top)
     )

@@ -86,6 +86,10 @@ AUDITS = [
     ("graph_clustering", "clustering coefficient: wedge-join triangle count + shrinking degree aggs, scalar cross only"),
     ("market_basket", "itemset support: basket-size cap BEFORE the order-keyed pair join, one pair aggregation"),
     ("k_anonymity", "k-anonymity audit: ONE partial agg on the bounded QI key space"),
+    ("text_winnowing", "winnowing fingerprints: posexplode + per-doc window, hash is a JVM char-fold expr, no Python"),
+    ("quality_classifier", "hashed linear quality model: ONE JVM expression, pure Project, zero Exchange, no Python"),
+    ("boilerplate_ngrams", "boilerplate n-grams: one partial-agg exchange on gram, one-row total broadcast, TakeOrdered top-k"),
+    ("dedup_semantic", "SemDeDup: cell equi-join (localCheckpointed quantizer frame), NO CartesianProduct, JVM dot products"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -99,6 +103,7 @@ NO_CARTESIAN = {
     "decontaminate",
     "ann_range_search",
     "interval_join",
+    "dedup_semantic",
 }
 
 out = io.StringIO()

@@ -989,3 +989,101 @@ def test_tfidf_and_bm25(spark):
     assert w and all("doc_id" in ln for ln in w)
     # the only single-partition exchange allowed is the one-row N agg
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+# ---------------- winnowing / classifier / boilerplate / semdedup ----------------
+
+def test_winnowing_shared_run_guarantee_and_tie_rule(spark):
+    """MOSS guarantee: docs sharing >= w+k-1 consecutive words share a
+    fingerprint; all-equal hashes select the RIGHTMOST window position."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1
+    d = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} four five six seven"),
+            (3, "rep rep rep rep rep rep rep rep"),  # 8 tokens -> 6 grams, all equal
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.winnowing_fingerprints(d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    assert h1 & h2, "6-word shared run must share at least one fingerprint hash"
+    # doc 3: every gram hash equal -> each window picks its rightmost pos;
+    # windows end at pos 3..5 -> fingerprints exactly {(3,h),(4,h),(5,h)}
+    pos3 = sorted(p for p, _ in by_doc[3])
+    assert pos3 == [3, 4, 5]
+    assert len({h for _, h in by_doc[3]}) == 1
+
+
+def test_winnowing_short_doc_emits_global_min(spark):
+    """Docs with fewer than w k-grams still fingerprint (pos = maxpos branch)."""
+    d = spark.createDataFrame([(7, "just four tokens here")], "doc_id long, text string")
+    rows = text.winnowing_fingerprints(d).collect()  # 4 tokens -> 2 grams < w
+    assert len(rows) == 1 and rows[0].fp_pos in (0, 1)
+
+
+def test_classifier_scores_match_python_fold(spark):
+    """The JVM expression equals a plain-Python rerun of the same hashed
+    linear model (same weights, same base-31 fold, same mean)."""
+    from citykg.ops.hashing import POLY_BASE, POLY_P
+
+    docs = [(1, "spark join table"), (2, "the quick brown fox jumps")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    w = text.classifier_weights()
+
+    def fold(tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    got = {r.doc_id: (r.score, r.label) for r in text.classifier_scores(d).collect()}
+    for doc_id, t in docs:
+        toks = t.lower().split()
+        exp = round(sum(w[fold(tok) % text.CLASSIFIER_BUCKETS] for tok in toks) / len(toks), 6)
+        assert got[doc_id][0] == pytest.approx(exp, abs=1e-9)
+        assert got[doc_id][1] == ("keep" if exp >= 0 else "drop")
+
+
+def test_boilerplate_ngrams_counts_distinct_per_doc(spark):
+    """A phrase repeated inside ONE page counts once; ranking is
+    (doc_freq desc, gram asc)."""
+    d = spark.createDataFrame(
+        [
+            (1, "buy now click here buy now click here"),  # internal repeat
+            (2, "buy now click here something else entirely"),
+            (3, "unrelated page content words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.boilerplate_ngrams(d, n=3, top=3).collect()
+    top = {r.gram: r.doc_freq for r in rows}
+    assert top["buy now click"] == 2 and top["now click here"] == 2
+    assert rows[0].gram == "buy now click"  # tie with 'now click here' -> gram asc
+    assert abs(rows[0].doc_ratio - round(2 / 3, 6)) < 1e-9
+
+
+def test_semantic_dedup_drops_in_cell_near_dups_only(spark):
+    """Identical vectors always co-cell (same signs) -> higher id dropped
+    with keeper = min id; a far vector survives; cells match a numpy
+    recompute of the same literal hyperplanes."""
+    base = np.zeros(64); base[0] = 1.0
+    far = np.zeros(64); far[1] = 1.0; far[0] = -0.2
+    vecs = [(1, base.tolist()), (2, base.tolist()), (3, base.tolist()), (4, far.tolist())]
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.cell, r.dropped, r.keeper)
+           for r in dedup.semantic_dedup(d, threshold=0.9).collect()}
+    assert out[1][1] == 0 and out[1][2] == -1
+    assert out[2] == (out[1][0], 1, 1) and out[3] == (out[1][0], 1, 1)
+    assert out[4][1] == 0
+    planes = np.array(similarity._hyperplanes(64, 4, 911))
+    for vid, v in vecs:
+        exp_cell = int(((planes @ np.asarray(v) > 0) << np.arange(4)).sum())
+        assert out[vid][0] == exp_cell
