@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(146 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(150 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2348,6 +2348,61 @@ def q_graph_shortest_paths(spark, sf):
     return graph.shortest_paths(graph.triples_to_edges(t), src[0].subj if src else "none")
 
 
+def q_graph_hits(spark, sf):
+    """HITS hubs/authorities on the same edge list as graph_pagerank,
+    fixed 8 iterations, L1 normalization (no sqrt -> the DuckDB oracle
+    unrolls the identical recurrence as chained CTEs; 8-dp rounding
+    absorbs summation-order noise)."""
+    t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
+    return graph.hits(graph.triples_to_edges(t), max_iter=8).select(
+        "id", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
+def q_graph_kcore(spark, sf):
+    """2-core by synchronous peeling over the spatial proximity graph
+    (the KG link graph itself is a forest — its 2-core is empty by
+    construction, which is exactly why density analysis runs on the
+    DWithin graph, same edge set as graph_triangles). EXACTLY 12 peel
+    rounds on both engines — the oracle unrolls the same 12 peels, so
+    agreement never depends on convergence. The value check rides on
+    core_deg (each survivor's within-core degree, non-uniform); the
+    peel cascade itself is pytest-locked on a star+cycle graph."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.kcore(p, k=2, rounds=12)
+
+
+def q_emb_pq(spark, sf):
+    """Product quantization (faiss PQ): 64-dim -> 4 codes from 8 seeded
+    literal centroids each + total squared reconstruction error. Pure
+    Project, zero Exchange; distances are bit-identical across engines
+    because both render the SAME left-to-right `+` chain (see
+    similarity.pq_dist_sql), so argmin codes match exactly. The 4 codes
+    (each in [0,8)) pack losslessly into one base-8 int for the driver's
+    scalar-columns-only compare."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    packed = "element_at(pq_code, 1) * 512 + element_at(pq_code, 2) * 64 + " \
+             "element_at(pq_code, 3) * 8 + element_at(pq_code, 4)"
+    return similarity.with_pq_codes(e).select(
+        "vec_id", F.expr(packed).cast("long").alias("pq_packed"), "recon_err"
+    )
+
+
+def q_text_entropy(spark, sf):
+    """Lexical diversity: word-unigram entropy via the one-agg identity
+    H = log2(n) - sum(c*log2(c))/n, plus type-token ratio — two
+    map-side-combinable exchanges, no window."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.token_entropy(d)
+
+
 def q_multimodal_features(spark, sf):
     """REAL visual feature extraction: payloads rotate bmp24/png/gif per
     doc (all three with real pixel data), image_grid_features sniffs,
@@ -2664,6 +2719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "dedup_semantic": q_dedup_semantic,
+        "graph_hits": q_graph_hits,
+        "graph_kcore": q_graph_kcore,
+        "emb_pq": q_emb_pq,
+        "text_entropy": q_text_entropy,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -3893,6 +3952,99 @@ FROM c LEFT JOIN d ON c.vec_id = d.vec_id
 """
 
 
+def _hits_sql(iters: int = 8) -> str:
+    """HITS recurrence unrolled as chained CTEs — (auth from prev hubs,
+    L1-normalize, hub from new auths, L1-normalize) per iteration,
+    mirroring citykg.ops.graph.hits exactly."""
+    parts = [
+        _graph_edges_cte(["building", "addresstobuilding", "surfacegeometry"]),
+        ", nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        ", nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        ", s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS hub, "
+        "1.0 / (SELECT n FROM nn) AS auth FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"s{t - 1}"
+        parts.append(
+            f", ar{t} AS MATERIALIZED (SELECT e.dst AS id, sum(s.hub) AS a "
+            f"FROM e JOIN {prev} s ON s.id = e.src GROUP BY e.dst)"
+            f", an{t} AS MATERIALIZED (SELECT n.id, "
+            f"coalesce(ar.a, 0.0) / (SELECT sum(a) FROM ar{t}) AS auth "
+            f"FROM nodes n LEFT JOIN ar{t} ar ON ar.id = n.id)"
+            f", hr{t} AS MATERIALIZED (SELECT e.src AS id, sum(an.auth) AS h "
+            f"FROM e JOIN an{t} an ON an.id = e.dst GROUP BY e.src)"
+            f", s{t} AS MATERIALIZED (SELECT an.id, "
+            f"coalesce(hr.h, 0.0) / (SELECT sum(h) FROM hr{t}) AS hub, an.auth "
+            f"FROM an{t} an LEFT JOIN hr{t} hr ON hr.id = an.id)"
+        )
+    parts.append(f" SELECT id, round(hub, 8) AS hub, round(auth, 8) AS auth FROM s{iters}")
+    return "".join(parts)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
+    """Synchronous k-core peel unrolled — degree within the surviving
+    subgraph, drop below-k nodes, exactly `rounds` times — over the
+    same DWithin proximity edges as the graph_triangles oracle."""
+    parts = [
+        "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
+        "5820000 + doc_id % 2000 AS py FROM documents)",
+        ", e AS MATERIALIZED (SELECT a.d AS src, b.d AS dst FROM pts a JOIN pts b "
+        "ON a.d < b.d AND (a.px - b.px) * (a.px - b.px) + "
+        "(a.py - b.py) * (a.py - b.py) < 9)",
+        ", sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        ", nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        ", a0 AS MATERIALIZED (SELECT id FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT s.src AS id, count(*) AS dg FROM sym s "
+            f"JOIN a{r - 1} x ON x.id = s.src JOIN a{r - 1} y ON y.id = s.dst "
+            "GROUP BY s.src)"
+            f", a{r} AS MATERIALIZED (SELECT id, dg FROM d{r} WHERE dg >= {k})"
+        )
+    parts.append(
+        " SELECT n.id, CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS in_core, "
+        f"CAST(coalesce(a.dg, 0) AS BIGINT) AS core_deg "
+        f"FROM nodes n LEFT JOIN a{rounds} a ON a.id = n.id"
+    )
+    return "".join(parts)
+
+
+def _pq_sql(dim: int = 64) -> str:
+    """The identical PQ distance chains (bit-equal by construction — see
+    similarity.pq_dist_sql), DuckDB element accessor."""
+    from citykg.ops.similarity import PQ_K, PQ_M, pq_codebook, pq_dist_sql
+
+    cb = pq_codebook(dim)
+    sub = dim // PQ_M
+    acc = "CAST(embedding[{i}] AS DOUBLE)"
+    ds = ", ".join(
+        "[" + ", ".join(pq_dist_sql(acc, s * sub, cb[s][j]) for j in range(PQ_K)) + f"] AS ds{s}"
+        for s in range(PQ_M)
+    )
+    code = " + ".join(
+        f"(list_position(ds{s}, list_min(ds{s})) - 1) * {8 ** (PQ_M - 1 - s)}"
+        for s in range(PQ_M)
+    )
+    err = " + ".join(f"list_min(ds{s})" for s in range(PQ_M))
+    return (
+        f"WITH d AS (SELECT vec_id, {ds} FROM embeddings) "
+        f"SELECT vec_id, CAST({code} AS BIGINT) AS pq_packed, "
+        f"round({err}, 6) AS recon_err FROM d"
+    )
+
+
+def _entropy_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+  round(count(*) * 1.0 / sum(c), 6) AS ttr
+FROM tf GROUP BY doc_id
+"""
+
+
 def _ann_brute_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -4295,6 +4447,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _classifier_sql(),
         "boilerplate_ngrams": _boilerplate_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
+        "graph_hits": _hits_sql(),
+        "graph_kcore": _kcore_sql(),
+        "emb_pq": _pq_sql(),
+        "text_entropy": _entropy_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

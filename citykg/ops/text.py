@@ -410,3 +410,34 @@ def boilerplate_ngrams(
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(top)
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Word-unigram entropy + type-token ratio per document — the
+    lexical-diversity quality signals (low entropy == repetitive/spammy
+    text; the Gopher-style repetition family's information-theoretic
+    cousin). Uses the single-aggregation identity
+    H = log2(n) - sum(c*log2(c))/n, so the whole op is explode ->
+    ONE (doc, token) partial agg -> ONE doc partial agg — two
+    map-side-combinable exchanges, no window, no second corpus scan.
+    Rounded to 6 dp (cross-engine summation-order noise is ~1e-15)."""
+    t = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+    )
+    tf = t.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("_c") * F.log2("_c")).alias("_sclc"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.round(F.log2("n_tokens") - F.col("_sclc") / F.col("n_tokens"), 6).alias("entropy"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        )
+    )

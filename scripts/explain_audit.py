@@ -90,6 +90,10 @@ AUDITS = [
     ("quality_classifier", "hashed linear quality model: ONE JVM expression, pure Project, zero Exchange, no Python"),
     ("boilerplate_ngrams", "boilerplate n-grams: one partial-agg exchange on gram, one-row total broadcast, TakeOrdered top-k"),
     ("dedup_semantic", "SemDeDup: cell equi-join (localCheckpointed quantizer frame), NO CartesianProduct, JVM dot products"),
+    ("graph_hits", "HITS: per-iteration join + partial agg, one-row normalizers folded in-plan, static edges checkpointed"),
+    ("graph_kcore", "k-core peel: two semi-joins + ONE partial-agg degree count per round over a shrinking alive set"),
+    ("emb_pq", "product quantization: pure Project, zero Exchange, zero Python (bit-identical literal distance chains)"),
+    ("text_entropy", "token entropy: explode + two map-side-combinable exchanges, no window"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -1087,3 +1087,108 @@ def test_semantic_dedup_drops_in_cell_near_dups_only(spark):
     for vid, v in vecs:
         exp_cell = int(((planes @ np.asarray(v) > 0) << np.arange(4)).sum())
         assert out[vid][0] == exp_cell
+
+
+# ---------------- HITS / k-core / PQ / entropy ----------------
+
+def test_hits_bipartite_structure(spark):
+    """2 hubs x 3 authorities bipartite graph: stationary point is
+    hub = 1/2 per hub, auth = 1/3 per authority (L1-normalized), and the
+    power iteration is AT the fixpoint from iteration 1 — so 8 fixed
+    iterations must land exactly there."""
+    e = spark.createDataFrame(
+        [(h, a) for h in ("h1", "h2") for a in ("a1", "a2", "a3")],
+        "src string, dst string",
+    )
+    out = {r.id: (round(r.hub, 9), round(r.auth, 9)) for r in graph.hits(e, max_iter=8).collect()}
+    for h in ("h1", "h2"):
+        assert out[h] == (0.5, 0.0)
+    for a in ("a1", "a2", "a3"):
+        assert out[a][0] == 0.0
+        assert abs(out[a][1] - 1 / 3) < 1e-9
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Asymmetric digraph: replay the same fixed-iteration L1-normalized
+    recurrence with numpy on the adjacency matrix."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3)]
+    e = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string")
+    n = 4
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+    hub = np.full(n, 1 / n)
+    auth = np.full(n, 1 / n)
+    for _ in range(8):
+        auth = A.T @ hub
+        auth /= auth.sum()
+        hub = A @ auth
+        hub /= hub.sum()
+    out = {r.id: (r.hub, r.auth) for r in graph.hits(e, max_iter=8).collect()}
+    for i in range(n):
+        assert out[f"n{i}"][0] == pytest.approx(hub[i], abs=1e-12)
+        assert out[f"n{i}"][1] == pytest.approx(auth[i], abs=1e-12)
+
+
+def test_kcore_star_peels_triangle_survives(spark):
+    """k=2: star leaves peel in round 1, the stranded center in round 2
+    (cascade); the triangle is its own 2-core with within-core degree 2."""
+    e = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(4)] + [("t1", "t2"), ("t2", "t3"), ("t3", "t1")],
+        "src string, dst string",
+    )
+    out = {r.id: (r.in_core, r.core_deg) for r in graph.kcore(e, k=2, rounds=12).collect()}
+    assert out["c"] == (0, 0)
+    for i in range(4):
+        assert out[f"l{i}"] == (0, 0)
+    for t in ("t1", "t2", "t3"):
+        assert out[t] == (1, 2)
+
+
+def test_kcore_bounded_rounds_contract(spark):
+    """A 6-chain at k=2 unravels completely, but ONE round only peels the
+    two endpoints — the rounds parameter is the contract, not convergence."""
+    e = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(5)], "src string, dst string"
+    )
+    one = {r.id: r.in_core for r in graph.kcore(e, k=2, rounds=1).collect()}
+    assert one == {"v0": 0, "v5": 0, "v1": 1, "v2": 1, "v3": 1, "v4": 1}
+    full = {r.id: r.in_core for r in graph.kcore(e, k=2, rounds=12).collect()}
+    assert set(full.values()) == {0}
+
+
+def test_pq_codes_centroid_roundtrip(spark):
+    """A vector stitched from one centroid per subspace must code to
+    exactly those centroid indices with ~0 reconstruction error; codes on
+    a random vector match a numpy argmin over the same codebook."""
+    cb = similarity.pq_codebook()
+    picks = [3, 0, 7, 5]
+    stitched = [x for s, j in enumerate(picks) for x in cb[s][j]]
+    rng = np.random.default_rng(5)
+    rand = [round(float(x), 4) for x in rng.standard_normal(64)]
+    d = spark.createDataFrame(
+        [(1, [float(x) for x in stitched]), (2, rand)], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: (list(r.pq_code), r.recon_err) for r in similarity.with_pq_codes(d).collect()}
+    assert out[1][0] == picks
+    # float32 storage quantizes the stitched values -> tiny but nonzero err
+    assert out[1][1] < 1e-9
+    exp = []
+    for s in range(4):
+        sub = np.array(np.asarray(rand[s * 16:(s + 1) * 16], dtype=np.float32), dtype=np.float64)
+        dists = [float(((sub - np.asarray(c)) ** 2).sum()) for c in cb[s]]
+        exp.append(int(np.argmin(dists)))
+    assert out[2][0] == exp
+
+
+def test_token_entropy_closed_form(spark):
+    """'a a b' -> H of (2/3, 1/3) = 0.918296, ttr = 2/3; uniform text ->
+    H = log2(n_types)."""
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.token_entropy(d).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_types == 2
+    assert out[1].entropy == pytest.approx(-(2 / 3) * np.log2(2 / 3) - (1 / 3) * np.log2(1 / 3), abs=1e-6)
+    assert out[1].ttr == pytest.approx(round(2 / 3, 6), abs=1e-9)
+    assert out[2].entropy == pytest.approx(2.0, abs=1e-9)
