@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(150 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(151 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2395,6 +2395,17 @@ def q_emb_pq(spark, sf):
     )
 
 
+def q_bpe_train(spark, sf):
+    """BPE vocabulary induction: the top-6 learned merges with their
+    pair counts. Corpus is scanned ONCE (word-frequency agg); the 6
+    training iterations run on the vocabulary table; the oracle
+    re-derives the identical merge trajectory from scratch (chained
+    CTEs + list_reduce greedy fold), so the whole training run is
+    value-checked (see text.bpe_merges)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.bpe_merges(d, n_merges=6)
+
+
 def q_text_entropy(spark, sf):
     """Lexical diversity: word-unigram entropy via the one-agg identity
     H = log2(n) - sum(c*log2(c))/n, plus type-token ratio — two
@@ -2723,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
+        "bpe_train": q_bpe_train,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4034,6 +4046,39 @@ def _pq_sql(dim: int = 64) -> str:
     )
 
 
+def _bpe_sql(n_merges: int = 6) -> str:
+    """The same BPE training trajectory re-derived from scratch: per
+    merge, a pair-count CTE, a 1-row argmax CTE (same tie-break), and a
+    token-list rebuild via the identical greedy list_reduce fold."""
+    parts = [
+        "WITH w0 AS (SELECT w, count(*) AS cnt FROM "
+        "(SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents) "
+        "WHERE length(w) > 0 GROUP BY w), "
+        "t0 AS (SELECT list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, CAST(i AS INT), 1)) AS toks, cnt FROM w0)"
+    ]
+    for m in range(1, n_merges + 1):
+        prev = f"t{m - 1}"
+        parts.append(
+            f", p{m} AS (SELECT toks[i] AS l, toks[i + 1] AS r, sum(cnt) AS pair_cnt "
+            f"FROM {prev}, unnest(range(1, len(toks))) u(i) WHERE len(toks) > 1 "
+            "GROUP BY 1, 2)"
+            f", b{m} AS (SELECT l, r, l || r AS merged, pair_cnt FROM p{m} "
+            "ORDER BY pair_cnt DESC, l, r LIMIT 1)"
+            f", t{m} AS (SELECT list_reduce(list_transform(toks, t -> [t]), "
+            "(acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r "
+            "THEN list_append(list_slice(acc, 1, len(acc) - 1), b.merged) "
+            "ELSE list_concat(acc, x) END) AS toks, cnt "
+            f"FROM {prev}, b{m} b)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {m} AS rank, l AS l_sym, r AS r_sym, merged, "
+        f"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b{m}"
+        for m in range(1, n_merges + 1)
+    )
+    return "".join(parts) + " " + sel
+
+
 def _entropy_sql() -> str:
     return """
 WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
@@ -4451,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(),
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
+        "bpe_train": _bpe_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

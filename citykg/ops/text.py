@@ -441,3 +441,70 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
         )
     )
+
+
+def bpe_merges(df: DataFrame, text_col: str = "text", n_merges: int = 6) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. ACL 2016 —
+    the GPT-2/LLaMA vocabulary-induction algorithm): learn the top
+    `n_merges` byte-pair merges over the corpus. Returns the merge table
+    (rank, l_sym, r_sym, merged, pair_cnt) — the artifact a tokenizer
+    ships.
+
+    Sparkified the way you'd actually train at 100 TB: the ONLY
+    corpus-scale operation is the initial word-frequency aggregation
+    (one scan, map-side combinable); every merge iteration then runs on
+    the VOCABULARY table (distinct words x counts — millions of rows at
+    web scale, not trillions). Per iteration: one pair-count partial agg
+    + a 1-row argmax collect (the merge decision IS driver state — this
+    is the canonical structure, not a collect anti-pattern), then the
+    merge applies as a pure JVM `aggregate` fold that rebuilds each
+    token list greedily left-to-right — the exact BPE application rule,
+    including runs ('a a a a' + merge(a,a) -> [aa, aa]).
+
+    Ties break (pair_cnt DESC, l_sym, r_sym) so the learned sequence is
+    deterministic; the DuckDB oracle re-derives the SAME merges from
+    scratch (chained CTEs with a list_reduce fold), so the entire
+    training trajectory is value-checked, not just the final table."""
+    spark = df.sparkSession
+    wc = (
+        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    toks = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    wf = wc.select(F.expr(toks).alias("toks"), "cnt").localCheckpoint(eager=False)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    pairs_expr = (
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) as l, element_at(toks, i + 1) as r))"
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            wf.where(F.expr("size(toks) > 1"))
+            .select(F.explode(F.expr(pairs_expr)).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_cnt"))
+            .orderBy(F.col("pair_cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        b = top[0]
+        merged = b.l + b.r
+        merges.append((rank, b.l, b.r, merged, int(b.pair_cnt)))
+        fold = (
+            f"aggregate(slice(toks, 2, size(toks) - 1), array(element_at(toks, 1)), "
+            f"(acc, x) -> CASE WHEN element_at(acc, size(acc)) = '{q(b.l)}' AND x = '{q(b.r)}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{q(merged)}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+        wf = wf.select(F.expr(fold).alias("toks"), "cnt").localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, l_sym string, r_sym string, merged string, pair_cnt long"
+    )

@@ -94,6 +94,7 @@ AUDITS = [
     ("graph_kcore", "k-core peel: two semi-joins + ONE partial-agg degree count per round over a shrinking alive set"),
     ("emb_pq", "product quantization: pure Project, zero Exchange, zero Python (bit-identical literal distance chains)"),
     ("text_entropy", "token entropy: explode + two map-side-combinable exchanges, no window"),
+    ("bpe_train", "BPE training: ONE corpus-scale word-freq agg; merge iterations run on the vocab table (JVM greedy fold, 1-row argmax collects)"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

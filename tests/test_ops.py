@@ -1192,3 +1192,28 @@ def test_token_entropy_closed_form(spark):
     assert out[1].entropy == pytest.approx(-(2 / 3) * np.log2(2 / 3) - (1 / 3) * np.log2(1 / 3), abs=1e-6)
     assert out[1].ttr == pytest.approx(round(2 / 3, 6), abs=1e-9)
     assert out[2].entropy == pytest.approx(2.0, abs=1e-9)
+
+
+def test_bpe_merges_known_trajectory(spark):
+    """Corpus of 4x'low' + 1x'lower': l-o wins (5), then the learned
+    'lo' symbol participates in the next merge (lo-w, 5); at rank 3 the
+    1-count pairs (e,r) and (low,e) tie and the (l_sym, r_sym) ASC
+    tie-break picks (e,r) — locking the determinism rule."""
+    d = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower low")], "doc_id long, text string"
+    )
+    rows = text.bpe_merges(d, n_merges=3).orderBy("rank").collect()
+    assert [(r.l_sym, r.r_sym, r.merged, r.pair_cnt) for r in rows] == [
+        ("l", "o", "lo", 5),
+        ("lo", "w", "low", 5),
+        ("e", "r", "er", 1),
+    ]
+
+
+def test_bpe_merge_applies_greedily_on_runs(spark):
+    """'aaaa' + merge(a,a) must yield [aa, aa] (greedy left scan), so the
+    second merge learned is (aa, aa)."""
+    d = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rows = text.bpe_merges(d, n_merges=2).orderBy("rank").collect()
+    assert (rows[0].l_sym, rows[0].r_sym, rows[0].pair_cnt) == ("a", "a", 6)
+    assert (rows[1].l_sym, rows[1].r_sym, rows[1].pair_cnt) == ("aa", "aa", 2)
