@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(151 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(153 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2406,6 +2406,35 @@ def q_bpe_train(spark, sf):
     return text.bpe_merges(d, n_merges=6)
 
 
+def q_scd2_dim(spark, sf):
+    """Type-2 SCD build over the event log: per-user state-change
+    intervals [valid_from, valid_to) with version numbers; ties on ts
+    break by event_id so the interval chain is deterministic (see
+    temporal.scd2_intervals)."""
+    from citykg.ops.temporal import scd2_intervals
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return scd2_intervals(e)
+
+
+def q_link_editdist(spark, sf):
+    """Levenshtein gazetteer linking with PROVABLY lossless length-bucket
+    blocking (lev <= 2 implies |len diff| <= 2): mentions get a
+    deterministic 2nd-char-drop typo when their city number is divisible
+    by 3, and the typo'd forms must still link at edit_dist 1. The
+    oracle scores UNBLOCKED — equality of the two is the losslessness
+    proof run as data (see link.link_editdist)."""
+    typo = (
+        "CASE WHEN CAST(substring(mention, 6) AS INT) % 3 = 0 "
+        "THEN concat(substring(mention, 1, 1), substring(mention, 3)) ELSE mention END"
+    )
+    m = link.entity_mentions(_docs(spark, sf)).withColumn("mention", F.expr(typo))
+    out = link.link_editdist(m, synth_gazetteer(spark), max_dist=2)
+    return out.select(
+        "doc_id", "mention", "entity_id", F.col("edit_dist").cast("int").alias("edit_dist")
+    )
+
+
 def q_text_entropy(spark, sf):
     """Lexical diversity: word-unigram entropy via the one-agg identity
     H = log2(n) - sum(c*log2(c))/n, plus type-token ratio — two
@@ -2735,6 +2764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
         "bpe_train": q_bpe_train,
+        "scd2_dim": q_scd2_dim,
+        "link_editdist": q_link_editdist,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4079,6 +4110,50 @@ def _bpe_sql(n_merges: int = 6) -> str:
     return "".join(parts) + " " + sel
 
 
+def _scd2_sql() -> str:
+    return """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT user_id, ts, event_id, event_type FROM o
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+  event_type AS state, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       THEN 1 ELSE 0 END AS is_current
+FROM c
+"""
+
+
+def _link_editdist_sql() -> str:
+    """UNBLOCKED Levenshtein best-match — cross join every distinct
+    mention against every alias; agreement with the Spark side's
+    length-bucket join is the blocking-losslessness proof."""
+    typo = (
+        "CASE WHEN CAST(substr(m, 6) AS INT) % 3 = 0 "
+        "THEN substr(m, 1, 1) || substr(m, 3) ELSE m END"
+    )
+    return (
+        "WITH mm AS (SELECT ({dk}) AS doc_id, " + typo + " AS mention "
+        "FROM (SELECT doc_id AS d, 'City ' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 "
+        "ELSE doc_id % 50 END AS VARCHAR) AS m FROM documents) b), "
+        "ents AS (SELECT i, printf('ENT_%04d', i) AS entity_id, "
+        "CASE WHEN i < 50 THEN ['city ' || CAST(i AS VARCHAR), 'c' || CAST(i AS VARCHAR), 'city-' || CAST(i AS VARCHAR)] "
+        "ELSE ['district ' || CAST(i AS VARCHAR), 'd' || CAST(i AS VARCHAR)] END AS als "
+        "FROM range(1000) t(i)), "
+        "al AS (SELECT entity_id, lower(unnest(als)) AS alias FROM ents), "
+        "tx AS (SELECT DISTINCT lower(mention) AS t FROM mm), "
+        "cand AS (SELECT t, entity_id, levenshtein(t, alias) AS dist FROM tx, al "
+        "WHERE levenshtein(t, alias) <= 2), "
+        "best AS (SELECT t, entity_id, CAST(dist AS INT) AS edit_dist, "
+        "row_number() OVER (PARTITION BY t ORDER BY dist, entity_id) AS rn FROM cand) "
+        "SELECT mm.doc_id, mm.mention, b.entity_id, b.edit_dist "
+        "FROM mm LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON lower(mm.mention) = b.t"
+    ).replace("{dk}", doc_key_expr("duckdb"))
+
+
 def _entropy_sql() -> str:
     return """
 WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
@@ -4497,6 +4572,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
         "bpe_train": _bpe_sql(),
+        "scd2_dim": _scd2_sql(),
+        "link_editdist": _link_editdist_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -116,3 +116,38 @@ def interval_join(
         F.col(f"i.{start_col}").alias(start_col),
         F.col(f"i.{end_col}").alias(end_col),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each key's state
+    stream into validity intervals — one row per state CHANGE with
+    [valid_from, valid_to) and a per-key version number; the open
+    interval (valid_to NULL) is the current state. The standard
+    warehouse pattern for turning an event log into a dimension an
+    as-of join can consume (`asof_join` upstream in this module).
+
+    Scale shape: two key-partitioned windows (lag to detect changes,
+    lead/row_number over the collapsed rows) — partitions are bounded
+    by per-key event counts, no global window, no self-join. Ordering
+    ties on `ts_col` break by `tie_col` so the interval chain is
+    deterministic on both engines."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    changed = (
+        events.withColumn("_prev", F.lag(state_col).over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return changed.select(
+        F.col(key_col),
+        F.row_number().over(w2).alias("version"),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.when(F.lead(ts_col).over(w2).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

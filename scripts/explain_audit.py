@@ -95,6 +95,8 @@ AUDITS = [
     ("emb_pq", "product quantization: pure Project, zero Exchange, zero Python (bit-identical literal distance chains)"),
     ("text_entropy", "token entropy: explode + two map-side-combinable exchanges, no window"),
     ("bpe_train", "BPE training: ONE corpus-scale word-freq agg; merge iterations run on the vocab table (JVM greedy fold, 1-row argmax collects)"),
+    ("scd2_dim", "SCD-2 build: two user-keyed windows (bounded partitions), ONE exchange on user_id, no self-join"),
+    ("link_editdist", "edit-dist link: distinct mentions x broadcast length-fanned aliases, min-struct partial agg, broadcast re-attach"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

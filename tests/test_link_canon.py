@@ -180,3 +180,33 @@ def test_reliable_checkpoint_path(spark, tmp_path_factory):
     # durable cut files actually landed under the reliable dir
     files = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert files, "no reliable checkpoint files written"
+
+
+def test_link_editdist_blocked_equals_unblocked(spark):
+    """Length-bucket blocking is lossless for lev<=2 — verify against a
+    brute python recompute, including a no-match NULL and a tie."""
+    gaz = spark.createDataFrame(
+        [("E1", ["berlin"]), ("E2", ["bern"]), ("E3", ["paris"])],
+        "entity_id string, aliases array<string>",
+    )
+    rows = [(1, 0, "berlln"), (2, 0, "bernn"), (3, 0, "tokyo"), (4, 0, "bern")]
+    m = spark.createDataFrame(rows, "doc_id long, span_idx int, mention string")
+    got = {r.doc_id: (r.entity_id, r.edit_dist) for r in link.link_editdist(m, gaz).collect()}
+    assert got[1] == ("E1", 1)      # substitution typo
+    assert got[2] == ("E2", 1)      # insertion typo
+    assert got[3] == (None, None)   # nothing within 2
+    assert got[4] == ("E2", 0)      # exact
+    # brute recompute over every (mention, alias) pair — no blocking
+    def lev(a, b):
+        import numpy as np
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[len(b)])
+    aliases = [("E1", "berlin"), ("E2", "bern"), ("E3", "paris")]
+    for doc_id, _, mention in rows:
+        cands = sorted((lev(mention, a), e) for e, a in aliases if lev(mention, a) <= 2)
+        want = (cands[0][1], cands[0][0]) if cands else (None, None)
+        assert got[doc_id] == want

@@ -45,3 +45,33 @@ def test_asof_join_equal_ts_is_inclusive(spark):
     right = spark.createDataFrame([(1, _ts(10), 7.0)], "user_id long, ts timestamp, rv double")
     out = asof_join(left, right, "user_id").collect()[0]
     assert out.asof_rv == 7.0
+
+
+def test_scd2_collapses_repeats_and_chains_intervals(spark):
+    from citykg.ops.temporal import scd2_intervals
+
+    rows = [
+        (1, _ts(0), 1, "view"),
+        (1, _ts(5), 2, "view"),      # repeat -> collapsed into v1
+        (1, _ts(10), 3, "click"),
+        (1, _ts(20), 4, "view"),     # state may recur as a NEW version
+        (2, _ts(0), 5, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {(r.user_id, r.version): r for r in scd2_intervals(df).collect()}
+    assert len(out) == 4
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1.state, v2.state, v3.state) == ("view", "click", "view")
+    # intervals chain: each valid_to == the next valid_from; last is open
+    assert v1.valid_to == v2.valid_from and v2.valid_to == v3.valid_from
+    assert v3.valid_to is None and v3.is_current == 1 and v1.is_current == 0
+    assert out[(2, 1)].is_current == 1
+
+
+def test_scd2_ties_break_by_event_id(spark):
+    from citykg.ops.temporal import scd2_intervals
+
+    rows = [(1, _ts(0), 2, "b"), (1, _ts(0), 1, "a")]  # same ts
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = sorted(scd2_intervals(df).collect(), key=lambda r: r.version)
+    assert [r.state for r in out] == ["a", "b"]
