@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(153 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(157 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2435,6 +2435,97 @@ def q_link_editdist(spark, sf):
     )
 
 
+def q_graph_local_cc(spark, sf):
+    """Per-node local clustering coefficient over the DWithin proximity
+    graph (node-level refinement of graph_clustering's global figure) —
+    reuses the degree-oriented triangle enumeration, then one explode +
+    partial agg per vertex (graph.local_clustering)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.local_clustering(p)
+
+
+def q_corpus_zipf(spark, sf):
+    """One-row corpus health check: vocabulary size, total tokens, Zipf
+    rank-frequency slope (ln-ln least squares; natural corpora ~ -1),
+    top token. One corpus-scale token count; the ranking window runs
+    over the vocabulary frame only (text.corpus_zipf)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.corpus_zipf(d)
+
+
+def q_event_histogram(spark, sf):
+    """Fixed-width 8-bucket value histogram per event type — the
+    profiling primitive. min/max per type is a 5-row broadcast back onto
+    the stream; bucket assignment is the identical float expression on
+    both engines, then ONE partial-agg count."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    stats = e.groupBy("event_type").agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = (
+        "CASE WHEN mx = mn THEN 0 ELSE "
+        "least(cast(floor((value - mn) / (mx - mn) * 8.0) as int), 7) END"
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("bucket", F.expr(b))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("mn") + (F.min("mx") - F.min("mn")) * F.col("bucket") / 8.0, 6).alias("bucket_lo"),
+        )
+    )
+
+
+#: literal per-dimension multipliers for the deterministic pseudo-embedding
+_TRANSE_PRIMES = [3, 5, 7, 11, 13, 17, 19, 23]
+
+
+def _transe_embed_terms(fh: str, fr: str, ft: str) -> str:
+    """L1 TransE score ||h + r - t|| from three char-fold hash columns:
+    component j of each embedding is ((fold % 100003) * P_j) % 1000 /
+    999.0 - 0.5 — pure integer-then-divide arithmetic, so both engines
+    compute bit-identical components and the rounded score is exact.
+    The divisor is CAST(999 AS DOUBLE): a bare `999.0` literal parses as
+    DECIMAL in Spark (scale-6 truncation) but DOUBLE in DuckDB."""
+    terms = []
+    for p in _TRANSE_PRIMES:
+        comp = lambda f: (  # noqa: E731
+            f"((({f}) % 100003) * {p}) % 1000 / CAST(999 AS DOUBLE) - 0.5"
+        )
+        terms.append(f"abs(({comp(fh)}) + ({comp(fr)}) - ({comp(ft)}))")
+    return "round(" + " + ".join(terms) + ", 6)"
+
+
+def q_kg_transe(spark, sf):
+    """KG-embedding serving pass: score every IRI-object triple with the
+    TransE energy ||h + r - t||_1 under deterministic hash-derived
+    embeddings (the seeded stand-in for trained vectors — swap a real
+    embedding table in via a broadcast join without changing the plan).
+    Pure Project over one scan: at 100 TB, scoring a trillion triples is
+    scan-bound, which is the point of the demo. Pairs with
+    kg_negative_sample (the training-pair producer)."""
+    from citykg.ops.hashing import char_fold_spark
+
+    t = _triples(spark, sf, ["building", "addresstobuilding"]).where(
+        F.col("obj_type") == "iri"
+    )
+    t = (
+        t.withColumn("_fh", F.expr(char_fold_spark("subj")))
+        .withColumn("_fr", F.expr(char_fold_spark("pred")))
+        .withColumn("_ft", F.expr(char_fold_spark("obj")))
+    )
+    return t.select(
+        "subj", "pred", "obj",
+        F.expr(_transe_embed_terms("_fh", "_fr", "_ft")).alias("transe_l1"),
+    )
+
+
 def q_text_entropy(spark, sf):
     """Lexical diversity: word-unigram entropy via the one-agg identity
     H = log2(n) - sum(c*log2(c))/n, plus type-token ratio — two
@@ -2766,6 +2857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "scd2_dim": q_scd2_dim,
         "link_editdist": q_link_editdist,
+        "graph_local_cc": q_graph_local_cc,
+        "corpus_zipf": q_corpus_zipf,
+        "event_histogram": q_event_histogram,
+        "kg_transe": q_kg_transe,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4110,6 +4205,75 @@ def _bpe_sql(n_merges: int = 6) -> str:
     return "".join(parts) + " " + sel
 
 
+def _local_cc_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+deg AS (SELECT v AS id, count(*) AS deg FROM
+  (SELECT u AS v FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM pairs e1
+  JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+tc AS (SELECT id, count(*) AS tri_cnt FROM
+  (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY 1)
+SELECT d.id, d.deg, CAST(coalesce(tc.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+  CASE WHEN d.deg >= 2
+       THEN round(2.0 * coalesce(tc.tri_cnt, 0) / (d.deg * (d.deg - 1)), 6)
+       ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tc ON tc.id = d.id
+"""
+
+
+def _zipf_sql() -> str:
+    return """
+WITH tf AS (SELECT tok, count(*) AS freq FROM
+  (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0 GROUP BY tok),
+r AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM tf),
+l AS (SELECT tok, freq, rank, ln(rank) AS x, ln(freq) AS y FROM r)
+SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens,
+  round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+  max(CASE WHEN rank = 1 THEN tok END) AS top_token,
+  CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq
+FROM l
+"""
+
+
+def _event_histogram_sql() -> str:
+    return """
+WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1),
+b AS (SELECT e.event_type,
+    CASE WHEN mx = mn THEN 0
+         ELSE least(CAST(floor((value - mn) / (mx - mn) * 8.0) AS INT), 7) END AS bucket,
+    mn, mx
+  FROM events e JOIN s USING (event_type))
+SELECT event_type, bucket, count(*) AS cnt,
+  round(min(mn) + (min(mx) - min(mn)) * bucket / 8.0, 6) AS bucket_lo
+FROM b GROUP BY 1, 2
+"""
+
+
+def _transe_sql() -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    return (
+        _triples_cte(["building", "addresstobuilding"])
+        + ", f AS (SELECT subj, pred, obj, "
+        + f"({char_fold_duckdb('subj')}) AS fh, "
+        + f"({char_fold_duckdb('pred')}) AS fr, "
+        + f"({char_fold_duckdb('obj')}) AS ft "
+        + "FROM t WHERE obj_type = 'iri') "
+        + "SELECT subj, pred, obj, "
+        + _transe_embed_terms("fh", "fr", "ft")
+        + " AS transe_l1 FROM f"
+    )
+
+
 def _scd2_sql() -> str:
     return """
 WITH o AS (SELECT user_id, ts, event_id, event_type,
@@ -4574,6 +4738,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_sql(),
         "scd2_dim": _scd2_sql(),
         "link_editdist": _link_editdist_sql(),
+        "graph_local_cc": _local_cc_sql(),
+        "corpus_zipf": _zipf_sql(),
+        "event_histogram": _event_histogram_sql(),
+        "kg_transe": _transe_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -412,3 +412,48 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 12) -> DataFrame:
         F.when(F.col("_deg").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("in_core"),
         F.coalesce("_deg", F.lit(0)).cast("long").alias("core_deg"),
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient: lcc(v) = 2 * tri(v) /
+    (deg(v) * (deg(v) - 1)) — the node-level refinement of the global
+    coefficient (`graph_clustering` query). Returns (id, deg, tri_cnt,
+    lcc); degree-1 nodes get lcc 0.
+
+    Scale shape: reuses the degree-oriented `triangles` enumeration
+    (O(m^1.5) work, hub-capped wedges), then one explode + partial-agg
+    count per vertex and a degree join — no new join shapes beyond what
+    triangles already bounds."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tcnt = (
+        triangles(und.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+        .select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return deg.join(tcnt, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce("tri_cnt", F.lit(0)).cast("long").alias("tri_cnt"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.coalesce("tri_cnt", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -508,3 +508,38 @@ def bpe_merges(df: DataFrame, text_col: str = "text", n_merges: int = 6) -> Data
     return spark.createDataFrame(
         merges, "rank int, l_sym string, r_sym string, merged string, pair_cnt long"
     )
+
+
+def corpus_zipf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus diagnostics: vocabulary size, total tokens, the
+    Zipf rank-frequency slope (least-squares fit of ln(freq) on
+    ln(rank); healthy natural-language corpora sit near -1, spam/
+    boilerplate-heavy corpora flatten), and the top token. The standard
+    pre-training corpus health check.
+
+    Scale shape: ONE corpus-scale token count (map-side combinable);
+    the ranking window and the closed-form slope
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) then run over the VOCABULARY frame
+    — bounded by distinct-token count, not corpus size (the documented
+    B-row single-partition window, same policy as sampling.py)."""
+    tf = (
+        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    r = tf.withColumn("rank", F.row_number().over(w)).select(
+        "tok", "freq", "rank", F.log("rank").alias("x"), F.log("freq").alias("y")
+    )
+    return r.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("freq").alias("total_tokens"),
+        F.round(
+            (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+        F.max(F.when(F.col("rank") == 1, F.col("tok"))).alias("top_token"),
+        F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top_freq"),
+    )

@@ -97,6 +97,10 @@ AUDITS = [
     ("bpe_train", "BPE training: ONE corpus-scale word-freq agg; merge iterations run on the vocab table (JVM greedy fold, 1-row argmax collects)"),
     ("scd2_dim", "SCD-2 build: two user-keyed windows (bounded partitions), ONE exchange on user_id, no self-join"),
     ("link_editdist", "edit-dist link: distinct mentions x broadcast length-fanned aliases, min-struct partial agg, broadcast re-attach"),
+    ("graph_local_cc", "local clustering: degree-oriented wedge joins (triangles reuse), explode + partial agg per vertex, no cartesian"),
+    ("corpus_zipf", "zipf diagnostics: ONE corpus token agg; rank window + slope agg over the vocab frame only"),
+    ("event_histogram", "value histogram: 5-row min/max broadcast back, ONE partial-agg bucket count"),
+    ("kg_transe", "TransE scoring: pure Project over one scan (hash folds + literal arithmetic), zero extra Exchange"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

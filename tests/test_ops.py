@@ -1217,3 +1217,57 @@ def test_bpe_merge_applies_greedily_on_runs(spark):
     rows = text.bpe_merges(d, n_merges=2).orderBy("rank").collect()
     assert (rows[0].l_sym, rows[0].r_sym, rows[0].pair_cnt) == ("a", "a", 6)
     assert (rows[1].l_sym, rows[1].r_sym, rows[1].pair_cnt) == ("aa", "aa", 2)
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    """Triangle + pendant: triangle vertices have lcc 1 except the one
+    with the pendant (deg 3, 1 triangle -> 1/3); pendant lcc 0."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "p")], "src string, dst string"
+    )
+    out = {r.id: (r.deg, r.tri_cnt, r.lcc) for r in graph.local_clustering(e).collect()}
+    assert out["a"] == (3, 1, round(1 / 3, 6))
+    assert out["b"] == (2, 1, 1.0) and out["c"] == (2, 1, 1.0)
+    assert out["p"] == (1, 0, 0.0)
+
+
+def test_corpus_zipf_closed_form(spark):
+    """freq (4,2,1) at ranks (1,2,3): slope equals the numpy lstsq fit on
+    (ln rank, ln freq); top token is the most frequent."""
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c")], "doc_id long, text string"
+    )
+    r = text.corpus_zipf(d).collect()[0]
+    assert r.vocab_size == 3 and r.total_tokens == 7
+    assert r.top_token == "a" and r.top_freq == 4
+    x = np.log([1, 2, 3]); y = np.log([4, 2, 1])
+    slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert r.zipf_slope == pytest.approx(slope, abs=1e-6)
+
+
+def test_kg_transe_matches_python_recompute(spark):
+    """The hash-embedding score equals a plain-Python rerun of the same
+    fold + component formula."""
+    import __spark_entry__ as entry
+    from citykg.ops.hashing import POLY_BASE, POLY_P
+
+    df = entry.queries()["kg_transe"](spark, SF_SMOKE)
+    rows = df.orderBy("subj", "pred", "obj").limit(5).collect()
+
+    def fold(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    for r in rows:
+        fh, fr, ft = fold(r.subj), fold(r.pred), fold(r.obj)
+        score = sum(
+            abs(((fh % 100003) * p) % 1000 / 999.0
+                + ((fr % 100003) * p) % 1000 / 999.0
+                - ((ft % 100003) * p) % 1000 / 999.0
+                - 0.5)
+            for p in entry._TRANSE_PRIMES
+        )
+        assert r.transe_l1 == pytest.approx(round(score, 6), abs=1e-9)
