@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(157 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(158 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2662,6 +2662,56 @@ def q_streaming_windowed(spark, sf):
     )
 
 
+def q_streaming_join(spark, sf):
+    """Watermarked stream-stream inner join under the driver's oracle:
+    clicks stream x views stream, same user, view within the hour before
+    the click — watermarks on BOTH sides + the range predicate bound the
+    join state (the required unbounded-join shape). Under availableNow
+    every row arrives before the final watermark, so the emitted set is
+    EXACTLY the closed-form interval join the oracle computes (see
+    streaming.stream_stream_join)."""
+    import tempfile
+
+    from citykg import streaming as streammod
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    land_l = tempfile.mkdtemp(prefix="citykg_sj_l_")
+    land_r = tempfile.mkdtemp(prefix="citykg_sj_r_")
+    out = tempfile.mkdtemp(prefix="citykg_sj_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_sj_ckpt_")
+    clicks.write.mode("overwrite").parquet(land_l)
+    views.write.mode("overwrite").parquet(land_r)
+    sl = spark.readStream.schema(clicks.schema).parquet(land_l)
+    sr = spark.readStream.schema(views.schema).parquet(land_r)
+    j = streammod.stream_stream_join(sl, sr, "user_id")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "click_id",
+        "view_id",
+        F.col("l_user_id").alias("user_id"),
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
 def q_kg_materialize_roundtrip(spark, sf):
     """S5 sink under the driver's oracle: write the extracted triples
     through the REAL materialize path (bucketed by subject hash,
@@ -2861,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf": q_corpus_zipf,
         "event_histogram": q_event_histogram,
         "kg_transe": q_kg_transe,
+        "streaming_join": q_streaming_join,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4983,6 +5034,20 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             "w AS (SELECT date_trunc('hour', ts) AS ws, event_type FROM e) "
             "SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type, "
             "count(*) AS n FROM w, m WHERE ws + INTERVAL 1 HOUR <= cutoff GROUP BY 1, 2"
+        ),
+        # availableNow delivers every row before the final watermark, so
+        # the stream-stream join's emitted set is the closed-form
+        # interval join (q_streaming_join docstring)
+        "streaming_join": (
+            "WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS lts "
+            "FROM events WHERE event_type = 'click'), "
+            "v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS rts "
+            "FROM events WHERE event_type = 'view') "
+            "SELECT c.click_id, v.view_id, c.user_id, "
+            "strftime(c.lts, '%Y-%m-%d %H:%M:%S') AS click_ts, "
+            "strftime(v.rts, '%Y-%m-%d %H:%M:%S') AS view_ts "
+            "FROM c JOIN v ON c.user_id = v.user_id "
+            "AND v.rts >= c.lts - INTERVAL 1 HOUR AND v.rts <= c.lts"
         ),
         "emb_project": _emb_project_sql(),
         "kg_zorder": _zorder_sql(),

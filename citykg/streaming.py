@@ -232,3 +232,44 @@ def stream_canonicalize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lookback: str = "1 hour",
+    watermark_dur: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event matches the
+    right events with the same key whose timestamp falls in
+    [left_ts - lookback, left_ts] — the attribution/enrichment join
+    (click joined to its preceding views) under continuous arrival.
+
+    Both sides carry watermarks and the join predicate carries the
+    time-range bound; together they let Spark expire buffered state once
+    the watermark passes a row's match horizon — the REQUIRED shape for
+    an unbounded stream-stream join (without the range bound, state
+    grows forever and Spark rejects append mode). State per key is
+    bounded by (watermark + lookback) of events, so at 100 TB/day the
+    join scales with the time horizon, not history.
+
+    Under Trigger.AvailableNow on a staged corpus every row arrives
+    before the final watermark advances, so the emitted set is EXACTLY
+    the closed-form interval join — which is what the DuckDB oracle
+    computes; the late-arrival drop semantics are the watermark's and
+    are exercised by the windowed/dedup streaming tests."""
+    from pyspark.sql import functions as F
+
+    lw = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, watermark_dur
+    )
+    rw = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+        right_ts, watermark_dur
+    )
+    cond = (
+        f"{right_ts} >= {left_ts} - INTERVAL {lookback} AND {right_ts} <= {left_ts}"
+    )
+    return lw.join(rw, F.expr(f"l_{key_col} = r_{key_col} AND {cond}"), "inner")

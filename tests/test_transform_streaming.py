@@ -250,3 +250,49 @@ def test_stream_canonicalize_matches_batch_cc(spark, tmp_path_factory):
         assert fh.read().strip() == versions[-1]
     assert len(versions) <= 2
     docs.unpersist()
+
+
+def test_stream_stream_join_range_bound(spark, tmp_path_factory):
+    """Join matches only views in [click - 1h, click]: the in-window view
+    joins, the 2h-old view and the LATER view do not."""
+    from datetime import datetime
+
+    from citykg.streaming import stream_stream_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return datetime(2024, 1, 1, 12 + mins // 60, mins % 60, 0)
+
+    clicks = spark.createDataFrame(
+        [(100, 1, t0)], "click_id long, l_user_id long, l_ts timestamp"
+    )
+    views = spark.createDataFrame(
+        [
+            (200, 1, ts(-30)),   # in window -> joins
+            (201, 1, ts(-120)),  # too old
+            (202, 1, ts(5)),     # after the click
+            (203, 2, ts(-10)),   # other user
+        ],
+        "view_id long, r_user_id long, r_ts timestamp",
+    )
+    land_l = str(tmp_path_factory.mktemp("sjl"))
+    land_r = str(tmp_path_factory.mktemp("sjr"))
+    out = str(tmp_path_factory.mktemp("sjo"))
+    ckpt = str(tmp_path_factory.mktemp("sjc"))
+    clicks.write.mode("overwrite").parquet(land_l)
+    views.write.mode("overwrite").parquet(land_r)
+    sl = spark.readStream.schema(clicks.schema).parquet(land_l)
+    sr = spark.readStream.schema(views.schema).parquet(land_r)
+    j = stream_stream_join(sl, sr, "user_id")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [(r.click_id, r.view_id) for r in rows] == [(100, 200)]
