@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(158 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(159 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2288,6 +2288,18 @@ def q_graph_triangles(spark, sf):
     return graph.triangles(p)
 
 
+def q_graph_ppr(spark, sf):
+    """Personalized PageRank with the building nodes as the restart set
+    (importance relative to buildings; Haveliwala's topic-sensitive
+    variant, JUNG PageRankWithPriors analog). Seed rule is the
+    declarative `id LIKE '%/building/%'`, so the oracle re-derives the
+    identical seeds and unrolls the same 8-iteration recurrence."""
+    t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
+    return graph.personalized_pagerank(
+        graph.triples_to_edges(t), "id LIKE '%/building/%'", max_iter=8
+    ).select("id", F.round("rank", 8).alias("rank"))
+
+
 def q_pagerank_writeback(spark, sf):
     """G1 write-back: every PageRank score rendered as the reference's
     OntoInfer insert pattern — 3 triples per ranked node in the
@@ -2912,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_histogram": q_event_histogram,
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
+        "graph_ppr": q_graph_ppr,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4170,6 +4183,37 @@ def _hits_sql(iters: int = 8) -> str:
     return "".join(parts)
 
 
+def _ppr_sql(alpha: float = 0.3, iters: int = 8) -> str:
+    """Personalized-PageRank recurrence unrolled — restart AND dangling
+    mass go to the seed distribution (1/n_seeds on LIKE-matched nodes)."""
+    parts = [
+        _graph_edges_cte(["building", "addresstobuilding", "surfacegeometry"]),
+        ", nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        ", deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        ", flags AS MATERIALIZED (SELECT n.id, d.out_deg, "
+        "CASE WHEN n.id LIKE '%/building/%' THEN 1 ELSE 0 END AS is_seed "
+        "FROM nodes n LEFT JOIN deg d ON d.src = n.id)",
+        ", ns AS MATERIALIZED (SELECT CAST(sum(is_seed) AS DOUBLE) AS k FROM flags)",
+        ", r0 AS MATERIALIZED (SELECT id, out_deg, is_seed, "
+        "CASE WHEN is_seed = 1 THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS rank FROM flags)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f", inf{k} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / d.out_deg) AS inflow "
+            f"FROM e JOIN deg d ON e.src = d.src JOIN {prev} r ON r.id = e.src "
+            "GROUP BY e.dst)"
+            f", r{k} AS MATERIALIZED (SELECT f.id, f.out_deg, f.is_seed, "
+            f"CASE WHEN f.is_seed = 1 THEN ({alpha} + "
+            f"(1 - {alpha}) * (SELECT coalesce(sum(rank), 0) FROM {prev} WHERE out_deg IS NULL)"
+            f") / (SELECT k FROM ns) ELSE 0.0 END + "
+            f"(1 - {alpha}) * coalesce(i.inflow, 0) AS rank "
+            f"FROM flags f LEFT JOIN inf{k} i ON i.id = f.id)"
+        )
+    parts.append(f" SELECT id, round(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
     """Synchronous k-core peel unrolled — degree within the surviving
     subgraph, drop below-k nodes, exactly `rounds` times — over the
@@ -4793,6 +4837,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_zipf": _zipf_sql(),
         "event_histogram": _event_histogram_sql(),
         "kg_transe": _transe_sql(),
+        "graph_ppr": _ppr_sql(),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -457,3 +457,72 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_pred_sql: str,
+    alpha: float = 0.3,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Personalized PageRank: the restart distribution (and the dangling
+    mass) goes to the SEED set instead of uniformly everywhere — ranking
+    'importance relative to the buildings' rather than globally (the
+    topic-sensitive PageRank of Haveliwala 2002; JUNG exposes the same
+    via PageRankWithPriors). `seed_pred_sql` is a SQL boolean over the
+    node id choosing the seeds — a declarative rule both engines can
+    re-derive, so the oracle replays the identical recurrence.
+
+    Fixed `max_iter` iterations, tol=0 semantics: the dangling-mass
+    scalar rides in-plan (1-row agg + broadcast), one job per iteration,
+    statics checkpointed once — the same shape as `pagerank`."""
+    edges = edges.select("src", "dst").transform(stable)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .transform(stable)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).transform(stable)
+    flags = (
+        nodes.join(
+            deg.select(F.col("src").alias("id"), F.lit(1).alias("has_out")), "id", "left"
+        )
+        .withColumn("is_seed", F.expr(seed_pred_sql))
+        .transform(stable)
+    )
+    n_seeds = flags.where(F.col("is_seed")).count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    seed_mass = F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    ranks = flags.withColumn("rank", seed_mass)
+
+    for _ in range(max_iter):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dmass = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("has_out").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("_dmass")
+        )
+        ranks = (
+            flags.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "id",
+                "has_out",
+                "is_seed",
+                (
+                    F.lit(alpha) * seed_mass
+                    + F.lit(1 - alpha) * F.col("_dmass") * seed_mass
+                    + F.lit(1 - alpha) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .transform(stable)
+        )
+    return ranks.select("id", "rank")

@@ -101,6 +101,7 @@ AUDITS = [
     ("corpus_zipf", "zipf diagnostics: ONE corpus token agg; rank window + slope agg over the vocab frame only"),
     ("event_histogram", "value histogram: 5-row min/max broadcast back, ONE partial-agg bucket count"),
     ("kg_transe", "TransE scoring: pure Project over one scan (hash folds + literal arithmetic), zero extra Exchange"),
+    ("graph_ppr", "personalized PageRank: statics checkpointed once, dangling mass in-plan, one job per iteration"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -1271,3 +1271,32 @@ def test_kg_transe_matches_python_recompute(spark):
             for p in entry._TRANSE_PRIMES
         )
         assert r.transe_l1 == pytest.approx(round(score, 6), abs=1e-9)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """PPR on a digraph equals a numpy replay of the same recurrence
+    (restart + dangling mass to seeds); mass sums to 1 and concentrates
+    on/near the seed."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]  # 4 dangles into 4? no: 4 is a sink
+    e = spark.createDataFrame([(f"s{a}", f"s{b}") for a, b in edges], "src string, dst string")
+    n, alpha, iters = 5, 0.3, 8
+    seeds = np.array([1.0, 0, 0, 0, 0])  # s0 only
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+    outdeg = A.sum(axis=1)
+    r = seeds.copy()
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for a, b in edges:
+            inflow[b] += r[a] / outdeg[a]
+        dangling = r[outdeg == 0].sum()
+        r = alpha * seeds + (1 - alpha) * dangling * seeds + (1 - alpha) * inflow
+    out = {
+        x.id: x.rank
+        for x in graph.personalized_pagerank(e, "id = 's0'", max_iter=iters).collect()
+    }
+    for i in range(n):
+        assert out[f"s{i}"] == pytest.approx(r[i], abs=1e-12)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out["s0"] == max(out.values())
