@@ -220,6 +220,13 @@ def headline(sf_dir: str, cores: int) -> None:
         "kg_extract_vegetation",
         "spatial_relations_exact",
         "source_media",
+        # round-4 flagship additions
+        "bpe_train",
+        "dedup_semantic",
+        "emb_pq",
+        "graph_hits",
+        "text_winnowing",
+        "link_editdist",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
