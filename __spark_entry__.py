@@ -4333,7 +4333,8 @@ SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens,
   round((count(*) * sum(x * y) - sum(x) * sum(y)) /
         (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
   max(CASE WHEN rank = 1 THEN tok END) AS top_token,
-  CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq
+  CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq,
+  round(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hapax_ratio
 FROM l
 """
 

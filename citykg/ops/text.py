@@ -542,4 +542,9 @@ def corpus_zipf(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("zipf_slope"),
         F.max(F.when(F.col("rank") == 1, F.col("tok"))).alias("top_token"),
         F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top_freq"),
+        # hapax share of the VOCABULARY: high -> OCR noise / random junk
+        # tokens; near-zero -> template/boilerplate corpus
+        F.round(
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("hapax_ratio"),
     )

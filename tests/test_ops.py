@@ -1244,6 +1244,7 @@ def test_corpus_zipf_closed_form(spark):
     slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
              / (len(x) * (x * x).sum() - x.sum() ** 2))
     assert r.zipf_slope == pytest.approx(slope, abs=1e-6)
+    assert r.hapax_ratio == pytest.approx(round(1 / 3, 6), abs=1e-9)  # only 'c' is a hapax
 
 
 def test_kg_transe_matches_python_recompute(spark):
