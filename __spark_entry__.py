@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(159 as of round 4) has a DuckDB oracle in oracle_sql() — including the
+(160 as of round 4) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -2447,6 +2447,28 @@ def q_link_editdist(spark, sf):
     )
 
 
+def q_event_props_stats(spark, sf):
+    """Semi-structured column handling: the events table's `props` JSON
+    string is parsed IN-PLAN (get_json_object — codegen'd JSON path, no
+    Python, no UDF) and aggregated per event type. The standard
+    lakehouse pattern for sparse/evolving attributes: keep them as a
+    JSON/VARIANT column, extract declaratively, let Catalyst prune and
+    push the rest; at 100 TB the parse cost is one scan-local pass."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+            F.sum("_k").cast("long").alias("k_sum"),
+        )
+    )
+
+
 def q_graph_local_cc(spark, sf):
     """Per-node local clustering coefficient over the DWithin proximity
     graph (node-level refinement of graph_clustering's global figure) —
@@ -2925,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
         "graph_ppr": q_graph_ppr,
+        "event_props_stats": q_event_props_stats,
         "text_langid": q_text_langid,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4839,6 +4862,14 @@ def oracle_sql() -> dict[str, str]:
         "event_histogram": _event_histogram_sql(),
         "kg_transe": _transe_sql(),
         "graph_ppr": _ppr_sql(),
+        "event_props_stats": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k, "
+            "min(k) AS k_min, max(k) AS k_max, "
+            "CAST(sum(k) AS BIGINT) AS k_sum FROM e GROUP BY event_type"
+        ),
         "text_langid": _langid_sql(),
         "pii_redact": _pii_redact_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -102,6 +102,7 @@ AUDITS = [
     ("event_histogram", "value histogram: 5-row min/max broadcast back, ONE partial-agg bucket count"),
     ("kg_transe", "TransE scoring: pure Project over one scan (hash folds + literal arithmetic), zero extra Exchange"),
     ("graph_ppr", "personalized PageRank: statics checkpointed once, dangling mass in-plan, one job per iteration"),
+    ("event_props_stats", "JSON props: get_json_object in the codegen'd Project (no Python), ONE partial-agg exchange"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -1301,3 +1301,32 @@ def test_personalized_pagerank_matches_numpy(spark):
         assert out[f"s{i}"] == pytest.approx(r[i], abs=1e-12)
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
     assert out["s0"] == max(out.values())
+
+
+def test_event_props_stats_json_nulls(spark):
+    """Missing keys and malformed JSON fold to NULL (not errors, not
+    zeros) and stay out of min/max/sum but in n."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "a", '{"k": 5}'),
+        (2, "a", '{"other": 1}'),   # key missing
+        (3, "a", "not json"),       # malformed
+        (4, "b", '{"k": -2}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    df.createOrReplaceTempView("_props_probe")
+    from pyspark.sql import functions as F
+    k = F.get_json_object("props", "$.k").cast("int")
+    out = {
+        r.event_type: r
+        for r in df.withColumn("_k", k).groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+            F.min("_k").alias("k_min"), F.max("_k").alias("k_max"),
+            F.sum("_k").cast("long").alias("k_sum"),
+        ).collect()
+    }
+    assert out["a"].n == 3 and out["a"].n_with_k == 1
+    assert out["a"].k_min == 5 and out["a"].k_sum == 5
+    assert out["b"].k_min == -2 and out["b"].k_max == -2
