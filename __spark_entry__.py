@@ -4396,10 +4396,11 @@ def _transe_sql() -> str:
 def _scd2_sql() -> str:
     return """
 WITH o AS (SELECT user_id, ts, event_id, event_type,
-    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events),
 c AS (SELECT user_id, ts, event_id, event_type FROM o
-  WHERE prev IS NULL OR prev <> event_type)
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
 SELECT user_id,
   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
   event_type AS state, ts AS valid_from,

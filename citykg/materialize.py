@@ -289,17 +289,35 @@ def compact_store(
     is `repartition(graph, bucket)` so each partition lands wholly in one
     task -> one output file, with dynamic partition overwrite touching
     ONLY the compacted partitions. Processed in groups; resume after a
-    mid-run crash needs no manifest consultation because it is decided by
-    PHYSICAL state: a group whose overwrite committed leaves exactly one
-    file per partition, so the file-count test alone excludes it, while a
-    group that crashed pre-commit still exceeds the threshold and is
-    redone (idempotent rewrite). Crucially this also means a partition
-    re-fragmented by LATER upserts becomes eligible again — compaction is
-    recurring maintenance, not once-per-stage-name. Manifest `done` rows
-    are still appended per group purely as lineage/metrics records
-    (`fail_after_groups` injects the crash for the resume test). Returns
-    the compacted (graph/bucket, n_files) list."""
+    mid-run crash needs no manifest consultation for the COMMON cases
+    because it is decided by PHYSICAL state: a group whose overwrite
+    committed leaves exactly one file per partition, so the file-count
+    test alone excludes it, while a group that crashed pre-commit still
+    exceeds the threshold and is redone (idempotent rewrite). Crucially
+    this also means a partition re-fragmented by LATER upserts becomes
+    eligible again — compaction is recurring maintenance, not
+    once-per-stage-name.
+
+    Crash-INSIDE-the-commit guard: dynamic partition overwrite in the
+    parquet emulation is delete-then-rename, so a crash mid-commit can
+    leave a partition holding a MIX of old and new files whose count
+    lands at or below the threshold — duplicated rows the file-count
+    test alone would accept. Each group therefore appends `pending`
+    manifest rows carrying the EXPECTED per-partition row count before
+    the overwrite, verifies the physical state (exactly one file whose
+    parquet-footer row count equals the expected count — a metadata
+    read, no data scan) before appending `done`, and on entry audits any
+    `pending` without a matching `done`: a verified partition is closed,
+    a mixed partition is REPAIRED by keeping the newest single file
+    whose footer count equals the expected count and deleting the stale
+    pre-compaction files, an intact pre-commit partition is re-queued,
+    and genuine row loss (the delete won but the rename lost — the one
+    state the emulation cannot undo; Iceberg's atomic snapshot commit
+    exists precisely to make it unreachable) raises instead of passing
+    silently. (`fail_after_groups` injects the crash for the resume
+    test.) Returns the compacted (graph/bucket, n_files) list."""
     path = os.path.join(out_dir, "triples")
+    forced = _audit_pending_compactions(spark, out_dir, stage, path)
     todo: list[tuple[str, int, int]] = []  # (graph, bucket, n_files)
     for gdir in sorted(os.listdir(path)) if os.path.exists(path) else []:
         if not gdir.startswith("graph="):
@@ -310,7 +328,7 @@ def compact_store(
             full = os.path.join(path, gdir, bdir)
             n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
             g, b = gdir.split("=", 1)[1], int(bdir.split("=", 1)[1])
-            if n > max_files_per_partition:
+            if n > max_files_per_partition or (g, b) in forced:
                 todo.append((g, b, n))
     if not todo:
         return []
@@ -337,15 +355,128 @@ def compact_store(
             # group in executor memory first)
             .localCheckpoint(eager=True)
         )
+        # expected per-partition row counts from the pinned frame — the
+        # write-ahead record the post-commit verify and any future resume
+        # audit check the physical state against
+        expected = {
+            (r.graph, int(r.bucket)): int(r.cnt)
+            for r in part.groupBy("graph", "bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        _append_manifest(
+            spark,
+            out_dir,
+            [(stage, f"{g}/{b}", "", expected.get((g, b), 0), "pending", 1, 0)
+             for g, b, _ in grp],
+        )
         part.write.mode("overwrite").partitionBy("graph", "bucket").parquet(path)
+        for g, b, _ in grp:
+            counts = _parquet_footer_counts(os.path.join(path, f"graph={g}", f"bucket={b}"))
+            if len(counts) != 1 or next(iter(counts.values())) != expected.get((g, b), 0):
+                raise RuntimeError(
+                    f"compaction verify failed for graph={g}/bucket={b}: "
+                    f"files={counts}, expected one file of {expected.get((g, b), 0)} rows"
+                )
         wall = int((time.time() - t0) * 1000)
         _append_manifest(
             spark,
             out_dir,
-            [(stage, f"{g}/{b}", "", 0, "done", 1, wall) for g, b, _ in grp],
+            [(stage, f"{g}/{b}", "", expected.get((g, b), 0), "done", 1, wall)
+             for g, b, _ in grp],
         )
         compacted.extend((f"{g}/{b}", n) for g, b, n in grp)
     return compacted
+
+
+def _parquet_footer_counts(part_dir: str) -> dict[str, int]:
+    """Per-file row counts from parquet FOOTER metadata — a pure
+    metadata read (no column data is scanned), the emulation analog of
+    Iceberg's per-data-file record_count manifest field."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    if not os.path.isdir(part_dir):
+        return out
+    for f in sorted(os.listdir(part_dir)):
+        if f.endswith(".parquet"):
+            out[f] = pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+    return out
+
+
+def _audit_pending_compactions(
+    spark: SparkSession, out_dir: str, stage: str, path: str
+) -> set[tuple[str, int]]:
+    """Resume-time audit of compaction groups that appended `pending`
+    but never reached `done` (crash inside or just after the overwrite
+    commit). Per outstanding partition, decide from physical state +
+    the recorded expected row count:
+
+    - exactly one file with the expected rows -> the commit completed,
+      only the manifest append was lost: close it with a `done` row;
+    - several files where the NEWEST file alone holds the expected rows
+      -> mixed old+new state (the mid-commit duplicate window): repair
+      by deleting every other file, then close;
+    - files summing to the expected rows with no complete single file
+      -> the overwrite never started deleting; intact pre-commit state:
+      re-queue for compaction (returned as forced keys);
+    - anything else -> rows were lost mid-rename; raise. Restore the
+      partition from the upstream stage (re-run the upsert batches) —
+      this is the non-atomic window the parquet emulation documents and
+      a real Iceberg commit removes.
+
+    Counting `pending` vs closing (`done` | `failed`) rows per
+    partition_range (instead of ordering manifest rows) keeps the check
+    append-order-independent: every cycle contributes one pending and
+    one closure (`failed` closes a crashed-pre-commit pending whose
+    partition is simply re-queued)."""
+    m = read_manifest(spark, out_dir)
+    rows = m.where(F.col("stage") == stage).select(
+        "partition_range", "status", "row_count"
+    ).collect()
+    n_pending: dict[str, int] = {}
+    n_done: dict[str, int] = {}
+    exp: dict[str, int] = {}
+    for r in rows:
+        if r.status == "pending":
+            n_pending[r.partition_range] = n_pending.get(r.partition_range, 0) + 1
+            exp[r.partition_range] = int(r.row_count)
+        elif r.status in ("done", "failed") and "/" in r.partition_range:
+            n_done[r.partition_range] = n_done.get(r.partition_range, 0) + 1
+    forced: set[tuple[str, int]] = set()
+    closures: list[tuple] = []
+    for pr, np_ in sorted(n_pending.items()):
+        if np_ <= n_done.get(pr, 0):
+            continue
+        g, b = pr.split("/", 1)
+        part_dir = os.path.join(path, f"graph={g}", f"bucket={b}")
+        counts = _parquet_footer_counts(part_dir)
+        expected = exp[pr]
+        if len(counts) == 1 and next(iter(counts.values())) == expected:
+            closures.append((stage, pr, "", expected, "done", 2, 0))
+            continue
+        complete = [f for f, n in counts.items() if n == expected]
+        if complete:
+            keep = max(
+                complete, key=lambda f: os.path.getmtime(os.path.join(part_dir, f))
+            )
+            for f in counts:
+                if f != keep:
+                    os.remove(os.path.join(part_dir, f))
+            closures.append((stage, pr, "", expected, "done", 2, 0))
+        elif sum(counts.values()) == expected:
+            # intact pre-commit state: close the dangling pending with a
+            # `failed` lineage row and re-queue the partition
+            closures.append((stage, pr, "", expected, "failed", 2, 0))
+            forced.add((g, int(b)))
+        else:
+            raise RuntimeError(
+                f"compaction crash corrupted graph={g}/bucket={b}: files hold "
+                f"{sum(counts.values())} rows, manifest expected {expected}; rows "
+                f"were lost mid-commit — restore the partition from the upstream "
+                f"stage (re-run its upsert batches) before compacting again"
+            )
+    if closures:
+        _append_manifest(spark, out_dir, closures)
+    return forced
 
 
 def stage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -365,7 +496,12 @@ def stage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
             F.row_number().over(
                 Window.partitionBy("stage", "partition_range").orderBy(
                     F.col("attempt").desc(),
-                    F.col("status").desc(),  # 'done' sorts after 'failed'
+                    # explicit rank: a closure outranks its write-ahead
+                    # 'pending' record, and 'done' outranks 'failed'
+                    F.when(F.col("status") == "done", 2)
+                    .when(F.col("status") == "failed", 1)
+                    .otherwise(0)
+                    .desc(),
                 )
             ),
         )

@@ -511,8 +511,14 @@ def semantic_dedup(
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     embedding space into cells, compare pairs only WITHIN a cell, and for
     every near-duplicate pair keep one survivor. Returns one verdict row
-    per input vector: (id, cell, dropped 0/1, keeper = the surviving
-    lower-id in-cell near-dup partner, -1 when kept).
+    per input vector: (id, cell, dropped 0/1, keeper = the NEAREST
+    (minimum) lower-id in-cell near-dup partner, -1 when kept). NOTE:
+    keeper is a dedup-decision witness, not necessarily itself a
+    survivor — in a chain A<B<C with B~A, C~B, C!~A, C's keeper is B
+    while B itself is dropped (keeper=A). Consumers that need the
+    surviving representative should chase the chain or use
+    `near_dup_clusters`, whose star pattern resolves every member to
+    the cluster minimum directly.
 
     The paper clusters with k-means; here the cell is a seeded
     sign-quantizer (one bit per literal hyperplane), which keeps the

@@ -593,9 +593,19 @@ def ring_relation_case(ca: str = "ca", cb: str = "cb") -> str:
 
     Scope (documented): single outer ring per geometry, no holes; ring
     assumed simple (non-self-intersecting), as produced by the importer's
-    ring validation. Everything is Catalyst higher-order-function algebra
-    over the candidate pair — O(|segA| x |segB|) per pair, JVM-side, no
-    Python."""
+    ring validation. Exactness additionally assumes GENERAL POSITION in
+    two residual degenerate configurations: (1) if the boundaries cross
+    ONLY through each other's vertices (a proper cross requires a strict
+    straddle, s*s < 0) and neither ring has a vertex strictly inside the
+    other, the interior overlap goes unwitnessed and the pair classifies
+    'touches' instead of 'overlaps'; (2) `_rings_equal` compares vertex
+    POINT-SETS, so two distinct simple polygons tracing the same vertex
+    set in different edge orders would classify 'equals'. Neither
+    configuration arises from the importer's snapped rectilinear rings;
+    for adversarial inputs add a midpoint-of-shared-segment interior
+    probe before trusting 'touches'/'equals'. Everything is Catalyst
+    higher-order-function algebra over the candidate pair —
+    O(|segA| x |segB|) per pair, JVM-side, no Python."""
     eq = _rings_equal(ca, cb)
     cross = _proper_cross(ca, cb)
     meet = _boundaries_meet(ca, cb)

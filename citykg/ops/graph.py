@@ -48,6 +48,10 @@ def pagerank(
         .transform(stable)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge frame: 1/n and alpha/n are undefined — return the
+        # empty (id, rank) frame (same guard as hits / personalized_pagerank)
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).transform(stable)
     # dangling flag carried on the rank frame so the per-iteration driver
     # round-trips collapse to ONE aggregation (delta + next dangling mass
@@ -346,6 +350,12 @@ def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
         .transform(stable)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge frame: no nodes, no normalizer — return the empty
+        # (id, hub, auth) frame instead of dividing by zero (the same
+        # degenerate-case guard personalized_pagerank applies to an
+        # empty seed set)
+        return nodes.select("id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
     scores = nodes.select("id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth"))
 
     for _ in range(max_iter):

@@ -136,11 +136,19 @@ def scd2_intervals(
     lead/row_number over the collapsed rows) — partitions are bounded
     by per-key event counts, no global window, no self-join. Ordering
     ties on `ts_col` break by `tie_col` so the interval chain is
-    deterministic on both engines."""
+    deterministic on both engines.
+
+    The change test is NULL-safe: a transition to or from a NULL state
+    is a real state change (eqNullSafe here, IS DISTINCT FROM in the
+    oracle), and the first row per key is detected positionally
+    (row_number == 1) rather than by `lag IS NULL` — lag is also NULL
+    when the previous state was legitimately NULL, which would wrongly
+    keep consecutive NULL states."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     changed = (
         events.withColumn("_prev", F.lag(state_col).over(w))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(state_col)))
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     return changed.select(

@@ -278,3 +278,75 @@ def test_compact_store(spark, triples, tmp_path_factory):
             "subj", "pred", "obj", "graph").collect())
     )
     assert ("renamed_v4" in {o for _, _, o, _ in again}) and len(again) == len(expect)
+
+
+def test_compact_store_mid_commit_crash(spark, triples, tmp_path_factory):
+    """A crash INSIDE the dynamic-partition-overwrite commit can leave a
+    partition holding old + new files whose count is at or below the
+    threshold — duplicated rows the pre-r5 file-count test accepted
+    silently. The write-ahead `pending` manifest row (expected count) +
+    footer audit must (a) repair the mixed state by keeping the newest
+    complete file, and (b) raise on genuine row loss."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("store_crash"))
+    materialize.write_triples(spark, triples, out, n_buckets=4, input_snapshot="v1")
+    subj = triples.select("subj").distinct().limit(1).collect()[0].subj
+    batch = spark.createDataFrame(
+        [(subj, "ocgml:name", "renamed_crash", "literal", None, "cityobject",
+          "d", 0, 0)],
+        "subj string, pred string, obj string, obj_type string, "
+        "datatype string, graph string, doc_id string, span_idx int, pos int",
+    )
+    materialize.upsert_triples(spark, batch, out, n_buckets=4, input_snapshot="v2")
+
+    path = os.path.join(out, "triples")
+    # find a partition the upsert fragmented (>1 file)
+    g = b = None
+    for gdir in sorted(os.listdir(path)):
+        if not gdir.startswith("graph="):
+            continue
+        for bdir in sorted(os.listdir(os.path.join(path, gdir))):
+            if bdir.startswith("bucket="):
+                d = os.path.join(path, gdir, bdir)
+                if sum(1 for f in os.listdir(d) if f.endswith(".parquet")) > 1:
+                    g, b = gdir.split("=", 1)[1], int(bdir.split("=", 1)[1])
+    assert g is not None
+    part_dir = os.path.join(path, f"graph={g}", f"bucket={b}")
+    expected_rows = sorted(
+        map(tuple, spark.read.parquet(part_dir).select("subj", "pred", "obj").collect())
+    )
+    expected = len(expected_rows)
+
+    # forge the mid-commit state: the new complete single file landed but
+    # the old files were never deleted (duplicated rows), and the cycle's
+    # `pending` row is in the manifest with no closing `done`
+    tmp = str(tmp_path_factory.mktemp("newfile"))
+    spark.read.parquet(part_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    newf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(tmp, newf), os.path.join(part_dir, "part-99999-repair.parquet"))
+    materialize._append_manifest(
+        spark, out, [("compact", f"{g}/{b}", "", expected, "pending", 1, 0)]
+    )
+    assert spark.read.parquet(part_dir).count() > expected  # duplicates live
+
+    materialize.compact_store(spark, out, bucket_group=2)
+    counts = materialize._parquet_footer_counts(part_dir)
+    assert list(counts.values()) == [expected]  # repaired: one complete file
+    got = sorted(
+        map(tuple, spark.read.parquet(part_dir).select("subj", "pred", "obj").collect())
+    )
+    assert got == expected_rows
+    # audited pending is closed: a fresh call is a metadata no-op
+    assert materialize.compact_store(spark, out) == []
+
+    # row-LOSS state: delete the only file, leave a dangling pending
+    materialize._append_manifest(
+        spark, out, [("compact", f"{g}/{b}", "", expected, "pending", 3, 0)]
+    )
+    os.remove(os.path.join(part_dir, next(iter(
+        materialize._parquet_footer_counts(part_dir)
+    ))))
+    with pytest.raises(RuntimeError, match="rows"):
+        materialize.compact_store(spark, out)

@@ -1330,3 +1330,13 @@ def test_event_props_stats_json_nulls(spark):
     assert out["a"].n == 3 and out["a"].n_with_k == 1
     assert out["a"].k_min == 5 and out["a"].k_sum == 5
     assert out["b"].k_min == -2 and out["b"].k_max == -2
+
+
+def test_hits_and_pagerank_empty_edges(spark):
+    """Degenerate-case guard (r4 ADVICE): an empty edge frame returns an
+    empty score frame instead of ZeroDivisionError on 1.0 / n."""
+    from citykg.ops.graph import hits, pagerank
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert hits(e, max_iter=2).collect() == []
+    assert pagerank(e, max_iter=2).collect() == []

@@ -75,3 +75,26 @@ def test_scd2_ties_break_by_event_id(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
     out = sorted(scd2_intervals(df).collect(), key=lambda r: r.version)
     assert [r.state for r in out] == ["a", "b"]
+
+
+def test_scd2_null_states_are_real_changes(spark):
+    """Transitions to/from a NULL state are state changes (null-safe
+    change test), consecutive NULLs collapse, and a leading NULL state
+    survives as version 1 — the `_prev != state` formulation silently
+    dropped every NULL-involving transition (r4 ADVICE, medium)."""
+    from citykg.ops.temporal import scd2_intervals
+
+    rows = [
+        (1, _ts(0), 1, None),        # leading NULL state -> v1
+        (1, _ts(5), 2, None),        # repeat NULL -> collapsed
+        (1, _ts(10), 3, "click"),    # NULL -> click is a change
+        (1, _ts(20), 4, None),       # click -> NULL is a change
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = sorted(scd2_intervals(df).collect(), key=lambda r: r.version)
+    assert [r.state for r in out] == [None, "click", None]
+    assert out[0].valid_to == out[1].valid_from
+    assert out[1].valid_to == out[2].valid_from
+    assert out[2].valid_to is None and out[2].is_current == 1
