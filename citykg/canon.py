@@ -54,6 +54,15 @@ def connected_components(
     min id in the component. Converges in O(log diameter) rounds for star
     inputs (hub compression); each round is one shuffle join + one
     min-aggregate (map-side combinable, skew-safe).
+
+    One JOB per round: the convergence test rides the propagation action
+    instead of re-joining new vs old labels afterwards — the label
+    update carries a `_changed` flag (did the propagated min undercut
+    the current label?), the round's single aggregate folds it to a
+    scalar, and that same action materializes the non-eager lineage cut.
+    (The previous shape ran a second join+count job per round — 2x the
+    loop's job count at 10^12-node scale for a scalar the propagation
+    already knew.)
     """
     # materialize the static edge list ONCE: without this every round's
     # propagation join re-executes the full upstream plan (extraction +
@@ -81,19 +90,21 @@ def connected_components(
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+                # convergence witness, folded in the same pass: NULL n_comp
+                # (no propagated min) compares to NULL -> otherwise 0
+                F.when(F.col("n_comp") < F.col("component"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("_changed"),
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             # stable(): localCheckpoint by default; reliable checkpoint(dir)
-            # when spark.citykg.checkpointDir is set (executor-loss-safe)
-            new_labels = stable(new_labels)
-        changed = (
-            new_labels.withColumnRenamed("component", "new_comp")
-            .join(labels, "id")
-            .where(F.col("new_comp") != F.col("component"))
-            .count()
-        )
-        labels = new_labels
+            # when spark.citykg.checkpointDir is set (executor-loss-safe).
+            # Non-eager: the convergence aggregate below is the action
+            # that materializes the cut — one job does both.
+            new_labels = stable(new_labels, eager=False)
+        changed = new_labels.agg(F.sum("_changed")).first()[0] or 0
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
