@@ -61,6 +61,16 @@ def _append_manifest(spark: SparkSession, out_dir: str, rows: list[tuple]) -> No
     )
 
 
+def _adapter(spark: SparkSession, out_dir: str):
+    """The storage seam: ALL physical triple-table IO flows through
+    citykg.store.ParquetStoreAdapter — the one-class swap surface for a
+    real Iceberg catalog (store.py documents the 1:1 method mapping;
+    tests/test_store_conformance.py pins the shared semantics)."""
+    from .store import ParquetStoreAdapter
+
+    return ParquetStoreAdapter(spark, out_dir)
+
+
 def write_triples(
     spark: SparkSession,
     triples: DataFrame,
@@ -97,9 +107,9 @@ def write_triples(
             # then prune point lookups and keep equal subjects adjacent for
             # downstream merge joins — free at write time, paid back on
             # every read (Iceberg: the table's sort order spec)
-            part.sortWithinPartitions("graph", "bucket", "subj").write.mode(
-                "overwrite"
-            ).partitionBy("graph", "bucket").parquet(os.path.join(out_dir, "triples"))
+            _adapter(spark, out_dir).overwrite_partitions(
+                part.sortWithinPartitions("graph", "bucket", "subj")
+            )
             counts = {
                 int(r.bucket): r.cnt
                 for r in part.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
@@ -119,7 +129,7 @@ def write_triples(
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "triples"))
+    return _adapter(spark, out_dir).read()
 
 
 def upsert_triples(
@@ -147,9 +157,7 @@ def upsert_triples(
     bt = with_bucket(triples, n_buckets)
     # keep the subject-sorted file property write_triples establishes —
     # row-group subj min/max pruning must survive upserts too
-    bt.sortWithinPartitions("graph", "bucket", "subj").write.mode("append").partitionBy(
-        "graph", "bucket"
-    ).parquet(path)
+    _adapter(spark, out_dir).append(bt.sortWithinPartitions("graph", "bucket", "subj"))
     counts = bt.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     _append_manifest(
         spark,
@@ -237,10 +245,9 @@ def _delete_subjects_df(
         (r.graph, r.bucket): r.n
         for r in keep.groupBy("graph", "bucket").agg(F.count("*").alias("n")).collect()
     }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    keep.sortWithinPartitions("graph", "bucket", "subj").write.mode("overwrite").partitionBy(
-        "graph", "bucket"
-    ).parquet(path)
+    _adapter(spark, out_dir).overwrite_partitions(
+        keep.sortWithinPartitions("graph", "bucket", "subj")
+    )
     # dynamic overwrite only replaces partitions present in `keep`; a
     # partition whose rows ALL died must be cleared explicitly (Iceberg's
     # snapshot delete would handle this natively)
@@ -317,19 +324,13 @@ def compact_store(
     silently. (`fail_after_groups` injects the crash for the resume
     test.) Returns the compacted (graph/bucket, n_files) list."""
     path = os.path.join(out_dir, "triples")
+    adapter = _adapter(spark, out_dir)
     forced = _audit_pending_compactions(spark, out_dir, stage, path)
-    todo: list[tuple[str, int, int]] = []  # (graph, bucket, n_files)
-    for gdir in sorted(os.listdir(path)) if os.path.exists(path) else []:
-        if not gdir.startswith("graph="):
-            continue
-        for bdir in sorted(os.listdir(os.path.join(path, gdir))):
-            if not bdir.startswith("bucket="):
-                continue
-            full = os.path.join(path, gdir, bdir)
-            n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
-            g, b = gdir.split("=", 1)[1], int(bdir.split("=", 1)[1])
-            if n > max_files_per_partition or (g, b) in forced:
-                todo.append((g, b, n))
+    todo: list[tuple[str, int, int]] = [
+        (g, b, n)
+        for g, b, n in adapter.list_partitions()
+        if n > max_files_per_partition or (g, b) in forced
+    ]
     if not todo:
         return []
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -340,13 +341,19 @@ def compact_store(
             raise RuntimeError("injected failure for compaction resume test")
         t0 = time.time()
         keys = {(g, b) for g, b, _ in grp}
+        # predicate shape matters: an OR-chain of per-column equality
+        # conjunctions partition-PRUNES at the file listing, while the
+        # previous struct(graph, bucket).isin([...]) did not (Catalyst
+        # can't turn a struct-isin into partition filters) — measured in
+        # the r5 scale rehearsal as each group re-scanning the ENTIRE
+        # store: 51 GB read to compact a 4 GB table
+        pred = None
+        for g, b in sorted(keys):
+            term = (F.col("graph") == g) & (F.col("bucket") == b)
+            pred = term if pred is None else (pred | term)
         part = (
             read_triples(spark, out_dir)
-            .where(
-                F.struct(F.col("graph"), F.col("bucket")).isin(
-                    [F.struct(F.lit(g), F.lit(b)) for g, b in sorted(keys)]
-                )
-            )
+            .where(pred)
             .repartition("graph", "bucket")
             .sortWithinPartitions("graph", "bucket", "subj")
             # materialize BEFORE the overwrite: the rewrite reads the very
@@ -368,7 +375,7 @@ def compact_store(
             [(stage, f"{g}/{b}", "", expected.get((g, b), 0), "pending", 1, 0)
              for g, b, _ in grp],
         )
-        part.write.mode("overwrite").partitionBy("graph", "bucket").parquet(path)
+        _adapter(spark, out_dir).overwrite_partitions(part)
         for g, b, _ in grp:
             counts = _parquet_footer_counts(os.path.join(path, f"graph={g}", f"bucket={b}"))
             if len(counts) != 1 or next(iter(counts.values())) != expected.get((g, b), 0):
