@@ -701,6 +701,74 @@ def q_kml_extruded(spark, sf):
     return kml_extruded_placemarks(g, "gml_id", "lit", "height").select("doc_id", "kml")
 
 
+def q_kml_geometry(spark, sf):
+    """S8 GEOMETRY display form (r4 VERDICT item 3 — KmlGenericObject.
+    createPlacemarksForGeometry, KmlGenericObject.java:1840-2080): four
+    derived surfaces per building (a tilted roof, TWO walls, a ground
+    ring) are normal-classified (geo.classify_surface — the reference's
+    own fallback when no thematic type is stored, :1951-1956), mapped to
+    the CityGML surface-type names, and grouped into ONE Placemark per
+    (feature, surfaceType) holding a MultiGeometry: name =
+    '<gmlId>_<type>', id = 'KMLGeom_' + name (IdPrefixes.java:43),
+    styleUrl = '#<type>Normal' (:2060-2068). The WallSurface placemark
+    aggregates 2 polygons — the grouping is exercised, not vacuous. One
+    groupBy shuffle; the oracle re-renders the grouped placemarks in
+    closed form (classification stated by construction, polygon order =
+    the same XML sort)."""
+    from citykg.ops.kml import kml_geometry_placemarks
+
+    g = _geom_lits(spark, sf).selectExpr(
+        "doc_id", "cast(substring(doc_id, 5) as bigint) as d"
+    )
+    x0, y0, z0 = _CORNERS
+    x1, y1, z1 = f"({x0}) + 9", f"({y0}) + 8", f"({z0}) + 4"
+    roof = _ring_sql((x0, y0, z0), (x1, y0, z0), (x1, y1, z1), (x0, y1, z1), (x0, y0, z0))
+    wall = _ring_sql((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1), (x0, y0, z0))
+    wall2 = _ring_sql((x0, y0, z0), (x0, y1, z0), (x0, y1, z1), (x0, y0, z1), (x0, y0, z0))
+    ground = _ring_sql((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0), (x0, y0, z0))
+    v = g.selectExpr(
+        "concat('BLDG_', substring(doc_id, 5)) as gml_id",
+        f"explode(array({roof}, {wall}, {wall2}, {ground})) as lit",
+    )
+    c = geo.classify_surface(v, "lit").withColumn(
+        "surf_type",
+        F.expr(
+            "CASE surf_class WHEN 'ROOF' THEN 'RoofSurface' "
+            "WHEN 'GROUND' THEN 'GroundSurface' ELSE 'WallSurface' END"
+        ),
+    )
+    return kml_geometry_placemarks(c, "gml_id", "lit", "surf_type").select(
+        "gml_id", "surf_type", "kml"
+    )
+
+
+def q_texture_atlas(spark, sf):
+    """S8 texture atlas (r4 VERDICT item 3 — KmlGenericObject.
+    createTextureAtlas:1190-1240 + the external TextureAtlasCreator):
+    deterministic shelf-pack of each building's 4 deterministic texture
+    images into one atlas, with placement and remapped texcoord bounds.
+    applyInPandas per feature (one hash-partition shuffle, tiny groups);
+    the DuckDB oracle REPLAYS the shelf fold independently as a
+    recursive CTE, so x/y/atlas dims/uv bounds are value-checked."""
+    from citykg.ops.multimodal import texture_atlas_pack
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d", "explode(sequence(0, 3)) as k"
+    ).selectExpr(
+        "concat('BLDG_', lpad(cast(d as string), 8, '0')) as gml_id",
+        "printf('tex_%d_%d', d, k) as uri",
+        "cast(12 + (d * (k + 3)) % 40 as int) as width",
+        "cast(12 + (d * (k + 7)) % 40 as int) as height",
+    )
+    out = texture_atlas_pack(d, "gml_id", "uri", "width", "height", atlas_width=64)
+    return out.selectExpr(
+        "gml_id", "uri", "width", "height", "x", "y",
+        "atlas_w", "atlas_h", "pots_w", "pots_h",
+        "round(u0, 6) as u0", "round(v0, 6) as v0",
+        "round(u1, 6) as u1", "round(v1, 6) as v1",
+    )
+
+
 def q_genattrib_typed(spark, sf):
     """P14 typed-value dispatch read back: pivot each atomic generic
     attribute (GA_ subjects; GAS_ attr-sets carry no value) and resolve
@@ -1986,6 +2054,38 @@ def q_crs_transform(spark, sf):
     return out.selectExpr("doc_id", "round(lon, 9) as lon", "round(lat, 9) as lat")
 
 
+def q_crs_transform_epsg(spark, sf):
+    """A4 general ST_Transform (r4 VERDICT item 2): arbitrary-EPSG
+    re-projection through the per-code parameter table
+    (citykg/ops/crs.py EPSG_PARAMS) — the reference's geotools call takes
+    source/target codes the same way (GeoSpatialProcessor.Transform:
+    126-143; DistanceAgent.computeDistance:271-284 re-projects to an
+    arbitrary metric CRS before measuring). Projects deterministic doc
+    coordinates 4326 -> 3857 (Web Mercator, EPSG method 1024) and
+    4326 -> 2154 (Lambert-93, LCC 2SP method 9802); the UTM family is
+    already oracled by crs_transform. DuckDB re-evaluates both
+    projections in closed-form SQL (the LCC cone constants baked as
+    literals derived from the same public EPSG registry parameters).
+    Fixture-SRS (25833 + vertical 5783) coverage and round-trips are
+    locked by tests/test_crs.py."""
+    from citykg.ops import crs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(-5 + (doc_id % 30) * 0.5 as double) as lon",
+        "cast(40 + (doc_id % 20) * 0.5 as double) as lat",
+    )
+    out = crs.transform_epsg_df(d, 4326, 3857, "lon", "lat", "wx", "wy")
+    out = crs.transform_epsg_df(out, 4326, 2154, "lon", "lat", "lx", "ly")
+    return out.selectExpr(
+        "doc_id",
+        "round(wx, 4) as wx",
+        "round(wy, 4) as wy",
+        "round(lx, 4) as lx",
+        "round(ly, 4) as ly",
+    )
+
+
 def q_source_cityjson(spark, sf):
     """S3: CityJSON read path — synthesize one CityJSON text per doc row,
     parse through the vectorized reader, surface span count + a parsed
@@ -2416,6 +2516,51 @@ def q_bpe_train(spark, sf):
     value-checked (see text.bpe_merges)."""
     d = spark.read.parquet(f"{sf}/documents.parquet")
     return text.bpe_merges(d, n_merges=6)
+
+
+_BPE_FIXTURE_WORDS = (("ab", 7), ("cd", 6), ("ef", 5), ("gh", 4), ("ij", 3), ("kl", 2))
+
+
+def q_bpe_train_batched(spark, sf):
+    """Batched-recount BPE (r4 VERDICT item 4, text.bpe_train_batched):
+    ceil(n/batch) driver round-trips instead of n. Runs BOTH the batched
+    (batch=3) and the exact per-merge path on a fixture where the two
+    trajectories PROVABLY agree — every round's top pairs are
+    symbol-disjoint with strictly separated counts (words 'ab' x7 ...
+    'kl' x2 per doc), so the disjoint-selection rule cannot interfere —
+    and emits the batched merge table plus a row-wise matches_exact
+    flag. The oracle is the exact trajectory re-derived in SQL from the
+    same closed-form word frequencies, with matches_exact stated TRUE:
+    any batched deviation fails the value hash."""
+    from citykg.ops.text import bpe_merges, bpe_train_batched
+
+    words = "array(" + ", ".join(
+        f"array_repeat('{w}', {c})" for w, c in _BPE_FIXTURE_WORDS
+    ) + ")"
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        f"array_join(flatten({words}), ' ') as text"
+    )
+    batched = bpe_train_batched(d, n_merges=6, batch=3)
+    exact = bpe_merges(d, n_merges=6).select(
+        F.col("rank").alias("rank"),
+        F.col("l_sym").alias("_l"),
+        F.col("r_sym").alias("_r"),
+        F.col("merged").alias("_m"),
+        F.col("pair_cnt").alias("_c"),
+    )
+    return batched.join(exact, "rank").select(
+        "rank",
+        "l_sym",
+        "r_sym",
+        "merged",
+        "pair_cnt",
+        (
+            (F.col("l_sym") == F.col("_l"))
+            & (F.col("r_sym") == F.col("_r"))
+            & (F.col("merged") == F.col("_m"))
+            & (F.col("pair_cnt") == F.col("_c"))
+        ).alias("matches_exact"),
+    )
 
 
 def q_scd2_dim(spark, sf):
@@ -2890,6 +3035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
         "kml_extruded": q_kml_extruded,
+        "kml_geometry": q_kml_geometry,
+        "texture_atlas": q_texture_atlas,
         "genattrib_typed": q_genattrib_typed,
         "citygml_export": q_citygml_export,
         "cityjson_export": q_cityjson_export,
@@ -2939,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
         "bpe_train": q_bpe_train,
+        "bpe_train_batched": q_bpe_train_batched,
         "scd2_dim": q_scd2_dim,
         "link_editdist": q_link_editdist,
         "graph_local_cc": q_graph_local_cc,
@@ -2992,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "streaming_extract": q_streaming_extract,
         "crs_transform": q_crs_transform,
+        "crs_transform_epsg": q_crs_transform_epsg,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -3478,6 +3627,93 @@ def _kml_extruded_sql() -> str:
     )
 
 
+def _kml_geometry_sql() -> str:
+    """GEOMETRY display form oracle: re-renders the grouped per-type
+    placemarks in closed form — the four derived rings' classifications
+    are known by construction (same device as the geo_surface_class
+    oracle), polygon order inside a MultiGeometry is the identical
+    lexicographic XML sort."""
+    x0, y0, z0 = "384000 + d % 1000", "5820000 + d % 2000", "30 + d % 10"
+    x1, y1, z1 = f"({x0}) + 9", f"({y0}) + 8", f"({z0}) + 4"
+
+    def pt(x, y, z):
+        return (
+            f"CAST({x} AS VARCHAR) || ',' || CAST({y} AS VARCHAR) || "
+            f"',' || CAST({z} AS VARCHAR)"
+        )
+
+    def poly(*pts):
+        coords = " || ' ' || ".join(pt(*p) for p in pts)
+        return (
+            "'<Polygon><outerBoundaryIs><LinearRing><coordinates>' || "
+            f"{coords} || "
+            "'</coordinates></LinearRing></outerBoundaryIs></Polygon>'"
+        )
+
+    roof = poly((x0, y0, z0), (x1, y0, z0), (x1, y1, z1), (x0, y1, z1), (x0, y0, z0))
+    wall = poly((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1), (x0, y0, z0))
+    wall2 = poly((x0, y0, z0), (x0, y1, z0), (x0, y1, z1), (x0, y0, z1), (x0, y0, z0))
+    ground = poly((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0), (x0, y0, z0))
+    name = "'BLDG_' || lpad(CAST(d AS VARCHAR), 8, '0')"
+    return (
+        "WITH b AS (SELECT doc_id AS d FROM documents), "
+        f"r AS (SELECT d, 'RoofSurface' AS surf_type, {roof} AS body FROM b "
+        f"UNION ALL SELECT d, 'GroundSurface', {ground} FROM b "
+        f"UNION ALL SELECT d, 'WallSurface', "
+        f"array_to_string(list_sort([{wall}, {wall2}]), '') FROM b) "
+        f"SELECT {name} AS gml_id, surf_type, "
+        f"'<Placemark id=\"KMLGeom_' || {name} || '_' || surf_type || "
+        f"'\"><name>' || {name} || '_' || surf_type || '</name>"
+        "<styleUrl>#' || surf_type || 'Normal</styleUrl><MultiGeometry>' "
+        "|| body || '</MultiGeometry></Placemark>' AS kml FROM r"
+    )
+
+
+def _texture_atlas_sql() -> str:
+    """Independent replay of the deterministic shelf fold as a DuckDB
+    recursive CTE — the sequential (x, y, shelf height, cursor) state the
+    Spark side folds in pandas per feature is advanced one image per
+    recursion step, so placements, atlas dims and uv bounds are
+    value-checked, not just counted."""
+    return """
+WITH RECURSIVE src AS (
+  SELECT 'BLDG_' || lpad(CAST(d AS VARCHAR), 8, '0') AS gml_id,
+         printf('tex_%d_%d', d, k) AS uri,
+         CAST(12 + (d * (k + 3)) % 40 AS INT) AS width,
+         CAST(12 + (d * (k + 7)) % 40 AS INT) AS height
+  FROM (SELECT doc_id AS d FROM documents) b, (VALUES (0), (1), (2), (3)) t(k)
+),
+imgs AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY gml_id ORDER BY height DESC, width DESC, uri) AS rn,
+    count(*) OVER (PARTITION BY gml_id) AS cnt
+  FROM src
+),
+pack AS (
+  SELECT gml_id, uri, width, height, rn, cnt,
+         0 AS x, 0 AS y, height AS shelf_h, width AS cur_x
+  FROM imgs WHERE rn = 1
+  UNION ALL
+  SELECT i.gml_id, i.uri, i.width, i.height, i.rn, i.cnt,
+    CASE WHEN p.cur_x + i.width > 64 THEN 0 ELSE p.cur_x END,
+    CASE WHEN p.cur_x + i.width > 64 THEN p.y + p.shelf_h ELSE p.y END,
+    CASE WHEN p.cur_x + i.width > 64 THEN i.height ELSE greatest(p.shelf_h, i.height) END,
+    CASE WHEN p.cur_x + i.width > 64 THEN i.width ELSE p.cur_x + i.width END
+  FROM imgs i JOIN pack p ON i.gml_id = p.gml_id AND i.rn = p.rn + 1
+),
+dims AS (SELECT gml_id, CAST(y + shelf_h AS INT) AS atlas_h FROM pack WHERE rn = cnt)
+SELECT p.gml_id, p.uri, p.width, p.height,
+  CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+  64 AS atlas_w, d.atlas_h, 64 AS pots_w,
+  CAST(pow(2, CAST(ceil(log2(d.atlas_h)) AS INT)) AS INT) AS pots_h,
+  round(CAST(p.x AS DOUBLE) / 64, 6) AS u0,
+  round(CAST(p.y AS DOUBLE) / d.atlas_h, 6) AS v0,
+  round(CAST(p.x + p.width AS DOUBLE) / 64, 6) AS u1,
+  round(CAST(p.y + p.height AS DOUBLE) / d.atlas_h, 6) AS v1
+FROM pack p JOIN dims d USING (gml_id)
+"""
+
+
 def _genattrib_typed_sql() -> str:
     from citykg.fixtures import attr_exprs, doc_key_expr
 
@@ -3889,6 +4125,42 @@ def _crs_sql(zone: int = 33) -> str:
     )
 
 
+def _crs_epsg_sql() -> str:
+    """Web Mercator (EPSG method 1024) + Lambert-93 (LCC 2SP, method
+    9802) forward projections in closed-form DuckDB SQL — independent
+    evaluations of the published EPSG Guidance Note 7-2 formulas the
+    numpy kernel implements; the LCC cone constants (e, n, F, rho0) are
+    baked as literals derived from the same public registry parameters,
+    expression order matching the kernel so float64 agrees far below the
+    4-dp output rounding."""
+    import math as _m
+
+    from citykg.ops.crs import EPSG_PARAMS, _lcc_consts
+
+    p = EPSG_PARAMS[2154]
+    e, n, bigf, rho0 = _lcc_consts(p["a"], p["f"], p["lat0"], p["lat1"], p["lat2"])
+    a = repr(p["a"])
+    af = repr(p["a"] * bigf)
+    lon0 = repr(_m.radians(p["lon0"]))
+    t = (
+        f"tan(pi() / 4 - lat / 2) / pow((1 - {e!r} * sin(lat)) / "
+        f"(1 + {e!r} * sin(lat)), {e / 2!r})"
+    )
+    return (
+        "WITH pts AS (SELECT doc_id, "
+        "radians(CAST(-5 + (doc_id % 30) * 0.5 AS DOUBLE)) AS lon, "
+        "radians(CAST(40 + (doc_id % 20) * 0.5 AS DOUBLE)) AS lat FROM documents), "
+        f"lcc AS (SELECT doc_id, lon, lat, {af} * pow({t}, {n!r}) AS rho, "
+        f"{n!r} * (lon - {lon0}) AS theta FROM pts) "
+        f"SELECT doc_id, "
+        f"round({a} * lon, 4) AS wx, "
+        f"round({a} * ln(tan(pi() / 4 + lat / 2)), 4) AS wy, "
+        f"round({p['fe']!r} + rho * sin(theta), 4) AS lx, "
+        f"round({p['fn']!r} + {rho0!r} - rho * cos(theta), 4) AS ly "
+        "FROM lcc"
+    )
+
+
 def _sampling_bucket_duckdb(id_expr: str, seed: int = 42) -> str:
     from citykg.ops.hashing import char_fold_duckdb
 
@@ -4290,14 +4562,19 @@ def _pq_sql(dim: int = 64) -> str:
     )
 
 
-def _bpe_sql(n_merges: int = 6) -> str:
+def _bpe_sql(n_merges: int = 6, w0_sql: str | None = None, final_sel: str | None = None) -> str:
     """The same BPE training trajectory re-derived from scratch: per
     merge, a pair-count CTE, a 1-row argmax CTE (same tie-break), and a
-    token-list rebuild via the identical greedy list_reduce fold."""
-    parts = [
-        "WITH w0 AS (SELECT w, count(*) AS cnt FROM "
+    token-list rebuild via the identical greedy list_reduce fold.
+    `w0_sql` overrides the word-frequency source (bpe_train_batched uses
+    a closed-form fixture); `final_sel` appends extra output columns."""
+    w0 = w0_sql or (
+        "SELECT w, count(*) AS cnt FROM "
         "(SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents) "
-        "WHERE length(w) > 0 GROUP BY w), "
+        "WHERE length(w) > 0 GROUP BY w"
+    )
+    parts = [
+        f"WITH w0 AS ({w0}), "
         "t0 AS (SELECT list_transform(range(1, length(w) + 1), "
         "i -> substr(w, CAST(i AS INT), 1)) AS toks, cnt FROM w0)"
     ]
@@ -4315,9 +4592,10 @@ def _bpe_sql(n_merges: int = 6) -> str:
             "ELSE list_concat(acc, x) END) AS toks, cnt "
             f"FROM {prev}, b{m} b)"
         )
+    extra = final_sel or ""
     sel = " UNION ALL ".join(
         f"SELECT {m} AS rank, l AS l_sym, r AS r_sym, merged, "
-        f"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b{m}"
+        f"CAST(pair_cnt AS BIGINT) AS pair_cnt{extra} FROM b{m}"
         for m in range(1, n_merges + 1)
     )
     return "".join(parts) + " " + sel
@@ -4647,6 +4925,8 @@ def oracle_sql() -> dict[str, str]:
         "nquads_format": _nquads_sql(),
         "kml_placemark": _kml_placemark_sql(),
         "kml_extruded": _kml_extruded_sql(),
+        "kml_geometry": _kml_geometry_sql(),
+        "texture_atlas": _texture_atlas_sql(),
         "genattrib_typed": _genattrib_typed_sql(),
         "citygml_export": _citygml_export_sql(),
         "cityjson_export": _cityjson_export_sql(),
@@ -4856,6 +5136,14 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
         "bpe_train": _bpe_sql(),
+        "bpe_train_batched": _bpe_sql(
+            w0_sql=(
+                "SELECT w, cnt * (SELECT count(*) FROM documents) AS cnt FROM (VALUES "
+                + ", ".join(f"('{w}', {c})" for w, c in _BPE_FIXTURE_WORDS)
+                + ") v(w, cnt)"
+            ),
+            final_sel=", TRUE AS matches_exact",
+        ),
         "scd2_dim": _scd2_sql(),
         "link_editdist": _link_editdist_sql(),
         "graph_local_cc": _local_cc_sql(),
@@ -4915,6 +5203,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.38"
         ),
         "crs_transform": _crs_sql(),
+        "crs_transform_epsg": _crs_epsg_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -341,12 +341,13 @@ def compact_store(
             raise RuntimeError("injected failure for compaction resume test")
         t0 = time.time()
         keys = {(g, b) for g, b, _ in grp}
-        # predicate shape matters: an OR-chain of per-column equality
-        # conjunctions partition-PRUNES at the file listing, while the
-        # previous struct(graph, bucket).isin([...]) did not (Catalyst
-        # can't turn a struct-isin into partition filters) — measured in
-        # the r5 scale rehearsal as each group re-scanning the ENTIRE
-        # store: 51 GB read to compact a 4 GB table
+        # group predicate as an OR-chain of per-column equality
+        # conjunctions: the canonical partition-filter shape every Spark
+        # version turns into PartitionFilters. (Spark 4.1 also prunes the
+        # struct(graph, bucket).isin([...]) spelling this replaced —
+        # probe-verified — but struct-isin pruning is newer and less
+        # portable; the explicit conjunction shape is the one the
+        # conformance suite pins.)
         pred = None
         for g, b in sorted(keys):
             term = (F.col("graph") == g) & (F.col("bucket") == b)

@@ -87,6 +87,55 @@ def kml_extruded_placemarks(
     )
 
 
+def kml_geometry_placemarks(
+    df: DataFrame,
+    id_col: str,
+    lit_col: str,
+    type_col: str,
+    out: str = "kml",
+) -> DataFrame:
+    """GEOMETRY display form (KmlGenericObject.createPlacemarksForGeometry,
+    KmlGenericObject.java:1840-2080): the feature's surfaces are grouped
+    per (feature, surfaceType) into ONE Placemark holding a MultiGeometry
+    of that type's polygons — name = '<gmlId>_<surfaceType>', id =
+    'KMLGeom_' + name (IdPrefixes.java:43), styleUrl =
+    '#<surfaceType>Normal' (KmlGenericObject.java:2060-2068). `type_col`
+    is the thematic surface type when present, else the normal-vector
+    classification (compose with geo.classify_surface — the reference's
+    own "walk-around-way ... calculate the Normal-vector" fallback,
+    KmlGenericObject.java:1951-1956).
+
+    Polygon order inside a MultiGeometry is pinned by sorting the
+    rendered polygon XML (the reference inherits JDBC result-set order;
+    a distributed engine must make it deterministic). Scale shape: ONE
+    groupBy shuffle on (feature, type) — partial-agg combinable — then a
+    pure JVM string Project; per-feature surface counts bound the
+    collect_list, no global state."""
+    coords = kml_coordinates_expr(lit_col)
+    per = df.withColumn(
+        "_poly",
+        F.expr(
+            "concat('<Polygon><outerBoundaryIs><LinearRing><coordinates>', "
+            f"{coords}, "
+            "'</coordinates></LinearRing></outerBoundaryIs></Polygon>')"
+        ),
+    )
+    return (
+        per.groupBy(id_col, type_col)
+        .agg(F.array_sort(F.collect_list("_poly")).alias("_polys"))
+        .withColumn(
+            out,
+            F.expr(
+                f"concat('<Placemark id=\"KMLGeom_', {id_col}, '_', {type_col}, "
+                f"'\"><name>', {id_col}, '_', {type_col}, '</name>"
+                f"<styleUrl>#', {type_col}, 'Normal</styleUrl><MultiGeometry>', "
+                "array_join(_polys, ''), '</MultiGeometry></Placemark>')"
+            ),
+        )
+        .drop("_polys")
+    )
+
+
 def export_kml(df: DataFrame, id_col: str, lit_col: str, path: str) -> None:
     """Placemark lines to a text sink; wrap with KML_HEADER/KML_FOOTER when
     assembling a single document (driver-side concat of part files, or a

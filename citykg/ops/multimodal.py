@@ -1026,3 +1026,92 @@ def synth_jpeg_udf():
         )
 
     return make
+
+
+def texture_atlas_pack(
+    df: DataFrame,
+    feature_col: str = "gml_id",
+    uri_col: str = "uri",
+    w_col: str = "width",
+    h_col: str = "height",
+    atlas_width: int = 64,
+) -> DataFrame:
+    """Texture-atlas packing — the KML/COLLADA exporter's
+    createTextureAtlas step (KmlGenericObject.java:1190-1240, delegating
+    to the external org.citydb.textureAtlas TextureAtlasCreator): per
+    feature, pack that feature's texture images into ONE atlas and report
+    each image's placement plus remapped texture-coordinate bounds
+    (KmlGenericObject.java:1240-1270 rewrites s/t the same way).
+
+    Deterministic SHELF packing: images sorted by (height desc, width
+    desc, uri), placed left-to-right into shelves of width
+    `atlas_width`; a new shelf opens when the next image would overflow.
+    Atlas width widens to the largest image if one exceeds it. Features
+    with < 2 images pass through unpacked — atlas == the image — the
+    reference's own early-out (KmlGenericObject.java:1192-1195). Also
+    emits next-power-of-two atlas dims (the creator's usePOTS flag).
+
+    Scale shape: ONE hash-partition shuffle on the feature id
+    (applyInPandas); per-feature image counts are bounded (a building
+    carries dozens of textures, not millions), so groups are tiny and
+    skew-free; the packing itself is an Arrow-batched pandas loop over a
+    handful of rows per group, no per-row Python at corpus scale."""
+    schema = (
+        f"{feature_col} string, {uri_col} string, width int, height int, "
+        "x int, y int, atlas_w int, atlas_h int, pots_w int, pots_h int, "
+        "u0 double, v0 double, u1 double, v1 double"
+    )
+
+    def _pots(v: int) -> int:
+        return 1 << max(0, (int(v) - 1).bit_length())
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [h_col, w_col, uri_col], ascending=[False, False, True]
+        ).reset_index(drop=True)
+        ws = pdf[w_col].astype(int)
+        hs = pdf[h_col].astype(int)
+        if len(pdf) < 2:
+            aw = ws.tolist() or [0]
+            ah = hs.tolist() or [0]
+            aw, ah = aw[0], ah[0]
+            xs, ys = [0] * len(pdf), [0] * len(pdf)
+        else:
+            aw = max(atlas_width, int(ws.max()))
+            xs, ys = [], []
+            cur_x = cur_y = shelf_h = 0
+            for w, h in zip(ws, hs):
+                if cur_x > 0 and cur_x + w > aw:
+                    cur_y += shelf_h
+                    cur_x = 0
+                    shelf_h = 0
+                xs.append(cur_x)
+                ys.append(cur_y)
+                cur_x += w
+                shelf_h = max(shelf_h, h)
+            ah = cur_y + shelf_h
+        out = pd.DataFrame(
+            {
+                feature_col: pdf[feature_col],
+                uri_col: pdf[uri_col],
+                "width": ws,
+                "height": hs,
+                "x": xs,
+                "y": ys,
+                "atlas_w": aw,
+                "atlas_h": ah,
+                "pots_w": _pots(aw),
+                "pots_h": _pots(ah),
+            }
+        )
+        out["u0"] = out["x"] / aw
+        out["v0"] = out["y"] / ah
+        out["u1"] = (out["x"] + out["width"]) / aw
+        out["v1"] = (out["y"] + out["height"]) / ah
+        return out
+
+    return (
+        df.select(feature_col, uri_col, w_col, h_col)
+        .groupBy(feature_col)
+        .applyInPandas(pack, schema)
+    )

@@ -510,6 +510,87 @@ def bpe_merges(df: DataFrame, text_col: str = "text", n_merges: int = 6) -> Data
     )
 
 
+def bpe_train_batched(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6, batch: int = 3
+) -> DataFrame:
+    """Batched-recount BPE training (r4 VERDICT item 4): the production
+    fix for `bpe_merges`' one-driver-round-trip-per-merge shape — a real
+    32k-merge tokenizer run cannot afford 32k corpus-frame round trips.
+    Each ROUND runs ONE pair-count job with ONE bounded top-(4*batch)
+    collect, greedily selects up to `batch` SYMBOL-DISJOINT merges (a
+    candidate is skipped when its left or right symbol already appears
+    in a pair selected this round), then applies the selected merges as
+    chained in-plan greedy folds — the next round's pair-count action
+    executes them all in a single job. Driver round-trips drop from
+    n_merges to ceil(n_merges / batch).
+
+    Approximation contract (the documented batched trade-off): the
+    learned trajectory equals exact BPE whenever each round's selected
+    pairs are pairwise independent — the disjointness rule makes
+    intra-round interference impossible, but a corpus where a higher
+    merge WOULD have changed a lower candidate's count before its turn
+    can diverge from the exact sequence. `bpe_merges` (same module)
+    stays the oracle-locked exact reference; the bpe_train_batched query
+    compares both trajectories on a fixture where they provably agree.
+    Returns the same merge-table schema."""
+    spark = df.sparkSession
+    wc = (
+        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    toks = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    wf = wc.select(F.expr(toks).alias("toks"), "cnt").localCheckpoint(eager=False)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    pairs_expr = (
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) as l, element_at(toks, i + 1) as r))"
+    )
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        k = min(batch, n_merges - len(merges))
+        top = (
+            wf.where(F.expr("size(toks) > 1"))
+            .select(F.explode(F.expr(pairs_expr)).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_cnt"))
+            .orderBy(F.col("pair_cnt").desc(), "l", "r")
+            .limit(4 * batch)
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        selected = []
+        for b in top:
+            if len(selected) == k:
+                break
+            if b.l in used or b.r in used:
+                continue
+            selected.append(b)
+            used.update((b.l, b.r))
+        for b in selected:
+            merged = b.l + b.r
+            merges.append((len(merges) + 1, b.l, b.r, merged, int(b.pair_cnt)))
+            fold = (
+                f"aggregate(slice(toks, 2, size(toks) - 1), array(element_at(toks, 1)), "
+                f"(acc, x) -> CASE WHEN element_at(acc, size(acc)) = '{q(b.l)}' AND x = '{q(b.r)}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{q(merged)}')) "
+                f"ELSE concat(acc, array(x)) END)"
+            )
+            # plan chaining only — no action, no checkpoint: the batch's
+            # folds run together inside the next round's pair-count job
+            wf = wf.select(F.expr(fold).alias("toks"), "cnt")
+        wf = wf.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, l_sym string, r_sym string, merged string, pair_cnt long"
+    )
+
+
 def corpus_zipf(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus diagnostics: vocabulary size, total tokens, the
     Zipf rank-frequency slope (least-squares fit of ln(freq) on

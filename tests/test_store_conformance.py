@@ -86,9 +86,10 @@ def test_partition_pruning_at_scan(spark, store):
     pf = plan.split("PartitionFilters", 1)[1][:300]
     assert "bucket" in pf and "graph" in pf
     # the compaction group predicate shape — an OR-chain of per-column
-    # equality conjunctions — must ALSO prune (the struct-isin shape it
-    # replaced did not: measured as full-store re-scans per group in the
-    # r5 scale rehearsal)
+    # equality conjunctions — must ALSO prune (the canonical portable
+    # partition-filter shape; Spark 4.1 happens to prune the struct-isin
+    # spelling too, but that support is newer — this pins the shape
+    # compact_store actually emits)
     pred = ((F.col("graph") == "building") & (F.col("bucket") == 2)) | (
         (F.col("graph") == "building") & (F.col("bucket") == 3)
     )
