@@ -1350,13 +1350,13 @@ def test_texture_atlas_shelf_pack(spark):
 
     rows = [
         ("B1", "t1", 40, 30), ("B1", "t2", 40, 20),
-        ("B1", "t3", 10, 30), ("B1", "t4", 30, 10),
+        ("B1", "t3", 10, 30), ("B1", "t4", 20, 10),
         ("B2", "solo", 33, 17),
     ]
     df = spark.createDataFrame(rows, "gml_id string, uri string, width int, height int")
     out = {(r.gml_id, r.uri): r for r in
            texture_atlas_pack(df, atlas_width=64).collect()}
-    # B1 sort order: t1 (h30,w40), t3 (h30,w10), t2 (h20,w40), t4 (h10,w30)
+    # B1 sort order: t1 (h30,w40), t3 (h30,w10), t2 (h20,w40), t4 (h10,w20)
     t1, t3, t2, t4 = out[("B1", "t1")], out[("B1", "t3")], out[("B1", "t2")], out[("B1", "t4")]
     assert (t1.x, t1.y) == (0, 0)
     assert (t3.x, t3.y) == (40, 0)      # fits beside t1 (40+10 <= 64)
