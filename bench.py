@@ -227,6 +227,12 @@ def headline(sf_dir: str, cores: int) -> None:
         "graph_hits",
         "text_winnowing",
         "link_editdist",
+        # round-5 flagship additions (adds ~4 queries of NEW work vs the
+        # r4 suite — stamp noted for cross-round comparability)
+        "crs_transform_epsg",
+        "kml_geometry",
+        "texture_atlas",
+        "bpe_train_batched",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -107,6 +107,7 @@ AUDITS = [
     ("kml_geometry", "GEOMETRY display form: classify in a codegen'd Project, ONE (feature,type) group exchange, JVM string concat"),
     ("texture_atlas", "texture atlas: ONE hash-partition shuffle into per-feature Arrow groups (applyInPandas), tiny bounded groups"),
     ("bpe_train_batched", "batched BPE: pair-count partial agg + bounded top-M collect per ROUND (not per merge); folds chain in-plan"),
+    ("source_validate_schema", "schema-rule validator: ONE codegen'd Project + explode, zero Python, zero shuffles"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

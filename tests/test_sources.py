@@ -134,3 +134,24 @@ def test_media_files_and_teximage_triples(spark, tmp_path_factory):
     junk_preds = {r.pred for r in t if r.subj == junk_subj}
     assert junk_preds == {"ocgml:id", "ocgml:texImageURI"}  # no mime triple
     assert all(r.graph == "teximage" for r in t)
+
+
+def test_validate_spans_rules(spark):
+    """Schema-rule validator: each rule observed passing AND failing on
+    crafted spans; geometry rules vacuous without a coords attribute."""
+    from citykg.sources import validate_spans
+
+    rows = [
+        ("d1", "surface_geometry", "gmlId=S1;coords=0#0#0#9#0#0#0#0#0"),   # all ok
+        ("d2", "surface_geometry", "coords=0#0#0#9#0#0#0#0#0"),           # no gmlId
+        ("d3", "surface_geometry", "gmlId=S3;coords=0#0#0#9#0"),          # stride+closure fail
+        ("d4", "surface_geometry", "gmlId=S4;coords=a#0#0#9#0#0#a#0#0"),  # numeric fail (closure: a==a ok)
+        ("d5", "not_a_kind", "gmlId=S5;name=x"),                          # unknown kind, no geom
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, kind string, text string")
+    got = {(r.doc_id, r.rule): r.ok for r in validate_spans(df).collect()}
+    assert got[("d1", "known_kind")] and got[("d1", "geom_closed")]
+    assert not got[("d2", "has_gml_id")] and got[("d2", "geom_stride3")]
+    assert not got[("d3", "geom_stride3")] and not got[("d3", "geom_closed")]
+    assert not got[("d4", "geom_numeric")] and got[("d4", "geom_closed")]
+    assert not got[("d5", "known_kind")] and got[("d5", "geom_stride3")]  # vacuous
