@@ -88,12 +88,49 @@ def write_triples(
     between the two re-does at most one group (idempotent: the data dir
     for a bucket is overwritten on retry via dynamic partition overwrite).
 
+    `bucket_group=None` selects the SINGLE-PASS bulk load: one write job
+    over the whole frame, per-bucket manifest rows derived afterwards
+    from parquet FOOTER metadata (no recompute, no cache). The grouped
+    path persists the triple frame and re-reads it per group — fine when
+    resume granularity matters, but at a 100 TB fresh load that cache is
+    itself a corpus-sized materialization; the bulk path touches the
+    data exactly once and leans on Spark task-level retry instead
+    (resume granularity = the whole load: nothing is marked done until
+    the one commit lands, so a crashed bulk load simply re-runs).
+
     `fail_after_groups` injects a crash for the resume test.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_buckets(spark, out_dir, stage)
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
+        return
+    if bucket_group is None:
+        if done:
+            raise ValueError(
+                "single-pass bulk write cannot resume a partially-written "
+                f"stage ({len(done)} buckets already done) — pass a "
+                "bucket_group to finish with the grouped path"
+            )
+        t0 = time.time()
+        adapter = _adapter(spark, out_dir)
+        adapter.overwrite_partitions(
+            with_bucket(triples, n_buckets).sortWithinPartitions(
+                "graph", "bucket", "subj"
+            )
+        )
+        # per-bucket row counts from footer METADATA (the Iceberg files
+        # table); the data is never recomputed or re-scanned
+        counts: dict[int, int] = {}
+        for g, b, _ in adapter.list_partitions():
+            counts[b] = counts.get(b, 0) + sum(adapter.file_counts(g, b).values())
+        wall = int((time.time() - t0) * 1000)
+        _append_manifest(
+            spark,
+            out_dir,
+            [(stage, str(b), input_snapshot, counts.get(b, 0), "done", 1, wall)
+             for b in range(n_buckets)],
+        )
         return
     bt = with_bucket(triples, n_buckets).persist()
     try:

@@ -91,6 +91,10 @@ def run(argv: list[str] | None = None) -> None:
                     help="MinHash-LSH blocked linking instead of exact alias match")
     ap.add_argument("--buckets", type=int, default=materialize.DEFAULT_BUCKETS)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--bulk", action="store_true",
+                    help="single-pass bulk load: one write job over the whole "
+                    "frame (no per-group cache/re-read); resume granularity "
+                    "becomes the whole load — right for fresh full imports")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("citykg-pipeline").getOrCreate()
@@ -124,7 +128,8 @@ def run(argv: list[str] | None = None) -> None:
         if os.path.exists(mpath):
             shutil.rmtree(mpath)
     materialize.write_triples(
-        spark, triples, args.output, n_buckets=args.buckets, input_snapshot=args.input
+        spark, triples, args.output, n_buckets=args.buckets, input_snapshot=args.input,
+        bucket_group=None if args.bulk else 8,
     )
     materialize.write_geometry_datatype_registry(
         spark, materialize.read_triples(spark, args.output), args.output

@@ -350,3 +350,39 @@ def test_compact_store_mid_commit_crash(spark, triples, tmp_path_factory):
     ))))
     with pytest.raises(RuntimeError, match="rows"):
         materialize.compact_store(spark, out)
+
+
+def test_write_triples_bulk_single_pass(spark, triples, tmp_path_factory):
+    """bucket_group=None: one write job, per-bucket manifest rows from
+    footer metadata, content identical to the grouped path; refuses to
+    resume a partially-written stage."""
+    import os
+
+    grouped = str(tmp_path_factory.mktemp("store_grouped"))
+    bulk = str(tmp_path_factory.mktemp("store_bulk"))
+    materialize.write_triples(spark, triples, grouped, n_buckets=8, input_snapshot="v1")
+    materialize.write_triples(
+        spark, triples, bulk, n_buckets=8, input_snapshot="v1", bucket_group=None
+    )
+    key = ["subj", "pred", "obj", "graph"]
+    a = sorted(map(tuple, materialize.read_triples(spark, grouped).select(*key).collect()))
+    b = sorted(map(tuple, materialize.read_triples(spark, bulk).select(*key).collect()))
+    assert a == b and a
+    # manifest parity: same per-bucket done rows with identical counts
+    def manifest_counts(out):
+        return {
+            r.partition_range: r.row_count
+            for r in materialize.read_manifest(spark, out)
+            .where(F.col("stage") == "materialize").collect()
+        }
+    assert manifest_counts(bulk) == manifest_counts(grouped)
+    # a partially-written stage must refuse the bulk path
+    partial = str(tmp_path_factory.mktemp("store_partial"))
+    with pytest.raises(RuntimeError):
+        materialize.write_triples(
+            spark, triples, partial, n_buckets=8, bucket_group=2, fail_after_groups=1
+        )
+    with pytest.raises(ValueError, match="bulk"):
+        materialize.write_triples(
+            spark, triples, partial, n_buckets=8, bucket_group=None
+        )
