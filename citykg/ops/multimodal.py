@@ -1051,67 +1051,85 @@ def texture_atlas_pack(
     reference's own early-out (KmlGenericObject.java:1192-1195). Also
     emits next-power-of-two atlas dims (the creator's usePOTS flag).
 
-    Scale shape: ONE hash-partition shuffle on the feature id
-    (applyInPandas); per-feature image counts are bounded (a building
-    carries dozens of textures, not millions), so groups are tiny and
-    skew-free; the packing itself is an Arrow-batched pandas loop over a
-    handful of rows per group, no per-row Python at corpus scale."""
-    schema = (
-        f"{feature_col} string, {uri_col} string, width int, height int, "
-        "x int, y int, atlas_w int, atlas_h int, pots_w int, pots_h int, "
-        "u0 double, v0 double, u1 double, v1 double"
-    )
-
-    def _pots(v: int) -> int:
-        return 1 << max(0, (int(v) - 1).bit_length())
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [h_col, w_col, uri_col], ascending=[False, False, True]
-        ).reset_index(drop=True)
-        ws = pdf[w_col].astype(int)
-        hs = pdf[h_col].astype(int)
-        if len(pdf) < 2:
-            aw = ws.tolist() or [0]
-            ah = hs.tolist() or [0]
-            aw, ah = aw[0], ah[0]
-            xs, ys = [0] * len(pdf), [0] * len(pdf)
-        else:
-            aw = max(atlas_width, int(ws.max()))
-            xs, ys = [], []
-            cur_x = cur_y = shelf_h = 0
-            for w, h in zip(ws, hs):
-                if cur_x > 0 and cur_x + w > aw:
-                    cur_y += shelf_h
-                    cur_x = 0
-                    shelf_h = 0
-                xs.append(cur_x)
-                ys.append(cur_y)
-                cur_x += w
-                shelf_h = max(shelf_h, h)
-            ah = cur_y + shelf_h
-        out = pd.DataFrame(
-            {
-                feature_col: pdf[feature_col],
-                uri_col: pdf[uri_col],
-                "width": ws,
-                "height": hs,
-                "x": xs,
-                "y": ys,
-                "atlas_w": aw,
-                "atlas_h": ah,
-                "pots_w": _pots(aw),
-                "pots_h": _pots(ah),
-            }
+    Scale shape: ONE group exchange (collect_list per feature — groups
+    are bounded: a building carries dozens of textures, not millions),
+    then the sequential shelf state advances as a pure JVM `aggregate`
+    fold over the sorted image array + posexplode — NO Python anywhere.
+    (The first implementation ran the fold in applyInPandas; at 20k
+    4-image features that is 20k Python group calls and measured 25.7 s
+    in the r5 bench — the JVM fold is the same algorithm without the
+    per-group interpreter round-trip.)"""
+    pos_t = "array<struct<uri:string,w:int,h:int,x:int,y:int>>"
+    imgs = (
+        df.groupBy(F.col(feature_col).alias(feature_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(h_col).cast("int")).alias("nh"),
+                        (-F.col(w_col).cast("int")).alias("nw"),
+                        F.col(uri_col).cast("string").alias("uri"),
+                        F.col(w_col).cast("int").alias("w"),
+                        F.col(h_col).cast("int").alias("h"),
+                    )
+                )
+            ).alias("imgs")
         )
-        out["u0"] = out["x"] / aw
-        out["v0"] = out["y"] / ah
-        out["u1"] = (out["x"] + out["width"]) / aw
-        out["v1"] = (out["y"] + out["height"]) / ah
-        return out
-
+        .withColumn(
+            "aw",
+            F.expr(
+                f"CASE WHEN size(imgs) < 2 THEN imgs[0].w "
+                f"ELSE greatest({int(atlas_width)}, array_max(transform(imgs, i -> i.w))) END"
+            ),
+        )
+    )
+    fold = f"""
+    CASE WHEN size(imgs) < 2 THEN named_struct(
+        'ah', imgs[0].h,
+        'acc', transform(imgs, i -> named_struct(
+            'uri', i.uri, 'w', i.w, 'h', i.h, 'x', 0, 'y', 0)))
+    ELSE aggregate(
+        imgs,
+        named_struct('cur_x', 0, 'cur_y', 0, 'shelf_h', 0,
+                     'acc', CAST(array() AS {pos_t})),
+        (s, i) -> CASE WHEN s.cur_x > 0 AND s.cur_x + i.w > aw
+            THEN named_struct(
+                'cur_x', i.w, 'cur_y', s.cur_y + s.shelf_h, 'shelf_h', i.h,
+                'acc', concat(s.acc, array(named_struct(
+                    'uri', i.uri, 'w', i.w, 'h', i.h,
+                    'x', 0, 'y', s.cur_y + s.shelf_h))))
+            ELSE named_struct(
+                'cur_x', s.cur_x + i.w, 'cur_y', s.cur_y,
+                'shelf_h', greatest(s.shelf_h, i.h),
+                'acc', concat(s.acc, array(named_struct(
+                    'uri', i.uri, 'w', i.w, 'h', i.h,
+                    'x', s.cur_x, 'y', s.cur_y))))
+            END,
+        s -> named_struct('ah', s.cur_y + s.shelf_h, 'acc', s.acc))
+    END"""
+    pots = "CAST(pow(2, ceil(log2(greatest({v}, 1)))) AS int)"
     return (
-        df.select(feature_col, uri_col, w_col, h_col)
-        .groupBy(feature_col)
-        .applyInPandas(pack, schema)
+        imgs.withColumn("_f", F.expr(fold))
+        .selectExpr(
+            feature_col,
+            "aw",
+            "_f.ah AS ah",
+            "inline(_f.acc)",
+        )
+        .selectExpr(
+            feature_col,
+            f"uri AS {uri_col}",
+            "w AS width",
+            "h AS height",
+            "x",
+            "y",
+            "aw AS atlas_w",
+            "ah AS atlas_h",
+            pots.format(v="aw") + " AS pots_w",
+            pots.format(v="ah") + " AS pots_h",
+            "CAST(x AS double) / aw AS u0",
+            "CAST(y AS double) / ah AS v0",
+            "CAST(x + w AS double) / aw AS u1",
+            "CAST(y + h AS double) / ah AS v1",
+        )
     )

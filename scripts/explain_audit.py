@@ -105,7 +105,7 @@ AUDITS = [
     ("event_props_stats", "JSON props: get_json_object in the codegen'd Project (no Python), ONE partial-agg exchange"),
     ("crs_transform_epsg", "general EPSG transform: Arrow-batched mapInPandas kernel in a pure Project, zero Exchange"),
     ("kml_geometry", "GEOMETRY display form: classify in a codegen'd Project, ONE (feature,type) group exchange, JVM string concat"),
-    ("texture_atlas", "texture atlas: ONE hash-partition shuffle into per-feature Arrow groups (applyInPandas), tiny bounded groups"),
+    ("texture_atlas", "texture atlas: ONE group exchange (collect_list), shelf fold is a pure JVM aggregate + inline — zero Python"),
     ("bpe_train_batched", "batched BPE: pair-count partial agg + bounded top-M collect per ROUND (not per merge); folds chain in-plan"),
     ("source_validate_schema", "schema-rule validator: ONE codegen'd Project + explode, zero Python, zero shuffles"),
 ]
