@@ -479,11 +479,15 @@ def _audit_pending_compactions(
     ).collect()
     n_pending: dict[str, int] = {}
     n_done: dict[str, int] = {}
-    exp: dict[str, int] = {}
+    exp: dict[str, set] = {}
     for r in rows:
         if r.status == "pending":
             n_pending[r.partition_range] = n_pending.get(r.partition_range, 0) + 1
-            exp[r.partition_range] = int(r.row_count)
+            # several cycles can each leave a pending row for this
+            # partition (upserts between cycles change the expected
+            # count): keep the SET — the physical state decides which
+            # cycle's expectation it matches
+            exp.setdefault(r.partition_range, set()).add(int(r.row_count))
         elif r.status in ("done", "failed") and "/" in r.partition_range:
             n_done[r.partition_range] = n_done.get(r.partition_range, 0) + 1
     forced: set[tuple[str, int]] = set()
@@ -494,11 +498,12 @@ def _audit_pending_compactions(
         g, b = pr.split("/", 1)
         part_dir = os.path.join(path, f"graph={g}", f"bucket={b}")
         counts = _parquet_footer_counts(part_dir)
-        expected = exp[pr]
-        if len(counts) == 1 and next(iter(counts.values())) == expected:
-            closures.append((stage, pr, "", expected, "done", 2, 0))
+        expecteds = exp[pr]
+        single_ok = len(counts) == 1 and next(iter(counts.values())) in expecteds
+        if single_ok:
+            closures.append((stage, pr, "", next(iter(counts.values())), "done", 2, 0))
             continue
-        complete = [f for f, n in counts.items() if n == expected]
+        complete = [f for f, n in counts.items() if n in expecteds]
         if complete:
             keep = max(
                 complete, key=lambda f: os.path.getmtime(os.path.join(part_dir, f))
@@ -506,18 +511,19 @@ def _audit_pending_compactions(
             for f in counts:
                 if f != keep:
                     os.remove(os.path.join(part_dir, f))
-            closures.append((stage, pr, "", expected, "done", 2, 0))
-        elif sum(counts.values()) == expected:
+            closures.append((stage, pr, "", counts[keep], "done", 2, 0))
+        elif sum(counts.values()) in expecteds:
             # intact pre-commit state: close the dangling pending with a
             # `failed` lineage row and re-queue the partition
-            closures.append((stage, pr, "", expected, "failed", 2, 0))
+            closures.append((stage, pr, "", sum(counts.values()), "failed", 2, 0))
             forced.add((g, int(b)))
         else:
             raise RuntimeError(
                 f"compaction crash corrupted graph={g}/bucket={b}: files hold "
-                f"{sum(counts.values())} rows, manifest expected {expected}; rows "
-                f"were lost mid-commit — restore the partition from the upstream "
-                f"stage (re-run its upsert batches) before compacting again"
+                f"{sum(counts.values())} rows, manifest expected one of "
+                f"{sorted(expecteds)}; rows were lost mid-commit — restore the "
+                f"partition from the upstream stage (re-run its upsert batches) "
+                f"before compacting again"
             )
     if closures:
         _append_manifest(spark, out_dir, closures)
