@@ -1410,3 +1410,42 @@ def test_bpe_batched_agrees_and_diverges_as_documented(spark):
     assert b[0][1:4] == ("a", "b", "ab")
     # driver round-trips: batched ran ONE pair-count collect, exact ran 3
     # (shape asserted by construction: batch == n_merges above)
+
+
+def test_texture_atlas_invariants_randomized(spark):
+    """Seeded randomized pack: every image placed exactly once, inside
+    the atlas bounds, pairwise non-overlapping within a feature, stable
+    across runs — including widths above atlas_width (widening) and
+    single-image features (early-out)."""
+    from citykg.ops.multimodal import texture_atlas_pack
+
+    df = spark.range(600).selectExpr(
+        "concat('F', id % 137) as gml_id",
+        "concat('u', id) as uri",
+        "cast(1 + pmod(xxhash64(id, 7), 80) as int) as width",
+        "cast(1 + pmod(xxhash64(id, 11), 60) as int) as height",
+    )
+    rows = texture_atlas_pack(df, atlas_width=64).collect()
+    again = texture_atlas_pack(df, atlas_width=64).collect()
+    key = lambda r: (r.gml_id, r.uri)  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    assert {(r.gml_id, r.uri, r.x, r.y) for r in rows} == {
+        (r.gml_id, r.uri, r.x, r.y) for r in again
+    }
+    assert len(rows) == 600 and len(set(map(key, rows))) == 600
+    by_feat = {}
+    for r in rows:
+        assert 0 <= r.x and r.x + r.width <= r.atlas_w, (r.uri, r.x, r.width, r.atlas_w)
+        assert 0 <= r.y and r.y + r.height <= r.atlas_h
+        assert r.pots_w >= r.atlas_w and r.pots_h >= r.atlas_h
+        assert 0.0 <= r.u0 < r.u1 <= 1.0 and 0.0 <= r.v0 < r.v1 <= 1.0
+        by_feat.setdefault(r.gml_id, []).append(r)
+    for feat, rs in by_feat.items():
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                a, b = rs[i], rs[j]
+                overlap = not (
+                    a.x + a.width <= b.x or b.x + b.width <= a.x
+                    or a.y + a.height <= b.y or b.y + b.height <= a.y
+                )
+                assert not overlap, (feat, a.uri, b.uri)

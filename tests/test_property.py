@@ -97,3 +97,44 @@ def _nq_unescape(s: str) -> str:
 @given(st.text(min_size=0, max_size=80))
 def test_nquads_escape_roundtrip(s):
     assert _nq_unescape(_nq_escape(s)) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-5.9, max_value=5.9, allow_nan=False, width=64),
+    st.floats(min_value=-84.0, max_value=84.0, allow_nan=False, width=64),
+)
+def test_epsg_tm_roundtrip_property(dlon, lat):
+    """TM (Krüger) round-trip for arbitrary points within the zone band:
+    projected -> geographic -> projected agrees to < 1e-6 m."""
+    import numpy as np
+
+    from citykg.ops.crs import from_geographic, to_geographic
+
+    lon = 15.0 + dlon  # zone 33 central meridian ± 5.9°
+    for code in (25833, 32633):
+        x, y = from_geographic(np.array([lon]), np.array([lat]), code)
+        lo, la = to_geographic(x, y, code)
+        x2, y2 = from_geographic(lo, la, code)
+        assert abs(x2[0] - x[0]) < 1e-6 and abs(y2[0] - y[0]) < 1e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-179.0, max_value=179.0, allow_nan=False, width=64),
+    st.floats(min_value=-85.0, max_value=85.0, allow_nan=False, width=64),
+)
+def test_epsg_webmerc_lcc_roundtrip_property(lon, lat):
+    """Web Mercator (anywhere) and Lambert-93 (its latitude band)
+    geographic round-trips stay below 1e-9 degrees."""
+    import numpy as np
+
+    from citykg.ops.crs import from_geographic, to_geographic
+
+    x, y = from_geographic(np.array([lon]), np.array([lat]), 3857)
+    lo, la = to_geographic(x, y, 3857)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+    if -20.0 <= lon <= 25.0 and 20.0 <= lat <= 75.0:
+        x, y = from_geographic(np.array([lon]), np.array([lat]), 2154)
+        lo, la = to_geographic(x, y, 2154)
+        assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
