@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(165 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(166 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -766,6 +766,71 @@ def q_texture_atlas(spark, sf):
         "atlas_w", "atlas_h", "pots_w", "pots_h",
         "round(u0, 6) as u0", "round(v0, 6) as v0",
         "round(u1, 6) as u1", "round(v1, 6) as v1",
+    )
+
+
+def q_distance_epsg(spark, sf):
+    """A4+A8 composition, DistanceAgent.computeDistance:271-284 parity:
+    the reference re-projects both geometries to an arbitrary METRIC CRS
+    before measuring. Here: doc points in 4326 -> Lambert-93 (EPSG:2154)
+    through the general kernel (ops.crs.transform_epsg_df), then planar
+    distance between consecutive docs. One Arrow-batched Project + one
+    equi-join on doc_id+1 — no cartesian; the oracle replays the LCC
+    forward projection + distance in closed-form SQL."""
+    from citykg.ops import crs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(-5 + (doc_id % 30) * 0.5 as double) as lon",
+        "cast(40 + (doc_id % 20) * 0.5 as double) as lat",
+    )
+    p = crs.transform_epsg_df(d, 4326, 2154, "lon", "lat", "mx", "my").select(
+        "doc_id", "mx", "my"
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("mx").alias("ax"), F.col("my").alias("ay"))
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("mx").alias("bx"), F.col("my").alias("by"))
+    return (
+        a.join(b, F.col("doc_a") + 1 == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.sqrt(
+                    (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                    + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+                ),
+                2,
+            ).alias("dist_m"),
+        )
+    )
+
+
+def _distance_epsg_sql() -> str:
+    """Lambert-93 forward + consecutive-doc planar distance in SQL —
+    same LCC constants-as-literals device as _crs_epsg_sql."""
+    import math as _m
+
+    from citykg.ops.crs import EPSG_PARAMS, _lcc_consts
+
+    p = EPSG_PARAMS[2154]
+    e, n, bigf, rho0 = _lcc_consts(p["a"], p["f"], p["lat0"], p["lat1"], p["lat2"])
+    af = repr(p["a"] * bigf)
+    lon0 = repr(_m.radians(p["lon0"]))
+    t = (
+        f"tan(pi() / 4 - lat / 2) / pow((1 - {e!r} * sin(lat)) / "
+        f"(1 + {e!r} * sin(lat)), {e / 2!r})"
+    )
+    return (
+        "WITH pts AS (SELECT doc_id, "
+        "radians(CAST(-5 + (doc_id % 30) * 0.5 AS DOUBLE)) AS lon, "
+        "radians(CAST(40 + (doc_id % 20) * 0.5 AS DOUBLE)) AS lat FROM documents), "
+        f"lcc AS (SELECT doc_id, {af} * pow({t}, {n!r}) AS rho, "
+        f"{n!r} * (lon - {lon0}) AS theta FROM pts), "
+        f"m AS (SELECT doc_id, {p['fe']!r} + rho * sin(theta) AS mx, "
+        f"{p['fn']!r} + {rho0!r} - rho * cos(theta) AS my FROM lcc) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "round(sqrt((a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my)), 2) AS dist_m "
+        "FROM m a JOIN m b ON a.doc_id + 1 = b.doc_id"
     )
 
 
@@ -3205,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extract": q_streaming_extract,
         "crs_transform": q_crs_transform,
         "crs_transform_epsg": q_crs_transform_epsg,
+        "distance_epsg": q_distance_epsg,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5269,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crs_transform": _crs_sql(),
         "crs_transform_epsg": _crs_epsg_sql(),
+        "distance_epsg": _distance_epsg_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -108,6 +108,7 @@ AUDITS = [
     ("texture_atlas", "texture atlas: ONE group exchange (collect_list), shelf fold is a pure JVM aggregate + inline — zero Python"),
     ("bpe_train_batched", "batched BPE: pair-count partial agg + bounded top-M collect per ROUND (not per merge); folds chain in-plan"),
     ("source_validate_schema", "schema-rule validator: ONE codegen'd Project + explode, zero Python, zero shuffles"),
+    ("distance_epsg", "metric-CRS distance: Arrow-batched reprojection Project + ONE equi-join on doc_id+1, no cartesian"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
