@@ -16,6 +16,13 @@ directly from the published EPSG Guidance Note 7-2 formulas:
 * Popular Visualisation Pseudo-Mercator / Web Mercator (method 1024).
 * Lambert Conformal Conic 2SP (method 9802), iterative inverse.
 * Geographic and vertical-height systems pass through.
+* CROSS-DATUM CRSs (method 9606): geodetic -> ECEF -> 7-parameter
+  position-vector Helmert -> WGS84 geodetic, with per-CRS ellipsoids and
+  TM latitude-of-origin — EPSG:27700 (British National Grid, Airy 1830 /
+  OSGB36) ships as the worked row, pinned to the Ordnance Survey's
+  published conversion example to 0.001 m. Single-Helmert accuracy is
+  the published ~2-3 m (sub-meter needs a distortion grid like OSTN15,
+  out of scope and documented).
 
 Exposed as array-in/array-out numpy kernels plus Arrow-batched
 mapInPandas wrappers — the Spark-scale path; no per-row Python.
@@ -219,13 +226,15 @@ def _tm_forward(lon_deg, lat_deg, p: dict) -> tuple[np.ndarray, np.ndarray]:
     for j, c in enumerate(alpha, start=1):
         y += c * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         x += c * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-    return p["fe"] + p["k0"] * a1 * x, p["fn"] + p["k0"] * a1 * y
+    fn = p["fn"] - _tm_lat0_offset(p["a"], p["f"], p.get("lat0", 0.0), p["k0"])
+    return p["fe"] + p["k0"] * a1 * x, fn + p["k0"] * a1 * y
 
 
 def _tm_inverse(easting, northing, p: dict) -> tuple[np.ndarray, np.ndarray]:
     a1, _, beta, delta, _ = _tm_consts(p["a"], p["f"])
+    fn = p["fn"] - _tm_lat0_offset(p["a"], p["f"], p.get("lat0", 0.0), p["k0"])
     e_ = (np.asarray(easting, dtype=np.float64) - p["fe"]) / (p["k0"] * a1)
-    n_ = (np.asarray(northing, dtype=np.float64) - p["fn"]) / (p["k0"] * a1)
+    n_ = (np.asarray(northing, dtype=np.float64) - fn) / (p["k0"] * a1)
     xi, eta = n_.copy(), e_.copy()
     for j, c in enumerate(beta, start=1):
         xi -= c * np.sin(2 * j * n_) * np.cosh(2 * j * e_)
@@ -302,20 +311,26 @@ def _lcc_inverse(easting, northing, p: dict) -> tuple[np.ndarray, np.ndarray]:
 
 
 def to_geographic(x, y, epsg: int) -> tuple[np.ndarray, np.ndarray]:
-    """(x, y) in `epsg` -> (lon_deg, lat_deg). Vectorized numpy."""
+    """(x, y) in `epsg` -> WGS84 (lon_deg, lat_deg). Vectorized numpy.
+    A CRS on a non-WGS84 datum additionally passes through the 7-param
+    Helmert pipeline (its `datum` row) after the inverse projection."""
     p = EPSG_PARAMS.get(epsg)
     if p is None:
         raise ValueError(f"EPSG:{epsg} not in EPSG_PARAMS — add its row (public registry values)")
     kind = p["proj"]
     if kind == "geographic":
-        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    if kind == "tm":
-        return _tm_inverse(x, y, p)
-    if kind == "webmerc":
-        return _webmerc_inverse(x, y, p)
-    if kind == "lcc2sp":
-        return _lcc_inverse(x, y, p)
-    raise ValueError(f"EPSG:{epsg} is not a horizontal CRS (proj={kind})")
+        lon, lat = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    elif kind == "tm":
+        lon, lat = _tm_inverse(x, y, p)
+    elif kind == "webmerc":
+        lon, lat = _webmerc_inverse(x, y, p)
+    elif kind == "lcc2sp":
+        lon, lat = _lcc_inverse(x, y, p)
+    else:
+        raise ValueError(f"EPSG:{epsg} is not a horizontal CRS (proj={kind})")
+    if "datum" in p:
+        lon, lat = _datum_to_wgs84(lon, lat, p)
+    return lon, lat
 
 
 def from_geographic(lon_deg, lat_deg, epsg: int) -> tuple[np.ndarray, np.ndarray]:
@@ -323,6 +338,8 @@ def from_geographic(lon_deg, lat_deg, epsg: int) -> tuple[np.ndarray, np.ndarray
     p = EPSG_PARAMS.get(epsg)
     if p is None:
         raise ValueError(f"EPSG:{epsg} not in EPSG_PARAMS — add its row (public registry values)")
+    if "datum" in p:
+        lon_deg, lat_deg = _wgs84_to_datum(lon_deg, lat_deg, p)
     kind = p["proj"]
     if kind == "geographic":
         return np.asarray(lon_deg, dtype=np.float64), np.asarray(lat_deg, dtype=np.float64)
@@ -375,3 +392,98 @@ def transform_epsg_df(
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-datum support: 7-parameter Helmert + TM latitude-of-origin
+# ---------------------------------------------------------------------------
+# The table above covers WGS84-family datums (WGS84/ETRS89/RGF93 agree to
+# centimeters). CRSs on a DIFFERENT datum additionally need the published
+# geodetic pipeline: geodetic -> ECEF (own ellipsoid) -> 7-param Helmert
+# similarity transform -> ECEF -> geodetic (WGS84). Implemented below per
+# EPSG Guidance Note 7-2 (method 9606, position-vector convention), with
+# ellipsoidal height taken as 0 for 2D coordinates — the same convention
+# geotools applies to 2D CRSs; the single-Helmert accuracy for OSGB36 is
+# the published ~2-3 m (sub-meter needs OSTN15, a grid file, out of scope).
+
+_ARC = math.pi / (180.0 * 3600.0)  # arcseconds -> radians
+
+# OSGB36 -> WGS84 position-vector parameters (published OS values):
+# tx ty tz (m), rx ry rz (arcsec), scale (ppm)
+_OSGB36_TO_WGS84 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+EPSG_PARAMS[27700] = {
+    # British National Grid: TM (9807) with non-zero latitude of origin,
+    # Airy 1830 ellipsoid, OSGB36 datum
+    "proj": "tm", "a": 6377563.396, "f": 1.0 / 299.3249646,
+    "lat0": 49.0, "lon0": -2.0, "k0": 0.9996012717,
+    "fe": 400000.0, "fn": -100000.0,
+    "datum": _OSGB36_TO_WGS84,
+}
+
+
+@lru_cache(maxsize=None)
+def _tm_lat0_offset(a: float, f: float, lat0: float, k0: float) -> float:
+    """k0 x meridian arc from the equator to lat0 (the M0 term of TM
+    method 9807) evaluated with the same Krüger series: at lon == lon0,
+    eta == 0, so northing reduces to k0*A1*(xi0 + sum alpha_j sin(2j xi0))."""
+    if lat0 == 0.0:
+        return 0.0
+    a1, alpha, _, _, e = _tm_consts(a, f)
+    phi = math.radians(lat0)
+    t = math.sinh(math.atanh(math.sin(phi)) - e * math.atanh(e * math.sin(phi)))
+    xi = math.atan(t)
+    y = xi
+    for j, c in enumerate(alpha, start=1):
+        y += c * math.sin(2 * j * xi)
+    return k0 * a1 * y
+
+
+def _geodetic_to_ecef(lon_deg, lat_deg, a: float, f: float):
+    e2 = f * (2 - f)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    nu = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+    x = nu * np.cos(lat) * np.cos(lon)
+    y = nu * np.cos(lat) * np.sin(lon)
+    z = nu * (1 - e2) * np.sin(lat)
+    return x, y, z
+
+
+def _ecef_to_geodetic(x, y, z, a: float, f: float):
+    e2 = f * (2 - f)
+    p = np.sqrt(x * x + y * y)
+    lat = np.arctan2(z, p * (1 - e2))
+    for _ in range(6):  # converges to sub-mm in 3-4 iterations
+        nu = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+        h = p / np.cos(lat) - nu
+        lat = np.arctan2(z, p * (1 - e2 * nu / (nu + h)))
+    lon = np.arctan2(y, x)
+    return np.degrees(lon), np.degrees(lat)
+
+
+def _helmert(x, y, z, params, inverse: bool = False):
+    """Position-vector 7-parameter similarity transform (EPSG 9606,
+    small-angle form). `inverse=True` applies the standard small-
+    parameter reversal (negate all seven)."""
+    tx, ty, tz, rx, ry, rz, ppm = params
+    if inverse:
+        tx, ty, tz, rx, ry, rz, ppm = (-tx, -ty, -tz, -rx, -ry, -rz, -ppm)
+    rx, ry, rz = rx * _ARC, ry * _ARC, rz * _ARC
+    s = 1.0 + ppm * 1e-6
+    x2 = tx + s * x - rz * y + ry * z
+    y2 = ty + rz * x + s * y - rx * z
+    z2 = tz - ry * x + rx * y + s * z
+    return x2, y2, z2
+
+
+def _datum_to_wgs84(lon_deg, lat_deg, p: dict):
+    x, y, z = _geodetic_to_ecef(lon_deg, lat_deg, p["a"], p["f"])
+    x, y, z = _helmert(x, y, z, p["datum"])
+    return _ecef_to_geodetic(x, y, z, _A, _WGS84_F)
+
+
+def _wgs84_to_datum(lon_deg, lat_deg, p: dict):
+    x, y, z = _geodetic_to_ecef(lon_deg, lat_deg, _A, _WGS84_F)
+    x, y, z = _helmert(x, y, z, p["datum"], inverse=True)
+    return _ecef_to_geodetic(x, y, z, p["a"], p["f"])

@@ -95,8 +95,13 @@ def test_epsg_roundtrips_all_registered_horizontal():
             continue
         x, y = from_geographic(lons, lats, code)
         lo, la = to_geographic(x, y, code)
-        assert np.abs(lo - lons).max() < 1e-12, code
-        assert np.abs(la - lats).max() < 1e-12, code
+        # same-datum CRSs round-trip to float noise; a cross-datum CRS
+        # additionally pays the small-parameter Helmert reversal
+        # residual (~1e-7 deg ~ cm — documented, far below the single-
+        # Helmert ~3 m accuracy)
+        tol = 1e-6 if "datum" in p else 1e-12
+        assert np.abs(lo - lons).max() < tol, code
+        assert np.abs(la - lats).max() < tol, code
 
 
 def test_epsg_anchor_points():
@@ -122,7 +127,7 @@ def test_epsg_unknown_code_and_vertical_raise():
     from citykg.ops.crs import to_geographic
 
     with _pytest.raises(ValueError, match="EPSG_PARAMS"):
-        to_geographic(np.array([0.0]), np.array([0.0]), 27700)
+        to_geographic(np.array([0.0]), np.array([0.0]), 31370)
     with _pytest.raises(ValueError, match="not a horizontal"):
         to_geographic(np.array([0.0]), np.array([0.0]), 5783)
 
@@ -140,3 +145,41 @@ def test_transform_epsg_df(spark):
     # identity short-circuit
     same = transform_epsg_df(df, 4326, 4326).collect()
     assert all(abs(r.tx - r.x) < 1e-12 and abs(r.ty - r.y) < 1e-12 for r in same)
+
+
+def test_epsg_27700_os_worked_example():
+    """British National Grid (TM with latitude-of-origin on Airy 1830):
+    the Ordnance Survey's published worked example ('A guide to
+    coordinate systems in Great Britain'): OSGB36 52°39'27.2531"N,
+    1°43'4.5177"E <-> E 651409.903, N 313177.270 — authoritative to mm,
+    datum-free (tests the projection math alone)."""
+    from citykg.ops.crs import EPSG_PARAMS, _tm_forward, _tm_inverse
+
+    phi = 52 + 39 / 60 + 27.2531 / 3600
+    lam = 1 + 43 / 60 + 4.5177 / 3600
+    p = EPSG_PARAMS[27700]
+    e, n = _tm_forward(np.array([lam]), np.array([phi]), p)
+    assert abs(e[0] - 651409.903) < 0.001 and abs(n[0] - 313177.270) < 0.001
+    lo, la = _tm_inverse(e, n, p)
+    assert abs(lo[0] - lam) < 1e-12 and abs(la[0] - phi) < 1e-12
+
+
+def test_epsg_27700_datum_pipeline():
+    """Cross-datum path (7-param Helmert, EPSG method 9606): WGS84
+    London projects to the known central-London grid square; the
+    OSGB36<->WGS84 shift is the published ~100 m magnitude; round-trip
+    residual stays at the documented small-parameter-reversal level
+    (~1e-7 deg ~ cm), far below the single-Helmert ~3 m accuracy."""
+    from citykg.ops.crs import EPSG_PARAMS, _tm_forward, from_geographic, to_geographic
+
+    lon, lat = np.array([-0.1276]), np.array([51.5072])
+    x, y = from_geographic(lon, lat, 27700)
+    assert abs(x[0] - 530043) < 50 and abs(y[0] - 180358) < 50
+    lo, la = to_geographic(x, y, 27700)
+    assert abs(lo[0] - lon[0]) < 1e-6 and abs(la[0] - lat[0]) < 1e-6
+    # datum shift magnitude: project the same lon/lat AS IF it were
+    # OSGB36 (datum-free TM) and compare — OSGB36 vs WGS84 differ by
+    # ~70-120 m over Britain
+    e36, n36 = _tm_forward(lon, lat, EPSG_PARAMS[27700])
+    shift = ((x[0] - e36[0]) ** 2 + (y[0] - n36[0]) ** 2) ** 0.5
+    assert 50 < shift < 200
