@@ -233,6 +233,7 @@ def headline(sf_dir: str, cores: int) -> None:
         "kml_geometry",
         "texture_atlas",
         "bpe_train_batched",
+        "distance_epsg",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
