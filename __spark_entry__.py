@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(166 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(169 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -3119,6 +3119,80 @@ def q_streaming_dedup(spark, sf):
     return spark.read.parquet(out).select("key")
 
 
+# ---------------------------------------------------------------------------
+# agent request plumbing (VERDICT r4 "What's missing" #5 — servlet analogs)
+# ---------------------------------------------------------------------------
+
+# a UI-click-sized selection, ascending so the i<j pair order is the
+# oracle's a.d < b.d
+AGENT_DOC_IDS = (1, 2, 3, 5, 8, 13, 21, 34)
+
+
+def _agent_iri(d: int) -> str:
+    return f"{DEFAULT_BASE}/cityobject/BLDG_{d:08d}/"
+
+
+def q_agent_city_info(spark, sf):
+    """CityInformationAgent createInfoTable branch through the FULL
+    request contract (citykg.agents): a POSTed iris array is validated
+    (method + URL checks), then every attribute row of each requested
+    city object is pulled — minus EnvelopeType, which the reference nulls
+    before returning (CityInformationAgent.java:199). Broadcast semi-join
+    of the request iris against the cityobject scan."""
+    from citykg.agents import CityInformationAgent
+
+    req = {"method": "POST", "iris": [_agent_iri(d) for d in AGENT_DOC_IDS]}
+    return CityInformationAgent().info_frame(_triples(spark, sf), req)
+
+
+def q_agent_distance(spark, sf):
+    """DistanceAgent through the request contract: all i<j pairs of the
+    POSTed iris, envelope-centroid (ring average, skipLast —
+    GeometryType.computeCentroid:149-161) distance in the metric database
+    SRS; 2D, because the reference's final measure is JTS
+    Coordinate.distance (DistanceAgent.java:271-284)."""
+    from citykg.agents import DistanceAgent
+
+    req = {"method": "POST", "iris": [_agent_iri(d) for d in AGENT_DOC_IDS]}
+    return DistanceAgent().distances_frame(_triples(spark, sf), req)
+
+
+def q_agent_plot_filter(spark, sf):
+    """CityInformationAgent programmatic-plot-finder branch
+    (getFilteredObjects, CityInformationAgent.java:102-144): zones that
+    allow the requested use, GFA >= the request's TotalGFA. The GFA frame
+    is the A11 zoning operator (footprint x storeys from ONE extraction
+    scan); the agent layer validates the context contract (TotalGFA
+    required per agent URL) and applies the threshold."""
+    from citykg.agents import CityInformationAgent
+
+    t = _triples(spark, sf, ["building", "surfacegeometry"]).where(
+        F.col("pred").isin("ocgml:storeysAboveGround", "ocgml:GeometryType")
+    )
+    per_doc = t.groupBy("doc_id").agg(
+        F.max(F.when(F.col("pred") == "ocgml:storeysAboveGround", F.col("obj").cast("int"))).alias("storeys"),
+        F.max(F.when(F.col("pred") == "ocgml:GeometryType", F.col("obj"))).alias("lit"),
+    )
+    fp = geo.with_normal(per_doc, "lit").selectExpr(
+        "doc_id", "cast(substring(doc_id, 5) as bigint) as d", "storeys", "abs(nz) / 2 as footprint"
+    )
+    zones = spark.range(7).selectExpr("concat('Z', id) as zone", "id % 2 = 1 as allows_use")
+    j = fp.withColumn("zone", F.expr("concat('Z', d % 7)")).join(F.broadcast(zones), "zone")
+    gfa = j.selectExpr(
+        f"concat('{DEFAULT_BASE}/cityobject/BLDG_', lpad(cast(d as string), 8, '0'), '/') as iri",
+        "zone",
+        "allows_use",
+        "footprint * storeys as gfa",
+    )
+    agent_url = "http://localhost:8080/access-agent/access"
+    req = {
+        "method": "POST",
+        "iris": [DEFAULT_BASE + "/"],
+        "context": {agent_url: {"TotalGFA": "2500"}},
+    }
+    return CityInformationAgent().filtered_objects(gfa, req, agent_url)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -3271,6 +3345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_transform": q_crs_transform,
         "crs_transform_epsg": q_crs_transform_epsg,
         "distance_epsg": q_distance_epsg,
+        "agent_city_info": q_agent_city_info,
+        "agent_distance": q_agent_distance,
+        "agent_plot_filter": q_agent_plot_filter,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5336,6 +5413,30 @@ def oracle_sql() -> dict[str, str]:
         "crs_transform": _crs_sql(),
         "crs_transform_epsg": _crs_epsg_sql(),
         "distance_epsg": _distance_epsg_sql(),
+        "agent_city_info": (
+            f"SELECT subj AS iri, pred, obj FROM ({triples_oracle_sql(graphs=['cityobject'])}) "
+            "WHERE pred <> 'ocgml:EnvelopeType' AND subj IN ("
+            + ", ".join(f"'{_agent_iri(d)}'" for d in AGENT_DOC_IDS)
+            + ")"
+        ),
+        "agent_distance": (
+            "WITH ids(d) AS (VALUES "
+            + ", ".join(f"({d})" for d in AGENT_DOC_IDS)
+            + "), c AS (SELECT d, CAST(384000 + d % 1000 AS DOUBLE) + 4.5 AS cx, "
+            "CAST(5820000 + d % 2000 AS DOUBLE) + 4.0 AS cy, "
+            "'" + DEFAULT_BASE + "/cityobject/BLDG_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS iri "
+            "FROM ids) "
+            "SELECT a.iri AS iri_a, b.iri AS iri_b, "
+            "round(sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)), 6) AS dist_m "
+            "FROM c a JOIN c b ON a.d < b.d"
+        ),
+        "agent_plot_filter": (
+            f"{_geom_coords_cte()} "
+            f"SELECT '{DEFAULT_BASE}/cityobject/BLDG_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS iri, "
+            "'Z' || CAST(d % 7 AS VARCHAR) AS zone, "
+            "round(abs(nz) / 2 * (1 + d % 40), 6) AS gfa FROM n "
+            "WHERE d % 7 IN (1, 3, 5) AND abs(nz) / 2 * (1 + d % 40) >= 2500"
+        ),
         "dedup_simhash": _simhash_sql(),
         "dedup_substring": _substring_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -1,0 +1,460 @@
+"""Servlet-analog request plumbing for the CitiesKG agents.
+
+The reference exposes its operators behind JPSAgent servlets: a client
+POSTs a JSON body, `validateInput` rejects malformed requests with a
+BadRequestException, `processRequestParameters` mutates the request
+object with the results and echoes it back. This module reproduces that
+REQUEST CONTRACT — key names, validation rules, routing, response shape —
+on top of the Spark-side operators (the heavy lifting stays declarative;
+this layer only validates, routes, and shapes). A stdlib
+ThreadingHTTPServer wrapper (`serve`) provides the actual HTTP surface
+for deployments that want drop-in servlet parity.
+
+Reference parity (agents/src/main/java/uk/ac/cam/cares/twa/cities/):
+
+* ``CityInformationAgent.java`` — keys :46-50; three branches :92-211
+  (context fan-out incl. the GFA plot filter, the distance-filter task,
+  and the default createInfoTable pull that nulls the envelope before
+  returning, :199); validateInput :213-254 (POST + every iri a URL; each
+  context agent's kv-pairs must contain TotalGFA).
+* ``DistanceAgent.java`` — keys :43-46; all i<j pairs with a cached-
+  distance lookup before compute+writeback :106-124; validateInput
+  :130-149; computeDistance :271-284 (envelope centroid -> metric CRS ->
+  JTS ``Coordinate.distance``, which is **2D**); the OM-2 writeback
+  insert :293-316 (rendered here by geo.distance_writeback_triples).
+* ``CityImportAgent.java`` — URI_LISTEN/URI_ACTION + CHUNK_SIZE :72-86;
+  requestUrl routing :114-135; validateInput :137-200 (listen requires an
+  absolute directory, action a watched file/dir).
+* ``GeometryType.computeCentroid`` :149-161 — naive average of the
+  exterior ring skipping the closing point; that is the centroid the
+  distance runs on.
+
+Scale shape: requests carry a bounded IRI list (a UI click or a tile),
+so the iris side of every join here is a broadcast-able literal frame;
+the corpus side stays a partitioned triple scan. Nothing in this module
+collects more than the request's own result rows.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import threading
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import extract, materialize, sources
+from .vocab import DEFAULT_BASE
+
+HTTP_POST = "POST"
+
+KEY_REQ_METHOD = "method"
+KEY_REQ_URL = "requestUrl"
+KEY_IRIS = "iris"
+KEY_CONTEXT = "context"
+KEY_CITY_OBJECT_INFORMATION = "cityobjectinformation"
+KEY_TOTAL_GFA = "TotalGFA"
+KEY_DISTANCES = "distances"
+KEY_DIRECTORY = "directory"
+KEY_TARGET_URL = "targetURL"
+KEY_SRID = "srid"
+KEY_SRSNAME = "srsName"
+KEY_WATCH = "watch"
+
+
+class BadRequestException(ValueError):
+    """javax.ws.rs.BadRequestException analog — raised on any request that
+    fails an agent's validateInput."""
+
+
+def _require_url(s) -> str:
+    """`new URL(iri)` analog: scheme + host must both parse."""
+    try:
+        u = urlparse(str(s))
+    except Exception as exc:  # pragma: no cover - urlparse rarely throws
+        raise BadRequestException(f"not a URL: {s!r}") from exc
+    # `new URL()` accepts host-less file: URLs — mirror that
+    if not u.scheme or not (u.netloc or (u.scheme == "file" and u.path)):
+        raise BadRequestException(f"not a URL: {s!r}")
+    return str(s)
+
+
+def _require_post_iris(request: dict) -> list[str]:
+    """The validation block shared by CityInformationAgent and
+    DistanceAgent (DistanceAgent.java:130-149): non-empty body, method
+    key present and POST, iris present and every element a URL."""
+    if not isinstance(request, dict) or not request:
+        raise BadRequestException("empty request")
+    if request.get(KEY_REQ_METHOD) != HTTP_POST:
+        raise BadRequestException("method must be POST")
+    if KEY_IRIS not in request:
+        raise BadRequestException("missing iris")
+    iris = request[KEY_IRIS]
+    if not isinstance(iris, (list, tuple)):
+        raise BadRequestException("iris must be an array")
+    return [_require_url(i) for i in iris]
+
+
+def _iris_frame(spark: SparkSession, iris: list[str], col: str = "iri") -> DataFrame:
+    """Request-side literal frame. Requests are UI-bounded (tens of iris),
+    so this side of every join below broadcasts."""
+    return spark.createDataFrame([(i,) for i in iris], f"{col} string")
+
+
+# ---------------------------------------------------------------------------
+# CityInformationAgent
+# ---------------------------------------------------------------------------
+
+class CityInformationAgent:
+    """CityInformationAgent.java:40-254 analog."""
+
+    URI = "/cityobjectinformation"
+
+    def validate_input(self, request: dict) -> bool:
+        iris = _require_post_iris(request)
+        if KEY_CONTEXT in request:
+            ctx = request[KEY_CONTEXT]
+            if not isinstance(ctx, dict):
+                raise BadRequestException("context must be an object")
+            for agent_url, kv in ctx.items():
+                _require_url(agent_url)
+                if not isinstance(kv, dict) or KEY_TOTAL_GFA not in kv:
+                    # validateInput:223-240 — every context agent's
+                    # key-value pairs must carry TotalGFA
+                    raise BadRequestException(f"context for {agent_url} lacks TotalGFA")
+        return bool(iris) or True
+
+    def info_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        """createInfoTable branch (:185-206) as a DataFrame: every
+        attribute row of each requested city object. The reference pulls
+        the CityObject model then `setEnvelopeType(null)` before
+        serializing (:199) — mirrored by dropping EnvelopeType rows.
+        Plan: broadcast the request iris into a semi-join against the
+        cityobject graph scan; no shuffle on the corpus side."""
+        iris = _require_post_iris(request)
+        spark = triples.sparkSession
+        want = F.broadcast(_iris_frame(spark, iris, "subj"))
+        return (
+            triples.where(F.col("graph") == "cityobject")
+            .where(F.col("pred") != "ocgml:EnvelopeType")
+            .join(want, "subj")
+            .select(F.col("subj").alias("iri"), "pred", "obj")
+        )
+
+    def filtered_objects(
+        self,
+        gfa: DataFrame,
+        request: dict,
+        agent_url: str,
+    ) -> DataFrame:
+        """Programmatic-plot-finder branch (:102-144 + getFilterQuery):
+        keep city objects whose zone allows the requested use and whose
+        GFA clears the request's TotalGFA threshold (min_cap semantics —
+        the reference's >= bound; max_cap inverts it).
+
+        `gfa` is the zoning frame (iri, zone, allows_use, gfa) — produced
+        by the A11 operator (footprint x storeys); this method only
+        applies the request's filter, exactly the servlet split in the
+        reference (SPARQL does the heavy lifting there, Spark here)."""
+        self.validate_input(request)
+        kv = request[KEY_CONTEXT][agent_url]
+        try:
+            total_gfa = float(kv[KEY_TOTAL_GFA])
+        except (TypeError, ValueError):
+            # NumberFormatException -> 0.0 fallback (:134-137)
+            total_gfa = 0.0
+        max_cap = bool(kv.get("max_cap", False))
+        out = gfa.where(F.col("allows_use"))
+        if total_gfa > 0:
+            cond = F.col("gfa") <= total_gfa if max_cap else F.col("gfa") >= total_gfa
+            out = out.where(cond)
+        return out.select("iri", "zone", F.round("gfa", 6).alias("gfa"))
+
+    def process_request_parameters(self, triples: DataFrame, request: dict) -> dict:
+        """Full servlet contract: validate, run the branch, append results
+        to the request object and return it (collects only the request's
+        own result rows, like the servlet's JSON response)."""
+        self.validate_input(request)
+        out = dict(request)
+        rows = self.info_frame(triples, request).collect()
+        by_iri: dict[str, list] = {}
+        for r in rows:
+            by_iri.setdefault(r["iri"], []).append({"pred": r["pred"], "obj": r["obj"]})
+        # requestParams.append(KEY_CITY_OBJECT_INFORMATION, ...) — one
+        # entry per requested iri, in request order
+        out[KEY_CITY_OBJECT_INFORMATION] = [
+            {"iri": i, "attributes": by_iri.get(i, [])} for i in request[KEY_IRIS]
+        ]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# DistanceAgent
+# ---------------------------------------------------------------------------
+
+class DistanceAgent:
+    """DistanceAgent.java:40-316 analog."""
+
+    URI_DISTANCE = "/distance"
+
+    def validate_input(self, request: dict) -> bool:
+        _require_post_iris(request)
+        return True
+
+    @staticmethod
+    def _pairs_frame(spark: SparkSession, iris: list[str]) -> DataFrame:
+        """All i<j pairs in request order (processRequestParameters
+        :106-111). The pair list is request-bounded (C(n,2) of a UI
+        selection), built driver-side by construction, not by a data
+        cartesian."""
+        rows = [(a, b) for a, b in itertools.combinations(iris, 2)]
+        return spark.createDataFrame(rows, "iri_a string, iri_b string")
+
+    @staticmethod
+    def _centroids(triples: DataFrame, iris_df: DataFrame) -> DataFrame:
+        """Envelope centroid per requested iri: parse the EnvelopeType
+        literal back to its ring and average the first 4 (non-closing)
+        points — GeometryType.computeCentroid(skipLast=true). Pure JVM
+        HOF expressions over the broadcast-semi-joined scan."""
+        e = (
+            triples.where(F.col("graph") == "cityobject")
+            .where(F.col("pred") == "ocgml:EnvelopeType")
+            .join(F.broadcast(iris_df), "subj")
+        )
+        n_pts = "(size(split(obj, '#')) / 3 - 1)"  # ring points minus closure
+        axis = (
+            "aggregate(slice(transform(split(obj, '#'), (x, i) -> "
+            "struct(double(x) as v, i)), 1, size(split(obj, '#')) - 3), 0.0D, "
+            "(a, s) -> a + (case when s.i % 3 = {ax} then s.v else 0.0D end))"
+            f" / {n_pts}"
+        )
+        return e.selectExpr(
+            "subj as iri",
+            axis.format(ax=0) + " as cx",
+            axis.format(ax=1) + " as cy",
+            axis.format(ax=2) + " as cz",
+        )
+
+    def distances_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        """(iri_a, iri_b, dist_m) for every i<j request pair.
+
+        computeDistance:271-284 parity: centroids go through the metric
+        CRS before measuring, and the final measure is JTS
+        ``Coordinate.distance`` — 2D (x, y only). The store's coordinates
+        are already in the database SRS (EPSG:25833, metric), so the
+        findMathTransform(crs, metricCrs) leg is the identity here; for a
+        geographic-SRS store route through ops.crs.transform_epsg_df first
+        (the distance_epsg query exercises that leg)."""
+        iris = _require_post_iris(request)
+        spark = triples.sparkSession
+        pairs = self._pairs_frame(spark, iris)
+        c = self._centroids(triples, _iris_frame(spark, iris, "subj"))
+        a = c.select(F.col("iri").alias("iri_a"), F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+        b = c.select(F.col("iri").alias("iri_b"), F.col("cx").alias("bx"), F.col("cy").alias("by"))
+        return (
+            pairs.join(F.broadcast(a), "iri_a")
+            .join(F.broadcast(b), "iri_b")
+            .select(
+                "iri_a",
+                "iri_b",
+                F.round(
+                    F.sqrt(
+                        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+                    ),
+                    6,
+                ).alias("dist_m"),
+            )
+        )
+
+    def writeback_frame(self, distances: DataFrame, base: str = DEFAULT_BASE) -> DataFrame:
+        """getSetDistanceQuery analog: the OM-2 insert pattern for every
+        computed pair (10 triples each, content-derived ids — P24 policy
+        replaces the reference's UUIDs)."""
+        from .ops import geo
+
+        pairs = distances.withColumn(
+            "pair_key", F.md5(F.concat_ws("|", "iri_a", "iri_b"))
+        )
+        return geo.distance_writeback_triples(pairs, "iri_a", "iri_b", "dist_m", base, "pair_key")
+
+    def process_request_parameters(
+        self,
+        triples: DataFrame,
+        request: dict,
+        cached: DataFrame | None = None,
+    ) -> dict:
+        """Full contract: validate, reuse cached distances from the
+        `distance` graph when present (getDistance:106-115 — the agent
+        only computes pairs the store doesn't know), compute the rest,
+        append KEY_DISTANCES in pair order."""
+        self.validate_input(request)
+        iris = list(request[KEY_IRIS])
+        d = self.distances_frame(triples, request)
+        if cached is not None:
+            # cached: (iri_a, iri_b, dist_m) previously written back —
+            # stored pairs win in either orientation (getDistance:106-115).
+            sym = cached.union(
+                cached.select(F.col("iri_b").alias("iri_a"), F.col("iri_a").alias("iri_b"), "dist_m")
+            ).withColumnRenamed("dist_m", "stored")
+            d = d.join(F.broadcast(sym), ["iri_a", "iri_b"], "left").select(
+                "iri_a", "iri_b", F.coalesce("stored", "dist_m").alias("dist_m")
+            )
+        got = {(r["iri_a"], r["iri_b"]): r["dist_m"] for r in d.collect()}
+        out = dict(request)
+        out[KEY_DISTANCES] = [
+            got.get((a, b), got.get((b, a))) for a, b in itertools.combinations(iris, 2)
+        ]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# CityImportAgent
+# ---------------------------------------------------------------------------
+
+class CityImportAgent:
+    """CityImportAgent.java:70-200 analog.
+
+    The reference splits uploaded CityGML into 50-feature chunks and
+    queues them through importer threads into Blazegraph. The Spark
+    analog: the chunking is `fanout` repartitioning of the wholetext
+    scan (each task parses its files), the importer pool is the Spark
+    scheduler, and the sink is the bucketed manifest-tracked triple
+    store (materialize.write_triples) — resumable where the reference's
+    queue is restartable."""
+
+    URI_LISTEN = "/import/source"
+    URI_ACTION = "/import/citygml"
+    CHUNK_SIZE = 50  # features per import task (CityImportAgent.java:82)
+
+    def __init__(self) -> None:
+        self.watched_dirs: list[str] = []
+
+    def validate_input(self, request: dict) -> bool:
+        if not isinstance(request, dict) or not request:
+            raise BadRequestException("empty request")
+        keys = request.keys()
+        if not (KEY_REQ_METHOD in keys and KEY_REQ_URL in keys and KEY_TARGET_URL in keys):
+            raise BadRequestException("missing method/requestUrl/targetURL")
+        if request[KEY_REQ_METHOD] != HTTP_POST:
+            raise BadRequestException("method must be POST")
+        req_url = _require_url(request[KEY_REQ_URL])
+        _require_url(request[KEY_TARGET_URL])
+        path = urlparse(req_url).path
+        if self.URI_LISTEN in path:
+            d = request.get(KEY_DIRECTORY)
+            if not d or not os.path.isabs(str(d)):
+                # validateListenInput:169-185 — absolute directory required
+                raise BadRequestException("listen requires an absolute directory")
+        elif self.URI_ACTION in path:
+            w = request.get(KEY_WATCH)
+            if not w or not os.path.isabs(str(w)):
+                raise BadRequestException("action requires an absolute watch path")
+        else:
+            raise BadRequestException(f"unknown import route: {path}")
+        return True
+
+    def listen_to_import(self, directory: str) -> str:
+        """URI_LISTEN branch: register the watched directory (the
+        reference starts an AsynchronousWatcherService; here the caller
+        polls import_files, e.g. via Structured Streaming's file source
+        — citykg.streaming covers the always-on variant)."""
+        if directory not in self.watched_dirs:
+            self.watched_dirs.append(directory)
+        return directory
+
+    def import_files(
+        self,
+        spark: SparkSession,
+        watch: str,
+        target_dir: str,
+        base: str = DEFAULT_BASE,
+    ) -> dict:
+        """URI_ACTION branch: parse every CityGML file under `watch`,
+        extract triples, bulk-load the bucketed store at `target_dir`.
+        Returns the servlet-shaped summary."""
+        pattern = watch if watch.endswith(".gml") else os.path.join(watch, "*.gml")
+        docs = sources.read_citygml(spark, pattern)
+        n_docs = docs.count()
+        # 50-feature chunks -> fanout tasks (splitFile/CHUNK_SIZE analog)
+        fanout = max(1, -(-n_docs // self.CHUNK_SIZE))
+        docs = docs.repartition(fanout)
+        triples = extract.extract_triples(spark, docs, base=base)
+        materialize.write_triples(spark, triples, target_dir, bucket_group=None)
+        return {"importedFiles": pattern, "nFeatures": n_docs, "nChunks": fanout}
+
+    def process_request_parameters(self, spark: SparkSession, request: dict) -> dict:
+        self.validate_input(request)
+        out = dict(request)
+        path = urlparse(request[KEY_REQ_URL]).path
+        if self.URI_LISTEN in path:
+            out["listening"] = self.listen_to_import(str(request[KEY_DIRECTORY]))
+        else:
+            out.update(
+                self.import_files(
+                    spark,
+                    str(request[KEY_WATCH]),
+                    urlparse(request[KEY_TARGET_URL]).path or request[KEY_TARGET_URL],
+                )
+            )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Routing + HTTP surface
+# ---------------------------------------------------------------------------
+
+def dispatch(spark: SparkSession, triples: DataFrame, route: str, request: dict) -> dict:
+    """Route a request the way the servlet container does (urlPatterns).
+    Import requests route on their own requestUrl."""
+    request = dict(request)
+    request.setdefault(KEY_REQ_METHOD, HTTP_POST)
+    if route == CityInformationAgent.URI:
+        return CityInformationAgent().process_request_parameters(triples, request)
+    if route == DistanceAgent.URI_DISTANCE:
+        return DistanceAgent().process_request_parameters(triples, request)
+    if route in (CityImportAgent.URI_LISTEN, CityImportAgent.URI_ACTION):
+        request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
+        return CityImportAgent().process_request_parameters(spark, request)
+    raise BadRequestException(f"unknown route: {route}")
+
+
+def serve(spark: SparkSession, triples: DataFrame, host: str = "127.0.0.1", port: int = 0):
+    """Minimal servlet-container analog: a ThreadingHTTPServer whose POST
+    handler parses the JSON body, injects `method`, dispatches on the
+    path, and echoes the mutated request back as JSON (HTTP 400 on
+    BadRequestException). Returns the started server; `server.server_port`
+    is the bound port, `server.shutdown()` stops it. Spark drivers are
+    thread-safe for job submission, so concurrent requests just become
+    concurrent jobs on the shared SparkSession."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (BaseHTTPRequestHandler contract)
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                body[KEY_REQ_METHOD] = HTTP_POST
+                result = dispatch(spark, triples, self.path, body)
+                payload = json.dumps(result).encode()
+                self.send_response(200)
+            except BadRequestException as exc:
+                payload = json.dumps({"error": str(exc)}).encode()
+                self.send_response(400)
+            except Exception as exc:  # noqa: BLE001 — servlet 500 analog
+                payload = json.dumps({"error": repr(exc)}).encode()
+                self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

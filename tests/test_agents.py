@@ -1,0 +1,265 @@
+"""Servlet-analog agent plumbing (citykg.agents): request validation,
+branch semantics, the import route end-to-end, and the HTTP surface.
+
+Contracts under test mirror CityInformationAgent.java:92-254,
+DistanceAgent.java:87-149/271-316, CityImportAgent.java:72-200."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from citykg import materialize
+from citykg.agents import (
+    BadRequestException,
+    CityImportAgent,
+    CityInformationAgent,
+    DistanceAgent,
+    dispatch,
+    serve,
+)
+from citykg.extract import extract_triples
+from citykg.fixtures import synth_docs
+from citykg.vocab import DEFAULT_BASE
+
+SF = "/root/testdata/sf0.001"
+TEST_GML = "/root/reference/agents/src/test/resources/test.gml"
+
+
+def _iri(d):
+    return f"{DEFAULT_BASE}/cityobject/BLDG_{d:08d}/"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    t = extract_triples(spark, synth_docs(spark, SF)).localCheckpoint(eager=False)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# validateInput
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "req",
+    [
+        {},  # empty body
+        {"iris": [_iri(1)]},  # missing method
+        {"method": "GET", "iris": [_iri(1)]},  # non-POST
+        {"method": "POST"},  # missing iris
+        {"method": "POST", "iris": "not-an-array"},
+        {"method": "POST", "iris": ["no scheme"]},  # new URL() fails
+        # context agent kv-pairs must contain TotalGFA (:223-240)
+        {"method": "POST", "iris": [_iri(1)], "context": {"http://a/b": {}}},
+        {"method": "POST", "iris": [_iri(1)], "context": {"noscheme": {"TotalGFA": "1"}}},
+    ],
+)
+def test_city_info_validate_rejects(req):
+    with pytest.raises(BadRequestException):
+        CityInformationAgent().validate_input(req)
+
+
+def test_distance_validate_rejects_bad_iri():
+    with pytest.raises(BadRequestException):
+        DistanceAgent().validate_input({"method": "POST", "iris": [_iri(1), ":::"]})
+
+
+@pytest.mark.parametrize(
+    "req",
+    [
+        {"method": "POST", "requestUrl": "http://h/import/source", "targetURL": "http://h/t"},
+        # listen: directory must be absolute
+        {"method": "POST", "requestUrl": "http://h/import/source",
+         "targetURL": "http://h/t", "directory": "rel/dir"},
+        # action: watch required
+        {"method": "POST", "requestUrl": "http://h/import/citygml", "targetURL": "http://h/t"},
+        # unknown import route
+        {"method": "POST", "requestUrl": "http://h/import/other",
+         "targetURL": "http://h/t", "directory": "/tmp"},
+        # missing targetURL entirely
+        {"method": "POST", "requestUrl": "http://h/import/source", "directory": "/tmp"},
+    ],
+)
+def test_import_validate_rejects(req):
+    with pytest.raises(BadRequestException):
+        CityImportAgent().validate_input(req)
+
+
+# ---------------------------------------------------------------------------
+# CityInformationAgent branches
+# ---------------------------------------------------------------------------
+
+def test_info_frame_drops_envelope_and_scopes_to_request(triples):
+    req = {"method": "POST", "iris": [_iri(1), _iri(7)]}
+    rows = CityInformationAgent().info_frame(triples, req).collect()
+    assert {r["iri"] for r in rows} == {_iri(1), _iri(7)}
+    # setEnvelopeType(null) parity: no envelope rows in the response
+    assert all(r["pred"] != "ocgml:EnvelopeType" for r in rows)
+    # but the store itself HAS the envelope row for these subjects
+    has_env = (
+        triples.where(F.col("subj") == _iri(1))
+        .where(F.col("pred") == "ocgml:EnvelopeType")
+        .count()
+    )
+    assert has_env == 1
+
+
+def test_info_process_shapes_response_in_request_order(triples):
+    unknown = f"{DEFAULT_BASE}/cityobject/NOPE_00000000/"
+    req = {"method": "POST", "iris": [_iri(2), unknown, _iri(1)]}
+    out = CityInformationAgent().process_request_parameters(triples, req)
+    info = out["cityobjectinformation"]
+    assert [e["iri"] for e in info] == [_iri(2), unknown, _iri(1)]
+    assert info[1]["attributes"] == []  # hollow model for an absent object
+    assert len(info[0]["attributes"]) > 0
+    # original request keys are echoed back (servlet mutates + returns)
+    assert out["method"] == "POST" and out["iris"] == req["iris"]
+
+
+def test_plot_filter_threshold_semantics(spark):
+    gfa = spark.createDataFrame(
+        [("a", "Z1", True, 2600.0), ("b", "Z1", True, 2400.0), ("c", "Z2", False, 9000.0)],
+        "iri string, zone string, allows_use boolean, gfa double",
+    )
+    url = "http://h/access"
+    base = {"method": "POST", "iris": ["http://h/x"]}
+    ag = CityInformationAgent()
+    kept = ag.filtered_objects(gfa, {**base, "context": {url: {"TotalGFA": "2500"}}}, url)
+    assert [r["iri"] for r in kept.collect()] == ["a"]
+    # max_cap inverts the bound; non-numeric TotalGFA -> 0.0 (no bound)
+    kept = ag.filtered_objects(
+        gfa, {**base, "context": {url: {"TotalGFA": "2500", "max_cap": True}}}, url
+    )
+    assert [r["iri"] for r in kept.collect()] == ["b"]
+    kept = ag.filtered_objects(gfa, {**base, "context": {url: {"TotalGFA": "oops"}}}, url)
+    assert {r["iri"] for r in kept.collect()} == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# DistanceAgent
+# ---------------------------------------------------------------------------
+
+def test_distance_pairs_and_closed_form(triples):
+    iris = [_iri(1), _iri(2), _iri(5)]
+    req = {"method": "POST", "iris": iris}
+    d = DistanceAgent().distances_frame(triples, req).collect()
+    assert len(d) == 3  # C(3,2)
+    got = {(r["iri_a"], r["iri_b"]): r["dist_m"] for r in d}
+    # centroid(d) = (384000 + d%1000 + 4.5, 5820000 + d%2000 + 4.0); 2D
+    import math
+
+    def expect(a, b):
+        return round(math.sqrt((a - b) ** 2 + (a - b) ** 2), 6)
+
+    assert got[(_iri(1), _iri(2))] == expect(1, 2)
+    assert got[(_iri(2), _iri(5))] == expect(2, 5)
+
+
+def test_distance_cached_wins_either_orientation(spark, triples):
+    iris = [_iri(1), _iri(2), _iri(3)]
+    req = {"method": "POST", "iris": iris}
+    # stored distance for (2, 1) — reversed orientation on purpose
+    cached = spark.createDataFrame(
+        [(_iri(2), _iri(1), 999.0)], "iri_a string, iri_b string, dist_m double"
+    )
+    out = DistanceAgent().process_request_parameters(triples, req, cached=cached)
+    dists = out["distances"]
+    assert len(dists) == 3
+    assert dists[0] == 999.0  # pair (1,2) served from the store
+    assert all(v is not None and v != 999.0 for v in dists[1:])
+
+
+def test_distance_writeback_is_om2_pattern(spark, triples):
+    req = {"method": "POST", "iris": [_iri(1), _iri(2)]}
+    d = DistanceAgent().distances_frame(triples, req)
+    wb = DistanceAgent().writeback_frame(d)
+    rows = wb.collect()
+    assert len(rows) == 10  # 10 triples per pair (getSetDistanceQuery)
+    assert {r["graph"] for r in rows} == {"distance"}
+    preds = {r["pred"] for r in rows}
+    assert any("hasPhenomenon" in p for p in preds)
+    assert any("hasNumericValue" in p for p in preds)
+
+
+# ---------------------------------------------------------------------------
+# CityImportAgent end-to-end
+# ---------------------------------------------------------------------------
+
+def test_import_listen_and_action_roundtrip(spark, tmp_path):
+    import shutil
+
+    watch = tmp_path / "inbox"
+    watch.mkdir()
+    shutil.copy(TEST_GML, watch / "a.gml")
+    shutil.copy(TEST_GML, watch / "b.gml")
+    store = tmp_path / "store"
+
+    agent = CityImportAgent()
+    listen_req = {
+        "method": "POST",
+        "requestUrl": "http://localhost/import/source",
+        "targetURL": f"file://{store}",
+        "directory": str(watch),
+    }
+    out = agent.process_request_parameters(spark, listen_req)
+    assert out["listening"] == str(watch)
+    assert str(watch) in agent.watched_dirs
+
+    action_req = {
+        "method": "POST",
+        "requestUrl": "http://localhost/import/citygml",
+        "targetURL": f"file://{store}",
+        "watch": str(watch),
+    }
+    out = agent.process_request_parameters(spark, action_req)
+    assert out["nFeatures"] == 2  # one cityObjectMember per copy
+    assert out["nChunks"] == 1
+    stored = materialize.read_triples(spark, str(store))
+    assert stored.count() > 0
+    # the imported features are queryable by the info agent
+    iris = [r["subj"] for r in stored.where("graph = 'cityobject'").select("subj").distinct().collect()]
+    info = CityInformationAgent().info_frame(stored, {"method": "POST", "iris": iris})
+    assert info.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# dispatch + HTTP surface
+# ---------------------------------------------------------------------------
+
+def _post(port, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_dispatch_unknown_route(spark, triples):
+    with pytest.raises(BadRequestException):
+        dispatch(spark, triples, "/nope", {"iris": []})
+
+
+def test_http_surface_roundtrip(spark, triples):
+    server = serve(spark, triples)
+    port = server.server_port
+    try:
+        status, body = _post(port, "/cityobjectinformation", {"iris": [_iri(3)]})
+        assert status == 200
+        assert body["cityobjectinformation"][0]["iri"] == _iri(3)
+        assert len(body["cityobjectinformation"][0]["attributes"]) > 0
+
+        status, body = _post(port, "/distance", {"iris": [_iri(1), _iri(4)]})
+        assert status == 200 and len(body["distances"]) == 1
+
+        # malformed -> 400 (BadRequestException analog)
+        status, body = _post(port, "/distance", {"iris": ["not a url"]})
+        assert status == 400 and "error" in body
+    finally:
+        server.shutdown()
