@@ -403,18 +403,254 @@ class CityImportAgent:
 
 
 # ---------------------------------------------------------------------------
+# ThematicSurfaceDiscoveryAgent
+# ---------------------------------------------------------------------------
+
+class ThematicSurfaceDiscoveryAgent:
+    """ThematicSurfaceDiscoveryAgent.java:41-151 analog: classify a
+    namespace's (or one building's) surface geometries ROOF/WALL/GROUND
+    by normal orientation. The task itself is the A10 operator
+    (geo.classify_surface, MultiSurfaceThematicisationTask parity); this
+    layer is the request contract: method is **PUT** (:129), `namespace`
+    is required, `cityObjectIRI` scopes to one building, `thresholdAngle`
+    defaults to 5 degrees (:90), `mode` is one of footprint / validate /
+    restructure (:132-135, default restructure)."""
+
+    URI_LISTEN = "/discovery/thematicsurface"
+    DEFAULT_THRESHOLD = 5.0  # degrees (:90)
+    MODES = ("footprint", "validate", "restructure")
+
+    def validate_input(self, request: dict) -> bool:
+        if not isinstance(request, dict) or not request:
+            raise BadRequestException("empty request")
+        if request.get(KEY_REQ_METHOD) != "PUT":
+            raise BadRequestException("method must be PUT")
+        if "namespace" not in request:
+            raise BadRequestException("missing namespace")
+        _require_url(request["namespace"])
+        if "cityObjectIRI" in request:
+            _require_url(request["cityObjectIRI"])
+        mode = request.get("mode", "restructure")
+        if mode not in self.MODES:
+            # the reference maps an unknown mode to null and errors (:135)
+            raise BadRequestException(f"unknown mode: {mode}")
+        if "thresholdAngle" in request:
+            try:
+                float(request["thresholdAngle"])
+            except (TypeError, ValueError):
+                raise BadRequestException("thresholdAngle must be numeric")
+        return True
+
+    def discover_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        """restructure: (iri, surf_class) for every surface; footprint:
+        GROUND surfaces only (the footprint-discovery mode); validate:
+        per-class counts. Scoping to cityObjectIRI rides the surface
+        rows' ocgml:cityObjectId back-reference."""
+        from .ops import geo
+
+        self.validate_input(request)
+        theta = float(request.get("thresholdAngle", self.DEFAULT_THRESHOLD))
+        sg = triples.where(F.col("graph") == "surfacegeometry")
+        if "cityObjectIRI" in request:
+            scoped = sg.where(
+                (F.col("pred") == "ocgml:cityObjectId")
+                & (F.col("obj") == request["cityObjectIRI"])
+            ).select("subj").distinct()
+            sg = sg.join(F.broadcast(scoped), "subj")
+        g = sg.where(F.col("pred") == "ocgml:GeometryType").select(
+            F.col("subj").alias("iri"), F.col("obj").alias("lit")
+        )
+        out = geo.classify_surface(g, "lit", theta_deg=theta).select("iri", "surf_class")
+        mode = request.get("mode", "restructure")
+        if mode == "footprint":
+            return out.where(F.col("surf_class") == "GROUND")
+        if mode == "validate":
+            return out.groupBy("surf_class").agg(F.count("*").alias("n"))
+        return out
+
+    def process_request_parameters(self, triples: DataFrame, request: dict) -> dict:
+        out = dict(request)
+        rows = self.discover_frame(triples, request).collect()
+        out["discovered"] = [r.asDict() for r in rows]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# UPRNAgent
+# ---------------------------------------------------------------------------
+
+class UPRNAgent:
+    """UPRNAgent.java:40-100 analog: match address points (UPRNs) into
+    building footprint polygons. The reference pulls candidate UPRNs from
+    an external API per building envelope then runs point-in-polygon
+    (UPRNTask.uprnIntersectsGeometry); here the caller supplies the point
+    set (point_id, x, y) — the external-source seam — and the containment
+    is the grid-blocked exact join (geo.point_in_polygon_join). Contract:
+    method **PUT**, `namespace` required, optional `cityObjectIRI`."""
+
+    URI_LISTEN = "/uprn"
+
+    def validate_input(self, request: dict) -> bool:
+        if not isinstance(request, dict) or not request:
+            raise BadRequestException("empty request")
+        if request.get(KEY_REQ_METHOD) != "PUT":
+            raise BadRequestException("method must be PUT")
+        if "namespace" not in request:
+            raise BadRequestException("missing namespace")
+        _require_url(request["namespace"])
+        if "cityObjectIRI" in request:
+            _require_url(request["cityObjectIRI"])
+        return True
+
+    def match_frame(self, triples: DataFrame, points: DataFrame, request: dict) -> DataFrame:
+        """(point_id, poly_id) containment pairs; polygons are the
+        namespace's surface geometries, optionally scoped to one
+        building via the cityObjectId back-reference."""
+        from .ops import geo
+
+        self.validate_input(request)
+        sg = triples.where(F.col("graph") == "surfacegeometry")
+        if "cityObjectIRI" in request:
+            scoped = sg.where(
+                (F.col("pred") == "ocgml:cityObjectId")
+                & (F.col("obj") == request["cityObjectIRI"])
+            ).select("subj").distinct()
+            sg = sg.join(F.broadcast(scoped), "subj")
+        polys = sg.where(F.col("pred") == "ocgml:GeometryType").select(
+            F.col("subj").alias("poly_id"), F.col("obj").alias("lit")
+        )
+        return geo.point_in_polygon_join(points, polys)
+
+
+# ---------------------------------------------------------------------------
+# GraphInferenceAgent (InferenceAgent base contract)
+# ---------------------------------------------------------------------------
+
+ONINF_SCHEMA = "http://www.theworldavatar.com/ontologies/OntoInfer.owl#"
+
+
+class GraphInferenceAgent:
+    """GraphInferenceAgent / InferenceAgent.java:44-122 analog: POSTed
+    requests select a graph algorithm by IRI and the agent writes
+    OntoInfer triples back. validateInput requires method POST,
+    requestUrl containing /inference/graph, and targetIRI + algorithmIRI
+    + ontologyIRI all IRI-parsable (:97-122); the shortest-path algorithm
+    additionally needs sourceIRI. Algorithms map onto the already-oracled
+    G1-G3 operators (ops.graph)."""
+
+    URI_ACTION = "/inference/graph"
+    ALGO_PAGERANK = ONINF_SCHEMA + "PageRankAlgorithm"
+    ALGO_EDGE_BETWEENNESS = ONINF_SCHEMA + "EdgeBetweennessAlgorithm"
+    ALGO_SHORTEST_PATH = ONINF_SCHEMA + "UnweightedShortestPathAlgorithm"
+
+    def validate_input(self, request: dict) -> bool:
+        if not isinstance(request, dict) or not request:
+            raise BadRequestException("empty request")
+        keys = request.keys()
+        need = (KEY_REQ_METHOD, KEY_REQ_URL, "targetIRI", "algorithmIRI", "ontologyIRI")
+        if not all(k in keys for k in need):
+            raise BadRequestException("missing inference request keys")
+        if request[KEY_REQ_METHOD] != HTTP_POST:
+            raise BadRequestException("method must be POST")
+        req_url = _require_url(request[KEY_REQ_URL])
+        if self.URI_ACTION not in urlparse(req_url).path:
+            raise BadRequestException("requestUrl must target /inference/graph")
+        for k in ("targetIRI", "algorithmIRI", "ontologyIRI", "sourceIRI", "destinationIRI"):
+            if k in request:
+                _require_url(request[k])
+        if request["algorithmIRI"] == self.ALGO_SHORTEST_PATH and "sourceIRI" not in request:
+            raise BadRequestException("shortest path requires sourceIRI")
+        return True
+
+    def infer_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        """(id, value) scores for the requested algorithm over the link
+        graph of the target store."""
+        from .ops import graph
+
+        self.validate_input(request)
+        edges = graph.triples_to_edges(triples)
+        algo = request["algorithmIRI"]
+        if algo == self.ALGO_PAGERANK:
+            return graph.pagerank(edges, max_iter=8, tol=0.0).select(
+                "id", F.round("rank", 8).alias("value")
+            )
+        if algo == self.ALGO_EDGE_BETWEENNESS:
+            return graph.edge_betweenness(edges).select(
+                F.concat_ws("|", "src", "dst").alias("id"),
+                F.round("betweenness", 6).alias("value"),
+            )
+        if algo == self.ALGO_SHORTEST_PATH:
+            return graph.shortest_paths(edges, request["sourceIRI"]).select(
+                F.col("id"), F.col("dist").cast("double").alias("value")
+            )
+        raise BadRequestException(f"unknown algorithmIRI: {algo}")
+
+    def writeback_frame(self, scores: DataFrame, algo_class: str, base: str = DEFAULT_BASE) -> DataFrame:
+        """OntoInfer insert pattern: 3 triples per scored node —
+        hasInferenceObject / hasInferenceAlgorithm <algo class> /
+        hasInferredValue (PageRankTask.prepareUpdate:153-166; inference
+        ids content-derived per the P24 policy, not UUIDs)."""
+        inf = F.concat(F.lit(f"{base}/ontoinfer/INF_"), F.md5("id"), F.lit("/"))
+        rows = F.array(
+            F.struct(inf.alias("subj"), F.lit("oninf:hasInferenceObject").alias("pred"),
+                     F.col("id").alias("obj"), F.lit("iri").alias("obj_type")),
+            F.struct(inf.alias("subj"), F.lit("oninf:hasInferenceAlgorithm").alias("pred"),
+                     F.lit(algo_class).alias("obj"), F.lit("iri").alias("obj_type")),
+            F.struct(inf.alias("subj"), F.lit("oninf:hasInferredValue").alias("pred"),
+                     F.col("value").cast("string").alias("obj"), F.lit("literal").alias("obj_type")),
+        )
+        return (
+            scores.select(F.explode(rows).alias("t"))
+            .select("t.subj", "t.pred", "t.obj", "t.obj_type")
+            .withColumn("graph", F.lit("ontoinfer"))
+        )
+
+    def process_request_parameters(self, triples: DataFrame, request: dict) -> dict:
+        self.validate_input(request)
+        scores = self.infer_frame(triples, request)
+        wb = self.writeback_frame(scores, request["algorithmIRI"])
+        out = dict(request)
+        out["inferred"] = wb.count() // 3  # nodes scored (3 triples each)
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Routing + HTTP surface
 # ---------------------------------------------------------------------------
 
-def dispatch(spark: SparkSession, triples: DataFrame, route: str, request: dict) -> dict:
+def dispatch(
+    spark: SparkSession,
+    triples: DataFrame,
+    route: str,
+    request: dict,
+    method: str = HTTP_POST,
+) -> dict:
     """Route a request the way the servlet container does (urlPatterns).
-    Import requests route on their own requestUrl."""
+    Import requests route on their own requestUrl; PUT routes (thematic
+    surface discovery, UPRN) keep the reference's method choice."""
     request = dict(request)
-    request.setdefault(KEY_REQ_METHOD, HTTP_POST)
+    request.setdefault(KEY_REQ_METHOD, method)
     if route == CityInformationAgent.URI:
         return CityInformationAgent().process_request_parameters(triples, request)
     if route == DistanceAgent.URI_DISTANCE:
         return DistanceAgent().process_request_parameters(triples, request)
+    if route == ThematicSurfaceDiscoveryAgent.URI_LISTEN:
+        return ThematicSurfaceDiscoveryAgent().process_request_parameters(triples, request)
+    if route == UPRNAgent.URI_LISTEN:
+        # the external UPRN source arrives inline: [{point_id, x, y}, ...]
+        agent = UPRNAgent()
+        agent.validate_input(request)
+        pts = request.get("points") or []
+        points = spark.createDataFrame(
+            [(str(p["point_id"]), float(p["x"]), float(p["y"])) for p in pts],
+            "point_id string, x double, y double",
+        )
+        out = dict(request)
+        out["matches"] = [r.asDict() for r in agent.match_frame(triples, points, request).collect()]
+        return out
+    if route == GraphInferenceAgent.URI_ACTION:
+        request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
+        return GraphInferenceAgent().process_request_parameters(triples, request)
     if route in (CityImportAgent.URI_LISTEN, CityImportAgent.URI_ACTION):
         request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
         return CityImportAgent().process_request_parameters(spark, request)
@@ -432,12 +668,12 @@ def serve(spark: SparkSession, triples: DataFrame, host: str = "127.0.0.1", port
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):  # noqa: N802 (BaseHTTPRequestHandler contract)
+        def _handle(self, method):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                body[KEY_REQ_METHOD] = HTTP_POST
-                result = dispatch(spark, triples, self.path, body)
+                body[KEY_REQ_METHOD] = method
+                result = dispatch(spark, triples, self.path, body, method=method)
                 payload = json.dumps(result).encode()
                 self.send_response(200)
             except BadRequestException as exc:
@@ -450,6 +686,12 @@ def serve(spark: SparkSession, triples: DataFrame, host: str = "127.0.0.1", port
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
+
+        def do_POST(self):  # noqa: N802 (BaseHTTPRequestHandler contract)
+            self._handle(HTTP_POST)
+
+        def do_PUT(self):  # noqa: N802 — TSD/UPRN servlets accept PUT
+            self._handle("PUT")
 
         def log_message(self, *args):  # keep pytest output clean
             pass

@@ -224,6 +224,116 @@ def test_import_listen_and_action_roundtrip(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# ThematicSurfaceDiscoveryAgent / UPRNAgent / GraphInferenceAgent
+# ---------------------------------------------------------------------------
+
+def _surf_iri(d):
+    return f"{DEFAULT_BASE}/surfacegeometry/SURF_{d:08d}/"
+
+
+@pytest.mark.parametrize(
+    "req",
+    [
+        {"method": "POST", "namespace": "http://h/ns"},  # must be PUT
+        {"method": "PUT"},  # namespace required
+        {"method": "PUT", "namespace": "http://h/ns", "mode": "explode"},
+        {"method": "PUT", "namespace": "http://h/ns", "thresholdAngle": "steep"},
+        {"method": "PUT", "namespace": "http://h/ns", "cityObjectIRI": "not a url"},
+    ],
+)
+def test_tsd_validate_rejects(req):
+    from citykg.agents import ThematicSurfaceDiscoveryAgent
+
+    with pytest.raises(BadRequestException):
+        ThematicSurfaceDiscoveryAgent().validate_input(req)
+
+
+def test_tsd_modes_and_scope(spark, triples):
+    from citykg.agents import ThematicSurfaceDiscoveryAgent
+    from citykg.ops import geo
+
+    ns = DEFAULT_BASE + "/"
+    agent = ThematicSurfaceDiscoveryAgent()
+    # restructure matches the A10 operator applied directly (same theta)
+    req = {"method": "PUT", "namespace": ns, "thresholdAngle": 45.0}
+    got = {r["iri"]: r["surf_class"] for r in agent.discover_frame(triples, req).collect()}
+    direct = geo.classify_surface(
+        triples.where("graph = 'surfacegeometry' and pred = 'ocgml:GeometryType'")
+        .select(F.col("subj").alias("iri"), F.col("obj").alias("lit")),
+        "lit",
+        theta_deg=45.0,
+    )
+    want = {r["iri"]: r["surf_class"] for r in direct.select("iri", "surf_class").collect()}
+    assert got == want and len(got) > 0
+    # cityObjectIRI scopes to the one building's surfaces
+    req = {"method": "PUT", "namespace": ns, "cityObjectIRI": _iri(3)}
+    rows = agent.discover_frame(triples, req).collect()
+    assert {r["iri"] for r in rows} == {_surf_iri(3)}
+    # validate mode returns per-class counts summing to the surface count
+    req = {"method": "PUT", "namespace": ns, "mode": "validate"}
+    counts = agent.discover_frame(triples, req).collect()
+    assert sum(r["n"] for r in counts) == len(got)
+
+
+def test_uprn_match_via_http_put(spark, triples):
+    server = serve(spark, triples)
+    try:
+        body = {
+            "namespace": DEFAULT_BASE + "/",
+            "cityObjectIRI": _iri(2),
+            # inside doc 2's footprint vs far away
+            "points": [
+                {"point_id": "PT_IN", "x": 384000 + 2 + 4.5, "y": 5820000 + 2 + 4.0},
+                {"point_id": "PT_OUT", "x": 1.0, "y": 1.0},
+            ],
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.server_port}/uprn",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="PUT",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["matches"] == [{"point_id": "PT_IN", "poly_id": _surf_iri(2)}]
+    finally:
+        server.shutdown()
+
+
+def test_graph_inference_contract_and_writeback(spark, triples):
+    from citykg.agents import GraphInferenceAgent
+
+    small = triples.where("graph = 'addresstobuilding' and doc_id < 'doc_00000030'")
+    agent = GraphInferenceAgent()
+    base_req = {
+        "method": "POST",
+        "requestUrl": "http://localhost/inference/graph",
+        "targetIRI": DEFAULT_BASE + "/",
+        "ontologyIRI": "http://www.theworldavatar.com/ontologies/OntoInfer.owl",
+    }
+    # shortest path demands sourceIRI
+    with pytest.raises(BadRequestException):
+        agent.validate_input({**base_req, "algorithmIRI": agent.ALGO_SHORTEST_PATH})
+    # wrong path rejected
+    with pytest.raises(BadRequestException):
+        agent.validate_input(
+            {**base_req, "requestUrl": "http://localhost/other", "algorithmIRI": agent.ALGO_PAGERANK}
+        )
+    scores = agent.infer_frame(small, {**base_req, "algorithmIRI": agent.ALGO_PAGERANK})
+    n = scores.count()
+    assert n > 0
+    wb = agent.writeback_frame(scores, agent.ALGO_PAGERANK)
+    assert wb.count() == 3 * n
+    assert {r["pred"] for r in wb.select("pred").distinct().collect()} == {
+        "oninf:hasInferenceObject",
+        "oninf:hasInferenceAlgorithm",
+        "oninf:hasInferredValue",
+    }
+    out = agent.process_request_parameters(small, {**base_req, "algorithmIRI": agent.ALGO_PAGERANK})
+    assert out["inferred"] == n
+
+
+# ---------------------------------------------------------------------------
 # dispatch + HTTP surface
 # ---------------------------------------------------------------------------
 
