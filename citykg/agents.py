@@ -58,6 +58,7 @@ KEY_CITY_OBJECT_INFORMATION = "cityobjectinformation"
 KEY_TOTAL_GFA = "TotalGFA"
 KEY_DISTANCES = "distances"
 KEY_DIRECTORY = "directory"
+KEY_NAMESPACE = "namespace"
 KEY_TARGET_URL = "targetURL"
 KEY_SRID = "srid"
 KEY_SRSNAME = "srsName"
@@ -523,6 +524,115 @@ class UPRNAgent:
 
 
 # ---------------------------------------------------------------------------
+# CityExportAgent
+# ---------------------------------------------------------------------------
+
+class CityExportAgent:
+    """CityExportAgent.java:45-205 analog: POST /export/kml with a
+    namespace, a non-empty gmlid array, a displayform out of
+    FOOTPRINT / EXTRUDED / GEOMETRY / COLLADA (:90, case-insensitive
+    :188-189) and an lod in 0..5 (:199). Each display form delegates to
+    the S8 exporters (ops.kml / ops.collada); scoping rides the surface
+    rows' cityObjectId back-reference, so the corpus side stays one
+    filtered scan with the request broadcast into it."""
+
+    URI_ACTION = "/export/kml"
+    DISPLAY_FORMS = ("FOOTPRINT", "EXTRUDED", "GEOMETRY", "COLLADA")
+
+    def validate_input(self, request: dict) -> bool:
+        if not isinstance(request, dict) or not request:
+            raise BadRequestException("empty request")
+        if request.get(KEY_REQ_METHOD) != HTTP_POST:
+            raise BadRequestException("method must be POST")
+        for k in (KEY_NAMESPACE, "gmlid", "displayform", "lod"):
+            if k not in request:
+                raise BadRequestException(f"missing {k}")
+        _require_url(request[KEY_NAMESPACE])
+        gmlids = request["gmlid"]
+        if not isinstance(gmlids, (list, tuple)) or not gmlids:
+            raise BadRequestException("gmlid must be a non-empty array")
+        if str(request["displayform"]).upper() not in self.DISPLAY_FORMS:
+            raise BadRequestException(f"invalid displayform: {request['displayform']}")
+        try:
+            lod = int(request["lod"])
+        except (TypeError, ValueError):
+            raise BadRequestException("lod must be an int")
+        if not 0 <= lod <= 5:
+            raise BadRequestException("lod must be in 0..5")
+        return True
+
+    def export_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        """(gml_id, kml) per requested feature in the requested display
+        form (COLLADA documents ride the same column name for a uniform
+        response schema)."""
+        from .ops import geo
+        from .ops.collada import collada_geometry
+        from .ops.kml import (
+            kml_extruded_placemarks,
+            kml_geometry_placemarks,
+            kml_placemarks,
+        )
+
+        self.validate_input(request)
+        ns = str(request[KEY_NAMESPACE]).rstrip("/")
+        gmlids = [str(g) for g in request["gmlid"]]
+        form = str(request["displayform"]).upper()
+        spark = triples.sparkSession
+
+        want = F.broadcast(
+            spark.createDataFrame(
+                [(g, f"{ns}/cityobject/{g}/") for g in gmlids], "gml_id string, co_iri string"
+            )
+        )
+        sg = triples.where(F.col("graph") == "surfacegeometry")
+        owner = (
+            sg.where(F.col("pred") == "ocgml:cityObjectId")
+            .select("subj", F.col("obj").alias("co_iri"))
+            .join(want, "co_iri")
+            .select("subj", "gml_id")
+        )
+        g = (
+            sg.where(F.col("pred") == "ocgml:GeometryType")
+            .join(F.broadcast(owner), "subj")
+            .select("gml_id", F.col("obj").alias("lit"))
+        )
+        if form == "FOOTPRINT":
+            return kml_placemarks(g, "gml_id", "lit").select("gml_id", "kml")
+        if form == "EXTRUDED":
+            bldg = F.broadcast(
+                spark.createDataFrame(
+                    [(x, f"{ns}/building/{x}/") for x in gmlids], "gml_id string, b_iri string"
+                )
+            )
+            h = (
+                triples.where(F.col("graph") == "building")
+                .where(F.col("pred") == "ocgml:measuredHeigh")  # sic — load-bearing typo
+                .join(bldg, F.col("subj") == F.col("b_iri"))
+                .select("gml_id", F.col("obj").alias("height"))
+            )
+            return kml_extruded_placemarks(
+                g.join(F.broadcast(h), "gml_id"), "gml_id", "lit", "height"
+            ).select("gml_id", "kml")
+        if form == "GEOMETRY":
+            c = geo.classify_surface(g, "lit").withColumn(
+                "surf_type",
+                F.expr(
+                    "CASE surf_class WHEN 'ROOF' THEN 'RoofSurface' "
+                    "WHEN 'GROUND' THEN 'GroundSurface' ELSE 'WallSurface' END"
+                ),
+            )
+            return kml_geometry_placemarks(c, "gml_id", "lit", "surf_type").select("gml_id", "kml")
+        return collada_geometry(g, "gml_id", "lit").select(
+            "gml_id", F.col("collada").alias("kml")
+        )
+
+    def process_request_parameters(self, triples: DataFrame, request: dict) -> dict:
+        out = dict(request)
+        out["exported"] = [r.asDict() for r in self.export_frame(triples, request).collect()]
+        return out
+
+
+# ---------------------------------------------------------------------------
 # GraphInferenceAgent (InferenceAgent base contract)
 # ---------------------------------------------------------------------------
 
@@ -648,6 +758,8 @@ def dispatch(
         out = dict(request)
         out["matches"] = [r.asDict() for r in agent.match_frame(triples, points, request).collect()]
         return out
+    if route == CityExportAgent.URI_ACTION:
+        return CityExportAgent().process_request_parameters(triples, request)
     if route == GraphInferenceAgent.URI_ACTION:
         request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
         return GraphInferenceAgent().process_request_parameters(triples, request)

@@ -300,6 +300,57 @@ def test_uprn_match_via_http_put(spark, triples):
         server.shutdown()
 
 
+@pytest.mark.parametrize(
+    "patch",
+    [
+        {"method": "GET"},
+        {"gmlid": []},
+        {"displayform": "HOLOGRAM"},
+        {"lod": 9},
+        {"lod": "tall"},
+        {"namespace": "nope"},
+    ],
+)
+def test_export_validate_rejects(patch):
+    from citykg.agents import CityExportAgent
+
+    req = {
+        "method": "POST",
+        "namespace": DEFAULT_BASE,
+        "gmlid": ["BLDG_00000003"],
+        "displayform": "footprint",
+        "lod": 2,
+    }
+    req.update(patch)
+    with pytest.raises(BadRequestException):
+        CityExportAgent().validate_input(req)
+
+
+def test_export_display_forms(spark, triples):
+    from citykg.agents import CityExportAgent
+
+    agent = CityExportAgent()
+    base = {
+        "method": "POST",
+        "namespace": DEFAULT_BASE,
+        "gmlid": ["BLDG_00000003", "BLDG_00000008"],
+        "lod": 2,
+    }
+    # footprint: one placemark per requested feature, case-insensitive form
+    fp = agent.export_frame(triples, {**base, "displayform": "footprint"}).collect()
+    assert {r["gml_id"] for r in fp} == {"BLDG_00000003", "BLDG_00000008"}
+    assert all("<Placemark" in r["kml"] for r in fp)
+    # extruded: rides the building's measuredHeigh (sic) literal
+    ex = agent.export_frame(triples, {**base, "displayform": "EXTRUDED"}).collect()
+    assert len(ex) == 2 and all("ExtrudedNormal" in r["kml"] for r in ex)
+    # geometry: styled per classified surface type
+    ge = agent.export_frame(triples, {**base, "displayform": "Geometry"}).collect()
+    assert len(ge) == 2 and all("KMLGeom_" in r["kml"] for r in ge)
+    # collada: same response schema, COLLADA payload
+    co = agent.export_frame(triples, {**base, "displayform": "COLLADA"}).collect()
+    assert len(co) == 2 and all("<geometry id=" in r["kml"] for r in co)
+
+
 def test_graph_inference_contract_and_writeback(spark, triples):
     from citykg.agents import GraphInferenceAgent
 
