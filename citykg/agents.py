@@ -360,11 +360,50 @@ class CityImportAgent:
     def listen_to_import(self, directory: str) -> str:
         """URI_LISTEN branch: register the watched directory (the
         reference starts an AsynchronousWatcherService; here the caller
-        polls import_files, e.g. via Structured Streaming's file source
-        — citykg.streaming covers the always-on variant)."""
+        polls import_files, or runs listen_stream for the always-on
+        variant)."""
         if directory not in self.watched_dirs:
             self.watched_dirs.append(directory)
         return directory
+
+    def listen_stream(
+        self,
+        spark: SparkSession,
+        directory: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        base: str = DEFAULT_BASE,
+        available_now: bool = True,
+    ):
+        """The AsynchronousWatcherService analog as Structured Streaming
+        (CityImportAgent.listenToImport:238-264): a checkpointed file
+        source tails the watched directory for raw CityGML drops, each
+        micro-batch runs the SAME batch extraction plan, and restarts
+        resume at the last committed batch — the streaming twin of the
+        manifest resume in materialize.py. Returns the StreamingQuery
+        (caller awaits termination; availableNow drains the backlog and
+        stops, the agent's one-shot import)."""
+        from .citygml import parse_citygml
+
+        files = (
+            spark.readStream.format("text")
+            .option("wholetext", "true")
+            .option("maxFilesPerTrigger", self.CHUNK_SIZE)
+            .load(os.path.join(directory, "*.gml"))
+        )
+        docs = sources.docs_from_text(files, parse_citygml)
+        triples = extract.extract_triples(spark, docs, base=base)
+        writer = (
+            triples.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        self.listen_to_import(directory)
+        return q
 
     def import_files(
         self,

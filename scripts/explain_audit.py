@@ -109,6 +109,9 @@ AUDITS = [
     ("bpe_train_batched", "batched BPE: pair-count partial agg + bounded top-M collect per ROUND (not per merge); folds chain in-plan"),
     ("source_validate_schema", "schema-rule validator: ONE codegen'd Project + explode, zero Python, zero shuffles"),
     ("distance_epsg", "metric-CRS distance: Arrow-batched reprojection Project + ONE equi-join on doc_id+1, no cartesian"),
+    ("agent_city_info", "info servlet: request iris BroadcastHashJoin into ONE filtered scan, no shuffle, no Python"),
+    ("agent_distance", "distance servlet: request-bounded pair frame, centroid HOF Project, broadcast joins only"),
+    ("agent_plot_filter", "plot-finder servlet: the zoning_gfa shape (one conditional-agg exchange + broadcast zone join) + threshold Filter"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -223,6 +223,31 @@ def test_import_listen_and_action_roundtrip(spark, tmp_path):
     assert info.count() > 0
 
 
+def test_import_listen_stream_resumes(spark, tmp_path):
+    """The watcher-service analog: drops land as micro-batches; a second
+    availableNow run after more drops processes ONLY the new files
+    (checkpoint resume)."""
+    import shutil
+
+    watch = tmp_path / "stream_inbox"
+    watch.mkdir()
+    out = tmp_path / "stream_out"
+    ckpt = tmp_path / "stream_ckpt"
+    shutil.copy(TEST_GML, watch / "a.gml")
+
+    agent = CityImportAgent()
+    q = agent.listen_stream(spark, str(watch), str(out), str(ckpt))
+    q.awaitTermination(300)
+    first = spark.read.parquet(str(out)).count()
+    assert first > 0
+    assert str(watch) in agent.watched_dirs
+
+    shutil.copy(TEST_GML, watch / "b.gml")
+    q = agent.listen_stream(spark, str(watch), str(out), str(ckpt))
+    q.awaitTermination(300)
+    assert spark.read.parquet(str(out)).count() == 2 * first
+
+
 # ---------------------------------------------------------------------------
 # ThematicSurfaceDiscoveryAgent / UPRNAgent / GraphInferenceAgent
 # ---------------------------------------------------------------------------
