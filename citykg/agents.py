@@ -763,6 +763,86 @@ class GraphInferenceAgent:
         return out
 
 
+class OntologyInferenceAgent(GraphInferenceAgent):
+    """OntologyInferenceAgent.java:16-31 + InferenceAgent task constants
+    :62-71 analog: POST /inference/ontology with the same
+    targetIRI/algorithmIRI/ontologyIRI contract; the algorithm IRI's
+    fragment selects one of the OWL checking task families (the
+    reference resolves algorithm -> task through the OntoInfer
+    `appliedBy` edge in the KG; the mapping here is the same names in
+    code). Each task is the already-oracled G5 operator with the synth
+    corpus's default TBox axioms — a deployment swaps the axiom lists
+    for its own ontology's (the ops take them as plain arguments)."""
+
+    URI_ACTION = "/inference/ontology"
+
+    #: algorithm-IRI fragment -> InferenceAgent TASK_* constant
+    TASKS = {
+        "ConsistencyCheckingAlgorithm": "ConsistencyCheckingTask",
+        "ClassMembershipCheckingAlgorithm": "ClassMembershipCheckingTask",
+        "ClassSpecialisationCheckingAlgorithm": "ClassSpecialisationCheckingTask",
+        "ClassDisjointnessCheckingAlgorithm": "ClassDisjointnessCheckingTask",
+        "PropertyCheckingAlgorithm": "PropertyCheckingTask",
+        "ValueRestrictionCheckingAlgorithm": "ValueRestrictionCheckingTask",
+        "CardinalityRestrictionCheckingAlgorithm": "CardinalityRestrictionCheckingTask",
+    }
+
+    def infer_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        from .ops import owl
+
+        self.validate_input(request)
+        spark = triples.sparkSession
+        frag = str(request["algorithmIRI"]).rsplit("#", 1)[-1]
+        task = self.TASKS.get(frag)
+        if task is None:
+            raise BadRequestException(f"unknown ontology algorithmIRI: {frag}")
+        if task == "ClassMembershipCheckingTask":
+            return owl.class_membership(spark, triples)
+        if task == "ClassSpecialisationCheckingTask":
+            return owl.specialisation(spark)
+        if task == "ClassDisjointnessCheckingTask":
+            return owl.disjoint_class_violations(spark, triples, [("26", "21")])
+        if task == "PropertyCheckingTask":
+            return owl.range_check_summary(
+                spark, triples,
+                [("ocgml:buildingId", "building"), ("ocgml:cityObjectId", "cityobject")],
+            )
+        if task == "ValueRestrictionCheckingTask":
+            return owl.value_restriction_violations(
+                spark, triples, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)]
+            )
+        if task == "CardinalityRestrictionCheckingTask":
+            return owl.cardinality_violations(
+                spark, triples, [("thematicsurface", "ocgml:lod2MultiSurfaceId")]
+            )
+        parts = {
+            "min_cardinality": owl.cardinality_violations(
+                spark, triples, [("thematicsurface", "ocgml:lod2MultiSurfaceId")]
+            ),
+            "domain": owl.domain_violations(spark, triples, [("ocgml:buildingId", "addresstobuilding")]),
+            "disjoint": owl.disjoint_class_violations(spark, triples, [("26", "21")]),
+            "value_restriction": owl.value_restriction_violations(
+                spark, triples, [("building", "ocgml:storeysAboveGround", 1.0, 20.0)]
+            ),
+            "max_cardinality": owl.max_cardinality_violations(
+                spark, triples, "cityobjectgenericattrib", "ocgml:cityObjectId", 1
+            ),
+        }
+        return owl.consistency_summary(parts)
+
+    def process_request_parameters(self, triples: DataFrame, request: dict) -> dict:
+        """InferenceAgent:154-164 response shape: {taskIRI: result|'started'}.
+        The checking tasks are result-queue tasks, so the (bounded)
+        summary rows come back inline."""
+        self.validate_input(request)
+        frag = str(request["algorithmIRI"]).rsplit("#", 1)[-1]
+        task_iri = ONINF_SCHEMA + self.TASKS.get(frag, "")
+        rows = self.infer_frame(triples, request).collect()
+        out = dict(request)
+        out[task_iri] = [r.asDict() for r in rows]
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Routing + HTTP surface
 # ---------------------------------------------------------------------------
@@ -802,6 +882,9 @@ def dispatch(
     if route == GraphInferenceAgent.URI_ACTION:
         request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
         return GraphInferenceAgent().process_request_parameters(triples, request)
+    if route == OntologyInferenceAgent.URI_ACTION:
+        request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
+        return OntologyInferenceAgent().process_request_parameters(triples, request)
     if route in (CityImportAgent.URI_LISTEN, CityImportAgent.URI_ACTION):
         request.setdefault(KEY_REQ_URL, f"http://localhost{route}")
         return CityImportAgent().process_request_parameters(spark, request)

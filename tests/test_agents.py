@@ -409,6 +409,39 @@ def test_graph_inference_contract_and_writeback(spark, triples):
     assert out["inferred"] == n
 
 
+def test_ontology_inference_tasks(spark, triples):
+    from citykg.agents import ONINF_SCHEMA, OntologyInferenceAgent
+
+    agent = OntologyInferenceAgent()
+    base_req = {
+        "method": "POST",
+        "requestUrl": "http://localhost/inference/ontology",
+        "targetIRI": DEFAULT_BASE + "/",
+        "ontologyIRI": "http://www.theworldavatar.com/ontologies/OntoInfer.owl",
+    }
+    # unknown algorithm fragment rejected
+    with pytest.raises(BadRequestException):
+        agent.infer_frame(triples, {**base_req, "algorithmIRI": ONINF_SCHEMA + "VibeCheckAlgorithm"})
+    # graph-route URL rejected by the inherited path check
+    with pytest.raises(BadRequestException):
+        agent.validate_input(
+            {**base_req, "requestUrl": "http://localhost/inference/graph",
+             "algorithmIRI": ONINF_SCHEMA + "ConsistencyCheckingAlgorithm"}
+        )
+    # consistency: one row per check family, counts match the direct ops
+    out = agent.process_request_parameters(
+        triples, {**base_req, "algorithmIRI": ONINF_SCHEMA + "ConsistencyCheckingAlgorithm"}
+    )
+    rows = out[ONINF_SCHEMA + "ConsistencyCheckingTask"]
+    assert len(rows) == 5 and all("n_violations" in r for r in rows)
+    # value restriction: storeys (1 + d%40) above 20 violate
+    vr = agent.infer_frame(
+        triples, {**base_req, "algorithmIRI": ONINF_SCHEMA + "ValueRestrictionCheckingAlgorithm"}
+    )
+    n_docs = triples.select("doc_id").distinct().count()
+    assert vr.count() == sum(1 for d in range(n_docs) if (1 + d % 40) > 20)
+
+
 # ---------------------------------------------------------------------------
 # dispatch + HTTP surface
 # ---------------------------------------------------------------------------
