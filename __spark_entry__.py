@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(169 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(170 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -3157,6 +3157,23 @@ def q_agent_distance(spark, sf):
     return DistanceAgent().distances_frame(_triples(spark, sf), req)
 
 
+def q_agent_distance_filter(spark, sf):
+    """CityInformationAgent Suitable-Site-Selector branch
+    (SEARCH_DISTANCE + DistanceFilterTask, CityInformationAgent.java:
+    159-182): every other city object whose envelope centroid lies within
+    searchDistance metres of each requested object (2D metric). Corpus
+    centroids from ONE filtered scan; the request side broadcasts, so the
+    candidate join never shuffles the corpus."""
+    from citykg.agents import CityInformationAgent
+
+    req = {
+        "method": "POST",
+        "iris": [_agent_iri(d) for d in AGENT_DOC_IDS],
+        "searchDistance": 5,
+    }
+    return CityInformationAgent().distance_filter_frame(_triples(spark, sf), req)
+
+
 def q_agent_plot_filter(spark, sf):
     """CityInformationAgent programmatic-plot-finder branch
     (getFilteredObjects, CityInformationAgent.java:102-144): zones that
@@ -3347,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_epsg": q_distance_epsg,
         "agent_city_info": q_agent_city_info,
         "agent_distance": q_agent_distance,
+        "agent_distance_filter": q_agent_distance_filter,
         "agent_plot_filter": q_agent_plot_filter,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -5429,6 +5447,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.iri AS iri_a, b.iri AS iri_b, "
             "round(sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)), 6) AS dist_m "
             "FROM c a JOIN c b ON a.d < b.d"
+        ),
+        "agent_distance_filter": (
+            "WITH ids(d) AS (VALUES "
+            + ", ".join(f"({d})" for d in AGENT_DOC_IDS)
+            + "), c AS (SELECT doc_id AS e, "
+            "CAST(384000 + doc_id % 1000 AS DOUBLE) + 4.5 AS cx, "
+            "CAST(5820000 + doc_id % 2000 AS DOUBLE) + 4.0 AS cy, "
+            "'" + DEFAULT_BASE + "/cityobject/BLDG_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/' AS iri "
+            "FROM documents), "
+            "q AS (SELECT d, CAST(384000 + d % 1000 AS DOUBLE) + 4.5 AS qx, "
+            "CAST(5820000 + d % 2000 AS DOUBLE) + 4.0 AS qy, "
+            "'" + DEFAULT_BASE + "/cityobject/BLDG_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS qiri "
+            "FROM ids) "
+            "SELECT qiri AS query_iri, iri AS neighbor_iri, "
+            "round(sqrt((cx - qx) * (cx - qx) + (cy - qy) * (cy - qy)), 6) AS dist_m "
+            "FROM q JOIN c ON e <> d "
+            "WHERE (cx - qx) * (cx - qx) + (cy - qy) * (cy - qy) <= 25.0"
         ),
         "agent_plot_filter": (
             f"{_geom_coords_cte()} "

@@ -59,6 +59,7 @@ KEY_TOTAL_GFA = "TotalGFA"
 KEY_DISTANCES = "distances"
 KEY_DIRECTORY = "directory"
 KEY_NAMESPACE = "namespace"
+SEARCH_DISTANCE = "searchDistance"
 KEY_TARGET_URL = "targetURL"
 KEY_SRID = "srid"
 KEY_SRSNAME = "srsName"
@@ -102,6 +103,29 @@ def _iris_frame(spark: SparkSession, iris: list[str], col: str = "iri") -> DataF
     """Request-side literal frame. Requests are UI-bounded (tens of iris),
     so this side of every join below broadcasts."""
     return spark.createDataFrame([(i,) for i in iris], f"{col} string")
+
+
+def _envelope_centroids(triples: DataFrame) -> DataFrame:
+    """(iri, cx, cy, cz) envelope centroid per city object: parse the
+    EnvelopeType literal back to its ring and average the first 4
+    (non-closing) points — GeometryType.computeCentroid(skipLast=true),
+    :149-161. Pure JVM HOF expressions over one filtered scan."""
+    e = triples.where(F.col("graph") == "cityobject").where(
+        F.col("pred") == "ocgml:EnvelopeType"
+    )
+    n_pts = "(size(split(obj, '#')) / 3 - 1)"  # ring points minus closure
+    axis = (
+        "aggregate(slice(transform(split(obj, '#'), (x, i) -> "
+        "struct(double(x) as v, i)), 1, size(split(obj, '#')) - 3), 0.0D, "
+        "(a, s) -> a + (case when s.i % 3 = {ax} then s.v else 0.0D end))"
+        f" / {n_pts}"
+    )
+    return e.selectExpr(
+        "subj as iri",
+        axis.format(ax=0) + " as cx",
+        axis.format(ax=1) + " as cy",
+        axis.format(ax=2) + " as cz",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -173,11 +197,49 @@ class CityInformationAgent:
             out = out.where(cond)
         return out.select("iri", "zone", F.round("gfa", 6).alias("gfa"))
 
+    def distance_filter_frame(self, triples: DataFrame, request: dict) -> DataFrame:
+        """Suitable-Site-Selector branch (:159-182, DistanceFilterTask):
+        for each requested city object, every other city object whose
+        envelope centroid lies within `searchDistance` metres (2D, the
+        metric database SRS). Plan: the corpus centroids come from ONE
+        filtered scan; the request side is a broadcast literal frame, so
+        the candidate join is broadcast (8 query rows x corpus, filtered
+        in the same stage) — no shuffle, no self-join of the corpus."""
+        iris = _require_post_iris(request)
+        try:
+            radius = float(request[SEARCH_DISTANCE])
+        except (KeyError, TypeError, ValueError):
+            raise BadRequestException("searchDistance must be numeric")
+        spark = triples.sparkSession
+        all_c = _envelope_centroids(triples).drop("cz")
+        q = (
+            all_c.join(F.broadcast(_iris_frame(spark, iris, "iri")), "iri")
+            .select(F.col("iri").alias("query_iri"), F.col("cx").alias("qx"), F.col("cy").alias("qy"))
+        )
+        d2 = (F.col("cx") - F.col("qx")) * (F.col("cx") - F.col("qx")) + (
+            F.col("cy") - F.col("qy")
+        ) * (F.col("cy") - F.col("qy"))
+        return (
+            all_c.join(F.broadcast(q), F.col("iri") != F.col("query_iri"))
+            .where(d2 <= radius * radius)
+            .select(
+                "query_iri",
+                F.col("iri").alias("neighbor_iri"),
+                F.round(F.sqrt(d2), 6).alias("dist_m"),
+            )
+        )
+
     def process_request_parameters(self, triples: DataFrame, request: dict) -> dict:
         """Full servlet contract: validate, run the branch, append results
         to the request object and return it (collects only the request's
         own result rows, like the servlet's JSON response)."""
         self.validate_input(request)
+        if SEARCH_DISTANCE in request:
+            out = dict(request)
+            out["distanceFilter"] = [
+                r.asDict() for r in self.distance_filter_frame(triples, request).collect()
+            ]
+            return out
         out = dict(request)
         rows = self.info_frame(triples, request).collect()
         by_iri: dict[str, list] = {}
@@ -215,28 +277,13 @@ class DistanceAgent:
 
     @staticmethod
     def _centroids(triples: DataFrame, iris_df: DataFrame) -> DataFrame:
-        """Envelope centroid per requested iri: parse the EnvelopeType
-        literal back to its ring and average the first 4 (non-closing)
-        points — GeometryType.computeCentroid(skipLast=true). Pure JVM
-        HOF expressions over the broadcast-semi-joined scan."""
-        e = (
-            triples.where(F.col("graph") == "cityobject")
-            .where(F.col("pred") == "ocgml:EnvelopeType")
-            .join(F.broadcast(iris_df), "subj")
+        """Envelope centroid per requested iri (the skip-last ring
+        average, _envelope_centroids) over the broadcast-semi-joined
+        scan."""
+        scoped = triples.join(
+            F.broadcast(iris_df), triples["subj"] == iris_df["subj"], "left_semi"
         )
-        n_pts = "(size(split(obj, '#')) / 3 - 1)"  # ring points minus closure
-        axis = (
-            "aggregate(slice(transform(split(obj, '#'), (x, i) -> "
-            "struct(double(x) as v, i)), 1, size(split(obj, '#')) - 3), 0.0D, "
-            "(a, s) -> a + (case when s.i % 3 = {ax} then s.v else 0.0D end))"
-            f" / {n_pts}"
-        )
-        return e.selectExpr(
-            "subj as iri",
-            axis.format(ax=0) + " as cx",
-            axis.format(ax=1) + " as cy",
-            axis.format(ax=2) + " as cz",
-        )
+        return _envelope_centroids(scoped)
 
     def distances_frame(self, triples: DataFrame, request: dict) -> DataFrame:
         """(iri_a, iri_b, dist_m) for every i<j request pair.

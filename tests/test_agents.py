@@ -156,6 +156,28 @@ def test_distance_pairs_and_closed_form(triples):
     assert got[(_iri(2), _iri(5))] == expect(2, 5)
 
 
+def test_info_search_distance_branch(triples):
+    """SEARCH_DISTANCE routes to the distance-filter task: neighbors
+    within the radius, self excluded, distances consistent with the
+    closed-form centroid arithmetic."""
+    import math
+
+    req = {"method": "POST", "iris": [_iri(5)], "searchDistance": 5}
+    out = CityInformationAgent().process_request_parameters(triples, req)
+    matches = out["distanceFilter"]
+    assert matches and all(m["query_iri"] == _iri(5) for m in matches)
+    assert all(m["neighbor_iri"] != _iri(5) for m in matches)
+    # neighbors of doc 5 at radius 5 are docs 2..8 minus self (delta*sqrt(2) <= 5)
+    assert {m["neighbor_iri"] for m in matches} == {_iri(d) for d in (2, 3, 4, 6, 7, 8)}
+    got = {m["neighbor_iri"]: m["dist_m"] for m in matches}
+    assert got[_iri(7)] == round(math.sqrt(8.0), 6)
+    # non-numeric radius rejected
+    with pytest.raises(BadRequestException):
+        CityInformationAgent().distance_filter_frame(
+            triples, {"method": "POST", "iris": [_iri(5)], "searchDistance": "near"}
+        )
+
+
 def test_distance_cached_wins_either_orientation(spark, triples):
     iris = [_iri(1), _iri(2), _iri(3)]
     req = {"method": "POST", "iris": iris}
