@@ -129,6 +129,66 @@ def _envelope_centroids(triples: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AccessAgentMapping / store routing
+# ---------------------------------------------------------------------------
+
+def namespace_endpoint(iri: str) -> str:
+    """AccessAgentMapping.getNamespaceEndpoint:52-59 — the namespace
+    endpoint is the IRI minus its last two path segments (minus one for
+    the special `ontozone` graph IRIs). Java's String.split drops
+    trailing empty tokens, so a trailing slash does not count as a
+    segment — mirrored here."""
+    parts = str(iri).split("/")
+    while parts and parts[-1] == "":
+        parts.pop()
+    if parts and parts[-1] == "ontozone":
+        return "/".join(parts[:-1]) + "/"
+    return "/".join(parts[:-2]) + "/"
+
+
+class StoreRegistry:
+    """AccessAgentMapping analog: namespace endpoint -> triple store.
+
+    The reference hard-codes the ontokgrouter registrations (one
+    Blazegraph namespace per city); here a registration binds an
+    endpoint to either a materialized store directory (read lazily,
+    cached per registry) or an in-memory triples frame. Agents resolve
+    the store from each request's first IRI — the "set the route based
+    on the IRI" step in CityInformationAgent:163-167 /
+    DistanceAgent:96-101."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._dirs: dict[str, str] = {}
+        self._frames: dict[str, DataFrame] = {}
+
+    def register(self, endpoint: str, store_dir: str | None = None,
+                 triples: DataFrame | None = None) -> None:
+        if (store_dir is None) == (triples is None):
+            raise ValueError("register exactly one of store_dir/triples")
+        key = endpoint if endpoint.endswith("/") else endpoint + "/"
+        if store_dir is not None:
+            self._dirs[key] = store_dir
+        else:
+            self._frames[key] = triples
+
+    def target_resource_id(self, iri: str) -> str | None:
+        """getTargetResourceID analog: the registered endpoint key for
+        this object IRI, or None (the reference returns null and callers
+        keep their current route)."""
+        ep = namespace_endpoint(iri)
+        return ep if (ep in self._dirs or ep in self._frames) else None
+
+    def resolve(self, iri: str) -> DataFrame:
+        ep = self.target_resource_id(iri)
+        if ep is None:
+            raise BadRequestException(f"no registered store for {iri!r}")
+        if ep not in self._frames:
+            self._frames[ep] = materialize.read_triples(self._spark, self._dirs[ep])
+        return self._frames[ep]
+
+
+# ---------------------------------------------------------------------------
 # CityInformationAgent
 # ---------------------------------------------------------------------------
 
@@ -900,12 +960,29 @@ def dispatch(
     route: str,
     request: dict,
     method: str = HTTP_POST,
+    registry: StoreRegistry | None = None,
 ) -> dict:
     """Route a request the way the servlet container does (urlPatterns).
     Import requests route on their own requestUrl; PUT routes (thematic
-    surface discovery, UPRN) keep the reference's method choice."""
+    surface discovery, UPRN) keep the reference's method choice.
+
+    With a `registry`, the store is resolved from the request itself —
+    the first iri's namespace, or the `namespace` key — before the agent
+    runs (the reference's AccessAgentMapping route step); an unregistered
+    namespace keeps the default `triples`, mirroring the reference's
+    null -> keep-current-route behavior."""
     request = dict(request)
     request.setdefault(KEY_REQ_METHOD, method)
+    if registry is not None:
+        probe = None
+        iris = request.get(KEY_IRIS)
+        if isinstance(iris, (list, tuple)) and iris:
+            probe = str(iris[0])
+        elif request.get(KEY_NAMESPACE):
+            ep = str(request[KEY_NAMESPACE]).rstrip("/")
+            probe = ep + "/cityobject/X/"  # endpoint given directly: pad 2 segments
+        if probe is not None and registry.target_resource_id(probe) is not None:
+            triples = registry.resolve(probe)
     if route == CityInformationAgent.URI:
         return CityInformationAgent().process_request_parameters(triples, request)
     if route == DistanceAgent.URI_DISTANCE:
@@ -938,7 +1015,13 @@ def dispatch(
     raise BadRequestException(f"unknown route: {route}")
 
 
-def serve(spark: SparkSession, triples: DataFrame, host: str = "127.0.0.1", port: int = 0):
+def serve(
+    spark: SparkSession,
+    triples: DataFrame,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    registry: StoreRegistry | None = None,
+):
     """Minimal servlet-container analog: a ThreadingHTTPServer whose POST
     handler parses the JSON body, injects `method`, dispatches on the
     path, and echoes the mutated request back as JSON (HTTP 400 on
@@ -954,7 +1037,9 @@ def serve(spark: SparkSession, triples: DataFrame, host: str = "127.0.0.1", port
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 body[KEY_REQ_METHOD] = method
-                result = dispatch(spark, triples, self.path, body, method=method)
+                result = dispatch(
+                    spark, triples, self.path, body, method=method, registry=registry
+                )
                 payload = json.dumps(result).encode()
                 self.send_response(200)
             except BadRequestException as exc:

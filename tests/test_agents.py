@@ -482,6 +482,50 @@ def _post(port, path, body):
         return e.code, json.loads(e.read())
 
 
+def test_namespace_endpoint_extraction():
+    from citykg.agents import namespace_endpoint
+
+    base = "http://www.theworldavatar.com:83/citieskg/namespace/berlin/sparql"
+    # object IRIs drop graph + object segments; trailing slash is not a segment
+    assert namespace_endpoint(f"{base}/cityobject/UUID_x/") == base + "/"
+    assert namespace_endpoint(f"{base}/cityobject/UUID_x") == base + "/"
+    # ontozone graph IRIs drop only one segment (getNamespaceEndpoint:53-56)
+    assert namespace_endpoint(f"{base}/ontozone") == base + "/"
+
+
+def test_store_registry_routes_requests(spark, triples, tmp_path):
+    from citykg.agents import StoreRegistry, dispatch
+    from citykg.extract import extract_triples
+    from citykg.fixtures import synth_docs
+
+    other_base = "http://other.example/citieskg/namespace/second/sparql"
+    other = extract_triples(
+        spark, synth_docs(spark, SF).limit(20), base=other_base
+    ).localCheckpoint(eager=False)
+
+    reg = StoreRegistry(spark)
+    reg.register(DEFAULT_BASE, triples=triples)
+    reg.register(other_base, triples=other)
+    # unregistered namespace -> None (caller keeps current route)
+    assert reg.target_resource_id("http://nowhere/ns/sparql/cityobject/X/") is None
+
+    # the same dispatch call reaches different stores purely via the iri
+    for base, t in ((DEFAULT_BASE, triples), (other_base, other)):
+        iri = f"{base}/cityobject/BLDG_00000001/"
+        out = dispatch(
+            spark, triples, "/cityobjectinformation", {"iris": [iri]}, registry=reg
+        )
+        attrs = out["cityobjectinformation"][0]["attributes"]
+        assert attrs, base
+    # cross-check isolation: the second store's iri is absent from the first
+    out = dispatch(
+        spark, other, "/cityobjectinformation",
+        {"iris": [f"{DEFAULT_BASE}/cityobject/BLDG_00000001/"]},
+    )
+    # no registry: default frame (other) doesn't know the DEFAULT_BASE iri
+    assert out["cityobjectinformation"][0]["attributes"] == []
+
+
 def test_dispatch_unknown_route(spark, triples):
     with pytest.raises(BadRequestException):
         dispatch(spark, triples, "/nope", {"iris": []})
