@@ -234,6 +234,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "texture_atlas",
         "bpe_train_batched",
         "distance_epsg",
+        # servlet-layer corpus op: request broadcast x corpus centroid scan
+        "agent_distance_filter",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
