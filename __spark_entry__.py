@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(170 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(171 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -3157,6 +3157,19 @@ def q_agent_distance(spark, sf):
     return DistanceAgent().distances_frame(_triples(spark, sf), req)
 
 
+def q_dedup_spans(spark, sf):
+    """C4-style corpus-wide span dedup (Raffel et al. 2020 §2.2): cut
+    every document into consecutive 4-token spans, keep only each span's
+    globally first occurrence, reassemble. One map-side-combinable
+    first-occurrence aggregate + one equi-join re-attach + one per-doc
+    reassembly agg — skew-safe where a PARTITION BY span window would
+    hot-spot on a mega-duplicated span (ops.dedup.dedup_repeated_spans).
+    The oracle replays it with a window (fine at oracle scale) and the
+    clean text is compared via md5."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.dedup_repeated_spans(d, "doc_id", "text", span_tokens=4)
+
+
 def q_agent_distance_filter(spark, sf):
     """CityInformationAgent Suitable-Site-Selector branch
     (SEARCH_DISTANCE + DistanceFilterTask, CityInformationAgent.java:
@@ -3366,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_distance": q_agent_distance,
         "agent_distance_filter": q_agent_distance_filter,
         "agent_plot_filter": q_agent_plot_filter,
+        "dedup_spans": q_dedup_spans,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5447,6 +5461,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.iri AS iri_a, b.iri AS iri_b, "
             "round(sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)), 6) AS dist_m "
             "FROM c a JOIN c b ON a.d < b.d"
+        ),
+        "dedup_spans": (
+            "WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents), "
+            "s AS (SELECT id, i, array_to_string(t[i * 4 + 1 : i * 4 + 4], ' ') AS span "
+            "FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 4.0) AS BIGINT))) AS u(i)), "
+            "r AS (SELECT id, i, span, row_number() OVER (PARTITION BY span ORDER BY id, i) AS rn FROM s) "
+            "SELECT id, count(*) FILTER (rn = 1) AS n_kept, count(*) FILTER (rn > 1) AS n_dropped, "
+            "md5(coalesce(string_agg(span, ' ' ORDER BY i) FILTER (rn = 1), '')) AS clean_hash "
+            "FROM r GROUP BY id"
         ),
         "agent_distance_filter": (
             "WITH ids(d) AS (VALUES "

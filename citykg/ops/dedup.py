@@ -573,3 +573,65 @@ def semantic_dedup(
         F.when(F.col("keeper").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("dropped"),
         F.coalesce(F.col("keeper"), F.lit(-1)).alias("keeper"),
     )
+
+
+def dedup_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 4,
+) -> DataFrame:
+    """C4-style corpus-wide span dedup (Raffel et al. 2020 §2.2 —
+    "deduplicate three-sentence spans ... keeping only ONE occurrence in
+    the corpus"): the text is cut into consecutive `span_tokens`-token
+    spans, every span keeps only its globally FIRST occurrence (ordered
+    by (doc id, position)), and each document is reassembled from its
+    surviving spans.
+
+    Returns (id, n_kept, n_dropped, clean_hash) — clean_hash is the md5
+    of the reassembled text so the transformation is value-checked
+    byte-for-byte cross-engine without shipping the full text through
+    the compare.
+
+    Scale shape: ONE corpus-scale partial aggregate finds each span's
+    first occurrence (min struct — map-side combinable, so a
+    mega-duplicated span arrives at its reducer as one row per map
+    partition, not one per occurrence: skew-safe where a window
+    PARTITION BY span would hot-spot), one equi-join re-attaches the
+    keeper to the exploded spans, one per-doc aggregate reassembles.
+    No self-join of the corpus, no unpartitioned window.
+    """
+    k = int(span_tokens)
+    spans = docs.selectExpr(
+        f"{id_col} as id",
+        f"""posexplode(transform(
+                sequence(0, int(ceil(size(split({text_col}, ' ')) / {k}.0)) - 1),
+                i -> array_join(slice(split({text_col}, ' '), i * {k} + 1, {k}), ' ')
+            )) as (idx, span)""",
+    )
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("id", "idx")).alias("_keeper")
+    )
+    flagged = spans.join(firsts, "span").withColumn(
+        "_keep", F.struct("id", "idx") == F.col("_keeper")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("int")).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("_keep"), F.struct("idx", "span"))
+                            )
+                        ),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+        )
+    )

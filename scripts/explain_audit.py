@@ -112,6 +112,7 @@ AUDITS = [
     ("agent_city_info", "info servlet: request iris BroadcastHashJoin into ONE filtered scan, no shuffle, no Python"),
     ("agent_distance", "distance servlet: request-bounded pair frame, centroid HOF Project, broadcast joins only"),
     ("agent_plot_filter", "plot-finder servlet: the zoning_gfa shape (one conditional-agg exchange + broadcast zone join) + threshold Filter"),
+    ("agent_distance_filter", "distance-filter servlet: corpus centroid scan ONCE x broadcast request frame (the nested-loop side is the 8-row request, by design), no corpus self-join"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -8,6 +8,7 @@ import json
 import urllib.request
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from citykg import materialize
@@ -462,6 +463,43 @@ def test_ontology_inference_tasks(spark, triples):
     )
     n_docs = triples.select("doc_id").distinct().count()
     assert vr.count() == sum(1 for d in range(n_docs) if (1 + d % 40) > 20)
+
+
+# ---------------------------------------------------------------------------
+# validation is TOTAL: any JSON-shaped request either validates or raises
+# BadRequestException — never TypeError/KeyError/AttributeError (a servlet
+# must 400, not 500, on arbitrary client input)
+# ---------------------------------------------------------------------------
+
+_JSONISH = st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
+              st.text(max_size=40)),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4), st.dictionaries(st.text(max_size=20), inner, max_size=4)
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.dictionaries(
+    st.sampled_from(["method", "iris", "context", "requestUrl", "targetURL",
+                     "directory", "watch", "namespace", "cityObjectIRI", "mode",
+                     "thresholdAngle", "gmlid", "displayform", "lod", "targetIRI",
+                     "algorithmIRI", "ontologyIRI", "sourceIRI", "searchDistance"]),
+    _JSONISH, max_size=8,
+))
+def test_validation_is_total(req):
+    from citykg import agents as ag
+
+    for agent in (ag.CityInformationAgent(), ag.DistanceAgent(), ag.CityImportAgent(),
+                  ag.ThematicSurfaceDiscoveryAgent(), ag.UPRNAgent(),
+                  ag.GraphInferenceAgent(), ag.OntologyInferenceAgent(),
+                  ag.CityExportAgent()):
+        try:
+            agent.validate_input(dict(req))
+        except BadRequestException:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -1449,3 +1449,28 @@ def test_texture_atlas_invariants_randomized(spark):
                     or a.y + a.height <= b.y or b.y + b.height <= a.y
                 )
                 assert not overlap, (feat, a.uri, b.uri)
+
+
+def test_dedup_repeated_spans_c4(spark):
+    """Corpus-wide first-occurrence span dedup: doc 1's repeated span
+    survives only at its first global position (doc 0), and reassembly
+    preserves surviving order."""
+    import hashlib
+
+    from citykg.ops.dedup import dedup_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d X Y Z W"),          # spans: "a b c d", "X Y Z W"
+            (1, "X Y Z W p q r s"),          # first span duplicates doc 0's
+            (2, "p q r s a b c d tail"),     # both spans seen before + "tail"
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dedup_repeated_spans(docs, span_tokens=4).collect()}
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (2, 0)
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (1, 1)
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 2)
+    assert out[1]["clean_hash"] == hashlib.md5(b"p q r s").hexdigest()
+    assert out[2]["clean_hash"] == hashlib.md5(b"tail").hexdigest()
+    assert out[0]["clean_hash"] == hashlib.md5(b"a b c d X Y Z W").hexdigest()
