@@ -236,6 +236,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "distance_epsg",
         # servlet-layer corpus op: request broadcast x corpus centroid scan
         "agent_distance_filter",
+        # C4 span dedup: corpus-wide first-occurrence agg + reassembly
+        "dedup_spans",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
