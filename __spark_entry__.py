@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(171 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(172 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1715,6 +1715,22 @@ def q_text_lm_score(spark, sf):
     return unigram_lm_scores(d)
 
 
+def q_ccnet_tiers(spark, sf):
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §3.3): per-language
+    head/middle/tail terciles of the unigram-LM quality ranking — the
+    quality-split stage CCNet ships its corpus in. Rank = two-pass
+    partition-offset rank per language (no corpus-scale window
+    partitions); ties on the 6-dp score break by doc_id so the oracle's
+    window replay lands on identical tiers."""
+    from citykg.ops.relevance import ccnet_tiers, unigram_lm_scores
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang", "text")
+    scored = unigram_lm_scores(d.select("doc_id", "text")).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return ccnet_tiers(scored)
+
+
 def q_bm25_search(spark, sf):
     """BM25 relevance of every document to the query {'spark','join',
     'window'} (targeted corpus slicing). Corpus stats (N, avg doclen) ride
@@ -3380,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_distance_filter": q_agent_distance_filter,
         "agent_plot_filter": q_agent_plot_filter,
         "dedup_spans": q_dedup_spans,
+        "ccnet_tiers": q_ccnet_tiers,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5510,6 +5527,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, "
             "round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS avg_logprob "
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
+        ),
+        "ccnet_tiers": (
+            f"WITH {_TERMS_CTE}, "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), "
+            "vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS n_total FROM vocab), "
+            "scored AS (SELECT doc_id, round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS s "
+            "FROM tf JOIN vocab USING (term), tot GROUP BY 1), "
+            "r AS (SELECT d.doc_id, d.lang, "
+            "row_number() OVER (PARTITION BY d.lang ORDER BY s DESC, d.doc_id) AS lm_rank, "
+            "count(*) OVER (PARTITION BY d.lang) AS n "
+            "FROM documents d JOIN scored USING (doc_id)) "
+            "SELECT doc_id, lang, lm_rank, "
+            "CASE WHEN 3 * lm_rank <= n THEN 'head' "
+            "WHEN 3 * lm_rank <= 2 * n THEN 'middle' ELSE 'tail' END AS tier FROM r"
         ),
         "text_lm_bigram": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

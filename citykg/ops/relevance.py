@@ -296,3 +296,70 @@ def bigram_lm_scores(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("_lp") / F.sum("tf"), 6).alias("avg_logprob"),
     )
+
+
+def ccnet_tiers(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "avg_logprob",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): within
+    each language, rank documents by LM quality (best score = rank 1) and
+    cut the ranking into the head / middle / tail terciles that CCNet
+    ships as separate corpus qualities. Rank ties break on the doc id, so
+    the assignment is fully deterministic and engine-independent as long
+    as `score_col` is the ROUNDED score (unigram_lm_scores rounds to 6).
+
+    Scale shape: the per-language rank is a two-pass partition-offset
+    rank (the global_shuffle_rank pattern) — documents bucket by score
+    range inside their language (per-language min/max ride a
+    language-sized broadcast), counts per (lang, bucket) give offsets,
+    and the only windows run inside (lang, bucket) partitions or over
+    the language-sized offset frame. No unpartitioned window, and no
+    PARTITION BY lang window whose partitions would be corpus-scale.
+    Tercile cuts use the per-language doc counts (another broadcast-sized
+    frame): 3*rank <= n -> head, 3*rank <= 2n -> middle, else tail.
+    """
+    from pyspark.sql import Window
+
+    rng = scored.groupBy(lang_col).agg(
+        F.min(score_col).alias("_mn"),
+        F.max(score_col).alias("_mx"),
+        F.count("*").alias("_n"),
+    )
+    b = scored.join(F.broadcast(rng), lang_col).withColumn(
+        "_bkt",
+        F.least(
+            F.floor(
+                (F.col("_mx") - F.col(score_col))
+                / F.greatest((F.col("_mx") - F.col("_mn")) / n_buckets, F.lit(1e-12))
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("long"),
+    )
+    counts = b.groupBy(lang_col, "_bkt").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        Window.partitionBy(lang_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).select(lang_col, "_bkt", "_off")
+    rn_w = Window.partitionBy(lang_col, "_bkt").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = b.join(F.broadcast(offsets), [lang_col, "_bkt"]).withColumn(
+        "lm_rank", (F.col("_off") + F.row_number().over(rn_w)).cast("long")
+    )
+    return ranked.select(
+        id_col,
+        lang_col,
+        "lm_rank",
+        F.when(3 * F.col("lm_rank") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("lm_rank") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    )

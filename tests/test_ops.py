@@ -1474,3 +1474,22 @@ def test_dedup_repeated_spans_c4(spark):
     assert out[1]["clean_hash"] == hashlib.md5(b"p q r s").hexdigest()
     assert out[2]["clean_hash"] == hashlib.md5(b"tail").hexdigest()
     assert out[0]["clean_hash"] == hashlib.md5(b"a b c d X Y Z W").hexdigest()
+
+
+def test_ccnet_tiers_terciles(spark):
+    """Per-language tercile cuts: best scores land in head, sizes follow
+    the 3*rank <= n / <= 2n rule, and a second language ranks
+    independently."""
+    from citykg.ops.relevance import ccnet_tiers
+
+    rows = [(i, "en", float(-i)) for i in range(1, 8)]  # scores -1..-7
+    rows += [(100 + i, "de", float(-i)) for i in range(1, 4)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    out = {(r["lang"], r["doc_id"]): r for r in ccnet_tiers(scored).collect()}
+    # en: n=7 -> head = ranks 1-2 (3*2=6<=7), middle = 3-4, tail = 5-7
+    assert [out[("en", i)]["tier"] for i in range(1, 8)] == [
+        "head", "head", "middle", "middle", "tail", "tail", "tail"
+    ]
+    assert out[("en", 1)]["lm_rank"] == 1  # best score = rank 1
+    # de: n=3 -> exactly one per tier, ranked within its own language
+    assert [out[("de", 100 + i)]["tier"] for i in range(1, 4)] == ["head", "middle", "tail"]
