@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(172 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(173 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1715,6 +1715,38 @@ def q_text_lm_score(spark, sf):
     return unigram_lm_scores(d)
 
 
+def _bpe_encode_sql() -> str:
+    """DuckDB replay of the encode replace chain over the same canned
+    merges (replace has identical left-to-right non-overlapping
+    semantics in both engines)."""
+    from citykg.ops.text import DEFAULT_BPE_MERGES
+
+    enc = "array_to_string(string_split(w, ''), ' ')"
+    for a, b in DEFAULT_BPE_MERGES:
+        enc = f"replace({enc}, '{a} {b}', '{a}{b}')"
+    words = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+    return (
+        f"WITH d AS (SELECT doc_id AS id, {words} AS ws FROM documents) "
+        "SELECT id, CAST(len(ws) AS BIGINT) AS n_words, "
+        f"CAST(coalesce(list_sum(list_transform(ws, w -> len(string_split({enc}, ' ')))), 0) AS BIGINT) AS n_bpe_tokens, "
+        f"md5(array_to_string(list_transform(ws, w -> {enc}), ' | ')) AS encoded_hash "
+        "FROM d"
+    )
+
+
+def q_bpe_encode(spark, sf):
+    """BPE ENCODE (the apply half of the tokenizer pipeline, Sennrich
+    2016 §3.2): the canned 10-merge vocabulary applied corpus-wide as a
+    single codegen'd replace chain inside a per-word transform — zero
+    Python, zero shuffles, one Project. The oracle replays the identical
+    chain with DuckDB's replace (same left-to-right non-overlapping
+    semantics) and the token stream is md5-compared."""
+    from citykg.ops.text import bpe_encode
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return bpe_encode(d)
+
+
 def q_ccnet_tiers(spark, sf):
     """CCNet perplexity bucketing (Wenzek et al. 2020 §3.3): per-language
     head/middle/tail terciles of the unigram-LM quality ranking — the
@@ -3397,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_plot_filter": q_agent_plot_filter,
         "dedup_spans": q_dedup_spans,
         "ccnet_tiers": q_ccnet_tiers,
+        "bpe_encode": q_bpe_encode,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5528,6 +5561,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(tf * ln(c / n_total)) / sum(tf), 6) AS avg_logprob "
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
         ),
+        "bpe_encode": _bpe_encode_sql(),
         "ccnet_tiers": (
             f"WITH {_TERMS_CTE}, "
             "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), "

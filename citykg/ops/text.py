@@ -629,3 +629,55 @@ def corpus_zipf(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)) / F.count("*"), 6
         ).alias("hapax_ratio"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge list to the corpus (the ENCODE half of
+    the tokenizer pipeline; bpe_merges/bpe_train_batched are the TRAIN
+    half): each word becomes its character sequence, then the merges
+    apply in priority order — merge k fires everywhere it occurs before
+    merge k+1 is considered, the greedy rank-order application of
+    Sennrich et al. 2016 §3.2 (leftmost-first exhaustive application of
+    one pair equals a single left-to-right non-overlapping replace pass,
+    which is exactly `replace`'s semantics in both engines).
+
+    The whole encoder is ONE codegen'd JVM Project: a replace chain of
+    length len(merges) inside a per-word `transform`. That is the right
+    shape for a bounded merge list (the chain is compiled once, rows
+    stream through it with zero Python and zero shuffles); a
+    production 32k-merge vocabulary instead ships the merge table to an
+    Arrow-batched kernel (the ops.multimodal pattern) — the plan shape
+    below is the small-vocab fast path, not the 32k claim.
+
+    Returns (id, n_words, n_bpe_tokens, encoded_hash) — encoded_hash is
+    the md5 of the full token stream ('|' between words) so the encoding
+    is value-checked byte-for-byte without shipping every token through
+    the compare.
+    """
+    merges = merges if merges is not None else DEFAULT_BPE_MERGES
+    chars = "array_join(filter(split(w, ''), c -> c <> ''), ' ')"
+    enc = chars
+    for a, b in merges:
+        enc = f"replace({enc}, '{a} {b}', '{a}{b}')"
+    words = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    return df.selectExpr(
+        f"{id_col} as id",
+        f"cast(size({words}) as bigint) as n_words",
+        f"cast(aggregate(transform({words}, w -> {enc}), 0, "
+        "(acc, e) -> acc + size(split(e, ' '))) as bigint) as n_bpe_tokens",
+        f"md5(array_join(transform({words}, w -> {enc}), ' | ')) as encoded_hash",
+    )
+
+
+#: a small English-ish merge list that actually fires on common words —
+#: the canned vocabulary for the oracled encode query (a real deployment
+#: passes the `merges` output of bpe_merges/bpe_train_batched)
+DEFAULT_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("or", "d"),
+    ("a", "n"), ("s", "t"), ("i", "n"), ("o", "w"), ("a", "t"),
+]

@@ -1493,3 +1493,27 @@ def test_ccnet_tiers_terciles(spark):
     assert out[("en", 1)]["lm_rank"] == 1  # best score = rank 1
     # de: n=3 -> exactly one per tier, ranked within its own language
     assert [out[("de", 100 + i)]["tier"] for i in range(1, 4)] == ["head", "middle", "tail"]
+
+
+def test_bpe_encode_greedy_merge_order(spark):
+    """Merge priority: ('t','h') then ('th','e') composes to one 'the'
+    token; a later merge never preempts an earlier one; counts follow."""
+    import hashlib
+
+    from citykg.ops.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "the theft"), (1, "order order!"), (2, "zzz")],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("or", "d")]
+    out = {r["id"]: r for r in bpe_encode(docs, merges=merges).collect()}
+    # 'the' -> ['the']; 'theft' -> ['the','f','t']
+    assert out[0]["n_bpe_tokens"] == 4 and out[0]["n_words"] == 2
+    assert out[0]["encoded_hash"] == hashlib.md5(b"the | the f t").hexdigest()
+    # 'order' -> 'o r d e r' -> ('e','r')-> 'o r d er' -> ('o','r')-> 'or d er'
+    # -> ('or','d')-> 'ord er'  (x2 words after punct split)
+    assert out[1]["encoded_hash"] == hashlib.md5(b"ord er | ord er").hexdigest()
+    assert out[1]["n_bpe_tokens"] == 4
+    # no merge fires on 'zzz' -> 3 char tokens
+    assert out[2]["n_bpe_tokens"] == 3
