@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(173 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(174 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1713,6 +1713,16 @@ def q_text_lm_score(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     return unigram_lm_scores(d)
+
+
+def q_chunk_windows(spark, sf):
+    """Sliding-window chunking for an embedding/RAG index (window 8,
+    stride 4): one Project + posexplode, zero shuffles — the splitter
+    stage in front of ann_*/emb_* (ops.text.chunk_windows)."""
+    from citykg.ops.text import chunk_windows
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return chunk_windows(d, window=8, stride=4)
 
 
 def _bpe_encode_sql() -> str:
@@ -3430,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "ccnet_tiers": q_ccnet_tiers,
         "bpe_encode": q_bpe_encode,
+        "chunk_windows": q_chunk_windows,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5562,6 +5573,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
         ),
         "bpe_encode": _bpe_encode_sql(),
+        "chunk_windows": (
+            "WITH d AS (SELECT doc_id AS id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), "
+            "n AS (SELECT id, t, CAST(ceil(greatest(len(t) - 8, 0) / 4.0) AS BIGINT) + 1 AS nc "
+            "FROM d WHERE len(t) > 0) "
+            "SELECT id, CAST(i AS INT) AS chunk_idx, "
+            "CAST(len(t[i * 4 + 1 : i * 4 + 8]) AS BIGINT) AS n_chunk_tokens, "
+            "array_to_string(t[i * 4 + 1 : i * 4 + 8], ' ') AS chunk_text "
+            "FROM n, UNNEST(range(0, nc)) u(i)"
+        ),
         "ccnet_tiers": (
             f"WITH {_TERMS_CTE}, "
             "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), "

@@ -681,3 +681,42 @@ DEFAULT_BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("or", "d"),
     ("a", "n"), ("s", "t"), ("i", "n"), ("o", "w"), ("a", "t"),
 ]
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Sliding-window document chunking — the splitter in front of an
+    embedding/RAG indexing pipeline: token windows of `window` tokens
+    advancing by `stride` (overlap = window - stride), the last window
+    truncated, no windows for token-less docs, and a chunk never starts
+    past the end. Chunk count for n tokens = ceil(max(n - window, 0) /
+    stride) + 1.
+
+    One codegen'd Project + posexplode — the fan-out is data-proportional
+    (n/stride chunks per doc) and partition-local, so the operator adds
+    zero shuffles; downstream embedding kernels see (id, chunk_idx,
+    chunk_text) rows already spread across the scan's partitions.
+    """
+    w, s = int(window), int(stride)
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    n_chunks = f"(int(ceil(greatest(size({toks}) - {w}, 0) / {s}.0)) + 1)"
+    return (
+        df.where(F.expr(f"size({toks}) > 0"))
+        .selectExpr(
+            f"{id_col} as id",
+            f"""posexplode(transform(sequence(0, {n_chunks} - 1),
+                 i -> array_join(slice({toks}, i * {s} + 1, {w}), ' ')
+               )) as (chunk_idx, chunk_text)""",
+        )
+        .selectExpr(
+            "id",
+            "chunk_idx",
+            "cast(size(split(chunk_text, ' ')) as bigint) as n_chunk_tokens",
+            "chunk_text",
+        )
+    )

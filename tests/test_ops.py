@@ -1517,3 +1517,23 @@ def test_bpe_encode_greedy_merge_order(spark):
     assert out[1]["n_bpe_tokens"] == 4
     # no merge fires on 'zzz' -> 3 char tokens
     assert out[2]["n_bpe_tokens"] == 3
+
+
+def test_chunk_windows_stride_overlap(spark):
+    from citykg.ops.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "x y"), (2, " ")],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    # 10 tokens, window 4, stride 2 -> ceil(6/2)+1 = 4 chunks, last full
+    assert sorted(by_doc[0]) == [
+        (0, "a b c d"), (1, "c d e f"), (2, "e f g h"), (3, "g h i j")
+    ]
+    # short doc -> one truncated chunk; blank doc -> no chunks
+    assert sorted(by_doc[1]) == [(0, "x y")]
+    assert 2 not in by_doc
