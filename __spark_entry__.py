@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(174 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(175 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1713,6 +1713,17 @@ def q_text_lm_score(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     return unigram_lm_scores(d)
+
+
+def q_emb_centroids(spark, sf):
+    """Per-label embedding centroids (mean pooling), flat (label, dim,
+    n_vecs, mean) rows: posexplode fans vectors partition-locally, then
+    ONE (label, dim)-keyed partial agg whose key space is |labels| x 64
+    regardless of corpus size (ops.similarity.emb_centroids)."""
+    from citykg.ops.similarity import emb_centroids
+
+    d = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return emb_centroids(d)
 
 
 def q_chunk_windows(spark, sf):
@@ -3441,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_tiers": q_ccnet_tiers,
         "bpe_encode": q_bpe_encode,
         "chunk_windows": q_chunk_windows,
+        "emb_centroids": q_emb_centroids,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5573,6 +5585,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
         ),
         "bpe_encode": _bpe_encode_sql(),
+        "emb_centroids": (
+            "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
+            "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "
+            "FROM embeddings, UNNEST(range(0, len(embedding))) u(i) "
+            "GROUP BY label, dim"
+        ),
         "chunk_windows": (
             "WITH d AS (SELECT doc_id AS id, "
             "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), "

@@ -444,3 +444,34 @@ def with_pq_codes(
     return out.withColumn("pq_code", F.expr(code)).withColumn(
         "recon_err", F.expr(f"round({err}, 6)")
     ).drop(*[f"_ds{s}" for s in range(m)])
+
+
+def emb_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group embedding centroids (mean pooling) — the seed step for
+    k-means-style clustering, per-domain prototype vectors, and SemDeDup
+    cell initialisation. Emitted FLAT as one row per (group, dim) so the
+    result is hash-comparable across engines without array-column
+    equality semantics.
+
+    Scale shape: posexplode fans each vector into (group, dim, value)
+    rows partition-locally, then ONE map-side-combinable (group, dim)
+    aggregate — the shuffle key space is |groups| x dims, independent of
+    corpus size. No collect of vectors, no per-group array reassembly
+    unless the caller repacks the (bounded) result."""
+    e = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    )
+    return (
+        e.groupBy("grp", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("mean"),
+        )
+        .select(F.col("grp").alias(group_col), "dim", "n_vecs", "mean")
+    )

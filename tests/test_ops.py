@@ -1537,3 +1537,16 @@ def test_chunk_windows_stride_overlap(spark):
     # short doc -> one truncated chunk; blank doc -> no chunks
     assert sorted(by_doc[1]) == [(0, "x y")]
     assert 2 not in by_doc
+
+
+def test_emb_centroids_mean_pooling(spark):
+    from citykg.ops.similarity import emb_centroids
+
+    d = spark.createDataFrame(
+        [(0, [1.0, 2.0], 7), (1, [3.0, 6.0], 7), (2, [10.0, 20.0], 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): r for r in emb_centroids(d).collect()}
+    assert out[(7, 0)]["mean"] == 2.0 and out[(7, 1)]["mean"] == 4.0
+    assert out[(7, 0)]["n_vecs"] == 2
+    assert out[(9, 0)]["mean"] == 10.0 and out[(9, 1)]["n_vecs"] == 1
