@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(175 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(176 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1713,6 +1713,58 @@ def q_text_lm_score(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     return unigram_lm_scores(d)
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
+    """Lloyd trajectory replay: same init (k lowest-id vectors), same
+    6-dp distance rounding with cluster-id argmin tiebreak, same 6-dp
+    centroid rounding between iterations — both engines walk identical
+    model states, so the final assignment is value-exact."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(e.embedding) + 1), i -> "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.v[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.v[i])), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"a{it} AS (SELECT id, cluster, d2 FROM ("
+            f"SELECT e.vec_id AS id, c.cid AS cluster, round({dist}, 6) AS d2, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY round({dist}, 6), c.cid) AS rn "
+            f"FROM embeddings e CROSS JOIN c{it} c) WHERE rn = 1)"
+        )
+        if it < iters - 1:
+            ctes.append(
+                f"u{it} AS (SELECT cluster AS cid, list(mm ORDER BY dim) AS v FROM ("
+                f"SELECT a.cluster, i AS dim, round(avg(CAST(e.embedding[i + 1] AS DOUBLE)), 6) AS mm "
+                f"FROM a{it} a JOIN embeddings e ON a.id = e.vec_id, "
+                f"UNNEST(range(0, len(e.embedding))) t(i) "
+                f"GROUP BY a.cluster, i) GROUP BY cluster)"
+            )
+            ctes.append(
+                f"c{it + 1} AS (SELECT p.cid, COALESCE(u.v, p.v) AS v "
+                f"FROM c{it} p LEFT JOIN u{it} u ON p.cid = u.cid)"
+            )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT id, cluster, d2 AS dist2 FROM a{iters - 1}"
+    )
+
+
+def q_kmeans_assign(spark, sf):
+    """Distributed Lloyd k-means (k=4, 3 iterations) over the embeddings:
+    full-corpus assignment each round as ONE codegen'd Project (the k x 64
+    model rides in as literals — no join, no Python), centroid updates as
+    the emb_centroids aggregate. Per-iteration 6-dp rounding of distances
+    AND centroids pins both engines to the same trajectory
+    (ops.similarity.kmeans_lloyd docstring)."""
+    from citykg.ops.similarity import kmeans_lloyd
+
+    d = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return kmeans_lloyd(d, k=4, iters=3)
 
 
 def q_emb_centroids(spark, sf):
@@ -3453,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "chunk_windows": q_chunk_windows,
         "emb_centroids": q_emb_centroids,
+        "kmeans_assign": q_kmeans_assign,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5585,6 +5638,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN vocab USING (term), tot GROUP BY 1"
         ),
         "bpe_encode": _bpe_encode_sql(),
+        "kmeans_assign": _kmeans_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "

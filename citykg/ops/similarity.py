@@ -475,3 +475,69 @@ def emb_centroids(
         )
         .select(F.col("grp").alias(group_col), "dim", "n_vecs", "mean")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column: every
+    iteration assigns the WHOLE corpus to its nearest centroid and
+    recomputes centroids from the assignment (unlike ivf_* whose Lloyd
+    runs on a bounded driver sample — this is the full-corpus refinement
+    loop). Returns the final (id, cluster, dist2) assignment.
+
+    Scale shape per iteration: the k x dims centroid model is bounded
+    driver state compiled into ONE codegen'd assignment Project (squared
+    distances as sequential zip_with/aggregate folds — deterministic
+    summation order, no join, no Python), then the centroid update is
+    the emb_centroids aggregate ((cluster, dim) key space = k x dims)
+    collected back. Total: iters Projects + iters partial aggs.
+
+    Engine-exactness: init is the k lowest-id vectors; distances round
+    to 6 dp with the cluster id as the argmin tiebreak, and the UPDATED
+    CENTROIDS ROUND TO 6 dp before feeding the next iteration — both
+    engines then proceed from bit-identical model state every round, so
+    partial-agg summation-order noise (~1e-12) can never compound across
+    iterations or flip an assignment whose margin exceeds the rounding
+    grid.
+    """
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in init]
+
+    def assign(cent_rows):
+        structs = ", ".join(
+            "struct(round(aggregate(zip_with({v}, array({lits}), "
+            "(a, b) -> (double(a) - b) * (double(a) - b)), 0D, (s, x) -> s + x), 6) as d, "
+            "{cid} as c)".format(
+                v=vec_col, lits=", ".join(repr(x) for x in cvec), cid=cid
+            )
+            for cid, cvec in enumerate(cent_rows)
+        )
+        return df.selectExpr(
+            f"{id_col} as id",
+            f"{vec_col} as _v",
+            f"array_min(array({structs})) as _best",
+        ).select("id", "_v", F.col("_best.c").alias("cluster"), F.col("_best.d").alias("dist2"))
+
+    a = assign(cents)
+    for _ in range(iters - 1):
+        upd = (
+            a.select("cluster", F.posexplode("_v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        # empty clusters keep their previous centroid (standard Lloyd)
+        cents = [
+            [by_c[c][d] for d in range(len(cents[c]))] if c in by_c else cents[c]
+            for c in range(k)
+        ]
+        a = assign(cents)
+    return a.select("id", "cluster", "dist2")

@@ -1550,3 +1550,22 @@ def test_emb_centroids_mean_pooling(spark):
     assert out[(7, 0)]["mean"] == 2.0 and out[(7, 1)]["mean"] == 4.0
     assert out[(7, 0)]["n_vecs"] == 2
     assert out[(9, 0)]["mean"] == 10.0 and out[(9, 1)]["n_vecs"] == 1
+
+
+def test_kmeans_lloyd_converges_and_keeps_empty_clusters(spark):
+    from citykg.ops.similarity import kmeans_lloyd
+
+    # two tight groups far apart; k=2 init = first two vectors (both in
+    # group A) -> iteration must migrate one centroid to group B
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (10, [100.0, 100.0]), (11, [101.0, 100.0]), (12, [100.0, 101.0]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r["cluster"] for r in kmeans_lloyd(d, k=2, iters=3).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11] == out[12]
+    assert out[0] != out[10]
+    # k=3 on 2 natural groups: some cluster may end empty — must not crash
+    out3 = kmeans_lloyd(d, k=3, iters=3).select("cluster").distinct().count()
+    assert 1 <= out3 <= 3
