@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(176 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(177 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1713,6 +1713,31 @@ def q_text_lm_score(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     return unigram_lm_scores(d)
+
+
+def q_feature_hash(spark, sf):
+    """Feature hashing (the hashing trick, Weinberger 2009): text ->
+    sparse 64-dim signed-count vectors with NO vocabulary table and one
+    corpus pass — explode + shared char-fold hash + one (id, dim) partial
+    agg (ops.text.feature_hash_vectors)."""
+    from citykg.ops.text import feature_hash_vectors
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return feature_hash_vectors(d)
+
+
+def _feature_hash_sql(dims: int = 64) -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    h = char_fold_duckdb("tok")
+    return (
+        "WITH e AS (SELECT doc_id AS id, "
+        "unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok "
+        "FROM documents), "
+        f"v AS (SELECT id, CAST({h} % {dims} AS INT) AS dim, "
+        f"CAST(1 - 2 * (({h} * 31 + 7) % 2) AS BIGINT) AS sign FROM e) "
+        "SELECT id, dim, CAST(sum(sign) AS BIGINT) AS value FROM v GROUP BY 1, 2 HAVING sum(sign) <> 0"
+    )
 
 
 def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
@@ -3506,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "emb_centroids": q_emb_centroids,
         "kmeans_assign": q_kmeans_assign,
+        "feature_hash": q_feature_hash,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5639,6 +5665,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_encode": _bpe_encode_sql(),
         "kmeans_assign": _kmeans_sql(),
+        "feature_hash": _feature_hash_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "

@@ -720,3 +720,41 @@ def chunk_windows(
             "chunk_text",
         )
     )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Feature hashing / the hashing trick (Weinberger et al. 2009): an
+    embedding-free bag-of-words vectorizer — every token lands in
+    dimension h(token) mod dims with a second-hash sign (+/-1, the
+    unbiasedness device of §3), counts accumulate. The bridge from raw
+    text to the emb_*/ann_*/kmeans_* family when no learned embedding
+    model is available. Emitted FLAT as (id, dim, value) rows for
+    engine-exact comparison; zero-valued dims are omitted (sparse).
+
+    Scale shape: explode tokens partition-locally, hash with the shared
+    cross-engine char fold (ops.hashing), then ONE (id, dim)-keyed
+    map-side-combinable sum. No vocabulary table, no broadcast, no
+    second corpus pass — the property that makes the hashing trick the
+    standard streaming vectorizer.
+    """
+    from .hashing import char_fold_spark
+
+    h = char_fold_spark("tok")
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    e = df.selectExpr(f"{id_col} as id", f"explode({toks}) as tok").selectExpr(
+        "id",
+        f"cast(pmod({h}, {dims}) as int) as dim",
+        # sign from the fold shifted once more (an independent-enough
+        # second hash under the same modulus)
+        f"cast(1 - 2 * pmod({h} * 31 + 7, 2) as bigint) as sign",
+    )
+    return (
+        e.groupBy("id", "dim")
+        .agg(F.sum("sign").alias("value"))
+        .where(F.col("value") != 0)
+    )

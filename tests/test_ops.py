@@ -1569,3 +1569,26 @@ def test_kmeans_lloyd_converges_and_keeps_empty_clusters(spark):
     # k=3 on 2 natural groups: some cluster may end empty — must not crash
     out3 = kmeans_lloyd(d, k=3, iters=3).select("cluster").distinct().count()
     assert 1 <= out3 <= 3
+
+
+def test_feature_hash_sparse_signed_counts(spark):
+    from citykg.ops.text import feature_hash_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark join"), (1, "spark"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = feature_hash_vectors(docs, dims=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["dim"]] = r["value"]
+    # same token -> same dim and sign everywhere; doc 0 has 2x the weight
+    (spark_dim, spark_val), = [
+        (d, v) for d, v in by_doc[1].items()
+    ]
+    assert by_doc[0][spark_dim] == 2 * spark_val
+    assert abs(spark_val) == 1
+    # empty doc -> no rows (sparse)
+    assert 2 not in by_doc
+    # dims bounded
+    assert all(0 <= d < 16 for m in by_doc.values() for d in m)
