@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 queries() entries cover SURVEY.md §2 operator-by-operator; every entry
-(177 as of round 5) has a DuckDB oracle in oracle_sql() — including the
+(178 as of round 5) has a DuckDB oracle in oracle_sql() — including the
 iterative graph algorithms (recurrence unrolled / path enumeration in
 SQL) and the multimodal header decode (closed-form dims).
 
@@ -1713,6 +1713,55 @@ def q_text_lm_score(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     return unigram_lm_scores(d)
+
+
+def q_corpus_card(spark, sf):
+    """Dataset-card summary (the datasheet a corpus release publishes,
+    Gebru et al. 2021): ONE row of corpus-level facts — doc/token/lang/
+    source counts, exact-duplicate count (normalized-text md5), docs
+    carrying any PII, mean quality score. One documents scan through the
+    existing per-doc Projects (with_quality + with_pii_counts +
+    fingerprint), then a single global aggregate; the two-phase distinct
+    counts are the only exchanges."""
+    from citykg.ops import text as textops
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    e = textops.with_pii_counts(textops.with_quality(d)).withColumn(
+        "_fp", F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    )
+    return e.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("_fp")).alias("n_exact_dup_docs"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0).cast("int")
+        ).cast("bigint").alias("n_pii_docs"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+
+
+def _corpus_card_sql() -> str:
+    from citykg.ops.text import PII_PATTERNS
+
+    npii = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in PII_PATTERNS
+    )
+    return (
+        f"WITH q AS ({_quality_sql()}), "
+        "base AS (SELECT doc_id, lang, source, "
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, "
+        f"({npii}) AS npii FROM documents) "
+        "SELECT count(*) AS n_docs, CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens, "
+        "count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources, "
+        "count(*) - count(DISTINCT fp) AS n_exact_dup_docs, "
+        "CAST(sum(CASE WHEN npii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs, "
+        "round(avg(q.quality), 6) AS mean_quality "
+        "FROM base JOIN q USING (doc_id)"
+    )
 
 
 def q_feature_hash(spark, sf):
@@ -3532,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": q_emb_centroids,
         "kmeans_assign": q_kmeans_assign,
         "feature_hash": q_feature_hash,
+        "corpus_card": q_corpus_card,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -5666,6 +5716,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "kmeans_assign": _kmeans_sql(),
         "feature_hash": _feature_hash_sql(),
+        "corpus_card": _corpus_card_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "
