@@ -113,6 +113,14 @@ AUDITS = [
     ("agent_distance", "distance servlet: request-bounded pair frame, centroid HOF Project, broadcast joins only"),
     ("agent_plot_filter", "plot-finder servlet: the zoning_gfa shape (one conditional-agg exchange + broadcast zone join) + threshold Filter"),
     ("agent_distance_filter", "distance-filter servlet: corpus centroid scan ONCE x broadcast request frame (the nested-loop side is the 8-row request, by design), no corpus self-join"),
+    ("dedup_spans", "C4 span dedup: ONE map-side-combinable first-occurrence agg + span equi-join + per-doc reassembly agg, no window over span groups"),
+    ("ccnet_tiers", "CCNet tiers: two-pass partition-offset rank — windows only inside (lang, score-bucket) or over the language-sized offset frame"),
+    ("bpe_encode", "BPE encode: ONE codegen'd replace-chain Project, zero Exchange, zero Python"),
+    ("chunk_windows", "RAG chunking: Project + posexplode, partition-local fan-out, zero Exchange"),
+    ("emb_centroids", "embedding centroids: posexplode + ONE (group, dim)-keyed partial agg, key space independent of corpus size"),
+    ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
+    ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
+    ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
