@@ -2953,6 +2953,25 @@ def q_graph_local_cc(spark, sf):
     return graph.local_clustering(p)
 
 
+def q_graph_link_predict(spark, sf):
+    """Missing-link prediction over the DWithin proximity graph:
+    common-neighbor count + Adamic-Adar score for every non-adjacent
+    pair sharing >= 2 neighbors (Liben-Nowell & Kleinberg 2003) — the
+    merge/relation-candidate suggester over the importer's spatial
+    graph. Wedge enumeration at the shared neighbor + ONE (u, v) partial
+    agg + broadcast-eligible anti-join on existing edges
+    (graph.link_prediction has the hub-cap scale note)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.link_prediction(p)
+
+
 def q_corpus_zipf(spark, sf):
     """One-row corpus health check: vocabulary size, total tokens, Zipf
     rank-frequency slope (ln-ln least squares; natural corpora ~ -1),
@@ -3518,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dim": q_scd2_dim,
         "link_editdist": q_link_editdist,
         "graph_local_cc": q_graph_local_cc,
+        "graph_link_predict": q_graph_link_predict,
         "corpus_zipf": q_corpus_zipf,
         "event_histogram": q_event_histogram,
         "kg_transe": q_kg_transe,
@@ -5064,6 +5084,24 @@ FROM deg d LEFT JOIN tc ON tc.id = d.id
 """
 
 
+def _link_predict_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+adj AS (SELECT u AS w, v AS n FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT w, count(*) AS degw FROM adj GROUP BY 1),
+wed AS (SELECT a1.n AS u, a2.n AS v, a1.w FROM adj a1
+  JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n),
+sc AS (SELECT wed.u, wed.v, count(*) AS cn,
+  round(sum(1.0 / ln(deg.degw)), 6) AS aa
+  FROM wed JOIN deg ON deg.w = wed.w GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT sc.u, sc.v, sc.cn, sc.aa FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = sc.u AND p.v = sc.v)
+"""
+
+
 def _zipf_sql() -> str:
     return """
 WITH tf AS (SELECT tok, count(*) AS freq FROM
@@ -5589,6 +5627,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_dim": _scd2_sql(),
         "link_editdist": _link_editdist_sql(),
         "graph_local_cc": _local_cc_sql(),
+        "graph_link_predict": _link_predict_sql(),
         "corpus_zipf": _zipf_sql(),
         "event_histogram": _event_histogram_sql(),
         "kg_transe": _transe_sql(),

@@ -536,3 +536,51 @@ def personalized_pagerank(
             .transform(stable)
         )
     return ranks.select("id", "rank")
+
+
+def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction (Liben-Nowell &
+    Kleinberg 2003) over an undirected graph: for every non-adjacent
+    pair (u, v) sharing >= `min_common` neighbors, score the missing
+    edge by cn = |N(u) ∩ N(v)| and aa = sum over shared neighbors w of
+    1/ln(deg(w)). The KG use is missing-link suggestion over the
+    proximity/link graph the importer builds (the JUNG-side analytics
+    family, agents/.../GraphAnalysisTask.java) — high-aa non-edges are
+    merge or relation candidates.
+
+    Scale shape: wedges are enumerated at the shared neighbor, so a hub
+    of degree d fans out d*(d-1)/2 candidate pairs — unlike triangles
+    this is inherent to the semantics (every pair through the hub IS a
+    candidate), so at corpus scale cap hub degree upstream or raise
+    `min_common`; the graphs this runs on here are grid-bounded. The
+    scoring itself is ONE (u, v)-keyed partial agg; deg(w) >= 2 for any
+    wedge center, so 1/ln(deg) is finite. Existing edges are removed
+    with a broadcast-eligible left-anti join on the canonical (u < v)
+    pair."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by adjacency, degree, anti-join
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).union(
+        und.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").alias("degw"))
+    wedges = (
+        adj.select("w", F.col("n").alias("p"))
+        .join(adj.select("w", F.col("n").alias("q")), "w")
+        .where(F.col("p") < F.col("q"))
+        .join(deg, "w")
+    )
+    scored = (
+        wedges.groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(
+            F.count("*").alias("cn"),
+            F.round(F.sum(1.0 / F.log(F.col("degw"))), 6).alias("aa"),
+        )
+        .where(F.col("cn") >= min_common)
+    )
+    return scored.join(und, ["u", "v"], "left_anti")

@@ -1157,6 +1157,28 @@ def test_kcore_bounded_rounds_contract(spark):
     assert set(full.values()) == {0}
 
 
+def test_link_prediction_square_and_triangle(spark):
+    """4-cycle: both diagonals are predicted with cn=2, aa=2/ln(2); on a
+    diamond (triangle + pendant sharing two neighbors) the adjacent pair
+    is anti-joined away even though it clears min_common."""
+    import math
+
+    sq = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c")], "src string, dst string"
+    )
+    out = {(r.u, r.v): (r.cn, r.aa) for r in graph.link_prediction(sq).collect()}
+    exp = round(2.0 / math.log(2.0), 6)
+    assert out == {("a", "c"): (2, exp), ("b", "d"): (2, exp)}
+
+    dia = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    out = {(r.u, r.v): (r.cn, r.aa) for r in graph.link_prediction(dia).collect()}
+    # (b, c) is an existing edge -> excluded; (a, d) shares {b, c}, both deg 3
+    assert out == {("a", "d"): (2, round(2.0 / math.log(3.0), 6))}
+
+
 def test_pq_codes_centroid_roundtrip(spark):
     """A vector stitched from one centroid per subspace must code to
     exactly those centroid indices with ~0 reconstruction error; codes on
