@@ -2469,6 +2469,18 @@ def q_global_shuffle(spark, sf):
     return sampling.global_shuffle_rank(d, "doc_id").select("doc_id", "shuffle_rank")
 
 
+def q_weighted_sample(spark, sf):
+    """Weight-proportional sampling without replacement (Efraimidis–
+    Spirakis A-ES keys over the content hash, no RNG): 500 docs drawn
+    proportional to character length — the standard long-doc-favoring
+    corpus subsample. Pure Project + TakeOrderedAndProject top-k, no
+    full sort exchange (ops.sampling.weighted_sample)."""
+    from citykg.ops import sampling
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return sampling.weighted_sample(d, k=500)
+
+
 def q_pack_sequences(spark, sf):
     """LLM sequence packing: greedy fixed-budget bin fill per hash group
     (two-level distributed shape; see citykg.ops.packing). Token counts
@@ -3609,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "global_shuffle": q_global_shuffle,
         "dataset_mix": q_dataset_mix,
         "distance_writeback": q_distance_writeback,
@@ -4653,6 +4666,19 @@ def _global_shuffle_sql() -> str:
     return (
         f"SELECT doc_id, CAST(row_number() OVER (ORDER BY {h}, doc_id) AS INT) "
         "AS shuffle_rank FROM documents WHERE doc_id < 200"
+    )
+
+
+def _weighted_sample_sql(k: int = 500, seed: int = 7) -> str:
+    from citykg.ops.hashing import POLY_P, char_fold_duckdb
+
+    keyed = f"(CAST(doc_id AS VARCHAR) || '#ws#' || '{seed}')"
+    u = f"(({char_fold_duckdb(keyed)}) + 1.0) / {POLY_P + 1}.0"
+    key = f"ln({u}) / greatest(length(text), 1)"
+    return (
+        "SELECT doc_id AS id, CAST(greatest(length(text), 1) AS BIGINT) AS w, "
+        f"round({key}, 6) AS key FROM documents "
+        f"ORDER BY {key} DESC, doc_id LIMIT {k}"
     )
 
 
@@ -5867,6 +5893,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         "dataset_split": _dataset_split_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "dataset_mix": _dataset_mix_sql(),
         "distance_writeback": _distance_writeback_sql(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .hashing import char_fold_spark
+from .hashing import POLY_P, char_fold_spark
 
 # bucket space for split/sample thresholds: large enough that fraction
 # granularity (1e-6) is far below hash-uniformity noise
@@ -245,3 +245,41 @@ def stratified_cap(
         .drop("_rn")
     )
     return small.unionByName(big)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 500,
+    id_col: str = "doc_id",
+    weight_expr: str = "greatest(length(text), 1)",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES scheme (IPL 2006): each row draws u in (0, 1] from the
+    cross-engine content hash and keeps key = ln(u) / w; the k largest
+    keys ARE a weight-proportional sample without replacement (their
+    u^(1/w) form, monotone-equivalent under ln). Deterministic end to
+    end — no RNG, so retry/resume re-selects the identical sample.
+
+    Scale shape: key is a pure Project; the top-k executes as
+    TakeOrderedAndProject (per-partition heap of k, then a driver merge
+    of P*k rows) — NO full sort exchange, the same physics as a LIMIT.
+    Keep k small relative to the partition count times memory; for
+    corpus-scale k, switch to the global_shuffle_rank range machinery.
+
+    Returns (id, w, key) with key rounded to 6 dp; the (key, id)
+    ordering is total, so the cut is unambiguous cross-engine."""
+    keyed = f"concat(cast({id_col} as string), '#ws#', '{seed}')"
+    u = f"(({char_fold_spark(keyed)}) + 1.0) / {POLY_P + 1}.0"
+    key = f"ln({u}) / ({weight_expr})"
+    return (
+        df.selectExpr(
+            f"{id_col} as id",
+            f"cast({weight_expr} as bigint) as w",
+            f"round({key}, 6) as key",
+            f"{key} as _k",
+        )
+        .orderBy(F.col("_k").desc(), F.col("id"))
+        .limit(k)
+        .drop("_k")
+    )

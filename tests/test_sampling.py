@@ -93,3 +93,41 @@ def test_weighted_mix_rank_interleaves_by_weight(spark):
     # every data-sized window is bucket-partitioned; the only global-order
     # windows run on the B-row offset frames
     assert all(("_bkt" in ln or "_kbkt" in ln) for ln in w if "row_number" in ln)
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    """The k selected ids are exactly the Python-recomputed A-ES top-k
+    (ln(u)/w with u from the char fold), and the draw is deterministic."""
+    import math
+
+    from citykg.ops.hashing import POLY_BASE, POLY_P
+
+    texts = {i: "x" * (1 + (i * 37) % 200) for i in range(300)}
+    d = spark.createDataFrame(
+        [(str(i), t) for i, t in texts.items()], "doc_id string, text string"
+    )
+
+    def fold(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    def key(i):
+        u = (fold(f"{i}#ws#7") + 1.0) / (POLY_P + 1)
+        return math.log(u) / max(len(texts[i]), 1)
+
+    exp = sorted(texts, key=lambda i: (-key(i), str(i)))[:50]
+    out = sampling.weighted_sample(d, k=50)
+    got = [r.id for r in out.collect()]
+    assert sorted(got) == sorted(str(i) for i in exp)
+    again = [r.id for r in sampling.weighted_sample(d, k=50).collect()]
+    assert sorted(again) == sorted(got)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    d = spark.range(1000).selectExpr(
+        "cast(id as string) as doc_id", "repeat('a', cast(id % 50 as int) + 1) as text"
+    )
+    plan = sampling.weighted_sample(d, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
