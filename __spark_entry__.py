@@ -3015,6 +3015,93 @@ def q_event_histogram(spark, sf):
     )
 
 
+def q_drift_psi(spark, sf):
+    """Distribution-drift monitor: Population Stability Index of each
+    event type's value distribution between the first and second half of
+    the stream (ts < 2024-01-16 = reference window). Buckets are the
+    reference window's 8-bin fixed-width histogram; PSI = sum over bins
+    of (p - q) * ln(p / q) with +1 Laplace smoothing so empty bins stay
+    finite (the standard model-monitoring alarm; >0.2 = action).
+
+    Scale shape: per-type min/max on the reference half is a partial agg
+    broadcast back onto the stream; bucket assignment is a Project; then
+    ONE (type, bucket) partial agg, and the PSI fold runs on the tiny
+    (types x 8) grid — completed to all 8 bins per type so absent bins
+    contribute their smoothed term identically in both engines."""
+    split = "ts < TIMESTAMP '2024-01-16 00:00:00'"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    ref = e.where(split)
+    stats = ref.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    b = (
+        "CASE WHEN mx = mn THEN 0 ELSE "
+        "least(greatest(cast(floor((value - mn) / (mx - mn) * 8.0) as int), 0), 7) END"
+    )
+    counts = (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.expr(b).alias("bucket"),
+            F.expr(f"CASE WHEN {split} THEN 1 ELSE 0 END").alias("is_ref"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("is_ref").alias("r"), F.sum(1 - F.col("is_ref")).alias("c")
+        )
+    )
+    grid = stats.select("event_type").crossJoin(
+        spark.range(8).select(F.col("id").cast("int").alias("bucket"))
+    )
+    f = grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("r", F.lit(0)).alias("r"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    tot = f.groupBy("event_type").agg(
+        F.sum("r").alias("nr"), F.sum("c").alias("nc")
+    )
+    p = "(r + 1.0) / (nr + 8.0)"
+    q = "(c + 1.0) / (nc + 8.0)"
+    return (
+        f.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr(f"({p} - {q}) * ln(({p}) / ({q}))")).alias("_psi"),
+            F.first("nr").cast("long").alias("n_ref"),
+            F.first("nc").cast("long").alias("n_cur"),
+        )
+        .select(
+            "event_type", "n_ref", "n_cur", F.round("_psi", 6).alias("psi")
+        )
+    )
+
+
+def _drift_psi_sql() -> str:
+    return """
+WITH ref AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+b AS (SELECT e.event_type,
+  CASE WHEN r.mx = r.mn THEN 0 ELSE
+    least(greatest(CAST(floor((e.value - r.mn) / (r.mx - r.mn) * 8.0) AS INT), 0), 7)
+  END AS bucket,
+  CASE WHEN e.ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+  FROM events e JOIN ref r USING (event_type)),
+c AS (SELECT event_type, bucket, sum(is_ref) AS r, sum(1 - is_ref) AS c
+  FROM b GROUP BY 1, 2),
+grid AS (SELECT ref.event_type, gs.g AS bucket FROM ref
+  CROSS JOIN (SELECT unnest(range(8)) AS g) gs),
+f AS (SELECT grid.event_type, grid.bucket, coalesce(c.r, 0) AS r,
+  coalesce(c.c, 0) AS c FROM grid LEFT JOIN c USING (event_type, bucket)),
+t AS (SELECT event_type, sum(r) AS nr, sum(c) AS nc FROM f GROUP BY 1)
+SELECT f.event_type, CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+  round(sum(((f.r + 1.0) / (t.nr + 8.0) - (f.c + 1.0) / (t.nc + 8.0)) *
+            ln(((f.r + 1.0) / (t.nr + 8.0)) / ((f.c + 1.0) / (t.nc + 8.0)))), 6) AS psi
+FROM f JOIN t USING (event_type) GROUP BY 1, t.nr, t.nc
+"""
+
+
 #: literal per-dimension multipliers for the deterministic pseudo-embedding
 _TRANSE_PRIMES = [3, 5, 7, 11, 13, 17, 19, 23]
 
@@ -3552,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_predict": q_graph_link_predict,
         "corpus_zipf": q_corpus_zipf,
         "event_histogram": q_event_histogram,
+        "drift_psi": q_drift_psi,
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
         "graph_ppr": q_graph_ppr,
@@ -5656,6 +5744,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_link_predict": _link_predict_sql(),
         "corpus_zipf": _zipf_sql(),
         "event_histogram": _event_histogram_sql(),
+        "drift_psi": _drift_psi_sql(),
         "kg_transe": _transe_sql(),
         "graph_ppr": _ppr_sql(),
         "event_props_stats": (
