@@ -1007,6 +1007,36 @@ def q_owl_cardinality(spark, sf):
     return v.select("graph", "subj", "missing_pred")
 
 
+def q_owl_sameas_ifp(spark, sf):
+    """G5: owl:hasKey / inverse-functional-property sameAs inference —
+    buildings agreeing on the (roofType, measuredHeigh,
+    storeysAboveGround) key tuple are inferred owl:sameAs a canonical
+    min-IRI representative, in the star form the canonicalization stage
+    consumes (ops.owl.haskey_sameas; OWL 2 easy-keys). Two partial aggs
+    + one key-tuple equi-join, no pairwise closure."""
+    t = _triples(spark, sf, ["building"])
+    return owl.haskey_sameas(
+        t,
+        "building",
+        ["ocgml:roofType", "ocgml:measuredHeigh", "ocgml:storeysAboveGround"],
+    )
+
+
+def _owl_sameas_ifp_sql() -> str:
+    return _triples_cte(["building"]) + """
+, k AS (SELECT subj,
+  max(CASE WHEN pred = 'ocgml:roofType' THEN obj END) AS k0,
+  max(CASE WHEN pred = 'ocgml:measuredHeigh' THEN obj END) AS k1,
+  max(CASE WHEN pred = 'ocgml:storeysAboveGround' THEN obj END) AS k2
+  FROM t GROUP BY subj),
+kk AS (SELECT * FROM k WHERE k0 IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL),
+c AS (SELECT k0, k1, k2, min(subj) AS canon, count(*) AS n_shared
+  FROM kk GROUP BY 1, 2, 3 HAVING count(*) > 1)
+SELECT kk.subj, c.canon, CAST(c.n_shared AS BIGINT) AS n_shared
+FROM kk JOIN c USING (k0, k1, k2) WHERE kk.subj <> c.canon
+"""
+
+
 def q_owl_domain(spark, sf):
     """G5: rdfs:domain check — declare ocgml:buildingId's domain as the
     addresstobuilding link graph; every buildingId triple in thematic
@@ -3590,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gltf_geometry": q_gltf_geometry,
         "owl_cardinality": q_owl_cardinality,
         "owl_domain": q_owl_domain,
+        "owl_sameas_ifp": q_owl_sameas_ifp,
         "owl_class_membership": q_owl_class_membership,
         "owl_specialisation": q_owl_specialisation,
         "owl_range": q_owl_range,
@@ -5542,6 +5573,7 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL SELECT '{DEFAULT_BASE}/buildinginstallation/BI_' || k || '/', "
             "'ocgml:buildingId', 'buildinginstallation', 'addresstobuilding' FROM b"
         ),
+        "owl_sameas_ifp": _owl_sameas_ifp_sql(),
         "owl_class_membership": _owl_membership_sql(),
         "owl_specialisation": _owl_specialisation_sql(),
         "owl_range": _owl_range_sql(),

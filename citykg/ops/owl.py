@@ -262,3 +262,43 @@ def domain_violations(
         .where(F.col("graph") != F.col("expected_graph"))
         .select("subj", "pred", "graph", "expected_graph")
     )
+
+
+def haskey_sameas(
+    triples: DataFrame, graph: str, key_preds: list[str]
+) -> DataFrame:
+    """owl:hasKey / inverse-functional-property entity resolution (OWL 2
+    "easy keys", sec. 9.5; the HermiT/Pellet sameAs rule): subjects of
+    `graph` that agree on ALL `key_preds` values are inferred owl:sameAs
+    one canonical representative (min IRI). Returns the STAR form
+    (subj, canon, n_shared) — linear in cluster size, never the O(n^2)
+    pairwise closure — which is exactly the edge shape the
+    canonicalization stage consumes (citykg.canon.connected_components).
+
+    Plan: the per-subject key pivot is ONE conditional partial agg
+    (map-side combinable, key = subj which is unique per graph); the
+    canon frame is a second partial agg on the key tuple; the re-attach
+    is a plain equi-join on the key columns. No self-join on subj, no
+    window, no skew beyond genuine key hot-spots — and a hot key's
+    cluster emits n rows, not n^2."""
+    kc = [f"_k{i}" for i in range(len(key_preds))]
+    aggs = [
+        F.max(F.when(F.col("pred") == p, F.col("obj"))).alias(k)
+        for k, p in zip(kc, key_preds)
+    ]
+    keyed = (
+        triples.where(F.col("graph") == graph)
+        .groupBy("subj")
+        .agg(*aggs)
+        .na.drop(subset=kc)
+    )
+    canon = (
+        keyed.groupBy(*kc)
+        .agg(F.min("subj").alias("canon"), F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") > 1)
+    )
+    return (
+        keyed.join(canon, kc)
+        .where(F.col("subj") != F.col("canon"))
+        .select("subj", "canon", "n_shared")
+    )

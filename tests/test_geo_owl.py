@@ -487,3 +487,22 @@ def test_ring_relations_exact(spark):
     out = geo.ring_relations(df, "la", "lb")
     bad = [(r.name, r.relation, r.expect) for r in out.collect() if r.relation != r.expect]
     assert not bad, bad
+
+
+def test_haskey_sameas_star_form(spark):
+    """owl:hasKey: a/b/c share both key values -> two star edges to min
+    IRI a; d differs on one key; e is dropped (missing a key value);
+    other-graph rows never contribute."""
+    rows = []
+    for s, h, r in [("a", "10", "flat"), ("b", "10", "flat"),
+                    ("c", "10", "flat"), ("d", "11", "flat")]:
+        rows += [("building", s, "ocgml:h", h, "literal"),
+                 ("building", s, "ocgml:r", r, "literal")]
+    rows.append(("building", "e", "ocgml:h", "10", "literal"))  # no ocgml:r
+    rows.append(("other", "z", "ocgml:h", "10", "literal"))
+    t = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string, obj_type string"
+    )
+    out = {(r.subj, r.canon, r.n_shared)
+           for r in owl.haskey_sameas(t, "building", ["ocgml:h", "ocgml:r"]).collect()}
+    assert out == {("b", "a", 3), ("c", "a", 3)}
