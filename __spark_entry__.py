@@ -1819,6 +1819,42 @@ def _feature_hash_sql(dims: int = 64) -> str:
     )
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR data selection (Xie et al. 2023): per-doc importance
+    log-weight of the raw corpus against the English subset as the
+    target domain — hashed-unigram distributions, Laplace-smoothed log
+    ratio, one token explode + broadcast-joined 64-row ratio table
+    (ops.text.dsir_weights). logw feeds weighted_sample for the actual
+    resample step."""
+    from citykg.ops.text import dsir_weights
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return dsir_weights(d)
+
+
+def _dsir_weights_sql(dims: int = 64) -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    h = char_fold_duckdb("tok")
+    sm = dims * 0.5
+    return (
+        "WITH e AS (SELECT doc_id AS id, (lang = 'en') AS is_t, "
+        f"CAST({h} % {dims} AS INT) AS dim FROM "
+        "(SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), "
+        "'[^a-z]+'), x -> x <> '')) AS tok FROM documents)), "
+        "d AS (SELECT dim, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, "
+        "count(*) AS cr FROM e GROUP BY 1), "
+        "t AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM d), "
+        f"lr AS (SELECT dim, ln(((ct + 0.5) / (tt + {sm})) / ((cr + 0.5) / (tr + {sm}))) AS lr "
+        "FROM d CROSS JOIN t), "
+        "pc AS (SELECT id, dim, count(*) AS c FROM e GROUP BY 1, 2) "
+        "SELECT pc.id, round(sum(pc.c * lr.lr), 6) AS logw, "
+        "CAST(sum(pc.c) AS BIGINT) AS n_toks FROM pc JOIN lr USING (dim) GROUP BY 1"
+    )
+
+
 def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
     """Lloyd trajectory replay: same init (k lowest-id vectors), same
     6-dp distance rounding with cluster-id argmin tiebreak, same 6-dp
@@ -3732,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": q_emb_centroids,
         "kmeans_assign": q_kmeans_assign,
         "feature_hash": q_feature_hash,
+        "dsir_weights": q_dsir_weights,
         "corpus_card": q_corpus_card,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -5902,6 +5939,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "kmeans_assign": _kmeans_sql(),
         "feature_hash": _feature_hash_sql(),
+        "dsir_weights": _dsir_weights_sql(),
         "corpus_card": _corpus_card_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "

@@ -758,3 +758,55 @@ def feature_hash_vectors(
         .agg(F.sum("sign").alias("value"))
         .where(F.col("value") != 0)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: str = "lang = 'en'",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> DataFrame:
+    """DSIR importance-resampling log-weights (Xie et al., NeurIPS 2023):
+    score every raw document by how target-like its hashed-unigram bag
+    is — log w(doc) = sum_f c_f(doc) * ln(p_f / q_f), where p is the
+    Laplace-smoothed hashed-feature distribution of the rows matching
+    `target_filter` and q that of the full corpus. Feed `logw` into
+    weighted/Gumbel top-k sampling to resample raw data toward the
+    target domain (the DSIR pipeline's select step).
+
+    Scale shape: ONE token explode (partition-local, shared cross-engine
+    char fold) feeds both the `dims`-row global distributions
+    (conditional partial aggs -> a one-row total broadcast back) and the
+    per-doc (id, dim) counts; the log-ratio table re-attaches with a
+    broadcast join on dim. No vocabulary table, no second corpus pass,
+    no driver loop."""
+    from .hashing import char_fold_spark
+
+    h = char_fold_spark("tok")
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    e = df.selectExpr(
+        f"{id_col} as id", f"({target_filter}) as is_t", f"explode({toks}) as tok"
+    ).selectExpr("id", "is_t", f"cast(pmod({h}, {dims}) as int) as dim")
+    dist = e.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = dist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    sm = dims * 0.5
+    # 0.5D / {sm}D: force DOUBLE literals — Spark parses bare decimal
+    # literals as DECIMAL, and decimal division would truncate the ratio
+    # at a scale the DuckDB oracle (double arithmetic) doesn't
+    lr = dist.crossJoin(F.broadcast(tot)).selectExpr(
+        "dim",
+        f"ln(((ct + 0.5D) / (tt + {sm}D)) / ((cr + 0.5D) / (tr + {sm}D))) as lr",
+    )
+    percount = e.groupBy("id", "dim").agg(F.count("*").alias("c"))
+    return (
+        percount.join(F.broadcast(lr), "dim")
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+            F.sum("c").cast("long").alias("n_toks"),
+        )
+    )

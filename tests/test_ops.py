@@ -1614,3 +1614,26 @@ def test_feature_hash_sparse_signed_counts(spark):
     assert 2 not in by_doc
     # dims bounded
     assert all(0 <= d < 16 for m in by_doc.values() for d in m)
+
+
+def test_dsir_weights_favor_target_tokens(spark):
+    """Docs made of target-domain tokens must outscore docs of raw-only
+    tokens; token counts are exact; the draw is deterministic."""
+    from citykg.ops.hashing import POLY_BASE, POLY_P
+
+    def fold(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    a, b = "alpha", "omega"
+    assert fold(a) % 64 != fold(b) % 64  # distinct feature cells
+    rows = [(str(i), "en", f"{a} {a} {a}") for i in range(5)]
+    rows += [(str(i + 5), "de", f"{b} {b} {b}") for i in range(5)]
+    rows.append(("x", "de", f"{a} {a} {a}"))  # raw doc that LOOKS target-like
+    d = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = {r.id: (r.logw, r.n_toks) for r in text.dsir_weights(d).collect()}
+    assert all(n == 3 for _, n in out.values())
+    assert out["x"][0] == out["0"][0]  # weight depends on content, not label
+    assert out["x"][0] > out["5"][0]  # target-like beats raw-only
