@@ -3050,6 +3050,43 @@ def q_graph_link_predict(spark, sf):
     return graph.link_prediction(p)
 
 
+def q_graph_lpa(spark, sf):
+    """Community detection over the DWithin proximity graph: synchronous
+    label propagation, deterministic min-label tiebreak, EXACTLY 3
+    rounds so the unrolled-CTE oracle agrees before convergence
+    (graph.label_propagation; Raghavan et al. 2007). One neighbor join +
+    two partial aggs per round, no windows."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.label_propagation(p, rounds=3)
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    s = """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+adj AS (SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj)"""
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        s += f""",
+n{r} AS (SELECT a.src AS id, l.label, count(*) AS c FROM adj a
+  JOIN {prev} l ON l.id = a.dst GROUP BY 1, 2),
+l{r} AS (SELECT id, label FROM (SELECT id, label,
+  row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM n{r})
+  WHERE rn = 1)"""
+        prev = f"l{r}"
+    return s + f" SELECT id, label FROM {prev}"
+
+
 def q_corpus_zipf(spark, sf):
     """One-row corpus health check: vocabulary size, total tokens, Zipf
     rank-frequency slope (ln-ln least squares; natural corpora ~ -1),
@@ -3704,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_editdist": q_link_editdist,
         "graph_local_cc": q_graph_local_cc,
         "graph_link_predict": q_graph_link_predict,
+        "graph_lpa": q_graph_lpa,
         "corpus_zipf": q_corpus_zipf,
         "event_histogram": q_event_histogram,
         "drift_psi": q_drift_psi,
@@ -5811,6 +5849,7 @@ def oracle_sql() -> dict[str, str]:
         "link_editdist": _link_editdist_sql(),
         "graph_local_cc": _local_cc_sql(),
         "graph_link_predict": _link_predict_sql(),
+        "graph_lpa": _lpa_sql(),
         "corpus_zipf": _zipf_sql(),
         "event_histogram": _event_histogram_sql(),
         "drift_psi": _drift_psi_sql(),

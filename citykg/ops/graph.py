@@ -584,3 +584,43 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
         .where(F.col("cn") >= min_common)
     )
     return scored.join(und, ["u", "v"], "left_anti")
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node starts labeled with its own id; each round it
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — the deterministic variant, so two engines (and
+    two cluster runs) converge identically. Runs EXACTLY `rounds` rounds
+    (no early break) for the same oracle-before-convergence contract as
+    kcore. Labels must be orderable numerics (the min-struct tiebreak);
+    returns (id, label).
+
+    Scale shape per round: ONE join of the (checkpointed) symmetric edge
+    list against the label frame on the neighbor key, ONE (id, label)
+    partial-agg count, ONE (id) partial-agg min-struct argmax — no
+    windows, no collect. Hot communities concentrate on single labels,
+    but the count agg is map-side combinable so the skew lands on
+    combiners, not a single reducer."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(stable)
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = nbr.groupBy("id", "label").agg(F.count("*").alias("_c"))
+        labels = (
+            counts.groupBy("id")
+            .agg(F.min(F.struct(-F.col("_c"), F.col("label"))).alias("_best"))
+            .select("id", F.col("_best.label").alias("label"))
+            .transform(lambda df: stable(df, eager=False))
+        )
+    return labels

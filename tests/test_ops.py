@@ -1637,3 +1637,17 @@ def test_dsir_weights_favor_target_tokens(spark):
     assert all(n == 3 for _, n in out.values())
     assert out["x"][0] == out["0"][0]  # weight depends on content, not label
     assert out["x"][0] > out["5"][0]  # target-like beats raw-only
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by one bridge edge: after 3 deterministic
+    min-tiebreak rounds each triangle converges to its own min id (the
+    bridge can't outvote two in-triangle neighbors)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r.id: r.label for r in graph.label_propagation(e, rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6]
+    assert out[4] != out[1]
