@@ -3067,7 +3067,43 @@ def q_graph_lpa(spark, sf):
     return graph.label_propagation(p, rounds=3)
 
 
-def _lpa_sql(rounds: int = 3) -> str:
+def q_graph_modularity(spark, sf):
+    """Quality score of the LPA partition: Newman modularity Q over the
+    proximity graph — one row (n_communities, n_edges, modularity).
+    Labels from the same 3-round deterministic LPA; the fold is two
+    community-keyed partial aggs + a one-row broadcast edge total
+    (graph.modularity)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.modularity(p, graph.label_propagation(p, rounds=3))
+
+
+def q_graph_assortativity(spark, sf):
+    """Degree assortativity (Newman 2002) of the proximity graph: the
+    Pearson correlation of endpoint degrees over directed edge copies —
+    one degree partial agg, two degree re-attach joins, one one-row
+    moment fold (graph.assortativity)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.assortativity(p)
+
+
+def _lpa_cte(rounds: int = 3) -> tuple[str, str]:
+    """(CTE prefix, final-label CTE name) for the unrolled synchronous
+    LPA over the DWithin proximity graph — shared by the graph_lpa and
+    graph_modularity oracles."""
     s = """
 WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
     5820000 + doc_id % 2000 AS py FROM documents),
@@ -3084,7 +3120,46 @@ l{r} AS (SELECT id, label FROM (SELECT id, label,
   row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM n{r})
   WHERE rn = 1)"""
         prev = f"l{r}"
-    return s + f" SELECT id, label FROM {prev}"
+    return s, prev
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    prefix, final = _lpa_cte(rounds)
+    return prefix + f" SELECT id, label FROM {final}"
+
+
+def _modularity_sql(rounds: int = 3) -> str:
+    prefix, final = _lpa_cte(rounds)
+    return prefix + f""",
+tl AS (SELECT pairs.u, pairs.v, a.label AS lu, b.label AS lv FROM pairs
+  JOIN {final} a ON a.id = pairs.u JOIN {final} b ON b.id = pairs.v),
+mm AS (SELECT count(*) AS m FROM tl),
+dsum AS (SELECT c, count(*) AS d FROM
+  (SELECT lu AS c FROM tl UNION ALL SELECT lv FROM tl) GROUP BY 1),
+inn AS (SELECT lu AS c, count(*) AS mi FROM tl WHERE lu = lv GROUP BY 1),
+per AS (SELECT dsum.c, mm.m,
+  coalesce(inn.mi, 0) / CAST(mm.m AS DOUBLE)
+  - (dsum.d / (2.0 * mm.m)) * (dsum.d / (2.0 * mm.m)) AS q
+  FROM dsum LEFT JOIN inn USING (c) CROSS JOIN mm)
+SELECT CAST(count(*) AS BIGINT) AS n_communities, CAST(max(m) AS BIGINT) AS n_edges,
+  round(sum(q), 6) AS modularity FROM per"""
+
+
+def _assortativity_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+deg AS (SELECT id, count(*) AS d FROM
+  (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+p AS (SELECT CAST(a.d AS DOUBLE) AS x, CAST(b.d AS DOUBLE) AS y FROM sym
+  JOIN deg a ON a.id = sym.u JOIN deg b ON b.id = sym.v)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+  round((avg(x * y) - avg(x) * avg(y)) /
+        (sqrt(avg(x * x) - avg(x) * avg(x)) * sqrt(avg(y * y) - avg(y) * avg(y))),
+        6) AS assortativity FROM p"""
 
 
 def q_corpus_zipf(spark, sf):
@@ -3742,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_cc": q_graph_local_cc,
         "graph_link_predict": q_graph_link_predict,
         "graph_lpa": q_graph_lpa,
+        "graph_modularity": q_graph_modularity,
+        "graph_assortativity": q_graph_assortativity,
         "corpus_zipf": q_corpus_zipf,
         "event_histogram": q_event_histogram,
         "drift_psi": q_drift_psi,
@@ -5850,6 +5927,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_local_cc": _local_cc_sql(),
         "graph_link_predict": _link_predict_sql(),
         "graph_lpa": _lpa_sql(),
+        "graph_modularity": _modularity_sql(),
+        "graph_assortativity": _assortativity_sql(),
         "corpus_zipf": _zipf_sql(),
         "event_histogram": _event_histogram_sql(),
         "drift_psi": _drift_psi_sql(),

@@ -624,3 +624,102 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .transform(lambda df: stable(df, eager=False))
         )
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over the undirected
+    graph: Q = sum_c [ m_c/m - (d_c/2m)^2 ], where m_c counts
+    intra-community edges and d_c sums community degrees — the standard
+    quality score for a community assignment (labels from
+    label_propagation or any (id, label) frame). Returns ONE row
+    (n_communities, n_edges, modularity).
+
+    Scale shape: two broadcast-eligible label joins onto the symmetric
+    edge list (or shuffle joins at corpus scale — keyed on node id,
+    near-unique), then community-keyed partial aggs and a one-row fold.
+    No windows, no collect."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    tagged = und.join(lu, "u").join(lv, "v").localCheckpoint(eager=False)
+    # one-row edge total folded in-plan (no driver action in the middle)
+    mrow = tagged.agg(F.count("*").alias("m"))
+    # degree sum per community = sum over endpoints with that label
+    dsum = (
+        tagged.select(F.col("lu").alias("c"))
+        .union(tagged.select(F.col("lv").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("d"))
+    )
+    inn = (
+        tagged.where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("c"))
+        .agg(F.count("*").alias("mi"))
+    )
+    per = (
+        dsum.join(inn, "c", "left")
+        .crossJoin(F.broadcast(mrow))
+        .selectExpr(
+            "c",
+            "m",
+            "coalesce(mi, 0) / cast(m as double) - "
+            "(d / (2.0D * m)) * (d / (2.0D * m)) as q",
+        )
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.first("m").cast("long").alias("n_edges"),
+        F.round(F.sum("q"), 6).alias("modularity"),
+    )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over every (directed-both-ways)
+    edge — positive means hubs attach to hubs. ONE row
+    (n_edges, assortativity).
+
+    Scale shape: one degree partial agg, two joins re-attaching degrees
+    to the symmetric edge list, then a single one-row moment fold — the
+    correlation is computed from sums, no window, no collect beyond the
+    one result row."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    sym = und.select("u", "v").union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .selectExpr("cast(du as double) as x", "cast(dv as double) as y")
+    )
+    return pairs.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (
+                F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+                * F.sqrt(F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1651,3 +1651,26 @@ def test_label_propagation_two_triangles(spark):
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == out[5] == out[6]
     assert out[4] != out[1]
+
+
+def test_modularity_two_triangles_vs_networkx_formula(spark):
+    """Two triangles + bridge, perfect 2-community split: m=7,
+    within=6, each community degree sum 7 -> Q = 6/7 - 2*(7/14)^2 = 0.357143."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    lab = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "id long, label long"
+    )
+    r = graph.modularity(e, lab).collect()[0]
+    assert (r.n_communities, r.n_edges, r.modularity) == (2, 7, round(6 / 7 - 2 * 0.25, 6))
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: every edge joins the
+    deg-4 hub to a deg-1 leaf -> r = -1."""
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    r = graph.assortativity(e).collect()[0]
+    assert r.n_edges == 4
+    assert r.assortativity == -1.0
