@@ -121,6 +121,14 @@ AUDITS = [
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
+    ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),
+    ("weighted_sample", "A-ES sampling: pure-Project keys + TakeOrderedAndProject top-k, NO full sort exchange"),
+    ("drift_psi", "PSI drift: broadcast-back ref min/max, bucket Project, ONE (type,bucket) partial agg; PSI fold on the tiny grid"),
+    ("owl_sameas_ifp", "hasKey sameAs: two partial aggs + key-tuple equi-join, star output, no pairwise closure"),
+    ("dsir_weights", "DSIR: one token explode, 64-row ratio table broadcast-joined back, per-doc partial agg"),
+    ("graph_lpa", "LPA: per-round neighbor join + two partial aggs, no windows; min-struct argmax not row_number"),
+    ("graph_modularity", "modularity: community partial aggs + one-row broadcast edge total, single-row result"),
+    ("graph_assortativity", "assortativity: degree partial agg + two re-attach joins + one-row moment fold"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -135,6 +143,9 @@ NO_CARTESIAN = {
     "ann_range_search",
     "interval_join",
     "dedup_semantic",
+    "graph_link_predict",
+    "owl_sameas_ifp",
+    "graph_lpa",
 }
 
 out = io.StringIO()
