@@ -1855,6 +1855,35 @@ def _dsir_weights_sql(dims: int = 64) -> str:
     )
 
 
+def q_dsir_resample(spark, sf):
+    """The DSIR select step end-to-end: importance log-weights
+    (q_dsir_weights) fed into Gumbel-max top-k (ops.sampling.
+    gumbel_topk) — 200 docs sampled without replacement from
+    softmax(logw), deterministic via the content-hash Gumbel draw.
+    The weight stage's plan is unchanged; the resample adds one pure
+    Project + TakeOrderedAndProject."""
+    from citykg.ops import sampling
+    from citykg.ops.text import dsir_weights
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return sampling.gumbel_topk(dsir_weights(d), "logw", k=200)
+
+
+def _dsir_resample_sql(k: int = 200, seed: int = 11) -> str:
+    from citykg.ops.hashing import POLY_P, char_fold_duckdb
+
+    keyed = f"(CAST(id AS VARCHAR) || '#g#' || '{seed}')"
+    u = f"(({char_fold_duckdb(keyed)}) + 1.0) / {POLY_P + 1}.0"
+    key = f"logw / 1.0 + -ln(-ln({u}))"
+    return (
+        f"WITH w AS ({_dsir_weights_sql()}) "
+        f"SELECT id, logw AS score, round({key}, 6) AS key FROM w "
+        f"ORDER BY {key} DESC, id LIMIT {k}"
+    )
+
+
 def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
     """Lloyd trajectory replay: same init (k lowest-id vectors), same
     6-dp distance rounding with cluster-id argmin tiebreak, same 6-dp
@@ -3884,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "feature_hash": q_feature_hash,
         "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "corpus_card": q_corpus_card,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -6058,6 +6088,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _kmeans_sql(),
         "feature_hash": _feature_hash_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "dsir_resample": _dsir_resample_sql(),
         "corpus_card": _corpus_card_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "

@@ -238,6 +238,12 @@ def headline(sf_dir: str, cores: int) -> None:
         "agent_distance_filter",
         # C4 span dedup: corpus-wide first-occurrence agg + reassembly
         "dedup_spans",
+        # late-r5 additions: graph analytics + data-selection ops
+        "graph_link_predict",
+        "graph_lpa",
+        "dsir_weights",
+        "weighted_sample",
+        "drift_psi",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

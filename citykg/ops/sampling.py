@@ -283,3 +283,38 @@ def weighted_sample(
         .limit(k)
         .drop("_k")
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    score_col: str,
+    k: int = 200,
+    tau: float = 1.0,
+    id_col: str = "id",
+    seed: int = 11,
+) -> DataFrame:
+    """Sampling WITHOUT replacement from the softmax of `score_col` via
+    the Gumbel-max trick (top-k of score/tau + Gumbel noise IS a sample
+    from softmax(score/tau); Vieira 2014, Kool et al. 2019) — the
+    standard way to turn importance log-weights (e.g. ops.text.
+    dsir_weights) into a temperature-controlled resample. Deterministic:
+    the Gumbel draw -ln(-ln(u)) uses u from the cross-engine content
+    hash, so retry/resume re-selects the identical sample.
+
+    Same physics as weighted_sample: pure-Project keys, top-k as
+    TakeOrderedAndProject (per-partition heap + driver merge of P*k),
+    no full sort exchange."""
+    keyed = f"concat(cast({id_col} as string), '#g#', '{seed}')"
+    u = f"(({char_fold_spark(keyed)}) + 1.0) / {POLY_P + 1}.0"
+    key = f"{score_col} / {tau}D + -ln(-ln({u}))"
+    return (
+        df.selectExpr(
+            f"{id_col} as id",
+            f"{score_col} as score",
+            f"round({key}, 6) as key",
+            f"{key} as _k",
+        )
+        .orderBy(F.col("_k").desc(), F.col("id"))
+        .limit(k)
+        .drop("_k")
+    )

@@ -131,3 +131,31 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     plan = sampling.weighted_sample(d, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gumbel_topk_matches_python_and_shifts_with_temperature(spark):
+    """Selected ids equal the Python-recomputed Gumbel top-k; as tau -> 0
+    the sample approaches the deterministic argmax of the score."""
+    import math
+
+    from citykg.ops.hashing import POLY_BASE, POLY_P
+
+    scores = {str(i): float(i % 17) - 8.0 for i in range(200)}
+    d = spark.createDataFrame(list(scores.items()), "id string, s double")
+
+    def fold(x):
+        acc = 0
+        for ch in x:
+            acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+        return acc
+
+    def key(i, tau):
+        u = (fold(f"{i}#g#11") + 1.0) / (POLY_P + 1)
+        return scores[i] / tau - math.log(-math.log(u))
+
+    exp = sorted(scores, key=lambda i: (-key(i, 1.0), i))[:30]
+    got = [r.id for r in sampling.gumbel_topk(d, "s", k=30, tau=1.0).collect()]
+    assert sorted(got) == sorted(exp)
+    # near-zero temperature: only max-score ids (s = 8.0) survive
+    cold = sampling.gumbel_topk(d, "s", k=10, tau=1e-6).collect()
+    assert all(r.score == 8.0 for r in cold)
