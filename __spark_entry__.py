@@ -3222,6 +3222,98 @@ def q_event_histogram(spark, sf):
     )
 
 
+def q_event_ewma(spark, sf):
+    """Time-decayed per-type activity (exponentially weighted event count
+    and value mass, tau = 7 days, anchored at the stream's max ts) — the
+    freshness-weighted health metric a monitoring dashboard keeps per
+    signal. ONE scan: the anchor is a one-row broadcast fold, the decay
+    weight a pure Project (both engines agree on fractional-second
+    epochs), then a single partial agg per event type."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    # parquet yields TIMESTAMP_NTZ, which won't cast straight to double;
+    # only DIFFERENCES enter the decay, so the NTZ->TZ epoch shift cancels
+    sec = "cast(cast(ts as timestamp) as double)"
+    tm = e.agg(F.expr(f"max({sec})").alias("tm"))
+    return (
+        e.crossJoin(F.broadcast(tm))
+        .selectExpr(
+            "event_type",
+            f"exp(-(tm - {sec}) / 604800.0D) as w",
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("w"), 6).alias("decayed_count"),
+            F.round(F.sum(F.col("w") * F.col("value")), 6).alias("decayed_value"),
+        )
+    )
+
+
+def _event_ewma_sql() -> str:
+    return """
+WITH tm AS (SELECT max(epoch(ts)) AS tm FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(exp(-(tm.tm - epoch(ts)) / 604800.0)), 6) AS decayed_count,
+  round(sum(exp(-(tm.tm - epoch(ts)) / 604800.0) * value), 6) AS decayed_value
+FROM events CROSS JOIN tm GROUP BY 1
+"""
+
+
+def q_emb_cos_hist(spark, sf):
+    """Embedding-health diagnostic: histogram of cosine similarity over
+    the deterministic consecutive-id pairing (vec i vs i+1) — a
+    collapsed/anisotropic embedding space shows mass piling near 1 (the
+    representation-collapse check). One self equi-join on vec_id + 1,
+    the cosine as a sequential JVM fold rounded BEFORE bucketing so both
+    engines bin identically, then ONE partial agg over 10 fixed bins."""
+    from citykg.ops.similarity import cosine_expr, with_norm
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a = with_norm(
+        e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va")),
+        "va",
+        "na",
+    )
+    b = with_norm(e.selectExpr("vec_id - 1 as ida", "embedding as vb"), "vb", "nb")
+    return (
+        a.join(b, "ida")
+        .select(F.round(cosine_expr("va", "vb", "na", "nb"), 6).alias("c"))
+        .selectExpr(
+            "least(greatest(cast(floor((c + 1.0D) / 2.0D * 10) as int), 0), 9) as bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .selectExpr("bucket", "cnt", "round(-1.0D + bucket * 0.2D, 1) as lo")
+    )
+
+
+def _emb_cos_hist_sql() -> str:
+    # the same sequential left fold as zip_with/aggregate — NOT
+    # list_cosine_similarity, whose accumulation order is unspecified
+    dot = (
+        "list_reduce([0.0] || list_transform(range(1, len(a.va) + 1), "
+        "i -> CAST(a.va[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    na = (
+        "sqrt(list_reduce([0.0] || list_transform(a.va, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+    nb = (
+        "sqrt(list_reduce([0.0] || list_transform(b.vb, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+WITH a AS (SELECT vec_id AS ida, embedding AS va FROM embeddings),
+b AS (SELECT vec_id - 1 AS ida, embedding AS vb FROM embeddings),
+c AS (SELECT round(({dot}) / (({na}) * ({nb})), 6) AS c
+      FROM a JOIN b USING (ida)),
+h AS (SELECT least(greatest(CAST(floor((c + 1.0) / 2.0 * 10) AS INT), 0), 9) AS bucket FROM c)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+  round(-1.0 + bucket * 0.2, 1) AS lo FROM h GROUP BY 1
+"""
+
+
 def q_drift_psi(spark, sf):
     """Distribution-drift monitor: Population Stability Index of each
     event type's value distribution between the first and second half of
@@ -3851,6 +3943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf": q_corpus_zipf,
         "event_histogram": q_event_histogram,
         "drift_psi": q_drift_psi,
+        "event_ewma": q_event_ewma,
+        "emb_cos_hist": q_emb_cos_hist,
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
         "graph_ppr": q_graph_ppr,
@@ -5962,6 +6056,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_zipf": _zipf_sql(),
         "event_histogram": _event_histogram_sql(),
         "drift_psi": _drift_psi_sql(),
+        "event_ewma": _event_ewma_sql(),
+        "emb_cos_hist": _emb_cos_hist_sql(),
         "kg_transe": _transe_sql(),
         "graph_ppr": _ppr_sql(),
         "event_props_stats": (
