@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from citykg import canon, extract, link
 from citykg.fixtures import (
@@ -3314,6 +3314,50 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
 """
 
 
+def q_event_burstiness(spark, sf):
+    """Per-user inter-arrival burstiness (Goh & Barabasi 2008):
+    B = (sigma - mu) / (sigma + mu) over the user's event gaps — B near
+    1 = bursty, near -1 = metronomic; the behavioral-anomaly signal on
+    an activity stream. Gaps via lag over a USER-partitioned window
+    (partition-local, no global window), then one per-user moment agg;
+    users need >= 3 events (two gaps)."""
+    sec = "cast(cast(ts as timestamp) as double)"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.expr(sec), "event_id")
+    g = (
+        e.withColumn("_t", F.expr(sec))
+        .withColumn("_g", F.col("_t") - F.lag("_t").over(w))
+        .where(F.col("_g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.avg("_g").alias("_m"),
+            F.expr("sqrt(avg(_g * _g) - avg(_g) * avg(_g))").alias("_s"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    return g.selectExpr(
+        "user_id",
+        "n_gaps",
+        "round(_m, 6) as mean_gap",
+        "round(_s, 6) as std_gap",
+        "CASE WHEN _s + _m = 0 THEN 0.0D ELSE round((_s - _m) / (_s + _m), 6) END as burstiness",
+    )
+
+
+def _event_burstiness_sql() -> str:
+    return """
+WITH t AS (SELECT user_id, event_id, epoch(ts) AS tt FROM events),
+g AS (SELECT user_id, tt - lag(tt) OVER (PARTITION BY user_id ORDER BY tt, event_id) AS gap FROM t),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, avg(gap) AS m,
+  sqrt(avg(gap * gap) - avg(gap) * avg(gap)) AS s
+  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+SELECT user_id, n_gaps, round(m, 6) AS mean_gap, round(s, 6) AS std_gap,
+  CASE WHEN s + m = 0 THEN 0.0 ELSE round((s - m) / (s + m), 6) END AS burstiness
+FROM a
+"""
+
+
 def q_drift_psi(spark, sf):
     """Distribution-drift monitor: Population Stability Index of each
     event type's value distribution between the first and second half of
@@ -3944,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_histogram": q_event_histogram,
         "drift_psi": q_drift_psi,
         "event_ewma": q_event_ewma,
+        "event_burstiness": q_event_burstiness,
         "emb_cos_hist": q_emb_cos_hist,
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
@@ -6057,6 +6102,7 @@ def oracle_sql() -> dict[str, str]:
         "event_histogram": _event_histogram_sql(),
         "drift_psi": _drift_psi_sql(),
         "event_ewma": _event_ewma_sql(),
+        "event_burstiness": _event_burstiness_sql(),
         "emb_cos_hist": _emb_cos_hist_sql(),
         "kg_transe": _transe_sql(),
         "graph_ppr": _ppr_sql(),
