@@ -1855,6 +1855,45 @@ def _dsir_weights_sql(dims: int = 64) -> str:
     )
 
 
+def q_chi2_keywords(spark, sf):
+    """Per-source discriminative vocabulary by chi-squared association
+    (Yang & Pedersen 1997) — "what characterizes each source", the
+    supervised complement of tfidf_keywords, for corpus-mixture
+    curation. One token explode, one (source, term) partial agg, totals
+    derived from it, top-5 window over the vocab-sized frame
+    (ops.relevance.chi2_keywords)."""
+    from citykg.ops.relevance import chi2_keywords
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("source", "text")
+    return chi2_keywords(d, group_col="source", k=5, min_count=5)
+
+
+def _chi2_keywords_sql(k: int = 5, min_count: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT source AS grp, unnest(list_filter(string_split_regex(lower(text),
+    '[^a-z]+'), x -> x <> '')) AS tok FROM documents),
+st AS (SELECT grp, tok, count(*) AS n_st FROM e GROUP BY 1, 2),
+gs AS (SELECT grp, sum(n_st) AS n_g FROM st GROUP BY 1),
+ts AS (SELECT tok, sum(n_st) AS n_t FROM st GROUP BY 1),
+tot AS (SELECT sum(n_g) AS nn FROM gs),
+c AS (SELECT st.grp, st.tok, st.n_st,
+  CAST(st.n_st AS DOUBLE) AS o11,
+  CAST(ts.n_t AS DOUBLE) - CAST(st.n_st AS DOUBLE) AS o12,
+  CAST(gs.n_g AS DOUBLE) - CAST(st.n_st AS DOUBLE) AS o21,
+  CAST(tot.nn AS DOUBLE) - CAST(gs.n_g AS DOUBLE) - CAST(ts.n_t AS DOUBLE)
+    + CAST(st.n_st AS DOUBLE) AS o22,
+  CAST(tot.nn AS DOUBLE) AS nd
+  FROM st JOIN gs USING (grp) JOIN ts USING (tok) CROSS JOIN tot
+  WHERE st.n_st >= {min_count}),
+x AS (SELECT grp, tok, n_st, nd * (o11 * o22 - o12 * o21) * (o11 * o22 - o12 * o21)
+  / ((o11 + o12) * (o11 + o21) * (o12 + o22) * (o21 + o22)) AS chi2 FROM c),
+r AS (SELECT grp, tok, n_st, chi2,
+  row_number() OVER (PARTITION BY grp ORDER BY chi2 DESC, tok) AS rank FROM x)
+SELECT grp AS source, tok AS term, CAST(n_st AS BIGINT) AS n_in_group, rank,
+  round(chi2, 6) AS chi2 FROM r WHERE rank <= {k}
+"""
+
+
 def q_dsir_resample(spark, sf):
     """The DSIR select step end-to-end: importance log-weights
     (q_dsir_weights) fed into Gumbel-max top-k (ops.sampling.
@@ -4053,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
+        "chi2_keywords": q_chi2_keywords,
         "corpus_card": q_corpus_card,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -6231,6 +6271,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _feature_hash_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "dsir_resample": _dsir_resample_sql(),
+        "chi2_keywords": _chi2_keywords_sql(),
         "corpus_card": _corpus_card_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "

@@ -363,3 +363,71 @@ def ccnet_tiers(
         .otherwise(F.lit("tail"))
         .alias("tier"),
     )
+
+
+def chi2_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-group discriminative terms by chi-squared association (the
+    feature-selection statistic of Yang & Pedersen 1997): for each
+    (group, term) 2x2 contingency table (term present/absent x in-group/
+    rest), chi2 = N (O11 O22 - O12 O21)^2 / product of marginals — the
+    corpus-curation question "what characterizes each source", the
+    supervised complement of tfidf_topk. Returns the top `k` terms per
+    group (chi2 desc, term asc); terms with < `min_count` in-group
+    occurrences are dropped before the joins.
+
+    Scale shape: one token explode -> ONE (group, term) partial agg;
+    group totals and term totals derive from that frame (partial aggs
+    over far smaller key spaces); the corpus total is a one-row
+    broadcast. The top-k window partitions by group over the vocab-sized
+    frame — never the corpus. Every chi2 operand is cast to DOUBLE
+    before any product so both engines walk identical IEEE arithmetic
+    (bigint intermediates would overflow at corpus scale)."""
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    e = df.selectExpr(f"{group_col} as grp", f"explode({toks}) as tok")
+    st = e.groupBy("grp", "tok").agg(F.count("*").alias("n_st"))
+    st = st.localCheckpoint(eager=False)  # feeds the group/term/total aggs
+    gs = st.groupBy("grp").agg(F.sum("n_st").alias("n_g"))
+    ts = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    tot = gs.agg(F.sum("n_g").alias("nn"))
+    chi = (
+        st.where(F.col("n_st") >= min_count)
+        .join(gs, "grp")
+        .join(ts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "grp",
+            "tok",
+            "n_st",
+            "cast(n_st as double) as o11",
+            "cast(n_t as double) - cast(n_st as double) as o12",
+            "cast(n_g as double) - cast(n_st as double) as o21",
+            "cast(nn as double) - cast(n_g as double) - cast(n_t as double) "
+            "+ cast(n_st as double) as o22",
+            "cast(nn as double) as nd",
+        )
+        .selectExpr(
+            "grp",
+            "tok",
+            "n_st",
+            "nd * (o11 * o22 - o12 * o21) * (o11 * o22 - o12 * o21) / "
+            "((o11 + o12) * (o11 + o21) * (o12 + o22) * (o21 + o22)) as _chi2",
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("_chi2").desc(), F.col("tok"))
+    return (
+        chi.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .selectExpr(
+            f"grp as {group_col}",
+            "tok as term",
+            "cast(n_st as bigint) as n_in_group",
+            "rank",
+            "round(_chi2, 6) as chi2",
+        )
+    )
