@@ -1855,6 +1855,74 @@ def _dsir_weights_sql(dims: int = 64) -> str:
     )
 
 
+def q_text_ttr(spark, sf):
+    """Per-doc lexical diversity: type-token ratio + in-doc hapax count
+    (the repetitiveness complement of text_repetition, a standard
+    quality-filter feature). One token explode -> ONE (doc, token)
+    partial agg -> ONE per-doc agg; all integers except the final
+    rounded ratio."""
+    toks = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    tc = (
+        d.selectExpr("doc_id", f"explode({toks}) as tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_toks"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+    )
+
+
+def _text_ttr_sql() -> str:
+    return """
+WITH e AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+    '[^a-z]+'), x -> x <> '')) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+FROM tc GROUP BY 1
+"""
+
+
+def q_heavy_hitters(spark, sf):
+    """Join-key skew report over the KG link graph: the 20 hottest
+    IRI-valued objects (the keys a canonicalization/linking shuffle
+    hashes on) with their share of all reference triples — the
+    diagnostic that decides whether a join needs salting (the salted
+    star in citykg.canon exists because of exactly these keys). ONE
+    key-count partial agg, global top-k as TakeOrderedAndProject, total
+    folded in-plan as a one-row broadcast."""
+    t = _triples(
+        spark, sf, ["building", "thematicsurface", "surfacegeometry", "addresstobuilding"]
+    ).where(F.col("obj_type") == "iri")
+    counts = t.groupBy(F.col("obj").alias("key")).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("nn"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr("key", "cnt", "round(cnt / cast(nn as double), 6) as share")
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(20)
+    )
+
+
+def _heavy_hitters_sql() -> str:
+    return (
+        _triples_cte(["building", "thematicsurface", "surfacegeometry", "addresstobuilding"])
+        + """
+, c AS (SELECT obj AS key, count(*) AS cnt FROM t WHERE obj_type = 'iri' GROUP BY 1),
+tot AS (SELECT sum(cnt) AS nn FROM c)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+  round(cnt / CAST(tot.nn AS DOUBLE), 6) AS share
+FROM c CROSS JOIN tot ORDER BY cnt DESC, key LIMIT 20
+"""
+    )
+
+
 def q_chi2_keywords(spark, sf):
     """Per-source discriminative vocabulary by chi-squared association
     (Yang & Pedersen 1997) — "what characterizes each source", the
@@ -4093,6 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "chi2_keywords": q_chi2_keywords,
+        "text_ttr": q_text_ttr,
+        "heavy_hitters": q_heavy_hitters,
         "corpus_card": q_corpus_card,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
@@ -6272,6 +6342,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_weights_sql(),
         "dsir_resample": _dsir_resample_sql(),
         "chi2_keywords": _chi2_keywords_sql(),
+        "text_ttr": _text_ttr_sql(),
+        "heavy_hitters": _heavy_hitters_sql(),
         "corpus_card": _corpus_card_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
