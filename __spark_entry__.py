@@ -1794,6 +1794,48 @@ def _corpus_card_sql() -> str:
     )
 
 
+def q_corpus_gate(spark, sf):
+    """Release gate: the one-row go/no-go check a pipeline runs before
+    promoting a corpus snapshot — recomputes the corpus_card facts and
+    evaluates literal thresholds (exact-dup share < 5%, PII share < 60%,
+    mean quality > 0.3, >= 3 languages) into per-check booleans and an
+    overall pass flag. Same single-scan + one-global-agg plan as
+    corpus_card; the gate is a pure Project on the one-row result."""
+    card = q_corpus_card(spark, sf)
+    return card.selectExpr(
+        "n_docs",
+        "round(n_exact_dup_docs / cast(n_docs as double), 6) as dup_share",
+        "round(n_pii_docs / cast(n_docs as double), 6) as pii_share",
+        "mean_quality",
+        "n_langs",
+        "cast(n_exact_dup_docs / cast(n_docs as double) < 0.05D as int) as pass_dup",
+        "cast(n_pii_docs / cast(n_docs as double) < 0.6D as int) as pass_pii",
+        "cast(mean_quality > 0.3D as int) as pass_quality",
+        "cast(n_langs >= 3 as int) as pass_langs",
+        "cast(n_exact_dup_docs / cast(n_docs as double) < 0.05D "
+        "AND n_pii_docs / cast(n_docs as double) < 0.6D "
+        "AND mean_quality > 0.3D AND n_langs >= 3 as int) as overall_pass",
+    )
+
+
+def _corpus_gate_sql() -> str:
+    return (
+        f"WITH card AS ({_corpus_card_sql()}) "
+        "SELECT n_docs, "
+        "round(n_exact_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_share, "
+        "round(n_pii_docs / CAST(n_docs AS DOUBLE), 6) AS pii_share, "
+        "mean_quality, n_langs, "
+        "CAST(n_exact_dup_docs / CAST(n_docs AS DOUBLE) < 0.05 AS INT) AS pass_dup, "
+        "CAST(n_pii_docs / CAST(n_docs AS DOUBLE) < 0.6 AS INT) AS pass_pii, "
+        "CAST(mean_quality > 0.3 AS INT) AS pass_quality, "
+        "CAST(n_langs >= 3 AS INT) AS pass_langs, "
+        "CAST(n_exact_dup_docs / CAST(n_docs AS DOUBLE) < 0.05 "
+        "AND n_pii_docs / CAST(n_docs AS DOUBLE) < 0.6 "
+        "AND mean_quality > 0.3 AND n_langs >= 3 AS INT) AS overall_pass "
+        "FROM card"
+    )
+
+
 def q_feature_hash(spark, sf):
     """Feature hashing (the hashing trick, Weinberger 2009): text ->
     sparse 64-dim signed-count vectors with NO vocabulary table and one
@@ -4164,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         "heavy_hitters": q_heavy_hitters,
         "corpus_card": q_corpus_card,
+        "corpus_gate": q_corpus_gate,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -6345,6 +6388,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ttr": _text_ttr_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
         "corpus_card": _corpus_card_sql(),
+        "corpus_gate": _corpus_gate_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "
