@@ -1965,6 +1965,122 @@ FROM c CROSS JOIN tot ORDER BY cnt DESC, key LIMIT 20
     )
 
 
+def q_fk_integrity(spark, sf):
+    """Referential-integrity audit over the warehouse's FK edges — the
+    data-quality gate a 100 TB ingest runs before trusting its joins
+    (an orphaned FK silently drops rows from every inner join
+    downstream). One row per FK edge: child rows, orphans (FK NULL or
+    no matching parent key), orphan share. Each edge is a left join
+    from the child FK onto the DISTINCT parent key (dims broadcast;
+    the lineitem->orders edge shuffles on the near-unique join key)
+    into ONE partial agg; the report is a union of one-row frames."""
+    def edge(name, child, fk, parent, pk):
+        c = spark.read.parquet(f"{sf}/{child}.parquet").select(F.col(fk).alias("_fk"))
+        p = (
+            spark.read.parquet(f"{sf}/{parent}.parquet")
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+        )
+        return (
+            c.join(p, c["_fk"] == p["_pk"], "left")
+            .agg(
+                F.count("*").alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_orphans",
+                F.round(F.col("n_orphans") / F.col("n_child").cast("double"), 6).alias(
+                    "orphan_share"
+                ),
+            )
+        )
+
+    frames = [
+        edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _fk_integrity_sql() -> str:
+    edges = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = [
+        f"SELECT '{name}' AS edge, count(*) AS n_child, "
+        "CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, "
+        "round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS orphan_share "
+        f"FROM (SELECT {fk} AS _fk FROM {child}) c "
+        f"LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p ON c._fk = p._pk"
+        for name, child, fk, parent, pk in edges
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_benford(spark, sf):
+    """Benford first-digit drift monitor over a monetary column
+    (Newcomb 1881 / Benford 1938; the standard fabricated-data /
+    pipeline-corruption tripwire in financial audits): distribution of
+    the first significant digit of l_extendedprice vs the Benford
+    expectation log10(1 + 1/d), with per-digit chi-squared terms. The
+    digit is extracted lexically (strip non-digits, trim leading
+    zeros) so both engines agree regardless of float formatting. ONE
+    9-key partial agg + a one-row total broadcast back — same
+    monitoring shape as heavy_hitters."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_extendedprice")
+    d = li.select(
+        F.expr(
+            "substring(trim(LEADING '0' FROM "
+            "regexp_replace(cast(l_extendedprice as string), '[^0-9]', '')), 1, 1)"
+        ).alias("digit")
+    ).where(F.col("digit") != "")
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("nn"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "n",
+            "round(n / cast(nn as double), 6) as share",
+            "round(log10(1.0D + 1.0D / cast(digit as double)), 6) as expected",
+            "round(pow(n - nn * log10(1.0D + 1.0D / cast(digit as double)), 2) "
+            "/ (nn * log10(1.0D + 1.0D / cast(digit as double))), 6) as chi2_term",
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    return """
+WITH d AS (SELECT substr(ltrim(regexp_replace(CAST(l_extendedprice AS VARCHAR),
+    '[^0-9]', '', 'g'), '0'), 1, 1) AS digit FROM lineitem),
+c AS (SELECT digit, count(*) AS n FROM d WHERE digit <> '' GROUP BY 1),
+tot AS (SELECT sum(n) AS nn FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  round(n / CAST(tot.nn AS DOUBLE), 6) AS share,
+  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
+  round(pow(n - tot.nn * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+    / (tot.nn * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS chi2_term
+FROM c CROSS JOIN tot ORDER BY digit
+"""
+
+
 def q_chi2_keywords(spark, sf):
     """Per-source discriminative vocabulary by chi-squared association
     (Yang & Pedersen 1997) — "what characterizes each source", the
@@ -3228,6 +3344,51 @@ def q_graph_link_predict(spark, sf):
     return graph.link_prediction(p)
 
 
+def q_graph_jaccard(spark, sf):
+    """Neighborhood structural similarity over the DWithin proximity
+    graph: Jaccard + cosine of neighbor sets for every pair sharing
+    >= 2 neighbors, adjacency flagged — the entity-resolution
+    diagnostic (high-Jaccard adjacent pairs witness near-duplicate
+    entities, non-adjacent ones missing links; complements
+    graph_link_predict which drops adjacent pairs). Wedge enumeration
+    at the shared neighbor + ONE (u, v) partial agg + node-sized
+    degree attach joins (graph.neighborhood_similarity has the hub-cap
+    scale note)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.neighborhood_similarity(p)
+
+
+def _graph_jaccard_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+adj AS (SELECT u AS w, v AS n FROM pairs UNION ALL SELECT v, u FROM pairs),
+deg AS (SELECT n AS node, count(*) AS deg FROM adj GROUP BY 1),
+wed AS (SELECT a1.n AS p, a2.n AS q FROM adj a1
+  JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n),
+cn AS (SELECT p AS u, q AS v, count(*) AS cn FROM wed GROUP BY 1, 2
+  HAVING count(*) >= 2),
+fl AS (SELECT cn.u, cn.v, cn.cn,
+  CASE WHEN pr.u IS NULL THEN 0 ELSE 1 END AS adjacent
+  FROM cn LEFT JOIN pairs pr ON pr.u = cn.u AND pr.v = cn.v)
+SELECT fl.u, fl.v, CAST(fl.cn AS BIGINT) AS cn,
+  CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+  fl.adjacent,
+  round(fl.cn / CAST(du.deg + dv.deg - fl.cn AS DOUBLE), 6) AS jaccard,
+  round(fl.cn / sqrt(CAST(du.deg * dv.deg AS DOUBLE)), 6) AS cosine
+FROM fl JOIN deg du ON du.node = fl.u JOIN deg dv ON dv.node = fl.v
+"""
+
+
 def q_graph_lpa(spark, sf):
     """Community detection over the DWithin proximity graph: synchronous
     label propagation, deterministic min-label tiebreak, EXACTLY 3
@@ -4207,6 +4368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "corpus_card": q_corpus_card,
         "corpus_gate": q_corpus_gate,
+        "fk_integrity": q_fk_integrity,
+        "benford_digits": q_benford,
+        "graph_jaccard": q_graph_jaccard,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -6389,6 +6553,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql(),
         "corpus_card": _corpus_card_sql(),
         "corpus_gate": _corpus_gate_sql(),
+        "fk_integrity": _fk_integrity_sql(),
+        "benford_digits": _benford_sql(),
+        "graph_jaccard": _graph_jaccard_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "

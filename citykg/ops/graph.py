@@ -723,3 +723,69 @@ def assortativity(edges: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def neighborhood_similarity(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Structural similarity of node pairs by neighbor-set overlap:
+    for every pair (u, v) sharing >= `min_common` neighbors, Jaccard
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| and cosine cn / sqrt(deg_u * deg_v),
+    plus an `adjacent` flag — the entity-resolution diagnostic over the
+    importer's link graph (two mentions whose KG neighborhoods coincide
+    are merge candidates even when their labels differ; the structural
+    complement of link.py's lexical blocking). Unlike link_prediction
+    (non-adjacent pairs only, reference GraphAnalysisTask.java family),
+    adjacent pairs are kept and flagged: high-Jaccard ADJACENT pairs
+    witness near-duplicate entities, non-adjacent ones missing links.
+
+    Scale shape: same wedge enumeration as link_prediction (pairs are
+    materialized at the shared neighbor — a degree-d hub fans d*(d-1)/2
+    pairs, inherent to the semantics; cap hub degree upstream at corpus
+    scale), ONE (u, v)-keyed partial agg, degree frames are node-sized
+    attach joins, adjacency resolved with a left join on the canonical
+    (u < v) pair — no cartesian, no window."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by adjacency, degree, flag join
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).union(
+        und.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy(F.col("n").alias("node")).agg(F.count("*").alias("deg"))
+    wedges = (
+        adj.select("w", F.col("n").alias("p"))
+        .join(adj.select("w", F.col("n").alias("q")), "w")
+        .where(F.col("p") < F.col("q"))
+    )
+    cn = (
+        wedges.groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(F.count("*").alias("cn"))
+        .where(F.col("cn") >= min_common)
+    )
+    flagged = cn.join(
+        und.withColumn("adjacent", F.lit(1)), ["u", "v"], "left"
+    ).withColumn("adjacent", F.coalesce("adjacent", F.lit(0)))
+    return (
+        flagged.join(deg.selectExpr("node as u", "deg as deg_u"), "u")
+        .join(deg.selectExpr("node as v", "deg as deg_v"), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            "adjacent",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("cn") / F.sqrt((F.col("deg_u") * F.col("deg_v")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )

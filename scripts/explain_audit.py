@@ -118,6 +118,9 @@ AUDITS = [
     ("bpe_encode", "BPE encode: ONE codegen'd replace-chain Project, zero Exchange, zero Python"),
     ("chunk_windows", "RAG chunking: Project + posexplode, partition-local fan-out, zero Exchange"),
     ("emb_centroids", "embedding centroids: posexplode + ONE (group, dim)-keyed partial agg, key space independent of corpus size"),
+    ("fk_integrity", "FK audit: per-edge left join onto DISTINCT parent keys (dims broadcast) + one-row aggs, no window"),
+    ("benford_digits", "Benford monitor: 9-key partial agg + one-row total broadcast, digit extraction is a codegen'd string Project"),
+    ("graph_jaccard", "neighborhood similarity: wedge equi-join + ONE pair partial agg + node-sized degree attach joins, no cartesian"),
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),

@@ -1179,6 +1179,26 @@ def test_link_prediction_square_and_triangle(spark):
     assert out == {("a", "d"): (2, round(2.0 / math.log(3.0), 6))}
 
 
+def test_neighborhood_similarity_diamond(spark):
+    """Diamond (triangle a-b-c + d adjacent to b and c): (a, d) shares
+    {b, c}, is non-adjacent, deg 2 each -> jaccard 2/(2+2-2)=1.0, cosine
+    2/sqrt(4)=1.0; (b, c) shares {a, d}, IS adjacent (flag 1), deg 3
+    each -> jaccard 2/(3+3-2)=0.5, cosine 2/3. Unlike link_prediction
+    the adjacent pair is kept and flagged."""
+    dia = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    out = {
+        (r.u, r.v): (r.cn, r.deg_u, r.deg_v, r.adjacent, r.jaccard, r.cosine)
+        for r in graph.neighborhood_similarity(dia).collect()
+    }
+    assert out == {
+        ("a", "d"): (2, 2, 2, 0, 1.0, 1.0),
+        ("b", "c"): (2, 3, 3, 1, 0.5, round(2.0 / 3.0, 6)),
+    }
+
+
 def test_pq_codes_centroid_roundtrip(spark):
     """A vector stitched from one centroid per subspace must code to
     exactly those centroid indices with ~0 reconstruction error; codes on
