@@ -201,6 +201,59 @@ def q_kg_canonical_clusters(spark, sf):
     )
 
 
+def q_kg_fusion(spark, sf):
+    """Attribute fusion after canonicalization: the address-mention
+    clusters from kg_canonical_clusters vote on every literal predicate
+    of their members (street, houseNumber, zipCode, ...) and the
+    majority value wins, ties to the smallest — one fused row per
+    (canonical entity, pred) with vote counts and a conflict flag
+    (canon.fuse_attributes; the truth-discovery stage the reference
+    defers to Blazegraph's last-write-wins). Oracle derives the same
+    clusters arithmetically and replays the vote with a window argmax."""
+    linked = link.link_exact(
+        link.entity_mentions(_docs(spark, sf)), synth_gazetteer(spark)
+    )
+    member = F.concat(
+        F.lit(DEFAULT_BASE + "/address/ADDR_"),
+        F.expr("substring(doc_id, 5)"),
+        F.lit("/"),
+    )
+    groups = linked.where(F.col("entity_id").isNotNull()).select(
+        "entity_id", member.alias("member")
+    )
+    cc = canon.connected_components(canon.same_as_edges(groups, "entity_id", "member"))
+    addr = _triples(spark, sf, ["address"])
+    return canon.fuse_attributes(addr, cc)
+
+
+def _kg_fusion_sql() -> str:
+    base = DEFAULT_BASE
+    return (
+        _triples_cte(["address"])
+        + f"""
+, m AS (SELECT d, CASE WHEN d % 2 = 0 THEN 0 ELSE d % 50 END AS ent,
+    '{base}/address/ADDR_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS iri
+  FROM (SELECT DISTINCT CAST(substr(doc_id, 5) AS BIGINT) AS d FROM t)),
+c AS (SELECT ent, min(iri) AS canon FROM m GROUP BY 1),
+a AS (SELECT t.pred, t.obj, c.canon AS canonical_id
+  FROM t JOIN m ON m.iri = t.subj JOIN c ON c.ent = m.ent
+  WHERE t.obj_type <> 'iri'),
+v AS (SELECT canonical_id, pred, obj, count(*) AS n_votes
+  FROM a GROUP BY 1, 2, 3),
+w AS (SELECT v.*, row_number() OVER (PARTITION BY canonical_id, pred
+    ORDER BY n_votes DESC, obj) AS rn,
+  count(*) OVER (PARTITION BY canonical_id, pred) AS n_values,
+  sum(n_votes) OVER (PARTITION BY canonical_id, pred) AS total_mentions
+  FROM v)
+SELECT canonical_id, pred, obj, CAST(n_votes AS BIGINT) AS n_votes,
+  CAST(n_values AS BIGINT) AS n_values,
+  CAST(total_mentions AS BIGINT) AS total_mentions,
+  CAST(n_values > 1 AS INT) AS conflicted
+FROM w WHERE rn = 1
+"""
+    )
+
+
 def q_kg_canonical_incremental(spark, sf):
     """Incremental canonicalization: a registry built from the docs with
     doc_id % 3 == 0 absorbs the remaining two-thirds as a NEW BATCH via
@@ -2199,6 +2252,64 @@ def q_kmeans_assign(spark, sf):
 
     d = spark.read.parquet(f"{sf}/embeddings.parquet")
     return kmeans_lloyd(d, k=4, iters=3)
+
+
+def q_emb_outliers(spark, sf):
+    """Embedding-space outlier audit over the k-means structure: assign
+    the corpus with the pinned Lloyd trajectory (kmeans_assign), then
+    per cluster flag vectors whose squared distance exceeds
+    mean + 2 * stddev — the embedding-quality gate a curation pipeline
+    runs to catch mislabeled / degenerate vectors before ANN indexing.
+    One row per cluster (n, mean_d2, std_d2, n_outliers, outlier_share).
+    The 6-dp rounding of mean/std pins the threshold so both engines
+    compare identical doubles. Shapes: the kmeans Projects + ONE
+    cluster-keyed stats agg broadcast back + ONE filtered recount."""
+    from citykg.ops.similarity import kmeans_lloyd
+
+    d = spark.read.parquet(f"{sf}/embeddings.parquet")
+    asg = kmeans_lloyd(d, k=4, iters=3).select("cluster", "dist2").localCheckpoint(
+        eager=False
+    )
+    stats = asg.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("dist2"), 6).alias("mean_d2"),
+        F.round(F.stddev_pop("dist2"), 6).alias("std_d2"),
+    )
+    out = (
+        asg.join(F.broadcast(stats), "cluster")
+        .where(F.col("dist2") > F.col("mean_d2") + 2 * F.col("std_d2"))
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        stats.join(out, "cluster", "left")
+        .select(
+            "cluster",
+            "n",
+            "mean_d2",
+            "std_d2",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            F.round(
+                F.coalesce("n_outliers", F.lit(0)) / F.col("n").cast("double"), 6
+            ).alias("outlier_share"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _emb_outliers_sql() -> str:
+    return f"""
+WITH asg AS ({_kmeans_sql()}),
+st AS (SELECT cluster, count(*) AS n, round(avg(dist2), 6) AS mean_d2,
+  round(stddev_pop(dist2), 6) AS std_d2 FROM asg GROUP BY 1),
+fl AS (SELECT a.cluster, count(*) AS n_outliers FROM asg a
+  JOIN st ON a.cluster = st.cluster
+  WHERE a.dist2 > st.mean_d2 + 2 * st.std_d2 GROUP BY 1)
+SELECT st.cluster, CAST(st.n AS BIGINT) AS n, st.mean_d2, st.std_d2,
+  CAST(COALESCE(fl.n_outliers, 0) AS BIGINT) AS n_outliers,
+  round(COALESCE(fl.n_outliers, 0) / CAST(st.n AS DOUBLE), 6) AS outlier_share
+FROM st LEFT JOIN fl ON st.cluster = fl.cluster ORDER BY st.cluster
+"""
 
 
 def q_emb_centroids(spark, sf):
@@ -4371,6 +4482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": q_fk_integrity,
         "benford_digits": q_benford,
         "graph_jaccard": q_graph_jaccard,
+        "emb_outliers": q_emb_outliers,
+        "kg_fusion": q_kg_fusion,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -6556,6 +6669,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity": _fk_integrity_sql(),
         "benford_digits": _benford_sql(),
         "graph_jaccard": _graph_jaccard_sql(),
+        "emb_outliers": _emb_outliers_sql(),
+        "kg_fusion": _kg_fusion_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "

@@ -198,3 +198,57 @@ def rehome_iris(triples: DataFrame, from_base: str, to_base: str) -> DataFrame:
             F.col("obj_type") == "iri", F.regexp_replace("obj", pat, to_base)
         ).otherwise(F.col("obj")),
     )
+
+
+def fuse_attributes(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Knowledge fusion — the truth-discovery stage AFTER canonicalization
+    (majority voting, cf. Dong et al., "Data Fusion: Resolving Conflicts
+    from Multiple Sources", and the reference's post-merge store where
+    duplicate city objects carry conflicting attribute copies): for each
+    canonical entity and literal predicate, elect ONE fused value by vote
+    count over the cluster's member triples, ties broken by the SMALLEST
+    value (deterministic). Returns (canonical_id, pred, obj, n_votes,
+    n_values, total_mentions, conflicted).
+
+    `labels` is the connected_components output (id, component); members
+    missing from it (singleton clusters — no edges) fuse to themselves
+    via the left join + coalesce.
+
+    Scale shape: member->canonical attach join (the mapping is
+    |duplicates|-sized -> broadcast here; at corpus scale a shuffle join
+    keyed on subj, co-located with the subject-bucketed store), then TWO
+    shrinking partial aggs — (canon, pred, obj) vote counts, then a
+    (canon, pred) min-struct argmax that also folds n_values /
+    total_mentions in the same pass. No windows, no collect, and the
+    vote agg is map-side combinable so a mega-entity's skew lands on
+    combiners, not one reducer."""
+    lab = labels.select(
+        F.col("id").alias("subj"), F.col("component").alias("canonical_id")
+    )
+    attrs = (
+        triples.where(F.col("obj_type") != "iri")
+        .join(F.broadcast(lab), "subj", "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.col("subj")))
+    )
+    votes = attrs.groupBy("canonical_id", "pred", "obj").agg(
+        F.count("*").alias("n_votes")
+    )
+    return (
+        votes.groupBy("canonical_id", "pred")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_votes")).alias("neg"), F.col("obj").alias("obj"))
+            ).alias("_best"),
+            F.count("*").alias("n_values"),
+            F.sum("n_votes").alias("total_mentions"),
+        )
+        .select(
+            "canonical_id",
+            "pred",
+            F.col("_best.obj").alias("obj"),
+            (-F.col("_best.neg")).alias("n_votes"),
+            "n_values",
+            "total_mentions",
+            (F.col("n_values") > 1).cast("int").alias("conflicted"),
+        )
+    )

@@ -121,6 +121,8 @@ AUDITS = [
     ("fk_integrity", "FK audit: per-edge left join onto DISTINCT parent keys (dims broadcast) + one-row aggs, no window"),
     ("benford_digits", "Benford monitor: 9-key partial agg + one-row total broadcast, digit extraction is a codegen'd string Project"),
     ("graph_jaccard", "neighborhood similarity: wedge equi-join + ONE pair partial agg + node-sized degree attach joins, no cartesian"),
+    ("emb_outliers", "embedding outliers: pinned-kmeans Projects + ONE cluster stats agg broadcast back + filtered recount, no window"),
+    ("kg_fusion", "attribute fusion: broadcast canonical-map attach + TWO shrinking partial aggs (votes, min-struct argmax), no window"),
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),

@@ -210,3 +210,40 @@ def test_link_editdist_blocked_equals_unblocked(spark):
         cands = sorted((lev(mention, a), e) for e, a in aliases if lev(mention, a) <= 2)
         want = (cands[0][1], cands[0][0]) if cands else (None, None)
         assert got[doc_id] == want
+
+
+def test_fuse_attributes_majority_and_ties(spark):
+    """Cluster {A, B, C} (canonical A): zip votes 2-1 -> majority wins;
+    street ties 1-1-1 -> smallest value wins; singleton D (absent from
+    labels) fuses to itself; IRI triples are excluded."""
+    triples = spark.createDataFrame(
+        [
+            ("A", "ocgml:zip", "10115", "literal"),
+            ("B", "ocgml:zip", "10115", "literal"),
+            ("C", "ocgml:zip", "99999", "literal"),
+            ("A", "ocgml:street", "c st", "literal"),
+            ("B", "ocgml:street", "a st", "literal"),
+            ("C", "ocgml:street", "b st", "literal"),
+            ("A", "ocgml:linked", "http://x/B", "iri"),
+            ("D", "ocgml:zip", "77777", "literal"),
+        ],
+        "subj string, pred string, obj string, obj_type string",
+    )
+    labels = spark.createDataFrame(
+        [("A", "A"), ("B", "A"), ("C", "A")], "id string, component string"
+    )
+    rows = {
+        (r.canonical_id, r.pred): (
+            r.obj,
+            r.n_votes,
+            r.n_values,
+            r.total_mentions,
+            r.conflicted,
+        )
+        for r in canon.fuse_attributes(triples, labels).collect()
+    }
+    assert rows == {
+        ("A", "ocgml:zip"): ("10115", 2, 2, 3, 1),
+        ("A", "ocgml:street"): ("a st", 1, 3, 3, 1),
+        ("D", "ocgml:zip"): ("77777", 1, 1, 1, 0),
+    }
