@@ -2018,6 +2018,126 @@ FROM c CROSS JOIN tot ORDER BY cnt DESC, key LIMIT 20
     )
 
 
+def q_kg_provenance(spark, sf):
+    """Provenance rollup: triples per (ingest source, named graph) with
+    distinct-document counts — the lineage summary a 100 TB KG keeps
+    alongside its partition manifests (north_star: per-partition lineage;
+    this is the queryable face of it, VoID's provenance complement).
+    Doc-keyed equi-join of the triple frame onto the document registry
+    (co-partitioned with the store's doc ordering at scale) + ONE
+    (source, graph) agg with a two-phase distinct on doc_id."""
+    t = _triples(
+        spark, sf, ["building", "address", "surfacegeometry", "cityobjectgenericattrib"]
+    ).select("doc_id", "graph")
+    src = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "concat('doc_', lpad(cast(doc_id as string), 8, '0')) as doc_id", "source"
+    )
+    return (
+        t.join(src, "doc_id")
+        .groupBy("source", "graph")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def _kg_provenance_sql() -> str:
+    return (
+        _triples_cte(["building", "address", "surfacegeometry", "cityobjectgenericattrib"])
+        + """
+SELECT d.source, t.graph, count(*) AS n_triples,
+  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+FROM t JOIN documents d
+  ON CAST(substr(t.doc_id, 5) AS BIGINT) = d.doc_id
+GROUP BY 1, 2
+"""
+    )
+
+
+def q_kg_pred_cooccurrence(spark, sf):
+    """Schema profiling: predicate co-occurrence over building subjects —
+    for every unordered predicate pair, how many subjects carry BOTH
+    (the discovery query behind shape/SHACL induction on a KG whose
+    schema is implicit). Per-subject DISTINCT pred set, pair fan-out by
+    self-join at the subject (bounded by preds-per-subject, ~20, NOT by
+    corpus size), ONE (pred_a, pred_b) partial agg + a one-row subject
+    total broadcast back for the support share."""
+    t = _triples(spark, sf, ["building"]).select("subj", "pred").distinct()
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), "subj")
+        .where(F.col("a.pred") < F.col("b.pred"))
+        .select(F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b"))
+    )
+    counts = pairs.groupBy("pred_a", "pred_b").agg(F.count("*").alias("n_subjects"))
+    tot = t.agg(F.countDistinct("subj").alias("nn"))
+    return counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "pred_a",
+        "pred_b",
+        "n_subjects",
+        "round(n_subjects / cast(nn as double), 6) as support",
+    )
+
+
+def _kg_pred_cooccurrence_sql() -> str:
+    return (
+        _triples_cte(["building"])
+        + """
+, sp AS (SELECT DISTINCT subj, pred FROM t),
+c AS (SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_subjects
+  FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred GROUP BY 1, 2),
+tot AS (SELECT count(DISTINCT subj) AS nn FROM sp)
+SELECT pred_a, pred_b, CAST(n_subjects AS BIGINT) AS n_subjects,
+  round(n_subjects / CAST(tot.nn AS DOUBLE), 6) AS support
+FROM c CROSS JOIN tot
+"""
+    )
+
+
+def q_event_markov(spark, sf):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current type) — the behavior model a pipeline
+    fits for sequence features / anomaly baselines. Lag window inside
+    bounded per-user partitions (ts, event_id tiebreak), ONE
+    (prev, next) partial agg, per-prev totals derived from the counts
+    frame itself (transition-matrix-sized) — the raw stream is scanned
+    once and never re-windowed."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    counts = tr.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return counts.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_prev",
+        F.round(F.col("n") / F.col("n_prev").cast("double"), 6).alias("p"),
+    )
+
+
+def _event_markov_sql() -> str:
+    return """
+WITH tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) AS prev_type, event_type AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS n FROM tr
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, sum(n) AS n_prev FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+  CAST(tot.n_prev AS BIGINT) AS n_prev,
+  round(c.n / CAST(tot.n_prev AS DOUBLE), 6) AS p
+FROM c JOIN tot ON c.prev_type = tot.prev_type
+"""
+
+
 def q_fk_integrity(spark, sf):
     """Referential-integrity audit over the warehouse's FK edges — the
     data-quality gate a 100 TB ingest runs before trusting its joins
@@ -4484,6 +4604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard": q_graph_jaccard,
         "emb_outliers": q_emb_outliers,
         "kg_fusion": q_kg_fusion,
+        "kg_provenance": q_kg_provenance,
+        "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
+        "event_markov": q_event_markov,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -6671,6 +6794,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_jaccard": _graph_jaccard_sql(),
         "emb_outliers": _emb_outliers_sql(),
         "kg_fusion": _kg_fusion_sql(),
+        "kg_provenance": _kg_provenance_sql(),
+        "kg_pred_cooccurrence": _kg_pred_cooccurrence_sql(),
+        "event_markov": _event_markov_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "

@@ -123,6 +123,9 @@ AUDITS = [
     ("graph_jaccard", "neighborhood similarity: wedge equi-join + ONE pair partial agg + node-sized degree attach joins, no cartesian"),
     ("emb_outliers", "embedding outliers: pinned-kmeans Projects + ONE cluster stats agg broadcast back + filtered recount, no window"),
     ("kg_fusion", "attribute fusion: broadcast canonical-map attach + TWO shrinking partial aggs (votes, min-struct argmax), no window"),
+    ("kg_provenance", "provenance rollup: doc-keyed equi-join + ONE (source, graph) agg with two-phase distinct, no window"),
+    ("kg_pred_cooccurrence", "pred co-occurrence: subject self-join bounded by preds-per-subject + ONE pair agg + one-row total broadcast"),
+    ("event_markov", "Markov transitions: ONE user-keyed window scan + (prev, next) partial agg; totals from the matrix-sized counts frame"),
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
