@@ -2018,6 +2018,147 @@ FROM c CROSS JOIN tot ORDER BY cnt DESC, key LIMIT 20
     )
 
 
+def q_pack_efficiency(spark, sf):
+    """Packing-efficiency report over the greedy sequence packer: per
+    hash group, bins used, docs packed, mean bin utilization vs the
+    512-token budget, packed density, and oversize-bin count — the
+    metric a training pipeline tracks to know how much compute its
+    batch packing wastes. Derived from pack_sequences' assignment with
+    TWO shrinking partial aggs ((grp, bin) fill, then grp summary)."""
+    from citykg.ops import packing
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) as n_tokens",
+    )
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_groups=4)
+    per_bin = packed.groupBy("grp", "bin").agg(
+        F.sum("tokens").alias("fill"), F.count("*").alias("n_docs")
+    )
+    return (
+        per_bin.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("fill").alias("total_tokens"),
+            F.round(F.avg(F.col("fill") / F.lit(512.0)), 6).alias("mean_util"),
+            F.round(F.sum("fill") / (F.count("*") * F.lit(512.0)), 6).alias(
+                "density"
+            ),
+            F.sum((F.col("fill") > 512).cast("int")).alias("n_oversize"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _pack_efficiency_sql() -> str:
+    return f"""
+WITH packed AS ({_pack_sequences_sql()}),
+pb AS (SELECT grp, bin, sum(tokens) AS fill, count(*) AS n_docs
+  FROM packed GROUP BY 1, 2)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(fill) AS BIGINT) AS total_tokens,
+  round(avg(fill / 512.0), 6) AS mean_util,
+  round(sum(fill) / (count(*) * 512.0), 6) AS density,
+  CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+FROM pb GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kg_datatype_audit(spark, sf):
+    """Literal-shape integrity audit: every typed geometry literal
+    declares its arity in the datatype IRI (...POLYGON-R-N => N
+    '#'-separated coordinate values); the audit counts, per (graph,
+    datatype), how many literals violate the declared arity — the
+    store-side validation the reference's importer enforces at write
+    time (Blazegraph geo datatype config) re-expressed as a scan. ONE
+    codegen'd Project (regexp arity parse + split size) + ONE
+    (graph, datatype) partial agg with a two-phase doc distinct."""
+    t = _triples(spark, sf).where(F.col("datatype").isNotNull())
+    checked = t.select(
+        "graph",
+        "datatype",
+        "doc_id",
+        (
+            F.size(F.split(F.col("obj"), "#"))
+            != F.regexp_extract(F.col("datatype"), "([0-9]+)$", 1).cast("int")
+        )
+        .cast("int")
+        .alias("bad"),
+    )
+    return checked.groupBy("graph", "datatype").agg(
+        F.count("*").alias("n_literals"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("bad").alias("n_arity_mismatch"),
+    )
+
+
+def _kg_datatype_audit_sql() -> str:
+    return (
+        _triples_cte([])
+        + """
+SELECT graph, datatype, count(*) AS n_literals,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN len(string_split(obj, '#')) <>
+    CAST(regexp_extract(datatype, '([0-9]+)$', 1) AS INT)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_arity_mismatch
+FROM t WHERE datatype IS NOT NULL GROUP BY 1, 2
+"""
+    )
+
+
+def q_text_readability(spark, sf):
+    """Flesch-Kincaid readability per document (Kincaid 1975; the
+    classic quality-scoring feature alongside text_quality's ratios):
+    words = whitespace tokens, sentences = [.!?]-delimited non-blank
+    fragments (min 1), syllables ~= maximal vowel runs (the standard
+    cheap approximation). Grade = 0.39*W/S + 11.8*Syll/W - 15.59;
+    reading ease = 206.835 - 1.015*W/S - 84.6*Syll/W. ONE codegen'd
+    Project over one scan — zero shuffles, zero Python."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        d.selectExpr(
+            "doc_id",
+            "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) as n_words",
+            "greatest(1, size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))) as n_sentences",
+            "size(filter(split(lower(text), '[^aeiouy]+'), x -> x != '')) as n_syllables",
+        )
+        .where(F.col("n_words") > 0)
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            "round(0.39D * n_words / n_sentences "
+            "+ 11.8D * n_syllables / n_words - 15.59D, 6) as fk_grade",
+            "round(206.835D - 1.015D * n_words / n_sentences "
+            "- 84.6D * n_syllables / n_words, 6) as reading_ease",
+        )
+    )
+
+
+def _text_readability_sql() -> str:
+    return r"""
+WITH c AS (SELECT doc_id,
+  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      x -> x <> '')) AS n_words,
+  greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+      x -> trim(x) <> ''))) AS n_sentences,
+  len(list_filter(string_split_regex(lower(text), '[^aeiouy]+'),
+      x -> x <> '')) AS n_syllables
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  round(0.39 * n_words / n_sentences
+    + 11.8 * n_syllables / n_words - 15.59, 6) AS fk_grade,
+  round(206.835 - 1.015 * n_words / n_sentences
+    - 84.6 * n_syllables / n_words, 6) AS reading_ease
+FROM c WHERE n_words > 0
+"""
+
+
 def q_kg_provenance(spark, sf):
     """Provenance rollup: triples per (ingest source, named graph) with
     distinct-document counts — the lineage summary a 100 TB KG keeps
@@ -4607,6 +4748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_provenance": q_kg_provenance,
         "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
         "event_markov": q_event_markov,
+        "pack_efficiency": q_pack_efficiency,
+        "kg_datatype_audit": q_kg_datatype_audit,
+        "text_readability": q_text_readability,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -6797,6 +6941,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_provenance": _kg_provenance_sql(),
         "kg_pred_cooccurrence": _kg_pred_cooccurrence_sql(),
         "event_markov": _event_markov_sql(),
+        "pack_efficiency": _pack_efficiency_sql(),
+        "kg_datatype_audit": _kg_datatype_audit_sql(),
+        "text_readability": _text_readability_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "

@@ -126,6 +126,9 @@ AUDITS = [
     ("kg_provenance", "provenance rollup: doc-keyed equi-join + ONE (source, graph) agg with two-phase distinct, no window"),
     ("kg_pred_cooccurrence", "pred co-occurrence: subject self-join bounded by preds-per-subject + ONE pair agg + one-row total broadcast"),
     ("event_markov", "Markov transitions: ONE user-keyed window scan + (prev, next) partial agg; totals from the matrix-sized counts frame"),
+    ("pack_efficiency", "packing report: pack assignment + TWO shrinking partial aggs ((grp, bin) fill, then grp summary), no window"),
+    ("kg_datatype_audit", "literal-shape audit: codegen'd arity parse Project + ONE (graph, datatype) agg with two-phase doc distinct"),
+    ("text_readability", "readability: ONE codegen'd Project over one scan, zero Exchange, zero Python"),
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
