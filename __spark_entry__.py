@@ -2018,6 +2018,89 @@ FROM c CROSS JOIN tot ORDER BY cnt DESC, key LIMIT 20
     )
 
 
+def q_kg_void_linkset(spark, sf):
+    """VoID linkset census (the W3C VoID vocabulary's
+    void:Linkset / void:target description, the cross-graph complement
+    of kg_void_stats): for every ordered pair (source graph, target
+    graph), how many IRI-valued triples point across, and at how many
+    distinct targets — the interlinking summary a SPARQL federation
+    publishes. Target graph parsed from the IRI path in a codegen'd
+    Project, then ONE (graph, target_graph) partial agg with a
+    two-phase distinct on the object."""
+    base = DEFAULT_BASE
+    t = _triples(spark, sf).where(
+        (F.col("obj_type") == "iri") & F.col("obj").startswith(base + "/")
+    )
+    linked = t.select(
+        "graph",
+        F.expr(f"split(substring(obj, {len(base) + 2}), '/')[0]").alias(
+            "target_graph"
+        ),
+        "obj",
+    )
+    return linked.groupBy("graph", "target_graph").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("obj").alias("n_distinct_targets"),
+    )
+
+
+def _kg_void_linkset_sql() -> str:
+    base = DEFAULT_BASE
+    return (
+        _triples_cte([])
+        + f"""
+SELECT graph,
+  string_split(substr(obj, {len(base) + 2}), '/')[1] AS target_graph,
+  count(*) AS n_links,
+  CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_targets
+FROM t WHERE obj_type = 'iri' AND starts_with(obj, '{base}/')
+GROUP BY 1, 2
+"""
+    )
+
+
+def q_emb_norm_stats(spark, sf):
+    """Embedding-norm health check per label: n, mean/std/min/max of the
+    L2 norm — the collapse / scale-drift diagnostic run before cosine
+    ops assume unit-ish norms (a label whose norms hug 0 or diverge
+    breaks ANN recall silently). Norm is a sequential JVM fold (6-dp
+    pinned), then ONE label-keyed partial agg; zero Python, zero extra
+    shuffles."""
+    d = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = d.select(
+        "label",
+        F.expr(
+            "round(sqrt(aggregate(embedding, 0D, "
+            "(s, x) -> s + double(x) * double(x))), 6)"
+        ).alias("norm"),
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("mean_norm"),
+            F.round(F.stddev_pop("norm"), 6).alias("std_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _emb_norm_stats_sql() -> str:
+    return """
+WITH n AS (SELECT label,
+  round(sqrt(list_reduce(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)), 6) AS norm
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+  round(avg(norm), 6) AS mean_norm,
+  round(stddev_pop(norm), 6) AS std_norm,
+  min(norm) AS min_norm, max(norm) AS max_norm
+FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_pack_efficiency(spark, sf):
     """Packing-efficiency report over the greedy sequence packer: per
     hash group, bins used, docs packed, mean bin utilization vs the
@@ -4751,6 +4834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "kg_datatype_audit": q_kg_datatype_audit,
         "text_readability": q_text_readability,
+        "kg_void_linkset": q_kg_void_linkset,
+        "emb_norm_stats": q_emb_norm_stats,
         "source_cityjson": q_source_cityjson,
         "source_zip": q_source_zip,
         "source_validate": q_source_validate,
@@ -6944,6 +7029,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_efficiency": _pack_efficiency_sql(),
         "kg_datatype_audit": _kg_datatype_audit_sql(),
         "text_readability": _text_readability_sql(),
+        "kg_void_linkset": _kg_void_linkset_sql(),
+        "emb_norm_stats": _emb_norm_stats_sql(),
         "emb_centroids": (
             "SELECT label, CAST(i AS INT) AS dim, count(*) AS n_vecs, "
             "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean "
