@@ -2860,6 +2860,52 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_dedup_bloom(spark, sf):
+    """Bloom-gated decontamination probe: same corpus/eval split and
+    8-token windows as decontaminate, but the corpus is first screened
+    by a 2^18-bit k=3 Bloom filter built from the eval n-grams (the
+    pruning a 100 TB run does before the exact join), and the query
+    reports the filter's realized per-doc precision — bloom positives,
+    exact positives, false positives, fp share (ops.dedup.bloom_probe;
+    hashes are the cross-engine char fold so DuckDB rebuilds the
+    identical filter)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.bloom_probe(
+        d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0), n=8
+    )
+
+
+def _dedup_bloom_sql(m_bits: int = 1 << 18, k: int = 3) -> str:
+    from citykg.ops.hashing import char_fold_duckdb
+
+    folds = [
+        "((" + char_fold_duckdb("(s || '#" + str(i) + "')") + f") % {m_bits})"
+        for i in range(k)
+    ]
+    bit_union = " UNION ALL ".join(f"SELECT {f} AS bit FROM ev" for f in folds)
+    pcols = ", ".join(f"{f} AS p{i}" for i, f in enumerate(folds))
+    inbits = " AND ".join(f"p{i} IN (SELECT bit FROM bits)" for i in range(k))
+    return rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+8], ' ') s
+       FROM toks, UNNEST(range(0, greatest(len(w)-8, 0)+1)) t(i)),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0),
+bits AS (SELECT DISTINCT bit FROM ({bit_union})),
+c AS (SELECT doc_id, s, {pcols} FROM sh WHERE doc_id % 5 <> 0),
+f AS (SELECT doc_id,
+  CASE WHEN {inbits} THEN 1 ELSE 0 END AS bloom_pos,
+  CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END AS exact_pos
+  FROM c)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_pos,
+  CAST(sum(exact_pos) AS BIGINT) AS n_exact_pos,
+  CAST(sum(CASE WHEN bloom_pos = 1 AND exact_pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+  round(sum(CASE WHEN bloom_pos = 1 AND exact_pos = 0 THEN 1 ELSE 0 END)
+    / CAST(sum(bloom_pos) AS DOUBLE), 6) AS fp_share
+FROM f GROUP BY 1 HAVING sum(bloom_pos) > 0
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """End-to-end dedup decision: MinHash-LSH pairs -> connected
     components -> keep the min doc_id per cluster. LSH pair set == exact
@@ -4769,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "dedup_bloom": q_dedup_bloom,
         "text_repetition": q_text_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_search": q_bm25_search,
@@ -6996,6 +7043,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": _substring_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
+        "dedup_bloom": _dedup_bloom_sql(),
         "text_repetition": _text_repetition_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "bm25_search": _bm25_search_sql(),

@@ -635,3 +635,87 @@ def dedup_repeated_spans(
             ).alias("clean_hash"),
         )
     )
+
+
+def bloom_probe(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter-gated decontamination probe — the pruning pattern a
+    100 TB pipeline runs BEFORE the exact n-gram join
+    (contamination_stats): the eval set's n-grams set k bits each in an
+    m-bit filter; the corpus scan tests its windows against the filter
+    and only bloom-positive windows reach the exact check. This probe
+    measures the filter's REALIZED precision on the corpus: per doc,
+    window count, bloom positives, exact positives, false positives and
+    the false-positive share — the numbers that size m/k for the real
+    run. Returns docs with >= 1 bloom-positive window.
+
+    Hashes are the cross-engine char fold (ops.hashing) so an external
+    oracle rebuilds the identical filter. Here the filter rides as a
+    broadcast frame of set-bit positions probed by k map-side broadcast
+    joins (no bitmap type in the DataFrame model; at cluster scale the
+    same positions pack into an m-bit bitmap broadcast once and the
+    probe is a bit test). Shape: corpus scanned ONCE, k+1 broadcast
+    joins, ONE per-doc partial agg — no corpus shuffle before the agg."""
+    from .hashing import char_fold_spark
+
+    def pos_expr(i: int):
+        fold = char_fold_spark(f"concat(shingle, '#{i}')")
+        return F.expr(f"pmod({fold}, {m_bits}L)").alias(f"p{i}")
+
+    ev = (
+        word_shingles(eval_df.select(text_col), text_col, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by the filter build + exact join
+    )
+    bits = (
+        ev.select(*[pos_expr(i) for i in range(k)])
+        .select(F.explode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias("bit"))
+        .distinct()
+    )
+    sh = word_shingles(
+        fanout_to_parallelism(corpus, id_col, text_col), text_col, n
+    ).select(id_col, "shingle")
+    probed = sh.select(id_col, "shingle", *[pos_expr(i) for i in range(k)])
+    for i in range(k):
+        probed = probed.join(
+            F.broadcast(
+                bits.select(F.col("bit").alias(f"p{i}"), F.lit(1).alias(f"_h{i}"))
+            ),
+            f"p{i}",
+            "left",
+        )
+    bloom = None
+    for i in range(k):
+        c = F.col(f"_h{i}").isNotNull()
+        bloom = c if bloom is None else (bloom & c)
+    flagged = probed.join(
+        F.broadcast(ev.withColumn("_e", F.lit(1))), "shingle", "left"
+    ).select(
+        id_col,
+        bloom.cast("int").alias("_bloom"),
+        F.coalesce("_e", F.lit(0)).alias("_exact"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("_bloom").alias("n_bloom_pos"),
+            F.sum("_exact").alias("n_exact_pos"),
+            F.sum(
+                (F.col("_bloom") == 1).cast("int") * (1 - F.col("_exact"))
+            ).alias("n_false_pos"),
+        )
+        .where(F.col("n_bloom_pos") > 0)
+        .withColumn(
+            "fp_share",
+            F.round(F.col("n_false_pos") / F.col("n_bloom_pos").cast("double"), 6),
+        )
+    )

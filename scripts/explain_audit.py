@@ -131,6 +131,7 @@ AUDITS = [
     ("text_readability", "readability: ONE codegen'd Project over one scan, zero Exchange, zero Python"),
     ("kg_void_linkset", "VoID linksets: codegen'd IRI-path parse + ONE (graph, target) agg with two-phase obj distinct"),
     ("emb_norm_stats", "norm health: sequential JVM fold Project + ONE label-keyed partial agg, zero Python"),
+    ("dedup_bloom", "bloom probe: corpus scanned once, k+1 broadcast joins (bit positions + exact grams), ONE per-doc partial agg"),
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
