@@ -244,6 +244,13 @@ def headline(sf_dir: str, cores: int) -> None:
         "dsir_weights",
         "weighted_sample",
         "drift_psi",
+        # final-r5 additions: fusion, bloom-gated decontamination, structural
+        # similarity, Markov transitions (adds ~4 queries of NEW work vs the
+        # mid-r5 suite — stamp noted for cross-round comparability)
+        "kg_fusion",
+        "dedup_bloom",
+        "graph_jaccard",
+        "event_markov",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)
