@@ -1694,3 +1694,32 @@ def test_assortativity_star_is_negative(spark):
     r = graph.assortativity(e).collect()[0]
     assert r.n_edges == 4
     assert r.assortativity == -1.0
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """The Bloom filter may over-approximate but NEVER under-approximate:
+    every exact-contaminated window must be bloom-positive
+    (n_exact_pos <= n_bloom_pos per doc), the false-positive identity
+    n_false_pos == n_bloom_pos - n_exact_pos holds, and a corpus doc
+    that shares its whole text with the eval set is fully flagged."""
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+            (2, "totally different words nothing shared here at all"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.bloom_probe(corpus, eval_df, n=8).collect()}
+    # doc 1: single whole-doc window, exact hit -> bloom hit, 0 false pos
+    assert rows[1].n_windows == 1 and rows[1].n_exact_pos == 1
+    assert rows[1].n_bloom_pos == 1 and rows[1].n_false_pos == 0
+    # doc 3 contains the eval 8-gram as its first window
+    assert rows[3].n_exact_pos >= 1
+    for r in rows.values():
+        assert r.n_exact_pos <= r.n_bloom_pos
+        assert r.n_false_pos == r.n_bloom_pos - r.n_exact_pos
