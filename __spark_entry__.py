@@ -179,10 +179,11 @@ def q_kg_link_fuzzy(spark, sf):
     )
 
 
-def q_kg_canonical_clusters(spark, sf):
-    """Cluster duplicate address mentions by linked entity via star edges +
-    connected components; canonical member = component min (= min address
-    IRI per entity, which the SQL oracle derives directly)."""
+def _address_cluster_labels(spark, sf):
+    """Shared cluster derivation for kg_canonical_clusters / kg_fusion:
+    link address mentions to the gazetteer, star-edge the member IRIs
+    per entity, run connected components. Returns the CC label frame
+    (id, component); component = min member IRI = the canonical."""
     linked = link.link_exact(link.entity_mentions(_docs(spark, sf)), synth_gazetteer(spark))
     member = F.concat(
         F.lit(DEFAULT_BASE + "/address/ADDR_"), F.expr("substring(doc_id, 5)"), F.lit("/")
@@ -191,7 +192,14 @@ def q_kg_canonical_clusters(spark, sf):
         "entity_id", member.alias("member")
     )
     edges = canon.same_as_edges(groups, "entity_id", "member")
-    cc = canon.connected_components(edges)
+    return canon.connected_components(edges)
+
+
+def q_kg_canonical_clusters(spark, sf):
+    """Cluster duplicate address mentions by linked entity via star edges +
+    connected components; canonical member = component min (= min address
+    IRI per entity, which the SQL oracle derives directly)."""
+    cc = _address_cluster_labels(spark, sf)
     # CC labels include the hub's own (hub, hub) row, so the component
     # count IS the cluster size
     return (
@@ -210,18 +218,7 @@ def q_kg_fusion(spark, sf):
     (canon.fuse_attributes; the truth-discovery stage the reference
     defers to Blazegraph's last-write-wins). Oracle derives the same
     clusters arithmetically and replays the vote with a window argmax."""
-    linked = link.link_exact(
-        link.entity_mentions(_docs(spark, sf)), synth_gazetteer(spark)
-    )
-    member = F.concat(
-        F.lit(DEFAULT_BASE + "/address/ADDR_"),
-        F.expr("substring(doc_id, 5)"),
-        F.lit("/"),
-    )
-    groups = linked.where(F.col("entity_id").isNotNull()).select(
-        "entity_id", member.alias("member")
-    )
-    cc = canon.connected_components(canon.same_as_edges(groups, "entity_id", "member"))
+    cc = _address_cluster_labels(spark, sf)
     addr = _triples(spark, sf, ["address"])
     return canon.fuse_attributes(addr, cc)
 
@@ -1847,13 +1844,22 @@ def _corpus_card_sql() -> str:
     )
 
 
+# release-gate thresholds, shared by the Spark query and the SQL oracle
+# (single source of truth — change here, both sides and overall_pass follow)
+GATE_DUP_MAX = 0.05
+GATE_PII_MAX = 0.6
+GATE_QUALITY_MIN = 0.3
+GATE_LANGS_MIN = 3
+
+
 def q_corpus_gate(spark, sf):
     """Release gate: the one-row go/no-go check a pipeline runs before
     promoting a corpus snapshot — recomputes the corpus_card facts and
-    evaluates literal thresholds (exact-dup share < 5%, PII share < 60%,
-    mean quality > 0.3, >= 3 languages) into per-check booleans and an
-    overall pass flag. Same single-scan + one-global-agg plan as
-    corpus_card; the gate is a pure Project on the one-row result."""
+    evaluates the GATE_* thresholds (exact-dup share, PII share, mean
+    quality, language count) into per-check booleans; overall_pass is
+    derived FROM the per-check columns so the flags can never disagree.
+    Same single-scan + one-global-agg plan as corpus_card; the gate is
+    a pure Project on the one-row result."""
     card = q_corpus_card(spark, sf)
     return card.selectExpr(
         "n_docs",
@@ -1861,31 +1867,29 @@ def q_corpus_gate(spark, sf):
         "round(n_pii_docs / cast(n_docs as double), 6) as pii_share",
         "mean_quality",
         "n_langs",
-        "cast(n_exact_dup_docs / cast(n_docs as double) < 0.05D as int) as pass_dup",
-        "cast(n_pii_docs / cast(n_docs as double) < 0.6D as int) as pass_pii",
-        "cast(mean_quality > 0.3D as int) as pass_quality",
-        "cast(n_langs >= 3 as int) as pass_langs",
-        "cast(n_exact_dup_docs / cast(n_docs as double) < 0.05D "
-        "AND n_pii_docs / cast(n_docs as double) < 0.6D "
-        "AND mean_quality > 0.3D AND n_langs >= 3 as int) as overall_pass",
+        f"cast(n_exact_dup_docs / cast(n_docs as double) < {GATE_DUP_MAX}D as int) as pass_dup",
+        f"cast(n_pii_docs / cast(n_docs as double) < {GATE_PII_MAX}D as int) as pass_pii",
+        f"cast(mean_quality > {GATE_QUALITY_MIN}D as int) as pass_quality",
+        f"cast(n_langs >= {GATE_LANGS_MIN} as int) as pass_langs",
+    ).selectExpr(
+        "*",
+        "pass_dup * pass_pii * pass_quality * pass_langs as overall_pass",
     )
 
 
 def _corpus_gate_sql() -> str:
     return (
-        f"WITH card AS ({_corpus_card_sql()}) "
+        f"WITH card AS ({_corpus_card_sql()}), g AS ("
         "SELECT n_docs, "
         "round(n_exact_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_share, "
         "round(n_pii_docs / CAST(n_docs AS DOUBLE), 6) AS pii_share, "
         "mean_quality, n_langs, "
-        "CAST(n_exact_dup_docs / CAST(n_docs AS DOUBLE) < 0.05 AS INT) AS pass_dup, "
-        "CAST(n_pii_docs / CAST(n_docs AS DOUBLE) < 0.6 AS INT) AS pass_pii, "
-        "CAST(mean_quality > 0.3 AS INT) AS pass_quality, "
-        "CAST(n_langs >= 3 AS INT) AS pass_langs, "
-        "CAST(n_exact_dup_docs / CAST(n_docs AS DOUBLE) < 0.05 "
-        "AND n_pii_docs / CAST(n_docs AS DOUBLE) < 0.6 "
-        "AND mean_quality > 0.3 AND n_langs >= 3 AS INT) AS overall_pass "
-        "FROM card"
+        f"CAST(n_exact_dup_docs / CAST(n_docs AS DOUBLE) < {GATE_DUP_MAX} AS INT) AS pass_dup, "
+        f"CAST(n_pii_docs / CAST(n_docs AS DOUBLE) < {GATE_PII_MAX} AS INT) AS pass_pii, "
+        f"CAST(mean_quality > {GATE_QUALITY_MIN} AS INT) AS pass_quality, "
+        f"CAST(n_langs >= {GATE_LANGS_MIN} AS INT) AS pass_langs "
+        "FROM card) "
+        "SELECT *, pass_dup * pass_pii * pass_quality * pass_langs AS overall_pass FROM g"
     )
 
 
@@ -2101,11 +2105,16 @@ FROM n GROUP BY 1 ORDER BY 1
 """
 
 
+# packing budget shared by q_pack_sequences / q_pack_efficiency and both
+# oracles (single source of truth)
+PACK_BUDGET = 512
+
+
 def q_pack_efficiency(spark, sf):
     """Packing-efficiency report over the greedy sequence packer: per
     hash group, bins used, docs packed, mean bin utilization vs the
-    512-token budget, packed density, and oversize-bin count — the
-    metric a training pipeline tracks to know how much compute its
+    PACK_BUDGET-token budget, packed density, and oversize-bin count —
+    the metric a training pipeline tracks to know how much compute its
     batch packing wastes. Derived from pack_sequences' assignment with
     TWO shrinking partial aggs ((grp, bin) fill, then grp summary)."""
     from citykg.ops import packing
@@ -2114,21 +2123,24 @@ def q_pack_efficiency(spark, sf):
         "doc_id",
         "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) as n_tokens",
     )
-    packed = packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_groups=4)
+    packed = packing.pack_sequences(
+        d, "doc_id", "n_tokens", budget=PACK_BUDGET, n_groups=4
+    )
     per_bin = packed.groupBy("grp", "bin").agg(
         F.sum("tokens").alias("fill"), F.count("*").alias("n_docs")
     )
+    budget = float(PACK_BUDGET)
     return (
         per_bin.groupBy("grp")
         .agg(
             F.count("*").alias("n_bins"),
             F.sum("n_docs").alias("n_docs"),
             F.sum("fill").alias("total_tokens"),
-            F.round(F.avg(F.col("fill") / F.lit(512.0)), 6).alias("mean_util"),
-            F.round(F.sum("fill") / (F.count("*") * F.lit(512.0)), 6).alias(
+            F.round(F.avg(F.col("fill") / F.lit(budget)), 6).alias("mean_util"),
+            F.round(F.sum("fill") / (F.count("*") * F.lit(budget)), 6).alias(
                 "density"
             ),
-            F.sum((F.col("fill") > 512).cast("int")).alias("n_oversize"),
+            F.sum((F.col("fill") > PACK_BUDGET).cast("int")).alias("n_oversize"),
         )
         .orderBy("grp")
     )
@@ -2136,15 +2148,15 @@ def q_pack_efficiency(spark, sf):
 
 def _pack_efficiency_sql() -> str:
     return f"""
-WITH packed AS ({_pack_sequences_sql()}),
+WITH packed AS ({_pack_sequences_sql(budget=PACK_BUDGET)}),
 pb AS (SELECT grp, bin, sum(tokens) AS fill, count(*) AS n_docs
   FROM packed GROUP BY 1, 2)
 SELECT grp, CAST(count(*) AS BIGINT) AS n_bins,
   CAST(sum(n_docs) AS BIGINT) AS n_docs,
   CAST(sum(fill) AS BIGINT) AS total_tokens,
-  round(avg(fill / 512.0), 6) AS mean_util,
-  round(sum(fill) / (count(*) * 512.0), 6) AS density,
-  CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+  round(avg(fill / {float(PACK_BUDGET)}), 6) AS mean_util,
+  round(sum(fill) / (count(*) * {float(PACK_BUDGET)}), 6) AS density,
+  CAST(sum(CASE WHEN fill > {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
 FROM pb GROUP BY 1 ORDER BY 1
 """
 
@@ -3352,7 +3364,9 @@ def q_pack_sequences(spark, sf):
         "doc_id",
         "size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) as n_tokens",
     )
-    return packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_groups=4)
+    return packing.pack_sequences(
+        d, "doc_id", "n_tokens", budget=PACK_BUDGET, n_groups=4
+    )
 
 
 _CJ_TMPL = (
