@@ -163,6 +163,28 @@ def q_kg_counts_rollup(spark, sf):
     )
 
 
+def q_kg_counts_cube(spark, sf):
+    """A9 extended further: CUBE(graph, obj_type) — all four grouping
+    sets (both, per graph, per obj_type, grand total) in ONE pass; like
+    ROLLUP this is a Catalyst Expand + a single partial-agg shuffle, vs
+    four separate scans. The obj_type-only rollups are the slice the
+    store's datatype monitors read."""
+    t = _triples(spark, sf)
+    return (
+        t.cube("graph", "obj_type")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+        )
+        .select(
+            F.coalesce("graph", F.lit("<all>")).alias("graph"),
+            F.coalesce("obj_type", F.lit("<all>")).alias("obj_type"),
+            "n_triples",
+            "n_subjects",
+        )
+    )
+
+
 def q_kg_link_exact(spark, sf):
     out = link.link_exact(link.entity_mentions(_docs(spark, sf)), synth_gazetteer(spark))
     return out.select("doc_id", "span_idx", "mention", "entity_id")
@@ -4085,6 +4107,60 @@ FROM events CROSS JOIN tm GROUP BY 1
 """
 
 
+def q_event_twa(spark, sf):
+    """Time-weighted average of `value` per user under forward-hold
+    (LOCF) semantics — the irregular-sample average where plain AVG
+    over-counts frequently-sampled states. One key-partitioned window
+    (lead) + one partial agg; see ops.temporal.time_weighted_avg."""
+    from citykg.ops import temporal
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.time_weighted_avg(e)
+
+
+def _event_twa_sql() -> str:
+    return """
+WITH h AS (
+  SELECT user_id, value,
+    lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch(ts) AS w
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(w), 6) AS span_s,
+  round(sum(value * w) / sum(w), 6) AS twa
+FROM h GROUP BY 1 HAVING round(sum(w), 6) > 0
+"""
+
+
+def q_event_gapfill(spark, sf):
+    """Calendar gap-fill with forward-fill: per user, one row per day
+    between first and last observation; empty days carry the last
+    observed daily total (LOCF). Spine size is bounded by
+    users x date-range, not event count; see ops.temporal.gapfill_daily."""
+    from citykg.ops import temporal
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.gapfill_daily(e)
+
+
+def _event_gapfill_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(sum(value), 6) AS obs_value, CAST(count(*) AS BIGINT) AS obs_n
+  FROM events GROUP BY 1, 2),
+ext AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM ext),
+j AS (SELECT s.user_id, s.day, d.obs_value, d.obs_n
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+  coalesce(obs_n, 0) AS n_events,
+  CASE WHEN obs_n IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+FROM j
+"""
+
+
 def q_emb_cos_hist(spark, sf):
     """Embedding-health diagnostic: histogram of cosine similarity over
     the deterministic consecutive-id pairing (vec i vs i+1) — a
@@ -4720,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_span_order": q_kg_span_order,
         "kg_counts": q_kg_counts,
         "kg_counts_rollup": q_kg_counts_rollup,
+        "kg_counts_cube": q_kg_counts_cube,
         "kg_link_exact": q_kg_link_exact,
         "kg_link_fuzzy": q_kg_link_fuzzy,
         "kg_canonical_clusters": q_kg_canonical_clusters,
@@ -4813,6 +4890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_histogram": q_event_histogram,
         "drift_psi": q_drift_psi,
         "event_ewma": q_event_ewma,
+        "event_twa": q_event_twa,
+        "event_gapfill": q_event_gapfill,
         "event_burstiness": q_event_burstiness,
         "emb_cos_hist": q_emb_cos_hist,
         "kg_transe": q_kg_transe,
@@ -6610,6 +6689,13 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(obj_type, '<all>') AS obj_type, count(*) AS n_triples "
             "FROM t GROUP BY ROLLUP(graph, obj_type)"
         ),
+        "kg_counts_cube": (
+            _triples_cte(None) +
+            " SELECT coalesce(graph, '<all>') AS graph, "
+            "coalesce(obj_type, '<all>') AS obj_type, count(*) AS n_triples, "
+            "count(DISTINCT subj) AS n_subjects "
+            "FROM t GROUP BY CUBE(graph, obj_type)"
+        ),
         "kg_link_exact": _link_exact_sql(),
         "kg_link_fuzzy": _link_fuzzy_sql(),
         "kg_canonical_clusters": _canonical_clusters_sql(),
@@ -6945,6 +7031,8 @@ def oracle_sql() -> dict[str, str]:
         "event_histogram": _event_histogram_sql(),
         "drift_psi": _drift_psi_sql(),
         "event_ewma": _event_ewma_sql(),
+        "event_twa": _event_twa_sql(),
+        "event_gapfill": _event_gapfill_sql(),
         "event_burstiness": _event_burstiness_sql(),
         "emb_cos_hist": _emb_cos_hist_sql(),
         "kg_transe": _transe_sql(),

@@ -118,6 +118,94 @@ def interval_join(
     )
 
 
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key under forward-hold semantics: each
+    observation's value holds from its timestamp until the key's next
+    observation (the last one carries no weight) — the TimescaleDB
+    `time_weight('LOCF', ...)` aggregate for irregular samples, where a
+    plain AVG over-counts whichever state happens to be sampled often.
+
+    Scale shape: ONE key-partitioned window (lead) + one partial agg —
+    partitions bounded by per-key event counts, no self-join, no global
+    window. Epochs enter only as DIFFERENCES, so the parquet
+    TIMESTAMP_NTZ vs TZ carrier shift cancels (same policy as the EWMA
+    operator). Keys with a single observation have zero total hold time
+    and are excluded (TWA undefined).
+
+    Output: (key, n_events, span_s, twa)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    hold = F.lead(sec).over(w) - sec
+    return (
+        events.select(
+            F.col(key_col), F.col(value_col).alias("_v"), hold.alias("_w")
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("_w"), 6).alias("span_s"),
+            F.round(F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), 6).alias("twa"),
+        )
+        .where(F.col("span_s") > 0)
+    )
+
+
+def gapfill_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar gap-fill with forward-fill: per key, one row for EVERY day
+    between that key's first and last observation; days with no events
+    carry the last observed daily total (LOCF) — the time-series spine
+    every dashboarding/feature pipeline needs before resampling, since a
+    groupBy alone silently drops empty buckets.
+
+    Scale shape: daily totals are one partial agg; the spine is
+    `sequence(min_day, max_day)` exploded from the per-key extent row —
+    spine size is bounded by key_count x date_range, NOT event count, and
+    never touches the raw events again. The fill is one key-partitioned
+    window over the spine (bounded partitions). No driver-side calendar,
+    no cross join against a global date dimension.
+
+    Output: (key, day, day_value, n_events, is_observed)."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = events.groupBy(F.col(key_col), day.alias("day")).agg(
+        F.round(F.sum(value_col), 6).alias("_obs_value"),
+        F.count("*").cast("long").alias("_obs_n"),
+    )
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            F.col(key_col),
+            F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, [key_col, "day"], "left")
+        .select(
+            F.col(key_col),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("_obs_value", ignorenulls=True).over(w).alias("day_value"),
+            F.coalesce("_obs_n", F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("_obs_n").isNotNull(), 1).otherwise(0).alias("is_observed"),
+        )
+    )
+
+
 def scd2_intervals(
     events: DataFrame,
     key_col: str = "user_id",

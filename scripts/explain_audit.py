@@ -133,6 +133,9 @@ AUDITS = [
     ("emb_norm_stats", "norm health: sequential JVM fold Project + ONE label-keyed partial agg, zero Python"),
     ("dedup_bloom", "bloom probe: corpus scanned once, k+1 broadcast joins (bit positions + exact grams), ONE per-doc partial agg"),
     ("kmeans_assign", "Lloyd k-means: per-iteration assignment is a literal-model Project (no join); updates are (cluster, dim) partial aggs"),
+    ("kg_counts_cube", "CUBE summary: ONE Expand + partial-agg exchange for all 4 grouping sets (two-phase for the subj distinct), no per-set jobs"),
+    ("event_twa", "time-weighted avg: ONE user-keyed window (lead) + ONE partial agg, no self-join"),
+    ("event_gapfill", "calendar gap-fill: daily partial agg -> extent agg -> sequence explode; spine-sized left join + key window, raw events scanned once"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),

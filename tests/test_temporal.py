@@ -98,3 +98,43 @@ def test_scd2_null_states_are_real_changes(spark):
     assert out[0].valid_to == out[1].valid_from
     assert out[1].valid_to == out[2].valid_from
     assert out[2].valid_to is None and out[2].is_current == 1
+
+
+def test_time_weighted_avg_forward_hold(spark):
+    from citykg.ops.temporal import time_weighted_avg
+
+    # value 10 holds 60s, value 20 holds 180s, last obs carries no weight
+    rows = [
+        (1, _ts(0), 1, 10.0),
+        (1, _ts(1), 2, 20.0),
+        (1, _ts(4), 3, 99.0),
+        (2, _ts(0), 4, 5.0),  # single obs -> zero span, excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    assert set(out) == {1}
+    assert out[1].span_s == 240.0
+    assert out[1].twa == round((10.0 * 60 + 20.0 * 180) / 240, 6)
+    assert out[1].n_events == 3
+
+
+def test_gapfill_daily_fills_and_flags(spark):
+    from datetime import datetime
+
+    from citykg.ops.temporal import gapfill_daily
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 2.0),
+        (1, datetime(2024, 1, 1, 10), 3.0),
+        # Jan 2-3 silent
+        (1, datetime(2024, 1, 4, 8), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.day: (r.day_value, r.n_events, r.is_observed)
+           for r in gapfill_daily(df).collect()}
+    assert out == {
+        "2024-01-01": (5.0, 2, 1),
+        "2024-01-02": (5.0, 0, 0),  # forward-filled
+        "2024-01-03": (5.0, 0, 0),
+        "2024-01-04": (7.0, 1, 1),
+    }
