@@ -730,6 +730,34 @@ def q_spatial_dwithin(spark, sf):
     return p.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
 
 
+def q_spatial_knn(spark, sf):
+    """Q7 extended: radius-bounded k-nearest-neighbor join — each doc
+    anchor point's 3 nearest neighbors within 5 m, grid-cell blocked
+    (exact because cell size = radius; see ops.geo.knn_within). The
+    oracle ranks the full O(n^2) pair set — equality proves the grid
+    join loses no neighbor."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    return geo.knn_within(docs, "d", "x", "y", 5.0, k=3)
+
+
+def _spatial_knn_sql() -> str:
+    return """
+WITH p AS (SELECT doc_id AS id, CAST(384000 + doc_id % 1000 AS DOUBLE) AS x,
+                  CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents),
+c AS (SELECT a.id AS id_a, b.id AS id_b,
+        round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+      FROM p a JOIN p b ON a.id <> b.id),
+r AS (SELECT id_a, id_b, dist,
+        row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rnk
+      FROM c WHERE dist <= 5.0)
+SELECT id_a, id_b, CAST(rnk AS INT) AS rank, dist FROM r WHERE rnk <= 3
+"""
+
+
 def q_nquads_format(spark, sf):
     """S6: N-Quads rendering of the building graph (NquadsExporterTask)."""
     from citykg.materialize import nquads_lines
@@ -1067,6 +1095,56 @@ def q_collada_geometry(spark, sf):
         "doc_id", "concat('SURF_', substring(doc_id, 5)) as gml_id", "lit"
     )
     return collada_geometry(g, "gml_id", "lit").select("doc_id", "collada")
+
+
+# property shapes validated by kg_shacl_report over the building graph:
+# (pred, sh:minCount, sh:maxCount, sh:nodeKind). measuredHeigh is absent
+# on half the buildings (min violations by construction); the `class`
+# shape demands an IRI where the store holds literals (kind drift);
+# maxCount 0 marks yearOfConstruction deprecated (forbidden-property
+# shape) — the three violation families a SHACL gate reports.
+SHACL_SHAPES = [
+    ("ocgml:id", 1, 1, "iri"),
+    ("ocgml:measuredHeigh", 1, 1, "literal"),
+    ("ocgml:class", 1, 1, "iri"),
+    ("ocgml:yearOfConstruction", 0, 0, "literal"),
+    ("ocgml:storeysAboveGround", 1, 1, "literal"),
+]
+
+
+def q_kg_shacl_report(spark, sf):
+    """SHACL-core validation report (sh:minCount / sh:maxCount /
+    sh:nodeKind) over the building node shape — per property shape, how
+    many focus nodes violate each constraint family. See
+    ops.owl.shacl_report for the plan shape."""
+    t = _triples(spark, sf, ["building"])
+    return owl.shacl_report(spark, t, SHACL_SHAPES, graph="building")
+
+
+def _shacl_report_sql() -> str:
+    rows = ", ".join(
+        f"('{p}', {mn}, {mx}, '{k}')" for p, mn, mx, k in SHACL_SHAPES
+    )
+    return (
+        _triples_cte(["building"]) +
+        f", sh AS (SELECT * FROM (VALUES {rows}) "
+        "v(pred, min_count, max_count, node_kind)), "
+        "per_sp AS (SELECT t.subj, t.pred, count(*) AS n, "
+        "sum(CASE WHEN t.obj_type <> sh.node_kind THEN 1 ELSE 0 END) AS wrong_kind "
+        "FROM t JOIN sh ON sh.pred = t.pred GROUP BY 1, 2), "
+        "focus AS (SELECT s.subj, sh.* FROM (SELECT DISTINCT subj FROM t) s CROSS JOIN sh), "
+        "pf AS (SELECT f.pred, f.min_count, f.max_count, f.node_kind, "
+        "coalesce(p.n, 0) AS n, coalesce(p.wrong_kind, 0) AS wrong_kind "
+        "FROM focus f LEFT JOIN per_sp p ON p.subj = f.subj AND p.pred = f.pred) "
+        "SELECT pred, min_count, max_count, node_kind, "
+        "CAST(count(*) AS BIGINT) AS n_subjects, "
+        "CAST(sum(CASE WHEN n < min_count THEN 1 ELSE 0 END) AS BIGINT) AS n_min_violations, "
+        "CAST(sum(CASE WHEN n > max_count THEN 1 ELSE 0 END) AS BIGINT) AS n_max_violations, "
+        "CAST(sum(CASE WHEN wrong_kind > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kind_violations, "
+        "CAST(sum(CASE WHEN n >= min_count AND n <= max_count AND wrong_kind = 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming "
+        "FROM pf GROUP BY 1, 2, 3, 4"
+    )
 
 
 def q_owl_cardinality(spark, sf):
@@ -2841,6 +2919,31 @@ def q_dedup_ngram_jaccard(spark, sf):
     d = spark.read.parquet(f"{sf}/documents.parquet")
     p = dedup.ngram_jaccard_pairs(d, threshold=0.8)
     return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_text_containment(spark, sf):
+    """Broder containment pairs (|A n B| / |A| over word 3-gram sets) —
+    the asymmetric near-dup test that catches a short doc contained
+    inside a long one, which symmetric Jaccard misses. Same
+    inverted-index plan as dedup_ngram_jaccard; see
+    ops.dedup.containment_pairs."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.containment_pairs(d, threshold=0.5)
+
+
+def _containment_pairs_sql() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s
+       FROM toks, UNNEST(range(1, len(w)-1)) t(i)),
+p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i FROM sh a JOIN sh b
+      ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b, round(i*1.0/z1.n, 6) AS containment_a,
+       round(i*1.0/z2.n, 6) AS containment_b
+FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
+WHERE i*1.0/z1.n >= 0.5 OR i*1.0/z2.n >= 0.5
+"""
 
 
 def q_dedup_incremental(spark, sf):
@@ -4821,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_footprint": q_geo_footprint,
         "geo_force2d": q_geo_force2d,
         "spatial_dwithin": q_spatial_dwithin,
+        "spatial_knn": q_spatial_knn,
         "spatial_point_in_polygon": q_spatial_point_in_polygon,
         "nquads_format": q_nquads_format,
         "kml_placemark": q_kml_placemark,
@@ -4834,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collada_geometry": q_collada_geometry,
         "gltf_geometry": q_gltf_geometry,
         "owl_cardinality": q_owl_cardinality,
+        "kg_shacl_report": q_kg_shacl_report,
         "owl_domain": q_owl_domain,
         "owl_sameas_ifp": q_owl_sameas_ifp,
         "owl_class_membership": q_owl_class_membership,
@@ -4903,6 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "filter_cascade": q_filter_cascade,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_containment": q_text_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
@@ -6788,6 +6894,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_footprint": _geo_footprint_sql(),
         "geo_force2d": _geo_force2d_sql(),
+        "spatial_knn": _spatial_knn_sql(),
         "spatial_dwithin": (
             "WITH p AS (SELECT doc_id AS d, CAST(384000 + doc_id % 1000 AS DOUBLE) AS x, "
             "CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents) "
@@ -6807,6 +6914,7 @@ def oracle_sql() -> dict[str, str]:
         "cityjson_export": _cityjson_export_sql(),
         "collada_geometry": _collada_geometry_sql(),
         "gltf_geometry": _gltf_geometry_sql(),
+        "kg_shacl_report": _shacl_report_sql(),
         "owl_cardinality": (
             f"SELECT 'thematicsurface' AS graph, "
             f"'{DEFAULT_BASE}/thematicsurface/TS_' || lpad(CAST(d AS VARCHAR), 8, '0') || '/' AS subj, "
@@ -7050,6 +7158,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _domain_stats_sql(),
         "filter_cascade": _filter_cascade_sql(),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
+        "text_containment": _containment_pairs_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
         "dedup_embedding": (
             "WITH p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "

@@ -169,6 +169,60 @@ def incremental_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT pairs: c(A in B) = |A n B| / |A| over word
+    n-gram sets — the asymmetric companion to Jaccard that catches a
+    small doc swallowed whole by a large one (quote, excerpt, wrapper
+    page), which symmetric Jaccard scores near |A|/|B| ~ 0 and misses.
+    Emits pairs where EITHER direction reaches `threshold`.
+
+    Same inverted-index plan as ngram_jaccard_pairs (one explode, one
+    shingle equi-join, one pair partial agg, two size attach joins) —
+    only the final scoring expression differs, so the scale posture
+    (document-frequency cap against boilerplate-shingle skew) is shared.
+
+    Output: (doc_a, doc_b, containment_a, containment_b) with
+    doc_a < doc_b; containment_a = share of a's shingles found in b."""
+    sh = word_shingles(
+        fanout_to_parallelism(df, id_col, text_col), text_col, n
+    ).select(id_col, "shingle")
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("containment_a", F.col("inter") / F.col("na"))
+        .withColumn("containment_b", F.col("inter") / F.col("nb"))
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("containment_a", 6).alias("containment_a"),
+            F.round("containment_b", 6).alias("containment_b"),
+        )
+    )
+
+
 def repeated_substring_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

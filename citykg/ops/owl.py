@@ -302,3 +302,66 @@ def haskey_sameas(
         .where(F.col("subj") != F.col("canon"))
         .select("subj", "canon", "n_shared")
     )
+
+
+def shacl_report(
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes: list[tuple[str, int, int, str]],
+    graph: str = "building",
+) -> DataFrame:
+    """SHACL-style shape validation report: for each property shape
+    (pred, minCount, maxCount, nodeKind) over one node shape (the
+    subjects of `graph`), count how many focus nodes violate each
+    constraint family — the sh:minCount / sh:maxCount / sh:nodeKind core
+    of a SHACL processor, as ONE aggregation report instead of per-node
+    conformance rows (what a data-quality gate actually consumes).
+
+    Plan shape: per-(subj, pred) counts are one partial-agg shuffle over
+    the graph's triples (shape table broadcast onto it first, so
+    non-shaped predicates are filtered map-side); the focus-node universe
+    joins the <=dozens-row shape table via broadcast; the final report is
+    a pred-keyed partial agg. No window, no self-join; skew bounded by
+    triples-per-subject.
+
+    Output: (pred, min_count, max_count, node_kind, n_subjects,
+    n_min_violations, n_max_violations, n_kind_violations, n_conforming).
+    """
+    sh = spark.createDataFrame(
+        shapes, "pred string, min_count int, max_count int, node_kind string"
+    )
+    t = triples.where(F.col("graph") == graph)
+    per_sp = (
+        t.join(broadcast(sh), "pred")
+        .groupBy("subj", "pred")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(
+                F.when(F.col("obj_type") != F.col("node_kind"), 1).otherwise(0)
+            ).alias("_wrong_kind"),
+        )
+    )
+    focus = t.select("subj").distinct().crossJoin(broadcast(sh))
+    per_focus = focus.join(per_sp, ["subj", "pred"], "left").select(
+        "pred",
+        "min_count",
+        "max_count",
+        "node_kind",
+        F.coalesce("_n", F.lit(0)).alias("_n"),
+        F.coalesce("_wrong_kind", F.lit(0)).alias("_wrong_kind"),
+    )
+    viol_min = F.when(F.col("_n") < F.col("min_count"), 1).otherwise(0)
+    viol_max = F.when(F.col("_n") > F.col("max_count"), 1).otherwise(0)
+    viol_kind = F.when(F.col("_wrong_kind") > 0, 1).otherwise(0)
+    return (
+        per_focus.groupBy("pred", "min_count", "max_count", "node_kind")
+        .agg(
+            F.count("*").cast("long").alias("n_subjects"),
+            F.sum(viol_min).cast("long").alias("n_min_violations"),
+            F.sum(viol_max).cast("long").alias("n_max_violations"),
+            F.sum(viol_kind).cast("long").alias("n_kind_violations"),
+            F.sum(
+                F.when((viol_min + viol_max + viol_kind) == 0, 1).otherwise(0)
+            ).cast("long").alias("n_conforming"),
+        )
+    )

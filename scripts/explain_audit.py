@@ -136,6 +136,9 @@ AUDITS = [
     ("kg_counts_cube", "CUBE summary: ONE Expand + partial-agg exchange for all 4 grouping sets (two-phase for the subj distinct), no per-set jobs"),
     ("event_twa", "time-weighted avg: ONE user-keyed window (lead) + ONE partial agg, no self-join"),
     ("event_gapfill", "calendar gap-fill: daily partial agg -> extent agg -> sequence explode; spine-sized left join + key window, raw events scanned once"),
+    ("kg_shacl_report", "SHACL report: shape table broadcast map-side, (subj,pred) partial agg, pred-keyed report agg — no window, no self-join"),
+    ("spatial_knn", "radius-bounded kNN: grid-cell equi-join (exact at cell=radius) + density-bounded per-point window, NO CartesianProduct"),
+    ("text_containment", "containment pairs: one explode + shingle equi-join + pair partial agg (the Jaccard plan, different scoring Project)"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),

@@ -506,3 +506,49 @@ def test_haskey_sameas_star_form(spark):
     out = {(r.subj, r.canon, r.n_shared)
            for r in owl.haskey_sameas(t, "building", ["ocgml:h", "ocgml:r"]).collect()}
     assert out == {("b", "a", 3), ("c", "a", 3)}
+
+
+def test_shacl_report_violation_families(spark):
+    """Each constraint family counted independently per focus node:
+    s1 conforms on p1; s2 misses p1 (min); s2 has p2 twice (max);
+    s3 carries p1 as the wrong node kind."""
+    rows = [
+        ("building", "s1", "p1", "x", "literal"),
+        ("building", "s1", "p2", "x", "literal"),
+        ("building", "s2", "p2", "x", "literal"),
+        ("building", "s2", "p2", "y", "literal"),
+        ("building", "s3", "p1", "iri:z", "iri"),
+        ("other", "zz", "p1", "x", "literal"),  # other graphs never count
+    ]
+    t = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string, obj_type string"
+    )
+    shapes = [("p1", 1, 1, "literal"), ("p2", 0, 1, "literal")]
+    out = {r.pred: r for r in owl.shacl_report(spark, t, shapes).collect()}
+    # universe = {s1, s2, s3}
+    assert out["p1"].n_subjects == 3
+    assert out["p1"].n_min_violations == 1   # s2 has no p1
+    assert out["p1"].n_kind_violations == 1  # s3's p1 is an iri
+    assert out["p1"].n_conforming == 1       # s1
+    assert out["p2"].n_max_violations == 1   # s2 has p2 twice
+    assert out["p2"].n_conforming == 2       # s1 (one p2), s3 (zero, min 0)
+
+
+def test_knn_within_exact_across_cells(spark):
+    """Nearest neighbors straddling grid-cell boundaries are found
+    (cell size = radius, 3x3 probe), ranks are distance-ordered, the
+    radius excludes far points, and k truncates."""
+    pts = [
+        ("a", 0.0, 0.0),
+        ("b", 1.5, 0.0),   # dist 1.5 from a, crosses the x-cell boundary
+        ("c", 0.0, 0.5),   # dist 0.5 from a
+        ("d", 1.5, 0.5),
+        ("far", 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(pts, "id string, x double, y double")
+    out = geo.knn_within(df, "id", "x", "y", 2.0, k=2)
+    got = {(r.id_a, r.rank): (r.id_b, r.dist) for r in out.collect()}
+    assert got[("a", 1)] == ("c", 0.5)
+    assert got[("a", 2)] == ("b", 1.5)
+    assert ("far", 1) not in got          # nothing within radius
+    assert len([k for k in got if k[0] == "b"]) == 2  # k truncates at 2

@@ -1723,3 +1723,21 @@ def test_bloom_probe_no_false_negatives(spark):
     for r in rows.values():
         assert r.n_exact_pos <= r.n_bloom_pos
         assert r.n_false_pos == r.n_bloom_pos - r.n_exact_pos
+
+
+def test_containment_is_asymmetric_and_catches_excerpts(spark):
+    """A 5-gram doc fully inside a 40-gram doc: containment(a in b)=1.0
+    while Jaccard is small; the pair surfaces at threshold 0.5 in the
+    containment op but not the Jaccard op."""
+    small = "alpha beta gamma delta epsilon zeta eta"
+    big = small + " " + " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+           for r in dedup.containment_pairs(df, threshold=0.5).collect()}
+    assert set(out) == {(1, 2)}
+    ca, cb = out[(1, 2)]
+    assert ca == 1.0 and cb < 0.5          # asymmetry
+    assert not dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
