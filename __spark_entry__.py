@@ -4629,6 +4629,61 @@ def q_streaming_windowed(spark, sf):
     )
 
 
+def q_streaming_sessionize(spark, sf):
+    """Watermarked streaming SESSION windows under the driver's oracle:
+    events stream through session_window(30 min gap) + watermark(2h) in
+    append mode (availableNow); the emitted set is exactly the sessions
+    whose end (last event + gap) the final watermark passed, which the
+    DuckDB gaps-and-islands oracle computes in closed form (events merge
+    when the gap is STRICTLY under 30 min — session_window's merge rule;
+    verified equal empirically, same flush behavior as
+    streaming_windowed). The batch twin is `sessionize`."""
+    import tempfile
+
+    from citykg import streaming as streammod
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("ts", "user_id")
+    land = tempfile.mkdtemp(prefix="citykg_ssess_land_")
+    out = tempfile.mkdtemp(prefix="citykg_ssess_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_ssess_ckpt_")
+    ev.write.mode("overwrite").parquet(land)
+    s = spark.readStream.schema(ev.schema).parquet(land)
+    w = streammod.stream_sessionized(s, "ts", "user_id", "30 minutes", "2 hours")
+    q = (
+        w.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+def _streaming_sessionize_sql() -> str:
+    return """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+g AS (SELECT user_id, ts,
+   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+     OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+   THEN 1 ELSE 0 END AS brk FROM events),
+s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s CROSS JOIN mx
+GROUP BY user_id, sid, mx.m
+HAVING max(ts) + INTERVAL 30 MINUTE <= mx.m - INTERVAL 2 HOUR
+"""
+
+
 def q_streaming_join(spark, sf):
     """Watermarked stream-stream inner join under the driver's oracle:
     clicks stream x views stream, same user, view within the hour before
@@ -5001,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cos_hist": q_emb_cos_hist,
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
+        "streaming_sessionize": q_streaming_sessionize,
         "graph_ppr": q_graph_ppr,
         "event_props_stats": q_event_props_stats,
         "text_langid": q_text_langid,
@@ -7507,6 +7563,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # availableNow delivers every row before the final watermark, so
         # the stream-stream join's emitted set is the closed-form
         # interval join (q_streaming_join docstring)
+        "streaming_sessionize": _streaming_sessionize_sql(),
         "streaming_join": (
             "WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS lts "
             "FROM events WHERE event_type = 'click'), "

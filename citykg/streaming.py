@@ -49,6 +49,40 @@ def stream_windowed_counts(
     )
 
 
+def stream_sessionized(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap_dur: str = "30 minutes",
+    watermark_dur: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation: per key, events closer
+    than `gap_dur` merge into one session; a session emits (append mode)
+    once the watermark passes its end (= last event + gap). This is the
+    streaming twin of ops.temporal.sessionize — same gaps-and-islands
+    semantics, but state-bounded and incremental: Spark merges windows
+    in state, holding only OPEN sessions per key, and the watermark
+    retires closed ones — the unbounded-state answer for clickstream
+    sessionization the batch op cannot give.
+
+    Output per closed session: (key, session_start, session_end,
+    n_events) where session_end = last event ts + gap."""
+    from pyspark.sql import functions as F
+
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark_dur)
+        .groupBy(F.session_window(ts_col, gap_dur).alias("sess"), F.col(key_col))
+        .count()
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            F.col("count").alias("n_events"),
+        )
+    )
+
+
 def stream_dedup_first_seen(stream_df: DataFrame, key_col: str) -> DataFrame:
     """Streaming UID-cache dedup (L1, UIDCache.lookupAndPut:80-100 as a
     stateful operator): per key, emit ONLY the first row ever seen across

@@ -296,3 +296,48 @@ def test_stream_stream_join_range_bound(spark, tmp_path_factory):
     q.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert [(r.click_id, r.view_id) for r in rows] == [(100, 200)]
+
+
+def test_stream_sessionized_merges_and_closes(spark, tmp_path_factory):
+    """session_window semantics: events under the gap merge into one
+    session (end = last event + gap); only sessions the final watermark
+    passed are emitted in append mode — the still-open tail session and
+    any session ending inside the watermark horizon stay withheld."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path_factory.mktemp("sess_landing"))
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: two events 10 min apart -> ONE session, closed long ago
+        (1, t0), (1, t0 + timedelta(minutes=10)),
+        # user 1: a second session 3 h later, still closed
+        (1, t0 + timedelta(hours=3)),
+        # user 2: a session ending within the 2 h watermark horizon -> withheld
+        (2, t0 + timedelta(hours=23)),
+        # watermark anchor: the max event time
+        (3, t0 + timedelta(hours=24)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    ev.write.mode("append").parquet(land)
+
+    s = spark.readStream.schema(ev.schema).parquet(land)
+    w = streaming.stream_sessionized(s, "ts", "user_id", "30 minutes", "2 hours")
+    q = (
+        w.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        (1, t0, 2),                        # merged pair
+        (1, t0 + timedelta(hours=3), 1),   # second closed session
+    }
