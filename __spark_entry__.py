@@ -201,6 +201,79 @@ def q_kg_link_fuzzy(spark, sf):
     )
 
 
+def q_link_eval_pr(spark, sf):
+    """Linker quality gate: micro P/R/F1 of the MinHash-LSH fuzzy linker
+    against exact-match gold, at two thresholds, over mentions where the
+    odd-doc half carries a one-char perturbation ('!') — known-gold
+    noise injection, the standard linker-robustness eval. At 0.5 the
+    perturbed mentions (char-3-gram Jaccard 0.8) still link (recall 1);
+    at 0.9 they drop (recall 0.5, precision stays 1). The oracle
+    recomputes the UNBLOCKED best match per distinct text at both
+    thresholds. See link.link_eval."""
+    m = link.entity_mentions(_docs(spark, sf))
+    gaz = synth_gazetteer(spark)
+    gold = link.link_exact(m, gaz).select("doc_id", "entity_id")
+    odd = F.expr("cast(substring(doc_id, 5) as bigint) % 2 = 1")
+    noisy = m.withColumn(
+        "mention",
+        F.when(odd, F.concat(F.col("mention"), F.lit("!"))).otherwise(F.col("mention")),
+    )
+    outs = []
+    for name, thr in (("fuzzy@0.5", 0.5), ("fuzzy@0.9", 0.9)):
+        pred = link.link_fuzzy(noisy, gaz, threshold=thr).select("doc_id", "entity_id")
+        outs.append(
+            link.link_eval(gold, pred).select(F.lit(name).alias("predictor"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _link_eval_sql() -> str:
+    sh = lambda t: (  # noqa: E731
+        f"list_distinct(list_transform(range(1, greatest(length({t}) - 2, 1) + 1), "
+        f"i -> substr({t}, i, 3)))"
+    )
+    return (
+        "WITH mm AS (SELECT ({dk}) AS doc_id, "
+        "printf('ENT_%04d', CASE WHEN d % 2 = 0 THEN 0 ELSE d % 50 END) AS gold, "
+        "lower('City ' || CAST(CASE WHEN d % 2 = 0 THEN 0 ELSE d % 50 END AS VARCHAR)) "
+        "|| CASE WHEN d % 2 = 1 THEN '!' ELSE '' END AS text "
+        "FROM (SELECT doc_id AS d FROM documents) b), "
+        "m AS (SELECT DISTINCT text FROM mm), "
+        "ents AS (SELECT i, printf('ENT_%04d', i) AS entity_id, "
+        "CASE WHEN i < 50 THEN ['city ' || CAST(i AS VARCHAR), 'c' || CAST(i AS VARCHAR), 'city-' || CAST(i AS VARCHAR)] "
+        "ELSE ['district ' || CAST(i AS VARCHAR), 'd' || CAST(i AS VARCHAR)] END AS als "
+        "FROM range(1000) t(i)), "
+        "al AS (SELECT entity_id, unnest(als) AS alias FROM ents), "
+        f"sc AS (SELECT text, {sh('text')} AS sh FROM m), "
+        f"sg AS (SELECT entity_id, {sh('alias')} AS sh FROM al), "
+        "p AS (SELECT text, entity_id, "
+        "len(list_intersect(sc.sh, sg.sh)) * 1.0 / len(list_distinct(list_concat(sc.sh, sg.sh))) AS score "
+        "FROM sc, sg), "
+        "best AS (SELECT text, entity_id, score, row_number() OVER ("
+        "PARTITION BY text ORDER BY score DESC, entity_id ASC) AS rn FROM p), "
+        "pv AS (SELECT mm.doc_id, mm.gold, b.entity_id AS pred, b.score "
+        "FROM mm LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON mm.text = b.text), "
+        "ev AS (SELECT 'fuzzy@0.5' AS predictor, gold, "
+        "CASE WHEN score >= 0.5 THEN pred END AS pred FROM pv "
+        "UNION ALL SELECT 'fuzzy@0.9', gold, "
+        "CASE WHEN score >= 0.9 THEN pred END FROM pv), "
+        "cf AS (SELECT predictor, CAST(count(*) AS BIGINT) AS n_mentions, "
+        "CAST(sum(CASE WHEN pred IS NOT NULL AND gold IS NOT NULL AND pred = gold "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, "
+        "CAST(sum(CASE WHEN pred IS NOT NULL AND NOT (gold IS NOT NULL AND pred = gold) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_fp, "
+        "CAST(sum(CASE WHEN gold IS NOT NULL AND NOT (pred IS NOT NULL AND pred = gold) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_fn "
+        "FROM ev GROUP BY 1) "
+        "SELECT predictor, n_mentions, n_tp, n_fp, n_fn, "
+        "round(n_tp * 1.0 / (n_tp + n_fp), 6) AS precision, "
+        "round(n_tp * 1.0 / (n_tp + n_fn), 6) AS recall, "
+        "round(2.0 * (n_tp * 1.0 / (n_tp + n_fp)) * (n_tp * 1.0 / (n_tp + n_fn)) "
+        "/ ((n_tp * 1.0 / (n_tp + n_fp)) + (n_tp * 1.0 / (n_tp + n_fn))), 6) AS f1 "
+        "FROM cf"
+    ).replace("{dk}", doc_key_expr("duckdb"))
+
+
 def _address_cluster_labels(spark, sf):
     """Shared cluster derivation for kg_canonical_clusters / kg_fusion:
     link address mentions to the gazetteer, star-edge the member IRIs
@@ -4957,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_counts_cube": q_kg_counts_cube,
         "kg_link_exact": q_kg_link_exact,
         "kg_link_fuzzy": q_kg_link_fuzzy,
+        "link_eval_pr": q_link_eval_pr,
         "kg_canonical_clusters": q_kg_canonical_clusters,
         "kg_canonical_incremental": q_kg_canonical_incremental,
         "kg_rehome": q_kg_rehome,
@@ -6860,6 +6934,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_link_exact": _link_exact_sql(),
         "kg_link_fuzzy": _link_fuzzy_sql(),
+        "link_eval_pr": _link_eval_sql(),
         "kg_canonical_clusters": _canonical_clusters_sql(),
         # the incremental path must equal the full recompute — same oracle
         "kg_canonical_incremental": _canonical_clusters_sql(),

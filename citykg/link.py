@@ -261,3 +261,54 @@ def link_editdist(
         .join(F.broadcast(best), "_mnorm", "left")
         .drop("_mnorm")
     )
+
+
+def link_eval(
+    gold: DataFrame,
+    pred: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    gold_col: str = "entity_id",
+    pred_col: str = "entity_id",
+) -> DataFrame:
+    """Micro precision/recall/F1 of a predicted entity linking against a
+    gold linking — the in-engine twin of the pipeline's own P/R >= 0.95
+    acceptance gate, so linker regressions surface as one report row
+    instead of a downstream triple diff.
+
+    Per mention key: tp = predicted == gold (both present); fp =
+    predicted where gold disagrees or is absent; fn = gold the predictor
+    missed or got wrong. ONE full-outer equi-join on the mention keys +
+    one global agg — no window, no driver-side compare; the join
+    shuffles on the near-unique mention key, so no skew.
+
+    Output (one row): n_mentions, n_tp, n_fp, n_fn, precision, recall,
+    f1 (rounded to 6; NULL when undefined)."""
+    keys = list(key_cols)
+    g = gold.select(*keys, F.col(gold_col).alias("_gold"))
+    p = pred.select(*keys, F.col(pred_col).alias("_pred"))
+    j = g.join(p, keys, "full_outer")
+    gold_nn = F.col("_gold").isNotNull()
+    pred_nn = F.col("_pred").isNotNull()
+    agree = pred_nn & gold_nn & (F.col("_pred") == F.col("_gold"))
+    tp = F.sum(F.when(agree, 1).otherwise(0)).cast("long")
+    fp = F.sum(F.when(pred_nn & ~(gold_nn & (F.col("_pred") == F.col("_gold"))), 1)
+               .otherwise(0)).cast("long")
+    fn = F.sum(F.when(gold_nn & ~(pred_nn & (F.col("_pred") == F.col("_gold"))), 1)
+               .otherwise(0)).cast("long")
+    out = j.agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        tp.alias("n_tp"),
+        fp.alias("n_fp"),
+        fn.alias("n_fn"),
+    )
+    prec = F.col("n_tp") / (F.col("n_tp") + F.col("n_fp"))
+    rec = F.col("n_tp") / (F.col("n_tp") + F.col("n_fn"))
+    return out.select(
+        "n_mentions",
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+    )

@@ -140,6 +140,7 @@ AUDITS = [
     ("spatial_knn", "radius-bounded kNN: grid-cell equi-join (exact at cell=radius) + density-bounded per-point window, NO CartesianProduct"),
     ("text_containment", "containment pairs: one explode + shingle equi-join + pair partial agg (the Jaccard plan, different scoring Project)"),
     ("streaming_sessionize", "streaming session windows: state holds only OPEN sessions per key; watermark retires closed ones (append mode)"),
+    ("link_eval_pr", "linker P/R gate: full-outer equi-join on near-unique mention keys + one global agg per predictor, no window"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),

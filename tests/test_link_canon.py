@@ -247,3 +247,23 @@ def test_fuse_attributes_majority_and_ties(spark):
         ("A", "ocgml:street"): ("a st", 1, 3, 3, 1),
         ("D", "ocgml:zip"): ("77777", 1, 1, 1, 0),
     }
+
+
+def test_link_eval_confusion_families(spark):
+    """tp / fp / fn counted per mention key: agreement, wrong entity
+    (fp+fn), missed gold (fn), spurious prediction on null gold (fp)."""
+    from citykg.link import link_eval
+
+    gold = spark.createDataFrame(
+        [("d1", "E1"), ("d2", "E2"), ("d3", "E3"), ("d4", None)],
+        "doc_id string, entity_id string",
+    )
+    pred = spark.createDataFrame(
+        [("d1", "E1"), ("d2", "EX"), ("d3", None), ("d4", "E9")],
+        "doc_id string, entity_id string",
+    )
+    r = link_eval(gold, pred).collect()[0]
+    assert (r.n_mentions, r.n_tp, r.n_fp, r.n_fn) == (4, 1, 2, 2)
+    assert r.precision == round(1 / 3, 6)
+    assert r.recall == round(1 / 3, 6)
+    assert r.f1 == round(1 / 3, 6)
