@@ -4337,6 +4337,78 @@ FROM j
 """
 
 
+def q_event_rolling(spark, sf):
+    """Trailing 7-day moving average of per-user daily value totals with
+    a RANGE window frame (time-distance frame, not row-count — sparse
+    days shorten the window honestly). See ops.temporal.rolling_daily_avg."""
+    from citykg.ops import temporal
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.rolling_daily_avg(e)
+
+
+def _event_rolling_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 6) AS day_value
+  FROM events GROUP BY 1, 2),
+d AS (SELECT user_id, day, day_value,
+        CAST(date_diff('day', TIMESTAMP '1970-01-01', day) AS BIGINT) AS day_num
+      FROM daily)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_value,
+  round(avg(day_value) OVER (PARTITION BY user_id ORDER BY day_num
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_avg,
+  CAST(count(*) OVER (PARTITION BY user_id ORDER BY day_num
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_in_window
+FROM d
+"""
+
+
+def q_graph_random_walks(spark, sf):
+    """DeepWalk-style walk corpus over the address/building/geometry
+    graph: 2 deterministic hash-seeded walks of length 4 from every
+    building-IRI source node. The oracle replays the identical LCG
+    next-step policy as a recursive CTE — whole-corpus equality proves
+    the iterative frontier joins follow the policy exactly. See
+    ops.graph.random_walks."""
+    t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
+    e = graph.triples_to_edges(t)
+    # walk the UNDIRECTED graph (DeepWalk's convention) — the directed KG
+    # slice is only 2 hops deep, so directed walks die at step 1
+    e2 = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    starts = (
+        e2.select("src").distinct().where(F.col("src").like("%/building/%"))
+    )
+    return graph.random_walks(e2, starts, n_walks=2, length=4, seed=42)
+
+
+def _random_walks_sql() -> str:
+    node_num = (
+        "coalesce(try_cast(regexp_extract({n}, '([0-9]+)[^0-9]*$', 1) AS BIGINT), 0)"
+    )
+    return (
+        _graph_edges_cte(["building", "addresstobuilding", "surfacegeometry"],
+                         recursive=True) +
+        ", e2 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+        "adj AS (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM e2), "
+        "starts AS (SELECT DISTINCT src AS node FROM e2 WHERE src LIKE '%/building/%'), "
+        "wk(walk_id, walk_no, step, node) AS ("
+        "SELECT node || '#' || CAST(i AS VARCHAR), CAST(i AS BIGINT), 0, node "
+        "FROM starts, UNNEST([0, 1]) t(i) "
+        "UNION ALL "
+        "SELECT w.walk_id, w.walk_no, w.step + 1, a.dst "
+        "FROM wk w JOIN adj a ON a.src = w.node "
+        "AND a.rn = (1103515245 * w.walk_no + 12345 * (w.step + 1) + "
+        f"97 * {node_num.format(n='w.node')} + 42) % a.deg "
+        "WHERE w.step < 4) "
+        "SELECT walk_id, CAST(step AS INT) AS step, node FROM wk"
+    )
+
+
 def q_emb_cos_hist(spark, sf):
     """Embedding-health diagnostic: histogram of cosine similarity over
     the deterministic consecutive-id pairing (vec i vs i+1) — a
@@ -5126,6 +5198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ewma": q_event_ewma,
         "event_twa": q_event_twa,
         "event_gapfill": q_event_gapfill,
+        "event_rolling": q_event_rolling,
+        "graph_random_walks": q_graph_random_walks,
         "event_burstiness": q_event_burstiness,
         "emb_cos_hist": q_emb_cos_hist,
         "kg_transe": q_kg_transe,
@@ -7272,6 +7346,8 @@ def oracle_sql() -> dict[str, str]:
         "event_ewma": _event_ewma_sql(),
         "event_twa": _event_twa_sql(),
         "event_gapfill": _event_gapfill_sql(),
+        "event_rolling": _event_rolling_sql(),
+        "graph_random_walks": _random_walks_sql(),
         "event_burstiness": _event_burstiness_sql(),
         "emb_cos_hist": _emb_cos_hist_sql(),
         "kg_transe": _transe_sql(),

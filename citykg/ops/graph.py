@@ -5,7 +5,7 @@ citykg.canon. All iterative DataFrame joins — no GraphFrames dependency.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..session import stable
 
@@ -789,3 +789,74 @@ def neighborhood_similarity(edges: DataFrame, min_common: int = 2) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    n_walks: int = 2,
+    length: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """DeepWalk/node2vec-style walk-corpus generation with a
+    DETERMINISTIC next-step policy: from the current node, pick the
+    out-neighbor at index
+
+        (1103515245*walk_no + 12345*step + 97*node_num + seed) mod degree
+
+    where node_num is the node IRI's trailing digit run (0 if none) —
+    an LCG-style mix both engines can evaluate exactly, so the whole
+    walk corpus is reproducible and DuckDB-oracle-checkable (a true RNG
+    would make the output unverifiable; determinism is also what a
+    resumable 100 TB embedding-corpus job wants).
+
+    Plan shape: the ranked adjacency (neighbor rank + out-degree, one
+    src-keyed window pass) is built ONCE; each of the `length` steps is
+    one equi-join of the live walk frontier against it — the standard
+    distributed random-walk schedule, shuffle keyed on the current node,
+    no driver-side state. Dead-end nodes simply end their walk (the
+    frontier row finds no match).
+
+    Output: (walk_id, step, node) — step 0 is the start node."""
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    )
+    frontier = starts.select(
+        F.col(starts.columns[0]).alias("node"),
+        F.explode(F.expr(f"sequence(0, {n_walks - 1})")).alias("walk_no"),
+    ).select(
+        F.concat_ws("#", "node", "walk_no").alias("walk_id"),
+        F.col("walk_no").cast("long").alias("walk_no"),
+        F.lit(0).alias("step"),
+        F.col("node"),
+    )
+    out = frontier
+    for step in range(1, length + 1):
+        # fresh per-step aliases: the frontier's lineage already contains
+        # adj, so an unaliased re-join is ambiguous
+        fa, aa = f"_f{step}", f"_a{step}"
+        node_num = (
+            f"coalesce(try_cast(regexp_extract({fa}.node, '([0-9]+)[^0-9]*$', 1) "
+            "as bigint), 0)"
+        )
+        choice = F.expr(
+            f"pmod(1103515245 * {fa}.walk_no + 12345 * {step} + 97 * {node_num} "
+            f"+ {seed}, {aa}.deg)"
+        )
+        frontier = (
+            frontier.alias(fa)
+            .join(adj.alias(aa), F.col(f"{fa}.node") == F.col(f"{aa}.src"))
+            .where(F.col(f"{aa}.rn") == choice)
+            .select(
+                F.col(f"{fa}.walk_id").alias("walk_id"),
+                F.col(f"{fa}.walk_no").alias("walk_no"),
+                F.lit(step).alias("step"),
+                F.col(f"{aa}.dst").alias("node"),
+            )
+        )
+        out = out.unionByName(frontier)
+    return out.select("walk_id", "step", "node")

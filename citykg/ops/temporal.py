@@ -206,6 +206,44 @@ def gapfill_daily(
     )
 
 
+def rolling_daily_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing `window_days`-day moving average of the per-key DAILY
+    value total, computed with a RANGE window frame over the day number —
+    the frame is defined by TIME distance, not row count, so silent days
+    shorten the window honestly instead of a ROWS frame silently reaching
+    further back in time (the classic moving-average bug on sparse
+    series).
+
+    Plan shape: one partial agg to daily totals, then one key-partitioned
+    RANGE window over the (key, day) frame — window input is bounded by
+    key_count x date_range, never raw event count.
+
+    Output: (key, day, day_value, roll_avg, n_days_in_window)."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    daily = events.groupBy(F.col(key_col), day.alias("_day")).agg(
+        F.round(F.sum(value_col), 6).alias("day_value")
+    )
+    daily = daily.withColumn("_day_num", F.datediff("_day", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_day_num")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        F.col(key_col),
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        F.round(F.avg("day_value").over(w), 6).alias("roll_avg"),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    )
+
+
 def scd2_intervals(
     events: DataFrame,
     key_col: str = "user_id",

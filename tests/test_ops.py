@@ -1741,3 +1741,56 @@ def test_containment_is_asymmetric_and_catches_excerpts(spark):
     ca, cb = out[(1, 2)]
     assert ca == 1.0 and cb < 0.5          # asymmetry
     assert not dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+
+
+def test_random_walks_policy_and_dead_ends(spark):
+    """Walks follow edges only, are seed-deterministic, every live step
+    emits exactly one successor per walk, and dead-end nodes terminate
+    their walk early instead of erroring."""
+    from citykg.ops.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("n1", "n2"), ("n1", "n3"), ("n2", "n3"), ("n3", "n1"),
+         ("n2", "dead9")],  # dead9 has no out-edges
+        "src string, dst string",
+    )
+    starts = spark.createDataFrame([("n1",), ("n2",)], "node string")
+    out = random_walks(edges, starts, n_walks=2, length=3, seed=7).collect()
+    adj = {("n1", "n2"), ("n1", "n3"), ("n2", "n3"), ("n3", "n1"), ("n2", "dead9")}
+    walks = {}
+    for r in out:
+        walks.setdefault(r.walk_id, {})[r.step] = r.node
+    assert len(walks) == 4  # 2 starts x 2 walks
+    for wid, steps in walks.items():
+        seq = [steps[i] for i in sorted(steps)]
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in adj  # every hop is a real edge
+        # steps are contiguous from 0: a dead end truncates, never skips
+        assert sorted(steps) == list(range(len(steps)))
+        if seq[-1] != "dead9":
+            assert len(seq) == 4  # start + 3 steps when never stuck
+    # determinism: re-running with the same seed reproduces the corpus
+    again = random_walks(edges, starts, n_walks=2, length=3, seed=7).collect()
+    assert {(r.walk_id, r.step, r.node) for r in again} == \
+           {(r.walk_id, r.step, r.node) for r in out}
+
+
+def test_rolling_daily_avg_range_frame(spark):
+    """RANGE frame spans calendar distance: a silent gap shrinks the
+    window (day 10 sees only itself when the last event was 9 days
+    before with a 7-day window)."""
+    from datetime import datetime
+
+    from citykg.ops.temporal import rolling_daily_avg
+
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 2.0),
+        (1, datetime(2024, 1, 2, 1), 4.0),
+        (1, datetime(2024, 1, 10, 1), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.day: (r.roll_avg, r.n_days_in_window)
+           for r in rolling_daily_avg(df, window_days=7).collect()}
+    assert out["2024-01-01"] == (2.0, 1)
+    assert out["2024-01-02"] == (3.0, 2)
+    assert out["2024-01-10"] == (10.0, 1)  # gap > 7 days: window resets
