@@ -3199,6 +3199,91 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def q_ann_recall_eval(spark, sf):
+    """ANN quality gate: recall@5 of the sign-LSH index at a WEAK
+    setting (4 planes x 2 tables — real misses, unlike the
+    verification-strength queries) against the brute-force exact top-5
+    gold. Per query: hits, recall. The oracle re-derives the identical
+    seeded hyperplanes as literal dot-product signs, replays the bucket
+    join, and ranks candidates exactly — whole-eval equality proves the
+    blocked index and the measurement harness both behave as specified.
+    The production recall dial (planes x tables) is documented on
+    lsh_ann_topk."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gold = similarity.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    pred = similarity.lsh_ann_topk(e, q, k=5, n_planes=4, tables=2).select(
+        "query_id", "vec_id"
+    )
+    hits = pred.join(gold, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        gold.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_gold"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_gold",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_gold"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_eval_sql() -> str:
+    from citykg.ops.similarity import _hyperplanes
+
+    dvec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+    def bucket(table: int) -> str:
+        planes = _hyperplanes(64, 4, 42 + table)
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({dvec}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {bucket(t)} AS bucket FROM embeddings"
+        for t in (0, 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+gold AS (SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM s) WHERE rnk <= 5),
+b AS ({buckets}),
+cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM b cb JOIN b qb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+scored AS (SELECT c.query_id, c.vec_id,
+    list_cosine_similarity(e.embedding, q2.embedding) AS cos
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q2 ON q2.vec_id = c.query_id),
+pred AS (SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5),
+h AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM pred p JOIN gold g ON g.query_id = p.query_id AND g.vec_id = p.vec_id
+  GROUP BY 1)
+SELECT g.query_id, CAST(count(*) AS BIGINT) AS n_gold,
+  CAST(coalesce(any_value(h.n_hit), 0) AS BIGINT) AS n_hit,
+  round(coalesce(any_value(h.n_hit), 0) * 1.0 / count(*), 6) AS recall
+FROM gold g LEFT JOIN h ON h.query_id = g.query_id
+GROUP BY 1
+"""
+
+
 def q_ann_range_search(spark, sf):
     """Radius search at verification strength: 4 planes x 48 tables (the
     q_ann_lsh_topk bound: per-neighbor miss probability ~2e-5 at this
@@ -3739,6 +3824,52 @@ def q_dataset_mix(spark, sf):
         "cast(1 + cast(substring(source, 4) as int) % 3 as double) as weight",
     )
     return weighted_mix_rank(d).select("doc_id", "source", "intra", "mix_rank")
+
+
+def q_dataset_mix_alpha(spark, sf):
+    """Alpha-weighted source-mixing plan (w_i proportional to
+    n_tokens_i^0.3 — the multilingual/Pile temperature-sampling rule that
+    up-weights small sources without letting a giant one dominate): per
+    source, token count, natural share, alpha share, and the oversample
+    factor (effective epochs) a one-total-epoch token budget implies.
+    ONE corpus scan to per-source token totals (20-row frame), then the
+    shares fold back via a one-row broadcast cross join."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    per_src = d.selectExpr(
+        "source", "size(split(trim(text), '\\\\s+')) as n_tok"
+    ).groupBy("source").agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    per_src = per_src.withColumn("_w", F.pow("n_tokens", F.lit(0.3)))
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("_tot_tok"),
+        F.sum("_w").alias("_tot_w"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot_tok"), 6).alias("natural_share"),
+            F.round(F.col("_w") / F.col("_tot_w"), 6).alias("alpha_share"),
+            F.round(
+                F.col("_w") / F.col("_tot_w") * F.col("_tot_tok") / F.col("n_tokens"), 6
+            ).alias("oversample"),
+        )
+    )
+
+
+def _dataset_mix_alpha_sql() -> str:
+    return """
+WITH s AS (SELECT source,
+    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n_tokens, pow(n_tokens, 0.3) AS wt FROM s),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tok, sum(wt) AS tot_w FROM w)
+SELECT source, n_tokens,
+  round(n_tokens / t.tot_tok, 6) AS natural_share,
+  round(wt / t.tot_w, 6) AS alpha_share,
+  round(wt / t.tot_w * t.tot_tok / n_tokens, 6) AS oversample
+FROM w CROSS JOIN t
+"""
 
 
 def q_graph_clustering(spark, sf):
@@ -5238,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall_eval": q_ann_recall_eval,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_range_search": q_ann_range_search,
         "emb_project": q_emb_project,
@@ -5296,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "global_shuffle": q_global_shuffle,
         "dataset_mix": q_dataset_mix,
+        "dataset_mix_alpha": q_dataset_mix_alpha,
         "distance_writeback": q_distance_writeback,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
@@ -7393,6 +7526,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
+        "ann_recall_eval": _ann_recall_eval_sql(),
         "ann_ivf_topk": _ann_brute_sql(),
         # range search blocked == exact at verification strength too; the
         # oracle is the brute threshold scan with the same rounded cut
@@ -7611,6 +7745,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         "weighted_sample": _weighted_sample_sql(),
         "global_shuffle": _global_shuffle_sql(),
         "dataset_mix": _dataset_mix_sql(),
+        "dataset_mix_alpha": _dataset_mix_alpha_sql(),
         "distance_writeback": _distance_writeback_sql(),
         "graph_clustering": (
             "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "

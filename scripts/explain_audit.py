@@ -143,6 +143,8 @@ AUDITS = [
     ("link_eval_pr", "linker P/R gate: full-outer equi-join on near-unique mention keys + one global agg per predictor, no window"),
     ("event_rolling", "RANGE-frame moving avg: daily partial agg then ONE key-partitioned range window — input bounded by keys x days"),
     ("graph_random_walks", "walk corpus: ranked adjacency built once (one src window pass); each step ONE frontier equi-join, no driver state"),
+    ("dataset_mix_alpha", "alpha mixing plan: ONE corpus scan to a 20-row source frame, shares fold back via one-row broadcast"),
+    ("ann_recall_eval", "ANN recall gate: bucket equi-join candidates + query-partitioned rank windows, gold/pred joined on (query, vec), no cartesian"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),
