@@ -1747,6 +1747,72 @@ def q_time_rollup(spark, sf):
     )
 
 
+def q_event_cusum(spark, sf):
+    """CUSUM drift monitor per event type: the one-sided cumulative-sum
+    statistic S_t = max(0, S_{t-1} + (x_t - mu - slack)) over the daily
+    count series — the classic changepoint detector that catches a slow
+    sustained rate shift a z-score-per-bucket test (event_anomaly)
+    misses. The recurrence is NOT prefix-decomposable, but the standard
+    reflection identity S_t = P_t - min(P_0..P_t) with P = cumsum(x - mu
+    - slack) turns it into two cumulative windows — pure JVM, one
+    key-partitioned window pass over the tiny (type, day) frame, no
+    recursion, no Python. slack k = 0.5 sigma; alarm at S_t > 4 sigma.
+    """
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("_mu"), F.stddev("n").alias("_sd")
+    )
+    d = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "_x", F.col("n") - F.col("_mu") - 0.5 * F.col("_sd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.sum("_x").over(w)
+    d = d.withColumn("_p", prefix).withColumn(
+        "_s", F.col("_p") - F.least(F.min("_p").over(w), F.lit(0.0))
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("_s", 6).alias("cusum"),
+        # boundary on 6-dp-rounded values (dedup_embedding/event_anomaly
+        # policy) so epsilon-level stddev divergence can't flip the alarm
+        F.when(F.round("_s", 6) > F.round(4 * F.col("_sd"), 6), 1)
+        .otherwise(0)
+        .alias("alarm"),
+    )
+
+
+def _event_cusum_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM daily GROUP BY 1),
+d AS (SELECT daily.event_type, day, n, mu, sd, n - mu - 0.5 * sd AS x
+      FROM daily JOIN st ON st.event_type = daily.event_type),
+p AS (SELECT event_type, day, n, sd,
+        sum(x) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+      FROM d),
+s AS (SELECT event_type, day, n, sd,
+        pf - least(min(pf) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS cu
+      FROM p)
+SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+  round(cu, 6) AS cusum,
+  CASE WHEN round(cu, 6) > round(4 * sd, 6) THEN 1 ELSE 0 END AS alarm
+FROM s
+"""
+
+
 def q_event_anomaly(spark, sf):
     """Event-rate anomaly detection: hours whose event count sits >= 2
     standard deviations from their type's mean hourly rate. The hourly
@@ -5297,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "event_quantiles": q_event_quantiles,
         "event_anomaly": q_event_anomaly,
+        "event_cusum": q_event_cusum,
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
@@ -7377,6 +7444,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN i USING (user_id) "
             "WHERE e.ts BETWEEN start_ts AND end_ts"
         ),
+        "event_cusum": _event_cusum_sql(),
         "event_anomaly": (
             "WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n "

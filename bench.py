@@ -251,6 +251,16 @@ def headline(sf_dir: str, cores: int) -> None:
         "dedup_bloom",
         "graph_jaccard",
         "event_markov",
+        # session-close additions: eval gates, temporal frames, walks
+        # (adds ~6 queries of NEW work vs the prior stamp)
+        "kg_shacl_report",
+        "spatial_knn",
+        "text_containment",
+        "link_eval_pr",
+        "event_rolling",
+        "graph_random_walks",
+        "ann_recall_eval",
+        "event_gapfill",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

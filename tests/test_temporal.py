@@ -138,3 +138,41 @@ def test_gapfill_daily_fills_and_flags(spark):
         "2024-01-03": (5.0, 0, 0),
         "2024-01-04": (7.0, 1, 1),
     }
+
+
+def test_event_cusum_reflection_identity(spark):
+    """The window-expressed CUSUM equals the reference recurrence
+    S_t = max(0, S_{t-1} + x_t - mu - 0.5*sd) computed in Python."""
+    import statistics
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from datetime import datetime, timedelta
+
+    counts = [5] * 10 + [9] * 10  # sustained +4 shift after day 10
+    rows = []
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("click", datetime(2024, 2, 1) + timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    import tempfile, os
+    sf = tempfile.mkdtemp(prefix="cusum_sf_")
+    df.withColumn("user_id", df.ts.cast("long") % 7) \
+      .withColumn("event_id", df.ts.cast("long")) \
+      .withColumn("value", df.ts.cast("long") % 5 * 1.0) \
+      .withColumn("props", df.event_type) \
+      .write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.day: (r.cusum, r.alarm)
+           for r in entrymod.q_event_cusum(spark, sf).collect()}
+
+    mu = statistics.mean(counts)
+    sd = statistics.stdev(counts)
+    s, expect = 0.0, {}
+    for d, c in enumerate(counts):
+        s = max(0.0, s + (c - mu - 0.5 * sd))
+        expect[f"2024-02-{d+1:02d}"] = (round(s, 6), 1 if round(s, 6) > round(4 * sd, 6) else 0)
+    assert out == expect
+    assert any(a for _, a in out.values())  # the shift actually alarms
