@@ -1813,6 +1813,49 @@ FROM s
 """
 
 
+def q_event_winsorize(spark, sf):
+    """Percentile winsorization: clamp event values to their type's
+    [p01, p99] band — the standard outlier-robust preprocessing before
+    value aggregates feed a model. Exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`, verified equal);
+    5-row stats broadcast back, clamp is a pure Project, ONE extra
+    partial agg for the per-type clamped summary."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("_p01"),
+        F.expr("percentile(value, 0.99)").alias("_p99"),
+    )
+    c = e.join(F.broadcast(stats), "event_type").withColumn(
+        "_cv", F.least(F.greatest(F.col("value"), F.col("_p01")), F.col("_p99"))
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.min("_p01"), 6).alias("p01"),
+        F.round(F.min("_p99"), 6).alias("p99"),
+        F.sum(F.when((F.col("value") < F.col("_p01")) | (F.col("value") > F.col("_p99")), 1)
+              .otherwise(0)).cast("long").alias("n_clamped"),
+        F.round(F.avg("value"), 6).alias("raw_avg"),
+        F.round(F.avg("_cv"), 6).alias("winsorized_avg"),
+    )
+
+
+def _event_winsorize_sql() -> str:
+    return """
+WITH st AS (SELECT event_type, quantile_cont(value, 0.01) AS p01,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY 1),
+c AS (SELECT e.event_type, value, p01, p99,
+        least(greatest(value, p01), p99) AS cv
+      FROM events e JOIN st ON st.event_type = e.event_type)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  round(min(p01), 6) AS p01, round(min(p99), 6) AS p99,
+  CAST(sum(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+  round(avg(value), 6) AS raw_avg,
+  round(avg(cv), 6) AS winsorized_avg
+FROM c GROUP BY 1
+"""
+
+
 def q_event_anomaly(spark, sf):
     """Event-rate anomaly detection: hours whose event count sits >= 2
     standard deviations from their type's mean hourly rate. The hourly
@@ -3263,6 +3306,37 @@ def q_ann_ivf_topk(spark, sf):
     return similarity.ivf_ann_topk(e, q, k=5, n_centroids=8, nprobe=8).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def q_emb_standardize(spark, sf):
+    """Per-dimension whitening (mean-center, unit-variance) of the
+    embedding corpus — the preprocessing that fixes anisotropic spaces
+    before cosine retrieval (emb_cos_hist is the diagnostic; this is the
+    treatment). One posexplode + a 64-row per-dim stats agg broadcast
+    back; exploded (vec_id, j, v) output so the driver value-hashes
+    every standardized component."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "_x")
+    ).withColumn("_x", F.col("_x").cast("double"))
+    stats = comp.groupBy("j").agg(
+        F.avg("_x").alias("_mu"), F.stddev("_x").alias("_sd")
+    )
+    return comp.join(F.broadcast(stats), "j").select(
+        "vec_id",
+        "j",
+        F.round((F.col("_x") - F.col("_mu")) / F.col("_sd"), 6).alias("v"),
+    )
+
+
+def _emb_standardize_sql() -> str:
+    return """
+WITH c AS (SELECT vec_id, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+st AS (SELECT j, avg(x) AS mu, stddev_samp(x) AS sd FROM c GROUP BY 1)
+SELECT vec_id, c.j, round((x - mu) / sd, 6) AS v
+FROM c JOIN st ON st.j = c.j
+"""
 
 
 def q_ann_recall_eval(spark, sf):
@@ -5364,6 +5438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "event_anomaly": q_event_anomaly,
         "event_cusum": q_event_cusum,
+        "event_winsorize": q_event_winsorize,
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
@@ -5437,6 +5512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_eval": q_ann_recall_eval,
+        "emb_standardize": q_emb_standardize,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_range_search": q_ann_range_search,
         "emb_project": q_emb_project,
@@ -7445,6 +7521,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE e.ts BETWEEN start_ts AND end_ts"
         ),
         "event_cusum": _event_cusum_sql(),
+        "event_winsorize": _event_winsorize_sql(),
         "event_anomaly": (
             "WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n "
@@ -7595,6 +7672,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
         "ann_recall_eval": _ann_recall_eval_sql(),
+        "emb_standardize": _emb_standardize_sql(),
         "ann_ivf_topk": _ann_brute_sql(),
         # range search blocked == exact at verification strength too; the
         # oracle is the brute threshold scan with the same rounded cut

@@ -146,6 +146,8 @@ AUDITS = [
     ("dataset_mix_alpha", "alpha mixing plan: ONE corpus scan to a 20-row source frame, shares fold back via one-row broadcast"),
     ("ann_recall_eval", "ANN recall gate: bucket equi-join candidates + query-partitioned rank windows, gold/pred joined on (query, vec), no cartesian"),
     ("event_cusum", "CUSUM monitor: reflection identity -> two cumulative windows over the tiny (type, day) frame, no recursion, no Python"),
+    ("event_winsorize", "winsorization: exact percentiles to a 5-row broadcast, clamp in Project, ONE summary partial agg"),
+    ("emb_standardize", "whitening: posexplode + 64-row per-dim stats broadcast back, standardization is a codegen'd Project"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),
