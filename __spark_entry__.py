@@ -1813,6 +1813,46 @@ FROM s
 """
 
 
+def q_event_reach(spark, sf):
+    """Daily active users, new users, and cumulative reach — the growth
+    dashboard triple. Cumulative DISTINCT users over an expanding window
+    is not window-expressible, but the first-seen identity is: a user
+    counts as NEW on min(day), and cumulative reach = running sum of
+    new-user counts. Two partial aggs ((user, day), then user-min) + one
+    day-keyed merge + ONE cumulative window over the tiny day frame —
+    the corpus is never re-shuffled or windowed."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    ud = e.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("_n"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_by_day = firsts.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn("cumulative_users", F.sum("n_new").over(w).cast("long"))
+    )
+
+
+def _event_reach_sql() -> str:
+    return """
+WITH ud AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events GROUP BY 1, 2),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM ud GROUP BY 1),
+fs AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+nb AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+SELECT dau.day, n_active, coalesce(n_new, 0) AS n_new,
+  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY dau.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM dau LEFT JOIN nb ON nb.day = dau.day
+"""
+
+
 def q_event_winsorize(spark, sf):
     """Percentile winsorization: clamp event values to their type's
     [p01, p99] band — the standard outlier-robust preprocessing before
@@ -5439,6 +5479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly": q_event_anomaly,
         "event_cusum": q_event_cusum,
         "event_winsorize": q_event_winsorize,
+        "event_reach": q_event_reach,
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
@@ -7522,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_cusum": _event_cusum_sql(),
         "event_winsorize": _event_winsorize_sql(),
+        "event_reach": _event_reach_sql(),
         "event_anomaly": (
             "WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n "
