@@ -552,3 +552,30 @@ def test_knn_within_exact_across_cells(spark):
     assert got[("a", 2)] == ("b", 1.5)
     assert ("far", 1) not in got          # nothing within radius
     assert len([k for k in got if k[0] == "b"]) == 2  # k truncates at 2
+
+
+def test_knn_within_equals_brute_force_on_random_points(spark):
+    """Grid-blocked kNN == brute-force kNN on 200 seeded-random points:
+    the 3x3 probe at cell size = radius provably covers the disc, so the
+    blocked result may never lose a neighbor."""
+    import random
+
+    rng = random.Random(1234)
+    pts = [(i, rng.uniform(0, 50), rng.uniform(0, 50)) for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {(r.id_a, r.rank): r.id_b
+           for r in geo.knn_within(df, "id", "x", "y", 4.0, k=3).collect()}
+
+    import math
+    want = {}
+    for i, xi, yi in pts:
+        cands = []
+        for j, xj, yj in pts:
+            if i == j:
+                continue
+            d = round(math.sqrt((xi - xj) ** 2 + (yi - yj) ** 2), 6)
+            if d <= 4.0:
+                cands.append((d, j))
+        for rank, (_, j) in enumerate(sorted(cands)[:3], start=1):
+            want[(i, rank)] = j
+    assert got == want

@@ -1794,3 +1794,43 @@ def test_rolling_daily_avg_range_frame(spark):
     assert out["2024-01-01"] == (2.0, 1)
     assert out["2024-01-02"] == (3.0, 2)
     assert out["2024-01-10"] == (10.0, 1)  # gap > 7 days: window resets
+
+
+def test_containment_matches_python_reference_on_random_docs(spark):
+    """containment_pairs == the set-algebra definition computed in
+    Python on 40 seeded-random documents (threshold 0.3, 3-gram sets)."""
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+           for r in dedup.containment_pairs(df, threshold=0.3).collect()}
+
+    def grams(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))
+                if len(w[i:i + 3]) == 3} or {" ".join(w)}
+
+    # mirror word_shingles' short-doc fallback: < 3 tokens yields the
+    # single truncated shingle of the whole text
+    def grams_like_op(t):
+        w = t.lower().strip().split()
+        n = max(len(w) - 3, 0)
+        return {" ".join(w[i:i + 3]) for i in range(n + 1)}
+
+    want = {}
+    for a, ta in docs:
+        for b, tb in docs:
+            if a >= b:
+                continue
+            sa, sb = grams_like_op(ta), grams_like_op(tb)
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            ca, cb = inter / len(sa), inter / len(sb)
+            if ca >= 0.3 or cb >= 0.3:
+                want[(a, b)] = (round(ca, 6), round(cb, 6))
+    assert got == want
