@@ -1547,6 +1547,40 @@ def q_asof_join(spark, sf):
     return out.select("user_id", "event_id", F.round("asof_rv", 6).alias("asof_rv"))
 
 
+def q_order_priority_exists(spark, sf):
+    """TPC-H Q4-shaped EXISTS semi-join: per order priority, how many
+    1995-1996 orders have AT LEAST ONE returned lineitem — the semi-join
+    plan shape (LeftSemi, no fact-side duplication, no distinct needed)
+    that a rewrite through inner-join + distinct would bloat. Date and
+    flag filters push to both parquet scans; the semi-join shuffles on
+    the near-unique orderkey; final agg is a 5-row partial agg."""
+    o = spark.read.parquet(f"{sf}/orders.parquet").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def _order_priority_exists_sql() -> str:
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
     segment — the canonical 3-way join + aggregate + top-k. Catalyst
@@ -5483,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
+        "order_priority_exists": q_order_priority_exists,
         "regional_part_revenue": q_regional_part_revenue,
         "market_basket": q_market_basket,
         "cohort_retention": q_cohort_retention,
@@ -7500,6 +7535,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, day, hr, count(*) AS n, round(sum(value), 4) AS sum_value "
             "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
         ),
+        "order_priority_exists": _order_priority_exists_sql(),
         "shipping_priority": (
             "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
             "o_orderpriority, "

@@ -149,6 +149,7 @@ AUDITS = [
     ("event_winsorize", "winsorization: exact percentiles to a 5-row broadcast, clamp in Project, ONE summary partial agg"),
     ("emb_standardize", "whitening: posexplode + 64-row per-dim stats broadcast back, standardization is a codegen'd Project"),
     ("event_reach", "growth triple: first-seen identity replaces cumulative-distinct; only the 30-row day frame sees a window"),
+    ("order_priority_exists", "Q4 EXISTS: LeftSemi join (no fact duplication, no distinct), filters pushed to BOTH parquet scans"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),
