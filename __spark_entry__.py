@@ -1581,6 +1581,63 @@ GROUP BY 1
 """
 
 
+def q_small_quantity_revenue(spark, sf):
+    """TPC-H Q17-shaped correlated scalar subquery: revenue from
+    lineitems whose quantity is below 20% of their part's average —
+    decorrelated the way Catalyst does it: the per-part average is ONE
+    partial agg over the same scan, joined back on the near-unique part
+    key (no per-row subquery execution). One row out."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_q"))
+    return (
+        li.join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_q"))
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        )
+    )
+
+
+def _small_quantity_revenue_sql() -> str:
+    return """
+WITH a AS (SELECT l_partkey, avg(l_quantity) AS avg_q FROM lineitem GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+  round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * a.avg_q
+"""
+
+
+def q_customer_order_dist(spark, sf):
+    """TPC-H Q13-shaped distribution: how many customers placed exactly
+    k orders, INCLUDING the zero-order customers a plain inner join
+    silently drops — the left-outer + count + re-group double aggregate.
+    Two shrinking partial aggs; the outer join shuffles on the
+    near-unique customer key."""
+    c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, "c_custkey", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+def _customer_order_dist_sql() -> str:
+    return """
+WITH pc AS (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM pc GROUP BY 1
+"""
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
     segment — the canonical 3-way join + aggregate + top-k. Catalyst
@@ -5518,6 +5575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
         "order_priority_exists": q_order_priority_exists,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "customer_order_dist": q_customer_order_dist,
         "regional_part_revenue": q_regional_part_revenue,
         "market_basket": q_market_basket,
         "cohort_retention": q_cohort_retention,
@@ -7536,6 +7595,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM b GROUP BY GROUPING SETS ((event_type, day), (event_type, day, hr))"
         ),
         "order_priority_exists": _order_priority_exists_sql(),
+        "small_quantity_revenue": _small_quantity_revenue_sql(),
+        "customer_order_dist": _customer_order_dist_sql(),
         "shipping_priority": (
             "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
             "o_orderpriority, "

@@ -150,6 +150,8 @@ AUDITS = [
     ("emb_standardize", "whitening: posexplode + 64-row per-dim stats broadcast back, standardization is a codegen'd Project"),
     ("event_reach", "growth triple: first-seen identity replaces cumulative-distinct; only the 30-row day frame sees a window"),
     ("order_priority_exists", "Q4 EXISTS: LeftSemi join (no fact duplication, no distinct), filters pushed to BOTH parquet scans"),
+    ("small_quantity_revenue", "Q17 scalar subquery decorrelated: ONE per-part avg agg joined back on the near-unique key, one row out"),
+    ("customer_order_dist", "Q13 distribution: left-outer keeps zero-order customers, two shrinking partial aggs"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),
