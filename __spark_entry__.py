@@ -1671,6 +1671,120 @@ def q_shipping_priority(spark, sf):
     return j.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
 
 
+def q_nation_revenue_share(spark, sf):
+    """Ratio-to-report analytic: each supplier's revenue as a share of
+    its nation's total, with the in-nation rank — the share-of-parent
+    window pattern every BI layer ships (RATIO_TO_REPORT). One fact-side
+    partial agg to the 100-row supplier frame, broadcast dim attach,
+    then nation-partitioned windows over that tiny frame only. Ranks
+    order by the 4-dp-rounded revenue (tie-break supplier key) so
+    epsilon-level sum divergence can't flip them."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    sup = (
+        rev.join(F.broadcast(s), "s_suppkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("revenue", F.round("_rev", 4))
+    )
+    wn = Window.partitionBy("n_name")
+    wr = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return sup.select(
+        "s_suppkey",
+        F.col("n_name").alias("nation"),
+        "revenue",
+        F.round(F.col("_rev") / F.sum("_rev").over(wn), 6).alias("nation_share"),
+        F.row_number().over(wr).alias("rank_in_nation"),
+    )
+
+
+def _nation_revenue_share_sql() -> str:
+    return """
+WITH rev AS (SELECT l_suppkey AS s_suppkey,
+    sum(l_extendedprice * (1 - l_discount)) AS rv
+  FROM lineitem GROUP BY 1),
+sup AS (SELECT r.s_suppkey, n.n_name AS nation, rv, round(rv, 4) AS revenue
+  FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey)
+SELECT s_suppkey, nation, revenue,
+  round(rv / sum(rv) OVER (PARTITION BY nation), 6) AS nation_share,
+  CAST(row_number() OVER (PARTITION BY nation
+    ORDER BY revenue DESC, s_suppkey ASC) AS INT) AS rank_in_nation
+FROM sup
+"""
+
+
+def q_corpus_heaps(spark, sf):
+    """Heaps'-law vocabulary-growth diagnostic: cumulative token count
+    vs cumulative DISTINCT vocabulary at 10 corpus checkpoints, plus the
+    fitted ln-ln growth exponent beta (V ~ K * n^beta; healthy natural
+    text sits near 0.4-0.6, synthetic/boilerplate-heavy corpora sag).
+    Cumulative distinct is not window-expressible, but the first-seen
+    identity is (same trick as event_reach): a token joins the
+    vocabulary in the decile of its min(doc_id). Two corpus-scale
+    partial aggs; windows and the least-squares fold only ever see the
+    10-row decile frame."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    nmax = d.agg((F.max("doc_id") + 1).alias("_n"))
+    tok = (
+        d.crossJoin(F.broadcast(nmax))
+        .select(
+            F.least(F.floor(F.col("doc_id") * 10 / F.col("_n")), F.lit(9))
+            .cast("int").alias("decile"),
+            "doc_id",
+            F.explode(F.expr("split(lower(trim(text)), '\\\\s+')")).alias("token"),
+        )
+    )
+    tok_per_dec = tok.groupBy("decile").agg(F.count("*").alias("_nt"))
+    first_seen = tok.groupBy("token").agg(F.min("decile").alias("decile"))
+    voc_per_dec = first_seen.groupBy("decile").agg(F.count("*").alias("_nv"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        tok_per_dec.join(voc_per_dec, "decile", "left")
+        .select(
+            "decile",
+            F.sum("_nt").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("_nv", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+    ln_n, ln_v = F.log("cum_tokens"), F.log("cum_vocab")
+    fit = pts.agg(
+        (
+            (F.avg(ln_n * ln_v) - F.avg(ln_n) * F.avg(ln_v))
+            / (F.avg(ln_n * ln_n) - F.avg(ln_n) * F.avg(ln_n))
+        ).alias("_beta")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "decile", "cum_tokens", "cum_vocab", F.round("_beta", 6).alias("heaps_beta")
+    )
+
+
+def _corpus_heaps_sql() -> str:
+    return """
+WITH nm AS (SELECT max(doc_id) + 1 AS n FROM documents),
+tok AS (SELECT least(CAST(floor(doc_id * 10 / nm.n) AS INT), 9) AS decile,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents CROSS JOIN nm),
+td AS (SELECT decile, count(*) AS nt FROM tok GROUP BY 1),
+fs AS (SELECT token, min(decile) AS decile FROM tok GROUP BY 1),
+vd AS (SELECT decile, count(*) AS nv FROM fs GROUP BY 1),
+pts AS (SELECT td.decile,
+    CAST(sum(nt) OVER (ORDER BY td.decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+    CAST(sum(coalesce(nv, 0)) OVER (ORDER BY td.decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+  FROM td LEFT JOIN vd ON vd.decile = td.decile),
+fit AS (SELECT (avg(ln(cum_tokens) * ln(cum_vocab)) - avg(ln(cum_tokens)) * avg(ln(cum_vocab)))
+             / (avg(ln(cum_tokens) * ln(cum_tokens)) - avg(ln(cum_tokens)) * avg(ln(cum_tokens))) AS beta
+  FROM pts)
+SELECT decile, cum_tokens, cum_vocab, round(fit.beta, 6) AS heaps_beta
+FROM pts CROSS JOIN fit
+"""
+
+
 def q_regional_part_revenue(spark, sf):
     """Star-schema rollup across every dimension table: lineitem fact
     joined to supplier -> nation -> region and to part, aggregated to
@@ -5577,6 +5691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_exists": q_order_priority_exists,
         "small_quantity_revenue": q_small_quantity_revenue,
         "customer_order_dist": q_customer_order_dist,
+        "nation_revenue_share": q_nation_revenue_share,
+        "corpus_heaps": q_corpus_heaps,
         "regional_part_revenue": q_regional_part_revenue,
         "market_basket": q_market_basket,
         "cohort_retention": q_cohort_retention,
@@ -7597,6 +7713,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_exists": _order_priority_exists_sql(),
         "small_quantity_revenue": _small_quantity_revenue_sql(),
         "customer_order_dist": _customer_order_dist_sql(),
+        "nation_revenue_share": _nation_revenue_share_sql(),
+        "corpus_heaps": _corpus_heaps_sql(),
         "shipping_priority": (
             "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
             "o_orderpriority, "
