@@ -3373,6 +3373,81 @@ WHERE i*1.0/z1.n >= 0.5 OR i*1.0/z2.n >= 0.5
 """
 
 
+def q_dedup_recall_eval(spark, sf):
+    """Dedup quality gate — completes the eval-gate trio (link_eval_pr,
+    ann_recall_eval): measured recall of a WEAK MinHash-LSH blocking
+    (16 portable char-fold hashes, 2 bands x 8 rows — at this corpus's
+    J~0.95 gold pairs the per-pair miss probability is ~0.1, so misses
+    are real) against the exact word-3-gram Jaccard >= 0.8 gold. Blocked
+    pairs are verified exact, so precision is 1 by construction and the
+    one-row report measures what blocking LOSES. The oracle replays the
+    identical signatures/band joins in SQL — possible only because the
+    hash is the cross-engine char fold, not xxhash64 (which is why the
+    production path can't be measured this way and uses
+    equivalence-at-verification-strength instead)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    gold = dedup.ngram_jaccard_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    sig = dedup.portable_minhash_signatures(d)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+
+    def band_join(lo, hi):
+        cond = lt
+        for i in range(lo, hi):
+            cond = cond & (F.col(f"a.m{i}") == F.col(f"b.m{i}"))
+        return a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
+    cand = band_join(0, 8).unionByName(band_join(8, 16)).distinct()
+    n_gold = gold.count()
+    hit = gold.join(cand, ["doc_a", "doc_b"])
+    return hit.agg(
+        F.lit(n_gold).cast("long").alias("n_gold"),
+        F.count("*").cast("long").alias("n_hit"),
+        F.round(F.count("*") / F.lit(n_gold), 6).alias("recall"),
+    )
+
+
+def _dedup_recall_eval_sql() -> str:
+    from citykg.ops.dedup import PORTABLE_PERMS
+    from citykg.ops.hashing import POLY_P, char_fold_duckdb
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {POLY_P}) AS m{i}"
+        for i, (a, b) in enumerate(PORTABLE_PERMS)
+    )
+
+    def band_cond(lo, hi):
+        return " AND ".join(f"a.m{i} = b.m{i}" for i in range(lo, hi))
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] s
+       FROM toks, UNNEST(range(1, len(w)-1)) t(i)),
+p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i FROM sh a JOIN sh b
+      ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+z AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+gold AS (SELECT doc_a, doc_b
+  FROM p JOIN z z1 ON doc_a=z1.doc_id JOIN z z2 ON doc_b=z2.doc_id
+  WHERE i*1.0/(z1.n+z2.n-i) >= 0.8),
+hs AS (SELECT doc_id, {char_fold_duckdb('s')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id AND {band_cond(0, 8)}
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id AND {band_cond(8, 16)}),
+ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+h2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+  FROM gold g JOIN cand c ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b)
+SELECT ng.n_gold, h2.n_hit, round(h2.n_hit * 1.0 / ng.n_gold, 6) AS recall
+FROM ng CROSS JOIN h2
+"""
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental dedup: every 10th doc plays the NEW batch, the rest the
     existing store; pairs are batch-vs-batch and batch-vs-store only —
@@ -5737,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cascade": q_filter_cascade,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_containment": q_text_containment,
+        "dedup_recall_eval": q_dedup_recall_eval,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
@@ -7901,6 +7977,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_cascade": _filter_cascade_sql(),
         "dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "text_containment": _containment_pairs_sql(),
+        "dedup_recall_eval": _dedup_recall_eval_sql(),
         "dedup_minhash_lsh": _jaccard_pairs_sql(),  # LSH verified output == exact set here
         "dedup_embedding": (
             "WITH p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "

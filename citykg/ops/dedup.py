@@ -223,6 +223,45 @@ def containment_pairs(
     )
 
 
+#: hand-pinned (a, b) permutation constants for the PORTABLE MinHash —
+#: a <= 31 keeps a*h + b < 2^63 for the 57-bit char-fold hash (ANSI-safe
+#: in Spark, plain BIGINT math in any SQL engine)
+PORTABLE_PERMS = [
+    (3, 17), (5, 101), (7, 389), (11, 1021),
+    (13, 4093), (17, 16381), (19, 65521), (23, 262139),
+    (29, 1048573), (31, 4194301), (3, 999983), (5, 7919),
+    (7, 104729), (11, 1299709), (13, 15485863), (17, 1794239),
+]
+
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures over word n-grams using the CROSS-ENGINE
+    char-fold hash (citykg.ops.hashing) instead of xxhash64 — slower
+    per shingle, but byte-reproducible by any ANSI-SQL engine, which is
+    what makes a measured-recall LSH evaluation value-oracle-able (the
+    production signatures in link.with_minhash keep xxhash64).
+
+    One explode + ONE doc-keyed partial agg (the 16 permutation minimums
+    are map-side-combinable MIN columns). Output: (id, m0..m15)."""
+    from .hashing import POLY_P, char_fold_spark
+
+    sh = word_shingles(
+        fanout_to_parallelism(df, id_col, text_col), text_col, n
+    ).select(id_col, "shingle")
+    hashed = sh.selectExpr(id_col, f"{char_fold_spark('shingle')} as _h")
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.expr(f"pmod({a}L * _h + {b}L, {POLY_P}L)")).alias(f"m{i}")
+            for i, (a, b) in enumerate(PORTABLE_PERMS)
+        ]
+    )
+
+
 def repeated_substring_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
