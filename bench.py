@@ -261,6 +261,15 @@ def headline(sf_dir: str, cores: int) -> None:
         "graph_random_walks",
         "ann_recall_eval",
         "event_gapfill",
+        "dedup_recall_eval",
+        "corpus_heaps",
+        "order_priority_exists",
+        "customer_order_dist",
+        "small_quantity_revenue",
+        "nation_revenue_share",
+        "event_cusum",
+        "emb_standardize",
+        "kg_counts_cube",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -154,6 +154,7 @@ AUDITS = [
     ("customer_order_dist", "Q13 distribution: left-outer keeps zero-order customers, two shrinking partial aggs"),
     ("nation_revenue_share", "ratio-to-report: fact agg to the 100-row supplier frame first; windows only over that frame"),
     ("corpus_heaps", "Heaps law: first-seen identity for cumulative distinct; corpus sees 2 partial aggs, windows only the 10-row decile frame"),
+    ("dedup_recall_eval", "dedup recall gate: ONE doc-keyed signature agg; band self-joins are 8-column equi-joins bounded by near-dup cluster size"),
     ("feature_hash", "hashing-trick vectorizer: explode + ONE (id, dim) partial agg, no vocabulary join"),
     ("corpus_card", "dataset card: one scan, one global agg; two-phase distincts are the only exchanges"),
     ("graph_link_predict", "Adamic-Adar: wedge join at the shared neighbor + ONE (u,v) partial agg + anti-join; no node-set self-join"),

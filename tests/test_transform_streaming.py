@@ -341,3 +341,47 @@ def test_stream_sessionized_merges_and_closes(spark, tmp_path_factory):
         (1, t0, 2),                        # merged pair
         (1, t0 + timedelta(hours=3), 1),   # second closed session
     }
+
+
+def test_stream_sessionized_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Kill-and-resume: a session whose events arrive across a query
+    RESTART still merges into one session — the session state lives in
+    the checkpoint, not the process. Final output equals the single-run
+    batch computation."""
+    from datetime import datetime, timedelta
+
+    land = str(tmp_path_factory.mktemp("sessr_landing"))
+    out = str(tmp_path_factory.mktemp("sessr_out"))
+    ckpt = str(tmp_path_factory.mktemp("sessr_ckpt"))
+    t0 = datetime(2024, 3, 1)
+
+    def run_available(tag):
+        s = spark.readStream.schema("user_id long, ts timestamp").parquet(land)
+        w = streaming.stream_sessionized(s, "ts", "user_id", "30 minutes", "1 hours")
+        q = (
+            w.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events 10 min apart — session still OPEN (watermark
+    # hasn't passed its end), so nothing is emitted yet
+    b1 = [(1, t0), (1, t0 + timedelta(minutes=10))]
+    spark.createDataFrame(b1, "user_id long, ts timestamp").write.mode("append").parquet(land)
+    run_available("b1")
+    assert spark.read.parquet(out).count() == 0
+
+    # batch 2 (NEW query instance, same checkpoint): a third event still
+    # inside the gap merges into the checkpointed session; a far-future
+    # anchor advances the watermark past its end
+    b2 = [(1, t0 + timedelta(minutes=20)), (2, t0 + timedelta(hours=24))]
+    spark.createDataFrame(b2, "user_id long, ts timestamp").write.mode("append").parquet(land)
+    run_available("b2")
+
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, t0, 3)}  # ONE merged session spanning the restart
