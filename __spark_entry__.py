@@ -5674,6 +5674,166 @@ def q_agent_plot_filter(spark, sf):
     return CityInformationAgent().filtered_objects(gfa, req, agent_url)
 
 
+def q_kg_construct_derive(spark, sf):
+    """SPARQL CONSTRUCT analog: match a graph pattern, emit NEW triples
+    from templates — the reference's derived-triple surface (the agents
+    write inferred triples back via SPARQL INSERT DATA,
+    agents/.../tasks/PageRankTask + GraphInferenceAgent; the Blazegraph
+    endpoint serves CONSTRUCT). Here the pattern is building
+    measuredHeigh (the load-bearing typo predicate,
+    SchemaManagerAdapter.ONTO_MEASURED_HEIGH) and the template emits two
+    derived triples per match: a LOW/MID/HIGH height class and a
+    10m height band. One Project over the extracted frame, a 2-way
+    union — zero shuffles, the construct templates stay in codegen."""
+    t = _triples(spark, sf, ["building"]).where(
+        F.col("pred") == "ocgml:measuredHeigh"
+    )
+    h = t.select("subj", F.col("obj").cast("double").alias("_h"))
+    cls = h.select(
+        "subj",
+        F.lit("ocgml:heightClass").alias("pred"),
+        F.when(F.col("_h") < 15, "LOW")
+        .when(F.col("_h") < 35, "MID")
+        .otherwise("HIGH")
+        .alias("obj"),
+        F.lit("derived").alias("graph"),
+    )
+    band = h.select(
+        "subj",
+        F.lit("ocgml:heightBand").alias("pred"),
+        (F.floor(F.col("_h") / 10) * 10).cast("int").cast("string").alias("obj"),
+        F.lit("derived").alias("graph"),
+    )
+    return cls.unionByName(band)
+
+
+def _kg_construct_derive_sql() -> str:
+    from citykg.fixtures import triples_oracle_sql
+
+    trip = triples_oracle_sql(graphs=["building"])
+    return f"""
+WITH trip AS ({trip}),
+h AS (SELECT subj, CAST(obj AS DOUBLE) AS h FROM trip WHERE pred = 'ocgml:measuredHeigh')
+SELECT subj, 'ocgml:heightClass' AS pred,
+       CASE WHEN h < 15 THEN 'LOW' WHEN h < 35 THEN 'MID' ELSE 'HIGH' END AS obj,
+       'derived' AS graph FROM h
+UNION ALL
+SELECT subj, 'ocgml:heightBand' AS pred,
+       CAST(CAST(floor(h / 10) * 10 AS INT) AS VARCHAR) AS obj,
+       'derived' AS graph FROM h
+"""
+
+
+def q_ann_pq_adc(spark, sf):
+    """PQ asymmetric-distance search (faiss IndexPQ.search): corpus held
+    as 4-byte PQ codes only, each query precomputes a 4x8 subvector->
+    centroid distance table, candidate distance = 4 lookups + 3 adds.
+    k=5 neighbors per query. The oracle replays code assignment, table
+    build and lookup from the SAME rendered literal chains
+    (similarity.pq_dist_sql), so ranks and scores match exactly."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(e, q, k=5)
+
+
+def _ann_pq_adc_sql(dim: int = 64) -> str:
+    from citykg.ops.similarity import PQ_K, PQ_M, pq_codebook, pq_dist_sql
+
+    cb = pq_codebook(dim)
+    sub = dim // PQ_M
+    acc = "CAST(embedding[{i}] AS DOUBLE)"
+    ds = ", ".join(
+        "[" + ", ".join(pq_dist_sql(acc, s * sub, cb[s][j]) for j in range(PQ_K))
+        + f"] AS ds{s}"
+        for s in range(PQ_M)
+    )
+    codes = ", ".join(
+        f"list_position(ds{s}, list_min(ds{s})) - 1 AS c{s}" for s in range(PQ_M)
+    )
+    qds = ", ".join(
+        "[" + ", ".join(pq_dist_sql(acc, s * sub, cb[s][j]) for j in range(PQ_K))
+        + f"] AS qd{s}"
+        for s in range(PQ_M)
+    )
+    adc = " + ".join(f"qd{s}[c{s} + 1]" for s in range(PQ_M))
+    return f"""
+WITH d AS (SELECT vec_id, {ds} FROM embeddings),
+c AS (SELECT vec_id, {codes} FROM d),
+q AS (SELECT vec_id AS query_id, {qds} FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, c.vec_id, {adc} AS adc
+      FROM c, q WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, rank, round(adc, 6) AS adc FROM r WHERE rank <= 5
+"""
+
+
+def q_streaming_upsert(spark, sf):
+    """Streaming re-import under the driver's oracle: two versioned
+    triple batches land as files; a foreachBatch stream upserts each
+    epoch into the bucketed store via the REAL
+    materialize.upsert_triples (delete+append, manifest-ledgered
+    exactly-once — streaming.stream_upsert_store). Epoch 0 carries v1
+    building triples for every doc; epoch 1 carries v2 rows (obj
+    suffixed '#v2') for the even docs only. The final store must hold
+    EXACTLY v2 for even docs and v1 for odd docs — any lost epoch,
+    double-applied epoch, or leaked pre-upsert row fails the value
+    hash. Replay idempotence and crash-window convergence are
+    pytest-locked (tests/test_streaming.py)."""
+    import os
+    import tempfile
+    import time
+
+    from citykg import streaming as streammod
+
+    t = _triples(spark, sf, ["building"]).select(*TRIPLE_COLS)
+    v2 = t.where(
+        F.substring("doc_id", 5, 8).cast("long") % 2 == 0
+    ).withColumn("obj", F.concat(F.col("obj"), F.lit("#v2")))
+    land = tempfile.mkdtemp(prefix="citykg_sup_land_")
+    out = tempfile.mkdtemp(prefix="citykg_sup_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_sup_ckpt_")
+    # one file per version, mtimes 100s apart: FileStreamSource orders by
+    # modification time, so epoch 0 = v1, epoch 1 = v2 deterministically
+    for i, frame in enumerate((t, v2)):
+        vdir = tempfile.mkdtemp(prefix=f"citykg_sup_v{i}_")
+        frame.coalesce(1).write.mode("overwrite").parquet(vdir)
+        part = next(
+            p for p in os.listdir(vdir) if p.endswith(".parquet")
+        )
+        dst = os.path.join(land, f"v{i}.parquet")
+        os.rename(os.path.join(vdir, part), dst)
+        ts = time.time() - 200 + i * 100
+        os.utime(dst, (ts, ts))
+    st = spark.readStream.schema(t.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(land)
+    qry = streammod.stream_upsert_store(spark, st, out, ckpt, n_buckets=8)
+    qry.awaitTermination(300)
+    from citykg import materialize
+
+    return materialize.read_triples(spark, out).select(
+        "subj", "pred", "obj", "graph"
+    )
+
+
+def _streaming_upsert_sql() -> str:
+    from citykg.fixtures import triples_oracle_sql
+
+    trip = triples_oracle_sql(graphs=["building"])
+    return f"""
+WITH trip AS ({trip})
+SELECT subj, pred,
+       CASE WHEN CAST(substr(doc_id, 5, 8) AS BIGINT) % 2 = 0
+            THEN obj || '#v2' ELSE obj END AS obj,
+       graph
+FROM trip
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -5803,6 +5963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cos_hist": q_emb_cos_hist,
         "kg_transe": q_kg_transe,
         "streaming_join": q_streaming_join,
+        "streaming_upsert": q_streaming_upsert,
+        "kg_construct_derive": q_kg_construct_derive,
+        "ann_pq_adc": q_ann_pq_adc,
         "streaming_sessionize": q_streaming_sessionize,
         "graph_ppr": q_graph_ppr,
         "event_props_stats": q_event_props_stats,
@@ -8341,6 +8504,9 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             "FROM c JOIN v ON c.user_id = v.user_id "
             "AND v.rts >= c.lts - INTERVAL 1 HOUR AND v.rts <= c.lts"
         ),
+        "streaming_upsert": _streaming_upsert_sql(),
+        "kg_construct_derive": _kg_construct_derive_sql(),
+        "ann_pq_adc": _ann_pq_adc_sql(),
         "emb_project": _emb_project_sql(),
         "kg_zorder": _zorder_sql(),
         "domain_cap": (

@@ -446,6 +446,68 @@ def with_pq_codes(
     ).drop(*[f"_ds{s}" for s in range(m)])
 
 
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    m: int = PQ_M,
+    n_cent: int = PQ_K,
+    seed: int = PQ_SEED,
+) -> DataFrame:
+    """Asymmetric Distance Computation search (Jegou et al. TPAMI 2011
+    §IV.A, the faiss `IndexPQ.search` path): the corpus is held ONLY as
+    m-byte PQ codes; each query precomputes an m x n_cent table of exact
+    subvector->centroid squared distances, and a candidate's approximate
+    distance is m table lookups + (m-1) additions — the float corpus is
+    never touched at query time. At 100 TB this is the memory-bound
+    regime PQ exists for: the scan side of the broadcast join carries
+    (id, m-byte code) ≈ 16x less than the int8 column and 64x less than
+    the float column, and the per-pair work is integer indexing instead
+    of a 64-term dot product.
+
+    Pure Project + one broadcast join + one per-query window — zero
+    corpus shuffle. The lookup tables are built from the SAME
+    `pq_dist_sql` left-to-right chains as the code assignment, so the
+    ADC scores are bit-identical across engines and the ranking is
+    exactly reproducible (the DuckDB oracle replays code assignment,
+    table build, and lookup verbatim).
+
+    queries: (query_id, vec_col). Output: (query_id, vec_id, rank, adc)
+    with adc rounded to 6 dp for display; the rank is computed on the
+    unrounded bit-identical sum."""
+    cb = pq_codebook(dim, m, n_cent, seed)
+    sub = dim // m
+    codes = with_pq_codes(corpus, vec_col, dim, m, n_cent, seed).select(
+        id_col, "pq_code"
+    )
+    acc = f"CAST(element_at({vec_col}, {{i}}) AS DOUBLE)"
+    qt = queries.select(query_id_col, vec_col)
+    for s in range(m):
+        arr = "array(" + ", ".join(
+            pq_dist_sql(acc, s * sub, cb[s][j]) for j in range(n_cent)
+        ) + ")"
+        qt = qt.withColumn(f"_qd{s}", F.expr(arr))
+    qt = qt.drop(vec_col)
+    adc = " + ".join(
+        f"element_at(_qd{s}, element_at(pq_code, {s + 1}) + 1)" for s in range(m)
+    )
+    scored = codes.join(
+        F.broadcast(qt), F.col(id_col) != F.col(query_id_col)
+    ).withColumn("_adc", F.expr(adc))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("_adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rank", F.expr("round(_adc, 6)").alias("adc")
+        )
+    )
+
+
 def emb_centroids(
     df: DataFrame,
     group_col: str = "label",

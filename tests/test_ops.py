@@ -1834,3 +1834,23 @@ def test_containment_matches_python_reference_on_random_docs(spark):
             if ca >= 0.3 or cb >= 0.3:
                 want[(a, b)] = (round(ca, 6), round(cb, 6))
     assert got == want
+
+
+def test_pq_adc_self_distance_is_reconstruction_error(spark, embeddings):
+    """ADC(q, code(q)) is the per-subspace minimum sum == the PQ
+    reconstruction error, and no code can score lower — so each query's
+    rank-1 ADC score must equal its own recon_err exactly (the winning
+    vec_id may be a code-collision twin; the SCORE is the invariant)."""
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    top1 = similarity.pq_adc_topk(embeddings, q, k=1).select(
+        (F.col("query_id") - 1_000_000).alias("vec_id"), "adc"
+    )
+    own = similarity.with_pq_codes(embeddings.where(F.col("vec_id") < 5)).select(
+        "vec_id", "recon_err"
+    )
+    rows = top1.join(own, "vec_id").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.adc == r.recon_err

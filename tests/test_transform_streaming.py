@@ -385,3 +385,116 @@ def test_stream_sessionized_resumes_from_checkpoint(spark, tmp_path_factory):
     got = {(r.user_id, r.session_start, r.n_events)
            for r in spark.read.parquet(out).collect()}
     assert got == {(1, t0, 3)}  # ONE merged session spanning the restart
+
+
+def _mini_triples(spark, rows):
+    from citykg.schema import TRIPLE_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (s, p, o, "literal", None, "building", d, 0, 0)
+            for s, p, o, d in rows
+        ],
+        TRIPLE_SCHEMA,
+    )
+
+
+def test_upsert_epoch_replay_idempotent(spark, tmp_path_factory):
+    """The foreachBatch body skips an epoch whose manifest stage is
+    already committed — a replayed micro-batch (crash between sink work
+    and offset-log commit) cannot double-apply."""
+    out = str(tmp_path_factory.mktemp("up_out"))
+    v1 = _mini_triples(
+        spark,
+        [("A", "ocgml:p", "x", "doc_1"), ("B", "ocgml:p", "y", "doc_2")],
+    )
+    assert streaming.upsert_epoch(v1, out, 0, n_buckets=4) is True
+    from citykg import materialize
+
+    before = sorted(
+        (r.subj, r.obj) for r in materialize.read_triples(spark, out).collect()
+    )
+    # replay the SAME epoch: skipped, store byte-identical
+    assert streaming.upsert_epoch(v1, out, 0, n_buckets=4) is False
+    after = sorted(
+        (r.subj, r.obj) for r in materialize.read_triples(spark, out).collect()
+    )
+    assert after == before == [("A", "x"), ("B", "y")]
+
+
+def test_upsert_epoch_crash_window_converges(spark, tmp_path_factory):
+    """A crash mid-upsert (append partially visible, manifest row never
+    written) replays safely: the delete phase removes the partial rows of
+    the batch's subjects before re-appending."""
+    from citykg import materialize
+
+    out = str(tmp_path_factory.mktemp("up_crash"))
+    v1 = _mini_triples(spark, [("A", "ocgml:p", "x", "doc_1")])
+    streaming.upsert_epoch(v1, out, 0, n_buckets=4)
+    # simulate the crash window: epoch 1's append landed but its manifest
+    # row did not — apply the raw append WITHOUT the ledger entry
+    v2 = _mini_triples(spark, [("A", "ocgml:p", "x-v2", "doc_1")])
+    from citykg.materialize import _adapter, with_bucket
+
+    _adapter(spark, out).append(
+        with_bucket(v2, 4).sortWithinPartitions("graph", "bucket", "subj")
+    )
+    # replay of epoch 1 is NOT skipped (no manifest row) and converges
+    assert streaming.upsert_epoch(v2, out, 1, n_buckets=4) is True
+    rows = sorted(
+        (r.subj, r.obj) for r in materialize.read_triples(spark, out).collect()
+    )
+    assert rows == [("A", "x-v2")]
+
+
+def test_stream_upsert_store_last_version_wins(spark, tmp_path_factory):
+    """End-to-end: two mtime-ordered landing files stream through
+    foreachBatch upserts; the store holds the newest version per subject
+    and the restart with the same checkpoint applies only new files."""
+    import os
+    import time as _time
+
+    from citykg import materialize
+
+    land = str(tmp_path_factory.mktemp("up_land"))
+    out = str(tmp_path_factory.mktemp("up_store"))
+    ckpt = str(tmp_path_factory.mktemp("up_ckpt"))
+    v1 = _mini_triples(
+        spark,
+        [("A", "ocgml:p", "a1", "doc_1"), ("B", "ocgml:p", "b1", "doc_2")],
+    )
+    v2 = _mini_triples(spark, [("A", "ocgml:p", "a2", "doc_1")])
+    for i, frame in enumerate((v1, v2)):
+        vdir = str(tmp_path_factory.mktemp(f"up_v{i}"))
+        frame.coalesce(1).write.mode("overwrite").parquet(vdir)
+        part = next(p for p in os.listdir(vdir) if p.endswith(".parquet"))
+        dst = os.path.join(land, f"v{i}.parquet")
+        os.rename(os.path.join(vdir, part), dst)
+        ts = _time.time() - 200 + i * 100
+        os.utime(dst, (ts, ts))
+
+    def run():
+        s = (
+            spark.readStream.schema(v1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        q = streaming.stream_upsert_store(spark, s, out, ckpt, n_buckets=4)
+        q.awaitTermination(120)
+
+    run()
+    rows = sorted(
+        (r.subj, r.obj) for r in materialize.read_triples(spark, out).collect()
+    )
+    assert rows == [("A", "a2"), ("B", "b1")]
+    # third drop after the stream finished: only the new file is applied
+    v3 = _mini_triples(spark, [("B", "ocgml:p", "b3", "doc_2")])
+    vdir = str(tmp_path_factory.mktemp("up_v3"))
+    v3.coalesce(1).write.mode("overwrite").parquet(vdir)
+    part = next(p for p in os.listdir(vdir) if p.endswith(".parquet"))
+    os.rename(os.path.join(vdir, part), os.path.join(land, "v3.parquet"))
+    run()
+    rows = sorted(
+        (r.subj, r.obj) for r in materialize.read_triples(spark, out).collect()
+    )
+    assert rows == [("A", "a2"), ("B", "b3")]
