@@ -5771,6 +5771,21 @@ SELECT query_id, vec_id, rank, round(adc, 6) AS adc FROM r WHERE rank <= 5
 """
 
 
+def q_ann_ivfpq_topk(spark, sf):
+    """IVF-PQ with nprobe == n_centroids (faiss IndexIVFPQ,
+    similarity.ivfpq_ann_topk): the probed inverted lists cover the
+    corpus and each row sits in exactly one list, so a correct
+    cell+code pipeline yields EXACTLY the exhaustive ADC ranking — the
+    oracle proves the coarse quantizer drops/duplicates nothing and the
+    code path scores identically. (Recall at nprobe < n_centroids is
+    pytest-locked.)"""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_ann_topk(e, q, k=5, n_centroids=8, nprobe=8)
+
+
 def q_streaming_upsert(spark, sf):
     """Streaming re-import under the driver's oracle: two versioned
     triple batches land as files; a foreachBatch stream upserts each
@@ -5966,6 +5981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": q_streaming_upsert,
         "kg_construct_derive": q_kg_construct_derive,
         "ann_pq_adc": q_ann_pq_adc,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "streaming_sessionize": q_streaming_sessionize,
         "graph_ppr": q_graph_ppr,
         "event_props_stats": q_event_props_stats,
@@ -8507,6 +8523,8 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         "streaming_upsert": _streaming_upsert_sql(),
         "kg_construct_derive": _kg_construct_derive_sql(),
         "ann_pq_adc": _ann_pq_adc_sql(),
+        # nprobe == n_centroids covers the corpus -> exhaustive ADC ranking
+        "ann_ivfpq_topk": _ann_pq_adc_sql(),
         "emb_project": _emb_project_sql(),
         "kg_zorder": _zorder_sql(),
         "domain_cap": (

@@ -270,6 +270,13 @@ def headline(sf_dir: str, cores: int) -> None:
         "event_cusum",
         "emb_standardize",
         "kg_counts_cube",
+        # final-session additions: PQ-ADC search + CONSTRUCT derivation
+        # (adds 2 queries of NEW work vs the prior stamp; streaming_upsert
+        # is excluded — its wall is dominated by stream startup, and the
+        # store path is already timed via kg_pipeline's materialize)
+        "ann_pq_adc",
+        "kg_construct_derive",
+        "ann_ivfpq_topk",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

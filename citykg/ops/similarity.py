@@ -508,6 +508,86 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 8,
+    nprobe: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    m: int = PQ_M,
+    n_cent: int = PQ_K,
+    pq_seed: int = PQ_SEED,
+) -> DataFrame:
+    """IVF-PQ (the faiss IndexIVFPQ architecture, Jegou et al. TPAMI
+    2011 §V): the coarse quantizer prunes the corpus to nprobe inverted
+    lists, and the survivors are scored by PQ asymmetric distance — the
+    composition that actually serves web-scale ANN. This is the 100 TB
+    shape end to end: the inverted-list side of the cell join carries
+    (id, cell, m-byte code) — never the float vector — so a query reads
+    ~nprobe/n_centroids of the corpus and does integer table lookups on
+    what it reads; the float column exists only upstream, at index-build
+    time (one Arrow-batched cell-assignment pass + one codegen'd code
+    Project).
+
+    Corpus rows sit in exactly ONE inverted list (n_best=1), so the cell
+    equi-join cannot duplicate a candidate and needs no dedup. At
+    nprobe == n_centroids the probed lists cover the corpus and the
+    ranking is EXACTLY pq_adc_topk's — the assignment-independent
+    verification setting (same argument as ivf_ann_topk); recall at
+    nprobe < n_centroids is the production dial, pytest-locked.
+
+    queries: (query_id, vec_col). Output: (query_id, vec_id, rank, adc)."""
+    cents = ivf_centroids(corpus, vec_col, n_centroids, seed)
+    cb = pq_codebook(dim, m, n_cent, pq_seed)
+    sub = dim // m
+    ca = (
+        with_ivf_cells(
+            with_pq_codes(
+                corpus.select(id_col, vec_col), vec_col, dim, m, n_cent, pq_seed
+            ).select(id_col, vec_col, "pq_code"),
+            cents,
+            vec_col,
+            n_best=1,
+        )
+        .withColumn("cell", F.explode("cells"))
+        .select(id_col, "cell", "pq_code")
+    )
+    acc = f"CAST(element_at(_qv, {{i}}) AS DOUBLE)"
+    qa = with_ivf_cells(
+        queries.select(query_id_col, F.col(vec_col).alias("_qv")),
+        cents,
+        "_qv",
+        n_best=min(nprobe, n_centroids),
+    ).withColumn("cell", F.explode("cells"))
+    for s in range(m):
+        arr = "array(" + ", ".join(
+            pq_dist_sql(acc, s * sub, cb[s][j]) for j in range(n_cent)
+        ) + ")"
+        qa = qa.withColumn(f"_qd{s}", F.expr(arr))
+    qa = qa.drop("_qv", "cells")
+    adc = " + ".join(
+        f"element_at(_qd{s}, element_at(pq_code, {s + 1}) + 1)" for s in range(m)
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("_adc", F.expr(adc))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("_adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rank", F.expr("round(_adc, 6)").alias("adc")
+        )
+    )
+
+
 def emb_centroids(
     df: DataFrame,
     group_col: str = "label",

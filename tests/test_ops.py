@@ -1854,3 +1854,39 @@ def test_pq_adc_self_distance_is_reconstruction_error(spark, embeddings):
     assert len(rows) == 5
     for r in rows:
         assert r.adc == r.recon_err
+
+
+def test_ivfpq_full_probe_equals_exhaustive_adc(spark, embeddings):
+    """nprobe == n_centroids (here 5, a non-divisor cell count): the
+    inverted lists partition the corpus, so IVF-PQ must reproduce the
+    exhaustive ADC ranking row for row."""
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = similarity.ivfpq_ann_topk(
+        embeddings, q, k=5, n_centroids=5, nprobe=5
+    )
+    exhaustive = similarity.pq_adc_topk(embeddings, q, k=5)
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, exhaustive.collect()))
+    assert got == want and len(got) == 25
+
+
+def test_ivfpq_pruned_probe_scores_are_true_adc(spark, embeddings):
+    """nprobe < n_centroids (the production dial): results may miss
+    neighbors whose cell wasn't probed, but every returned (query, id)
+    pair must carry its TRUE exhaustive ADC score and appear in the
+    exhaustive candidate ranking — pruning changes recall, never
+    scores."""
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pruned = similarity.ivfpq_ann_topk(
+        embeddings, q, k=5, n_centroids=8, nprobe=2
+    ).select("query_id", "vec_id", "adc")
+    exhaustive = similarity.pq_adc_topk(
+        embeddings, q, k=10_000_000
+    ).select("query_id", "vec_id", "adc")
+    missing = pruned.exceptAll(exhaustive)
+    assert missing.count() == 0
+    assert pruned.count() > 0
