@@ -165,6 +165,9 @@ AUDITS = [
     ("graph_lpa", "LPA: per-round neighbor join + two partial aggs, no windows; min-struct argmax not row_number"),
     ("graph_modularity", "modularity: community partial aggs + one-row broadcast edge total, single-row result"),
     ("graph_assortativity", "assortativity: degree partial agg + two re-attach joins + one-row moment fold"),
+    ("ann_pq_adc", "PQ-ADC search: codes + lookup tables are codegen'd Projects, query side broadcast, ONE per-query rank window — no float corpus at query time"),
+    ("ann_ivfpq_topk", "IVF-PQ: inverted-list equi-join on cell (query side broadcast), ADC in Project, ONE rank window; no cartesian, no exact rerank"),
+    ("kg_construct_derive", "CONSTRUCT analog: match filter + two template Projects + union — zero shuffles, zero Python"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -182,6 +185,7 @@ NO_CARTESIAN = {
     "graph_link_predict",
     "owl_sameas_ifp",
     "graph_lpa",
+    "ann_ivfpq_topk",
 }
 
 out = io.StringIO()
