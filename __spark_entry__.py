@@ -28,7 +28,7 @@ from citykg.fixtures import (
     triples_oracle_sql,
     SPAN_LAYOUT,
 )
-from citykg.ops import dedup, geo, graph, multimodal, owl, similarity, text
+from citykg.ops import dedup, geo, graph, multimodal, owl, similarity, sketch, text
 from citykg.vocab import DEFAULT_BASE, OCGML
 
 REHOME_BASE = "http://www.theworldavatar.com/citieskg/namespace/central/sparql"
@@ -2547,6 +2547,116 @@ SELECT key, CAST(cnt AS BIGINT) AS cnt,
 FROM c CROSS JOIN tot ORDER BY cnt DESC, key LIMIT 20
 """
     )
+
+
+def q_approx_distinct_hll(spark, sf):
+    """HyperLogLog distinct-user estimate per event type (p=8 -> 256
+    registers) measured against the exact COUNT(DISTINCT) — the eval
+    gate for the sketch a 10^12-row run swaps in for exact distincts
+    (the swap several docstrings in this file promise). Registers come
+    from the first 56 md5 bits — the hash both engines share bit-exactly
+    (ops.sketch) — so the DuckDB oracle rebuilds the IDENTICAL register
+    file and the ESTIMATE itself is value-checked, not just the exact
+    control. Scale shape: the sketch
+    shuffle is capped at n_types x 256 rows by map-side combine no
+    matter how many input rows; the exact control is the only part that
+    wouldn't survive 10^12 rows, which is the point of the gate."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    reg = sketch.hll_registers(e, "user_id", ["event_type"], p=8)
+    est = sketch.hll_estimate(reg, ["event_type"], p=8)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+    )
+
+
+def _approx_distinct_hll_sql(p: int = 8) -> str:
+    from citykg.ops.sketch import _HASH_BITS, _hll_alpha, md5_56_duckdb
+
+    m = 1 << p
+    maxrank = _HASH_BITS - p + 1
+    num = repr(_hll_alpha(m) * m * m * float(1 << maxrank))
+    fold = md5_56_duckdb("cast(user_id as varchar)")
+    e_expr = f"{num} / (s_present + ({m} - n_present) * (1::BIGINT << {maxrank}))"
+    return f"""
+WITH h AS (SELECT event_type, {fold} AS _h FROM events),
+r AS (SELECT event_type, _h % {m} AS bucket,
+        CASE WHEN _h // {m} = 0 THEN {maxrank}
+             ELSE {maxrank} - length(bin(_h // {m})) END AS rho
+      FROM h),
+reg AS (SELECT event_type, bucket, max(rho) AS m_rank FROM r GROUP BY 1, 2),
+agg AS (SELECT event_type,
+        sum(1::BIGINT << ({maxrank} - m_rank)) AS s_present,
+        count(*) AS n_present FROM reg GROUP BY 1),
+est AS (SELECT event_type,
+        CASE WHEN {e_expr} <= {repr(2.5 * m)} AND ({m} - n_present) > 0
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))
+             ELSE {e_expr} END AS e
+        FROM agg),
+x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT est.event_type, CAST(x.n_exact AS BIGINT) AS n_exact,
+  round(est.e, 4) AS hll_estimate,
+  round(abs(round(est.e, 4) - x.n_exact) / x.n_exact, 6) AS rel_error
+FROM est JOIN x USING (event_type)
+"""
+
+
+def q_heavy_hitters_cms(spark, sf):
+    """Count-Min heavy-hitter gate: the 20 hottest user_ids by exact
+    event count (count desc, id asc — deterministic at the boundary)
+    point-queried against a d=3 x w=1024 CMS built over the full
+    stream. Reports true count, sketch estimate, and the overestimate
+    (never negative — CMS errs one way only). All-integer, so the
+    DuckDB replay agrees exactly. The sketch build is ONE partial-agg
+    groupBy capped at 3072 shuffle rows per partition; probing joins a
+    broadcast 3072-row matrix — nothing here grows with input size
+    except the exact-truth control."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    cms = sketch.countmin_sketch(e, "user_id", d=3, w=1024)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    est = sketch.countmin_estimate(cms, top.select("user_id"), "user_id", d=3, w=1024)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "true_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_cnt")).alias("overestimate"),
+    )
+
+
+def _heavy_hitters_cms_sql(d: int = 3, w: int = 1024) -> str:
+    from citykg.ops.sketch import md5_56_duckdb
+
+    salts = ", ".join(str(i) for i in range(d))
+    fold = md5_56_duckdb("'r' || r || '#' || ks")
+    return f"""
+WITH k AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1),
+top AS (SELECT user_id, cast(user_id AS VARCHAR) AS ks, true_cnt
+        FROM k ORDER BY true_cnt DESC, user_id LIMIT 20),
+ev AS (SELECT r, cast(user_id AS VARCHAR) AS ks
+       FROM events, UNNEST([{salts}]) t(r)),
+cms AS (SELECT r, {fold} % {w} AS bucket, count(*) AS cnt
+        FROM ev GROUP BY 1, 2),
+probe AS (SELECT user_id, true_cnt, r, {fold} % {w} AS bucket
+          FROM top, UNNEST([{salts}]) t(r)),
+est AS (SELECT user_id, true_cnt, min(cms.cnt) AS cms_estimate
+        FROM probe JOIN cms USING (r, bucket) GROUP BY 1, 2)
+SELECT user_id, CAST(true_cnt AS BIGINT) AS true_cnt,
+  CAST(cms_estimate AS BIGINT) AS cms_estimate,
+  CAST(cms_estimate - true_cnt AS BIGINT) AS overestimate
+FROM est
+"""
 
 
 def q_kg_void_linkset(spark, sf):
@@ -6052,6 +6162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_keywords": q_chi2_keywords,
         "text_ttr": q_text_ttr,
         "heavy_hitters": q_heavy_hitters,
+        "approx_distinct_hll": q_approx_distinct_hll,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         "corpus_card": q_corpus_card,
         "corpus_gate": q_corpus_gate,
         "fk_integrity": q_fk_integrity,
@@ -8275,6 +8387,8 @@ def oracle_sql() -> dict[str, str]:
         "chi2_keywords": _chi2_keywords_sql(),
         "text_ttr": _text_ttr_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
+        "approx_distinct_hll": _approx_distinct_hll_sql(),
+        "heavy_hitters_cms": _heavy_hitters_cms_sql(),
         "corpus_card": _corpus_card_sql(),
         "corpus_gate": _corpus_gate_sql(),
         "fk_integrity": _fk_integrity_sql(),

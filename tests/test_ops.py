@@ -1890,3 +1890,57 @@ def test_ivfpq_pruned_probe_scores_are_true_adc(spark, embeddings):
     missing = pruned.exceptAll(exhaustive)
     assert missing.count() == 0
     assert pruned.count() > 0
+
+
+def test_hll_multiplicity_invariance_and_accuracy(spark):
+    """HLL's defining property: the register file depends only on the SET
+    of keys, so replicating every row 3x leaves the estimate bit-identical;
+    and with m=256 registers the estimate of 2000 true distincts lands
+    within 4 standard errors (sigma ~ 1.04/sqrt(256) = 6.5%)."""
+    from citykg.ops import sketch
+
+    keys = spark.range(2000).selectExpr("concat('u', id) as k", "'g' as g")
+    tripled = keys.union(keys).union(keys)
+    e1 = sketch.hll_estimate(
+        sketch.hll_registers(keys, "k", ["g"]), ["g"]
+    ).collect()[0]
+    e3 = sketch.hll_estimate(
+        sketch.hll_registers(tripled, "k", ["g"]), ["g"]
+    ).collect()[0]
+    assert e1.hll_estimate == e3.hll_estimate
+    assert abs(e1.hll_estimate - 2000) / 2000 < 4 * 1.04 / 16
+
+
+def test_hll_small_range_linear_counting(spark):
+    """With 5 distinct keys in 256 registers the raw estimate falls in the
+    linear-counting branch; the correction m*ln(m/V) is exact enough to
+    round to the true count."""
+    from citykg.ops import sketch
+
+    keys = spark.range(5).selectExpr("concat('k', id) as k", "'g' as g")
+    e = sketch.hll_estimate(sketch.hll_registers(keys, "k", ["g"]), ["g"]).collect()[0]
+    assert round(e.hll_estimate) == 5
+
+
+def test_countmin_one_sided_error(spark):
+    """CMS never underestimates: for every key, min-over-rows >= true
+    count; and the overestimate is bounded by the total stream count."""
+    from citykg.ops import sketch
+
+    # 50 keys, key i appears i+1 times -> skewed truth
+    df = spark.range(50).selectExpr(
+        "explode(sequence(0, cast(id as int))) as _", "concat('k', id) as k"
+    ).select("k")
+    total = df.count()
+    cms = sketch.countmin_sketch(df, "k", d=3, w=64)  # small w forces collisions
+    truth = df.groupBy("k").agg(F.count("*").alias("true_cnt"))
+    est = sketch.countmin_estimate(cms, truth.select("k"), "k", d=3, w=64)
+    rows = truth.join(est, "k").collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.cms_estimate >= r.true_cnt
+        assert r.cms_estimate <= total
+    # with w=64 << 50 keys at least one collision is certain by pigeonhole
+    # on any single row, but the min over 3 rows can still be exact; just
+    # assert the sketch is not trivially the total everywhere
+    assert any(r.cms_estimate == r.true_cnt for r in rows)
