@@ -2659,6 +2659,90 @@ FROM est
 """
 
 
+def q_event_ab_test(spark, sf):
+    """A/B experiment readout — the analysis step after dataset_split
+    assigns variants: users split by the deterministic parity of
+    user_id, per-metric (event_type) sample sizes, means, and Welch's
+    unequal-variance t statistic with its Satterthwaite degrees of
+    freedom. ONE partial-agg pass computes (n, sum, sum-of-squares) per
+    (type, variant); the variant pivot is conditional aggregation, so
+    the whole readout is two map-side-combined shuffles over any stream
+    size. Sample variance via the sum-of-squares identity; both engines
+    run the identical expression tree and 4-dp rounding absorbs
+    summation-order noise."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    s = (
+        e.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+
+    def side(v, col):
+        return F.max(F.when(F.col("variant") == v, F.col(col)))
+
+    w = s.groupBy("event_type").agg(
+        side(0, "n").alias("n_a"), side(0, "s").alias("s_a"), side(0, "ss").alias("ss_a"),
+        side(1, "n").alias("n_b"), side(1, "s").alias("s_b"), side(1, "ss").alias("ss_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    sea = var_a / F.col("n_a")
+    seb = var_b / F.col("n_b")
+    t = (mean_a - mean_b) / F.sqrt(sea + seb)
+    df_w = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)
+    )
+    return w.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df_w, 2).alias("df_welch"),
+    )
+
+
+def _event_ab_test_sql() -> str:
+    return """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+         count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type,
+    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+    max(CASE WHEN variant = 0 THEN s END) AS s_a,
+    max(CASE WHEN variant = 0 THEN ss END) AS ss_a,
+    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+    max(CASE WHEN variant = 1 THEN s END) AS s_b,
+    max(CASE WHEN variant = 1 THEN ss END) AS ss_b
+  FROM s GROUP BY 1)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(s_a / n_a, 4) AS mean_a,
+  round(s_b / n_b, 4) AS mean_b,
+  round((s_a / n_a - s_b / n_b) /
+        sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+           + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b), 4) AS t_stat,
+  round(((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+          + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+      * ((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+          + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+      / (((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a)
+         * ((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a) / (n_a - 1)
+       + ((ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+         * ((ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b) / (n_b - 1)), 2)
+    AS df_welch
+FROM w
+"""
+
+
 def q_kg_void_linkset(spark, sf):
     """VoID linkset census (the W3C VoID vocabulary's
     void:Linkset / void:target description, the cross-graph complement
@@ -4569,6 +4653,34 @@ def q_graph_shortest_paths(spark, sf):
     return graph.shortest_paths(graph.triples_to_edges(t), src[0].subj if src else "none")
 
 
+def q_kg_reachability(spark, sf):
+    """SPARQL property-path `pred+` over the KG link graph: all pairs
+    within 6 hops with their minimum path length (semi-naive frontier
+    expansion, ops.graph.bounded_reachability). Oracle = the identical
+    closure as a DuckDB recursive CTE with min(depth). Runs on the same
+    edge list as graph_pagerank."""
+    t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
+    return graph.bounded_reachability(graph.triples_to_edges(t), max_depth=6)
+
+
+def _kg_reachability_sql(max_depth: int = 6) -> str:
+    return (
+        _graph_edges_cte(
+            ["building", "addresstobuilding", "surfacegeometry"], recursive=True
+        )
+        + f"""
+, reach(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.depth < {max_depth}
+)
+SELECT src, dst, CAST(min(depth) AS INT) AS depth
+FROM reach WHERE src <> dst GROUP BY 1, 2
+"""
+    )
+
+
 def q_graph_hits(spark, sf):
     """HITS hubs/authorities on the same edge list as graph_pagerank,
     fixed 8 iterations, L1 normalization (no sqrt -> the DuckDB oracle
@@ -6164,6 +6276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "approx_distinct_hll": q_approx_distinct_hll,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "event_ab_test": q_event_ab_test,
         "corpus_card": q_corpus_card,
         "corpus_gate": q_corpus_gate,
         "fk_integrity": q_fk_integrity,
@@ -6197,6 +6310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_pagerank": q_graph_pagerank,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "kg_reachability": q_kg_reachability,
     }
 
 
@@ -8389,6 +8503,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql(),
         "approx_distinct_hll": _approx_distinct_hll_sql(),
         "heavy_hitters_cms": _heavy_hitters_cms_sql(),
+        "event_ab_test": _event_ab_test_sql(),
         "corpus_card": _corpus_card_sql(),
         "corpus_gate": _corpus_gate_sql(),
         "fk_integrity": _fk_integrity_sql(),
@@ -8558,6 +8673,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
             "'oninf:hasInferredValue', printf('%.8f', rank), 'literal', 'ontoinfer' FROM pr"
         ),
         "graph_shortest_paths": _shortest_paths_sql(),
+        "kg_reachability": _kg_reachability_sql(),
         # Brandes re-derived by brute shortest-path enumeration (also
         # locked by tests/test_betweenness.py vs a pure-Python oracle)
         "graph_edge_betweenness": _edge_betweenness_sql(),

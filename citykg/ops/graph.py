@@ -326,6 +326,53 @@ def shortest_paths(edges: DataFrame, source: str, max_hops: int = 15) -> DataFra
     return visited
 
 
+def bounded_reachability(edges: DataFrame, max_depth: int = 6) -> DataFrame:
+    """SPARQL property-path `pred+` analog (the Blazegraph backend the
+    reference queries supports arbitrary-length paths; this is the
+    Spark-side evaluation): every directed pair (src, dst) connected by
+    a path of length <= max_depth, labeled with the MINIMUM path length.
+
+    Frontier expansion, the distributed semi-naive Datalog evaluation:
+    each round joins only the pairs discovered LAST round against the
+    once-checkpointed edge table and anti-joins the already-known set,
+    so per-round work is proportional to the new pairs, not the closure
+    so far. Self-pairs are excluded; that loses no minimal path because
+    any walk revisiting its source has a strictly shorter suffix from
+    the last visit. At 10^12 edges the closure itself can be the blowup
+    — max_depth is the contract (SPARQL engines bound or lazily stream
+    the same construct), and each round is one shuffle on dst/src.
+    Returns (src, dst, depth).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(stable)
+    )
+    known = e.withColumn("depth", F.lit(1))
+    frontier = known
+    # pre-renamed hop table: joining on the bare name sidesteps the
+    # ambiguous-attribute trap of alias-joining two frames that share
+    # the checkpointed edge plan
+    step = e.select(F.col("src").alias("_mid"), F.col("dst").alias("_dst"))
+    for hop in range(2, max_depth + 1):
+        nxt = (
+            frontier.select("src", F.col("dst").alias("_mid"))
+            .join(step, "_mid")
+            .select("src", F.col("_dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(known.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(hop))
+            .transform(stable)
+        )
+        if nxt.isEmpty():
+            break
+        known = known.union(nxt).transform(stable)
+        frontier = nxt
+    return known
+
+
 def hits(edges: DataFrame, max_iter: int = 8) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) — the link-analysis
     twin of the reference's PageRankTask (PageRankTask.java:66-80 builds

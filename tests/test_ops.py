@@ -1944,3 +1944,20 @@ def test_countmin_one_sided_error(spark):
     # on any single row, but the min over 3 rows can still be exact; just
     # assert the sketch is not trivially the total everywhere
     assert any(r.cms_estimate == r.true_cnt for r in rows)
+
+
+def test_bounded_reachability_min_depth_and_cycles(spark):
+    """Chain a->b->c->d gives depths 1..3 from a; a diamond's converging
+    paths keep the MINIMUM depth; a 3-cycle yields both orientations at
+    their shortest length and never emits self-pairs."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),       # chain
+         ("p", "q"), ("p", "r"), ("q", "s"), ("r", "s"), ("p", "s"),  # diamond + shortcut
+         ("x", "y"), ("y", "z"), ("z", "x")],      # 3-cycle
+        "src string, dst string",
+    )
+    got = {(r.src, r.dst): r.depth for r in graph.bounded_reachability(edges, 6).collect()}
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 2 and got[("a", "d")] == 3
+    assert got[("p", "s")] == 1  # shortcut wins over the 2-hop diamond paths
+    assert got[("x", "z")] == 2 and got[("z", "y")] == 2
+    assert all(s != d for (s, d) in got)
