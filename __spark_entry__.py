@@ -5587,6 +5587,78 @@ def q_streaming_windowed(spark, sf):
     )
 
 
+def q_streaming_distinct_hll(spark, sf):
+    """Streaming distinct-user HLL per (1h event-time window, type): the
+    register file's merge is MAX per bucket, so it rides the standard
+    watermarked windowed agg (streaming.stream_hll_registers) and each
+    closed window emits <=256 register rows; a BATCH fold
+    (ops.sketch.hll_estimate) then turns shipped registers into
+    estimates — the production split for streaming COUNT(DISTINCT),
+    whose exact form needs unbounded state. Emitted window set = the
+    watermark-closed ones (same flush rule as streaming_windowed); the
+    DuckDB oracle rebuilds the identical md5 registers over the closed
+    windows in closed form, so the streamed ESTIMATE is value-checked."""
+    import tempfile
+
+    from citykg import streaming as streammod
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("ts", "user_id", "event_type")
+    land = tempfile.mkdtemp(prefix="citykg_shll_land_")
+    out = tempfile.mkdtemp(prefix="citykg_shll_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_shll_ckpt_")
+    ev.write.mode("overwrite").parquet(land)
+    s = spark.readStream.schema(ev.schema).parquet(land)
+    regs = streammod.stream_hll_registers(
+        s, "ts", "user_id", "event_type", "1 hour", "2 hours", p=8
+    )
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    reg = spark.read.parquet(out).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "bucket",
+        "m_rank",
+    )
+    return sketch.hll_estimate(reg, ["win_start", "event_type"], p=8)
+
+
+def _streaming_distinct_hll_sql(p: int = 8) -> str:
+    from citykg.ops.sketch import _HASH_BITS, _hll_alpha, md5_56_duckdb
+
+    m = 1 << p
+    maxrank = _HASH_BITS - p + 1
+    num = repr(_hll_alpha(m) * m * m * float(1 << maxrank))
+    fold = md5_56_duckdb("cast(user_id as varchar)")
+    e_expr = f"{num} / (s_present + ({m} - n_present) * (1::BIGINT << {maxrank}))"
+    return f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM e),
+w AS (SELECT date_trunc('hour', ts) AS ws, event_type, {fold} AS _h FROM e),
+cl AS (SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+         _h % {m} AS bucket,
+         CASE WHEN _h // {m} = 0 THEN {maxrank}
+              ELSE {maxrank} - length(bin(_h // {m})) END AS rho
+       FROM w, mx WHERE ws + INTERVAL 1 HOUR <= cutoff),
+reg AS (SELECT win_start, event_type, bucket, max(rho) AS m_rank
+        FROM cl GROUP BY 1, 2, 3),
+agg AS (SELECT win_start, event_type,
+        sum(1::BIGINT << ({maxrank} - m_rank)) AS s_present,
+        count(*) AS n_present FROM reg GROUP BY 1, 2)
+SELECT win_start, event_type,
+  round(CASE WHEN {e_expr} <= {repr(2.5 * m)} AND ({m} - n_present) > 0
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))
+             ELSE {e_expr} END, 4) AS hll_estimate
+FROM agg
+"""
+
+
 def q_streaming_sessionize(spark, sf):
     """Watermarked streaming SESSION windows under the driver's oracle:
     events stream through session_window(30 min gap) + watermark(2h) in
@@ -6233,6 +6305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_sample": q_kg_negative_sample,
         "streaming_dedup": q_streaming_dedup,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_distinct_hll": q_streaming_distinct_hll,
         "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
@@ -8739,6 +8812,7 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # the stream-stream join's emitted set is the closed-form
         # interval join (q_streaming_join docstring)
         "streaming_sessionize": _streaming_sessionize_sql(),
+        "streaming_distinct_hll": _streaming_distinct_hll_sql(),
         "streaming_join": (
             "WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS lts "
             "FROM events WHERE event_type = 'click'), "

@@ -54,6 +54,21 @@ def md5_56_duckdb(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 14))::BIGINT"
 
 
+def hll_register_exprs(key_expr: str, p: int = 8):
+    """(bucket, rho) Column pair for one key expression — the per-row
+    register contribution. Used by the streaming register builder where
+    the two-step select of hll_registers can't interpose; Catalyst CSE
+    collapses the repeated md5 in codegen."""
+    m = 1 << p
+    wid = _HASH_BITS - p
+    h = F.expr(md5_56_spark(key_expr))
+    w_expr = f"({md5_56_spark(key_expr)}) div {m}"
+    rho = F.when(F.expr(w_expr) == 0, F.lit(wid + 1)).otherwise(
+        F.lit(wid + 1) - F.length(F.expr(f"bin({w_expr})"))
+    )
+    return (h % m), rho
+
+
 def _hll_alpha(m: int) -> float:
     if m == 16:
         return 0.673

@@ -49,6 +49,47 @@ def stream_windowed_counts(
     )
 
 
+def stream_hll_registers(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    group_col: str,
+    window_dur: str = "1 hour",
+    watermark_dur: str = "2 hours",
+    p: int = 8,
+) -> DataFrame:
+    """Watermarked streaming HyperLogLog register file per (event-time
+    window, group): the sketch's merge is MAX per register — associative
+    and commutative — so it rides the SAME watermarked windowed
+    aggregation as a plain count, emitting each window's <=2^p register
+    rows once the watermark closes it. This is the streaming half of
+    the production distinct-count pattern: the stream ships registers,
+    a batch fold (ops.sketch.hll_estimate) turns them into estimates —
+    a stream-side COUNT(DISTINCT) would need unbounded state, the
+    register file needs 2^p rows per open window, period."""
+    from pyspark.sql import functions as F
+
+    from .ops.sketch import hll_register_exprs
+
+    bucket, rho = hll_register_exprs(f"cast({key_col} as string)", p=p)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.select(
+            ts_col, group_col, bucket.alias("bucket"), rho.alias("rho")
+        )
+        .withWatermark(ts_col, watermark_dur)
+        .groupBy(F.window(ts_col, window_dur).alias("win"), group_col, "bucket")
+        .agg(F.max("rho").alias("m_rank"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            group_col,
+            "bucket",
+            "m_rank",
+        )
+    )
+
+
 def stream_sessionized(
     stream_df: DataFrame,
     ts_col: str,
