@@ -1638,6 +1638,47 @@ SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM pc GROUP BY 1
 """
 
 
+def q_top_supplier_revenue(spark, sf):
+    """TPC-H Q15 shape: a revenue 'view' (one-quarter shipdate slice,
+    sum(extprice * (1-disc)) per supplier) joined against its own MAX —
+    the scalar-subquery-over-an-aggregate-of-an-aggregate plan the
+    original expresses with CREATE VIEW. The view is ONE partial-agg
+    shuffle pruned by the pushed shipdate predicate; its max folds to a
+    one-row broadcast; the supplier dimension broadcasts. The winner
+    test compares 4-dp-ROUNDED revenues on both engines so float
+    summation order cannot flip it."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _top_supplier_revenue_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.supplier_no
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
     segment — the canonical 3-way join + aggregate + top-k. Catalyst
@@ -3850,6 +3891,65 @@ WITH c AS (SELECT vec_id, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
 st AS (SELECT j, avg(x) AS mu, stddev_samp(x) AS sd FROM c GROUP BY 1)
 SELECT vec_id, c.j, round((x - mu) / sd, 6) AS v
 FROM c JOIN st ON st.j = c.j
+"""
+
+
+def q_ann_mrl_eval(spark, sf):
+    """Matryoshka truncation gate (MRL, Kusupati et al. NeurIPS 2022):
+    recall@5 of EXACT search in the first-16-dim prefix space against
+    the full 64-dim gold — the measurement that decides whether a cheap
+    prefix tier can front a full-dim re-rank (the MRL serving pattern;
+    complements emb_project's JL tier, which mixes all dims instead of
+    truncating). Truncation is one F.slice in a pure Project; both
+    rankings are exact, so the oracle replays them verbatim with
+    DuckDB's list slice."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gold = similarity.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = q.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pred = similarity.cosine_topk(e16, q16, k=5).select("query_id", "vec_id")
+    hits = pred.join(gold, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        gold.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_gold"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_gold",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_gold"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _ann_mrl_eval_sql() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+g AS (SELECT q.query_id, e.vec_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id ASC) AS rank
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+gold AS (SELECT query_id, vec_id FROM g WHERE rank <= 5),
+p AS (SELECT q.query_id, e.vec_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(e.embedding[1:16], q.qv[1:16]) DESC, e.vec_id ASC) AS rank
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+pred AS (SELECT query_id, vec_id FROM p WHERE rank <= 5),
+h AS (SELECT gold.query_id, count(*) AS n_hit
+      FROM gold JOIN pred ON pred.query_id = gold.query_id AND pred.vec_id = gold.vec_id
+      GROUP BY 1),
+ng AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY 1)
+SELECT ng.query_id, CAST(ng.n_gold AS BIGINT) AS n_gold,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(coalesce(h.n_hit, 0) * 1.0 / ng.n_gold, 6) AS recall
+FROM ng LEFT JOIN h ON h.query_id = ng.query_id
 """
 
 
@@ -6311,6 +6411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_hist": q_emb_label_hist,
         "emb_quantize": q_emb_quantize,
         "ann_brute_topk": q_ann_brute_topk,
+        "ann_mrl_eval": q_ann_mrl_eval,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_eval": q_ann_recall_eval,
         "emb_standardize": q_emb_standardize,
@@ -6350,6 +6451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": q_approx_distinct_hll,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "event_ab_test": q_event_ab_test,
+        "top_supplier_revenue": q_top_supplier_revenue,
         "corpus_card": q_corpus_card,
         "corpus_gate": q_corpus_gate,
         "fk_integrity": q_fk_integrity,
@@ -8480,6 +8582,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_quantize": _emb_quantize_sql(),
         "ann_brute_topk": _ann_brute_sql(),
+        "ann_mrl_eval": _ann_mrl_eval_sql(),
         # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
@@ -8577,6 +8680,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_hll": _approx_distinct_hll_sql(),
         "heavy_hitters_cms": _heavy_hitters_cms_sql(),
         "event_ab_test": _event_ab_test_sql(),
+        "top_supplier_revenue": _top_supplier_revenue_sql(),
         "corpus_card": _corpus_card_sql(),
         "corpus_gate": _corpus_gate_sql(),
         "fk_integrity": _fk_integrity_sql(),
