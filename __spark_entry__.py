@@ -1467,6 +1467,126 @@ def q_multi_graph_join(spark, sf):
     return b.join(g, "doc_id").select("building_iri", "geom_iri", "geom")
 
 
+def q_kg_path_alt(spark, sf):
+    """SPARQL property path with INVERSE + SEQUENCE + ALTERNATION:
+    `?addr (^ocgml:addressId/ocgml:buildingId) |
+           (^ocgml:addressId/ocgml:buildingId/ocgml:buildingParentId) ?x`
+    — address to its building via the link-table row pivot, optionally
+    extended one parent hop. Each path leg is an equi-join (the inverse
+    step is just joining on obj instead of subj); the alternation is a
+    UNION of the two legs, which Catalyst evaluates without
+    re-scanning the shared prefix."""
+    t = _triples(spark, sf, ["addresstobuilding", "building"])
+    link = t.where(F.col("graph") == "addresstobuilding")
+    ai = link.where(F.col("pred") == "ocgml:addressId").select(
+        F.col("subj").alias("_row"), F.col("obj").alias("addr")
+    )
+    bi = link.where(F.col("pred") == "ocgml:buildingId").select(
+        F.col("subj").alias("_row"), F.col("obj").alias("bldg")
+    )
+    direct = ai.join(bi, "_row").select("addr", F.col("bldg").alias("target"))
+    parent = t.where(
+        (F.col("graph") == "building") & (F.col("pred") == "ocgml:buildingParentId")
+    ).select(F.col("subj").alias("_b"), F.col("obj").alias("_p"))
+    hop = (
+        direct.join(parent, F.col("target") == F.col("_b"))
+        .select("addr", F.col("_p").alias("target"))
+    )
+    return (
+        direct.withColumn("path", F.lit("building"))
+        .unionByName(hop.withColumn("path", F.lit("parent")))
+        .distinct()
+    )
+
+
+def _kg_path_alt_sql() -> str:
+    return (
+        _triples_cte(["addresstobuilding", "building"])
+        + """
+, ai AS (SELECT subj AS r, obj AS addr FROM t
+         WHERE graph = 'addresstobuilding' AND pred = 'ocgml:addressId'),
+bi AS (SELECT subj AS r, obj AS bldg FROM t
+       WHERE graph = 'addresstobuilding' AND pred = 'ocgml:buildingId'),
+direct AS (SELECT ai.addr, bi.bldg AS target FROM ai JOIN bi ON bi.r = ai.r),
+par AS (SELECT subj AS b, obj AS p FROM t
+        WHERE graph = 'building' AND pred = 'ocgml:buildingParentId')
+SELECT DISTINCT addr, target, path FROM (
+  SELECT addr, target, 'building' AS path FROM direct
+  UNION ALL
+  SELECT d.addr, par.p AS target, 'parent' AS path
+  FROM direct d JOIN par ON par.b = d.target
+)
+"""
+    )
+
+
+def q_kg_describe(spark, sf):
+    """SPARQL DESCRIBE analog: all triples for the buildings whose
+    address zipCode ends in '7', PLUS the one-hop expansion over their
+    IRI-valued objects (DESCRIBE's blank-node/reference closure, one
+    level). Three semi-joins — address filter, link pivot, subject
+    membership — each shipping only IRIs; the describe set never
+    re-scans the corpus."""
+    t = _triples(spark, sf, ["address", "addresstobuilding", "building"])
+    addrs = t.where(
+        (F.col("graph") == "address")
+        & (F.col("pred") == "ocgml:zipCode")
+        & F.col("obj").endswith("7")
+    ).select(F.col("subj").alias("_a"))
+    link = t.where(F.col("graph") == "addresstobuilding")
+    rows = (
+        link.where(F.col("pred") == "ocgml:addressId")
+        .join(addrs, F.col("obj") == F.col("_a"), "left_semi")
+        .select(F.col("subj").alias("_r"))
+    )
+    subjects = (
+        link.where(F.col("pred") == "ocgml:buildingId")
+        .join(rows, F.col("subj") == F.col("_r"), "left_semi")
+        .select(F.col("obj").alias("_s"))
+        .distinct()
+    )
+    b = t.where(F.col("graph") == "building")
+    base = b.join(subjects, F.col("subj") == F.col("_s"), "left_semi").select(
+        "subj", "pred", "obj"
+    )
+    hops = (
+        b.where(F.col("obj_type") == "iri")
+        .join(subjects, F.col("subj") == F.col("_s"), "left_semi")
+        .select(F.col("obj").alias("_s2"))
+        .distinct()
+    )
+    expanded = b.join(hops, F.col("subj") == F.col("_s2"), "left_semi").select(
+        "subj", "pred", "obj"
+    )
+    return base.unionByName(expanded).distinct()
+
+
+def _kg_describe_sql() -> str:
+    return (
+        _triples_cte(["address", "addresstobuilding", "building"])
+        + """
+, addrs AS (SELECT DISTINCT subj AS a FROM t
+            WHERE graph = 'address' AND pred = 'ocgml:zipCode'
+              AND obj LIKE '%7'),
+rows_ AS (SELECT subj AS r FROM t
+          WHERE graph = 'addresstobuilding' AND pred = 'ocgml:addressId'
+            AND obj IN (SELECT a FROM addrs)),
+subjects AS (SELECT DISTINCT obj AS s FROM t
+             WHERE graph = 'addresstobuilding' AND pred = 'ocgml:buildingId'
+               AND subj IN (SELECT r FROM rows_)),
+dsc_base AS (SELECT subj, pred, obj FROM t
+         WHERE graph = 'building' AND subj IN (SELECT s FROM subjects)),
+hops AS (SELECT DISTINCT obj AS s2 FROM t
+         WHERE graph = 'building' AND obj_type = 'iri'
+           AND subj IN (SELECT s FROM subjects)),
+expanded AS (SELECT subj, pred, obj FROM t
+             WHERE graph = 'building' AND subj IN (SELECT s2 FROM hops))
+SELECT DISTINCT subj, pred, obj FROM
+  (SELECT * FROM dsc_base UNION ALL SELECT * FROM expanded)
+"""
+    )
+
+
 def q_distinct_datatypes(spark, sf):
     """Q18+Q21: DISTINCT datatype() projection (geometry shape registry)."""
     return _triples(spark, sf).where(F.col("datatype").isNotNull()).select("datatype").distinct()
@@ -1676,6 +1796,237 @@ WITH rev AS (
 SELECT s.s_suppkey, s.s_name, rev.total_revenue
 FROM rev JOIN supplier s ON s.s_suppkey = rev.supplier_no
 WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_late_exclusive_suppliers(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), reshaped onto
+    this schema's columns: a line is LATE when it ships > 60 days after
+    its order date; count, per supplier, the multi-supplier orders where
+    that supplier is the ONLY late one. The original's double-correlated
+    EXISTS / NOT EXISTS decorrelates into two per-order counts
+    (distinct suppliers, distinct late suppliers) — two partial-agg
+    shuffles on the same key joined back to the late set, supplier
+    dimension broadcast. No correlated re-scan of lineitem per row."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    nsupp = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .where(F.col("_ns") >= 2)
+    )
+    nlate = (
+        late.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_nl"))
+        .where(F.col("_nl") == 1)
+    )
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    return (
+        late.join(nsupp, "l_orderkey")
+        .join(nlate, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+def _late_exclusive_suppliers_sql() -> str:
+    return """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60),
+ns AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n FROM l GROUP BY 1),
+nl AS (SELECT l_orderkey, count(*) AS n FROM late GROUP BY 1)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late
+JOIN ns ON ns.l_orderkey = late.l_orderkey AND ns.n >= 2
+JOIN nl ON nl.l_orderkey = late.l_orderkey AND nl.n = 1
+JOIN supplier s ON s.s_suppkey = late.l_suppkey
+GROUP BY 1
+"""
+
+
+def q_important_parts(spark, sf):
+    """TPC-H Q11 shape (important stock): per-part revenue kept only
+    when it exceeds a fraction of the corpus mean — the
+    HAVING-over-scalar-subquery plan. One partial-agg shuffle builds
+    the per-part view; its mean folds to a one-row broadcast the filter
+    compares against, so no second pass over lineitem. Per-part values
+    are 4-dp-rounded BEFORE the mean so both engines threshold the
+    same numbers."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pr = l.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("value")
+    )
+    mean = pr.agg(F.avg("value").alias("_m"))
+    return (
+        pr.crossJoin(F.broadcast(mean))
+        .where(F.col("value") > 1.2 * F.col("_m"))
+        .select("l_partkey", "value")
+    )
+
+
+def _important_parts_sql() -> str:
+    return """
+WITH pr AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+  FROM lineitem GROUP BY 1)
+SELECT l_partkey, value FROM pr
+WHERE value > 1.2 * (SELECT avg(value) FROM pr)
+"""
+
+
+def q_supplier_part_variety(spark, sf):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, size) over a filtered part slice, EXCLUDING a
+    supplier denylist via anti-join (the original's NOT IN over
+    complaint suppliers). Part dimension filters push to the scan; the
+    denylist broadcasts into the anti-join; one count-distinct shuffle
+    keyed by (brand, size)."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    excl = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .where(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def _supplier_part_variety_sql() -> str:
+    return """
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY 1, 2
+"""
+
+
+def q_dormant_customers(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with NO order since a cutoff, summarized per nation —
+    scalar AVG subquery broadcast into the filter, then an anti-join
+    against the distinct recent-order custkeys. The anti-join side is
+    pre-shrunk (date filter pushed to the orders scan, distinct before
+    the join) so the heavy side ships only keys."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    ab = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_ab"))
+    recent = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def _dormant_customers_sql() -> str:
+    return """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= '2000-01-01')
+GROUP BY 1
+"""
+
+
+def q_event_autocorr(spark, sf):
+    """Lag-k autocorrelation (k = 1..3) of each event type's daily count
+    series — the seasonality/self-similarity diagnostic a monitoring
+    stack runs before picking forecast windows. The daily series is one
+    partial-agg shuffle; the three lags explode from the SAME tiny
+    frame and self-join on (type, day+lag), so the corpus is scanned
+    once. Pearson corr rounded to 6 dp on both engines."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("double").alias("c"))
+    a = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("_et"),
+        F.col("d").alias("_d"),
+        F.col("c").alias("_c"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_et") == F.col("event_type"))
+            & (F.col("_d") == F.date_add(F.col("d"), F.col("lag"))),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.round(F.corr("c", "_c"), 6).alias("autocorr"))
+    )
+
+
+def _event_autocorr_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT unnest([1, 2, 3]) AS lag)
+SELECT a.event_type, CAST(l.lag AS INT) AS lag,
+       round(corr(a.c, b.c), 6) AS autocorr
+FROM daily a
+CROSS JOIN lags l
+JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+GROUP BY 1, 2
 """
 
 
@@ -3953,6 +4304,78 @@ FROM ng LEFT JOIN h ON h.query_id = ng.query_id
 """
 
 
+def q_ann_int8_recall(spark, sf):
+    """Quantization quality gate: recall@5 of exact search in the INT8
+    space against the float gold — the measurement that certifies the
+    4x-smaller quantized tier (emb_quantize) before the float column is
+    dropped from the candidate join. Cosine over quantized vectors
+    equals cosine over the integers themselves (the positive per-vector
+    scale cancels), so both engines rank bit-identical int arrays;
+    ties break by vec_id on both sides."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gold = similarity.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    e8 = similarity.with_quantized(e).select(
+        "vec_id",
+        F.expr("transform(q8, x -> cast(x as float))").alias("embedding"),
+    )
+    q8 = similarity.with_quantized(q).select(
+        "query_id",
+        F.expr("transform(q8, x -> cast(x as float))").alias("embedding"),
+    )
+    pred = similarity.cosine_topk(e8, q8, k=5).select("query_id", "vec_id")
+    hits = pred.join(gold, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        gold.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_gold"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_gold",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_gold"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _ann_int8_recall_sql() -> str:
+    mx = "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')"
+    q8 = (
+        "CASE WHEN s = 0.0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE)) "
+        "ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)) END"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {mx} AS s FROM embeddings),
+qz AS (SELECT vec_id, {q8} AS q8 FROM b),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+g AS (SELECT q.query_id, e.vec_id,
+        row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id ASC) AS rank
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+gold AS (SELECT query_id, vec_id FROM g WHERE rank <= 5),
+qq AS (SELECT z.vec_id AS query_id, z.q8 AS qv8 FROM qz z WHERE z.vec_id < 10),
+p AS (SELECT qq.query_id, z.vec_id,
+        row_number() OVER (PARTITION BY qq.query_id
+          ORDER BY list_cosine_similarity(z.q8, qq.qv8) DESC, z.vec_id ASC) AS rank
+      FROM qz z, qq WHERE z.vec_id <> qq.query_id),
+pred AS (SELECT query_id, vec_id FROM p WHERE rank <= 5),
+h AS (SELECT gold.query_id, count(*) AS n_hit
+      FROM gold JOIN pred ON pred.query_id = gold.query_id AND pred.vec_id = gold.vec_id
+      GROUP BY 1),
+ng AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY 1)
+SELECT ng.query_id, CAST(ng.n_gold AS BIGINT) AS n_gold,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(coalesce(h.n_hit, 0) * 1.0 / ng.n_gold, 6) AS recall
+FROM ng LEFT JOIN h ON h.query_id = ng.query_id
+"""
+
+
 def q_ann_recall_eval(spark, sf):
     """ANN quality gate: recall@5 of the sign-LSH index at a WEAK
     setting (4 planes x 2 tables — real misses, unlike the
@@ -4777,6 +5200,104 @@ def _kg_reachability_sql(max_depth: int = 6) -> str:
 )
 SELECT src, dst, CAST(min(depth) AS INT) AS depth
 FROM reach WHERE src <> dst GROUP BY 1, 2
+"""
+    )
+
+
+def _scc_edges(spark, sf):
+    """Deterministic directed test graph over the documents ids: a
+    16-cycle inside every block of 16 consecutive ids plus a one-way
+    chain between block heads — so SCCs (the blocks) differ from weak
+    components (one chain) and from reachability (downstream blocks),
+    which is exactly what an SCC operator must distinguish."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    cyc = d.selectExpr(
+        "doc_id AS src",
+        "(doc_id - (doc_id % 16)) + ((doc_id % 16) + 1) % 16 AS dst",
+    )
+    fwd = d.where(F.col("doc_id") % 16 == 0).selectExpr(
+        "doc_id AS src", "doc_id + 16 AS dst"
+    )
+    return cyc.union(fwd)
+
+
+def q_graph_scc(spark, sf):
+    """Strongly connected components (ops.graph.scc): bounded mutual
+    reachability — forward closure intersected with its transpose, min
+    member id as the component label. The cycles here have length 16,
+    inside the max_depth=16 exactness contract. Oracle: the identical
+    closure as a DuckDB recursive CTE intersected with its swap."""
+    return graph.scc(_scc_edges(spark, sf), max_depth=16)
+
+
+def _graph_scc_sql() -> str:
+    return """
+WITH RECURSIVE
+d AS (SELECT doc_id AS i FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (i - (i % 16)) + ((i % 16) + 1) % 16 AS dst FROM d
+    UNION ALL
+    SELECT i AS src, i + 16 AS dst FROM d WHERE i % 16 = 0
+  ) WHERE src <> dst
+),
+reach(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.depth < 16 AND r.src <> e.dst
+),
+rp AS (SELECT DISTINCT src, dst FROM reach),
+m AS (SELECT r1.src AS id, r1.dst AS p
+      FROM rp r1 JOIN rp r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+SELECT n.id, CAST(least(coalesce(min(m.p), n.id), n.id) AS BIGINT) AS scc
+FROM n LEFT JOIN m ON m.id = n.id GROUP BY n.id
+"""
+
+
+def q_kg_topo_levels(spark, sf):
+    """Topological levels of the KG link forest (geometry/ownership
+    tree depth): level(v) = the LONGEST root-to-v path — max(depth)
+    over the bounded closure restricted to root origins (roots = nodes
+    with no incoming edge, found by one anti-join). On a forest this is
+    each node's tree depth; the formulation stays correct on any DAG.
+    Reuses the single-closure frontier expansion — no per-level loop
+    beyond it. Oracle: recursive CTE walk from the same roots."""
+    t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
+    e = graph.triples_to_edges(t)
+    reach = graph.bounded_reachability(e, max_depth=8)
+    roots = (
+        e.select("src")
+        .distinct()
+        .join(e.select(F.col("dst").alias("src")).distinct(), "src", "left_anti")
+    )
+    lv = (
+        reach.join(roots, "src")
+        .groupBy("dst")
+        .agg(F.max("depth").alias("level"))
+        .select(F.col("dst").alias("id"), "level")
+    )
+    return roots.select(
+        F.col("src").alias("id"), F.lit(0).alias("level")
+    ).unionByName(lv)
+
+
+def _kg_topo_levels_sql() -> str:
+    return (
+        _graph_edges_cte(
+            ["building", "addresstobuilding", "surfacegeometry"], recursive=True
+        )
+        + """
+, roots AS (SELECT DISTINCT src FROM e
+            WHERE src NOT IN (SELECT dst FROM e)),
+walk(id, depth) AS (
+  SELECT src, 0 FROM roots
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.id
+  WHERE w.depth < 8
+)
+SELECT id, CAST(max(depth) AS INT) AS level FROM walk GROUP BY 1
 """
     )
 
@@ -6317,6 +6838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_sorting": q_counter_sorting,
         "tiling": q_tiling,
         "multi_graph_join": q_multi_graph_join,
+        "kg_path_alt": q_kg_path_alt,
+        "kg_describe": q_kg_describe,
         "distinct_datatypes": q_distinct_datatypes,
         "lineitem_pricing": q_lineitem_pricing,
         "join_pipeline": q_join_pipeline,
@@ -6332,6 +6855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
+        "late_exclusive_suppliers": q_late_exclusive_suppliers,
+        "important_parts": q_important_parts,
+        "supplier_part_variety": q_supplier_part_variety,
+        "dormant_customers": q_dormant_customers,
+        "event_autocorr": q_event_autocorr,
         "order_priority_exists": q_order_priority_exists,
         "small_quantity_revenue": q_small_quantity_revenue,
         "customer_order_dist": q_customer_order_dist,
@@ -6348,6 +6876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "dedup_semantic": q_dedup_semantic,
         "graph_hits": q_graph_hits,
+        "graph_scc": q_graph_scc,
+        "kg_topo_levels": q_kg_topo_levels,
         "graph_kcore": q_graph_kcore,
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
@@ -6412,6 +6942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_mrl_eval": q_ann_mrl_eval,
+        "ann_int8_recall": q_ann_int8_recall,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_eval": q_ann_recall_eval,
         "emb_standardize": q_emb_standardize,
@@ -8512,6 +9043,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
         "graph_hits": _hits_sql(),
+        "graph_scc": _graph_scc_sql(),
+        "kg_topo_levels": _kg_topo_levels_sql(),
         "graph_kcore": _kcore_sql(),
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
@@ -8583,6 +9116,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize": _emb_quantize_sql(),
         "ann_brute_topk": _ann_brute_sql(),
         "ann_mrl_eval": _ann_mrl_eval_sql(),
+        "ann_int8_recall": _ann_int8_recall_sql(),
         # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
@@ -8681,6 +9215,11 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": _heavy_hitters_cms_sql(),
         "event_ab_test": _event_ab_test_sql(),
         "top_supplier_revenue": _top_supplier_revenue_sql(),
+        "late_exclusive_suppliers": _late_exclusive_suppliers_sql(),
+        "important_parts": _important_parts_sql(),
+        "supplier_part_variety": _supplier_part_variety_sql(),
+        "dormant_customers": _dormant_customers_sql(),
+        "event_autocorr": _event_autocorr_sql(),
         "corpus_card": _corpus_card_sql(),
         "corpus_gate": _corpus_gate_sql(),
         "fk_integrity": _fk_integrity_sql(),
@@ -8851,6 +9390,8 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         ),
         "graph_shortest_paths": _shortest_paths_sql(),
         "kg_reachability": _kg_reachability_sql(),
+        "kg_path_alt": _kg_path_alt_sql(),
+        "kg_describe": _kg_describe_sql(),
         # Brandes re-derived by brute shortest-path enumeration (also
         # locked by tests/test_betweenness.py vs a pure-Python oracle)
         "graph_edge_betweenness": _edge_betweenness_sql(),

@@ -907,3 +907,41 @@ def random_walks(
         )
         out = out.unionByName(frontier)
     return out.select("walk_id", "step", "node")
+
+
+def scc(edges: DataFrame, max_depth: int = 20) -> DataFrame:
+    """Strongly connected components by bounded mutual reachability.
+
+    Tarjan/Kosaraju are inherently sequential DFS; the distributed
+    formulation is SCC(v) = {u : v ->* u AND u ->* v}, evaluated as the
+    bounded forward closure intersected with its own transpose — exact
+    whenever every cycle fits inside max_depth, the same diameter
+    contract bounded_reachability already carries (SPARQL engines bound
+    the equivalent two-way path query the same way).
+
+    Scale shape: ONE frontier-expansion closure (the transpose
+    intersection is a self-equi-join of the closure on swapped keys —
+    no second frontier loop over the reversed graph), then a per-node
+    min-aggregate. Component id = min member id, matching
+    canon.connected_components' label convention. Returns (id, scc)
+    over every node appearing in the edge list.
+    """
+    reach = bounded_reachability(edges, max_depth).select("src", "dst")
+    mutual = reach.join(
+        reach.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(mutual.withColumnRenamed("src", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            "id",
+            F.least(F.coalesce("_m", "id"), F.col("id")).alias("scc"),
+        )
+    )

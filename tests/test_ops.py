@@ -1961,3 +1961,37 @@ def test_bounded_reachability_min_depth_and_cycles(spark):
     assert got[("p", "s")] == 1  # shortcut wins over the 2-hop diamond paths
     assert got[("x", "z")] == 2 and got[("z", "y")] == 2
     assert all(s != d for (s, d) in got)
+
+
+def test_scc_cycles_vs_dag_edges(spark):
+    """Two 3-cycles joined by one-way bridges plus a tail: SCCs are the
+    cycles; the bridge and tail nodes are singletons even though the
+    whole graph is one weak component (what distinguishes SCC from
+    connected_components)."""
+    e = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+         ("a1", "b1"),
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+         ("b2", "z1"), ("z1", "z2")],
+        "src string, dst string",
+    )
+    out = {r.id: r.scc for r in graph.scc(e, max_depth=6).collect()}
+    assert out == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+        "z1": "z1", "z2": "z2",
+    }
+
+
+def test_scc_depth_contract(spark):
+    """A 5-cycle needs max_depth >= 4 for mutual pairs; at max_depth=2
+    the operator honestly degrades to singletons (the bounded-diameter
+    contract, same as bounded_reachability)."""
+    e = spark.createDataFrame(
+        [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)],
+        "src string, dst string",
+    )
+    full = {r.id: r.scc for r in graph.scc(e, max_depth=5).collect()}
+    assert set(full.values()) == {"c0"}
+    shallow = {r.id: r.scc for r in graph.scc(e, max_depth=2).collect()}
+    assert all(k == v for k, v in shallow.items())
