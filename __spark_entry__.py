@@ -2030,6 +2030,272 @@ GROUP BY 1, 2
 """
 
 
+def q_disjunctive_pricing(spark, sf):
+    """TPC-H Q19 shape (discounted revenue): the big OR-of-ANDs predicate
+    across a dimension join — the disjunctive-pushdown stress test.
+    Catalyst pushes the common join key, evaluates the disjunction
+    post-join in one codegen'd Filter, and broadcasts the part side;
+    the oracle evaluates the identical boolean algebra."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(c1 | c2 | c3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def _disjunctive_pricing_sql() -> str:
+    return """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (minimum-cost supplier): for every part, the
+    supplier(s) selling at that part's MINIMUM unit price — the
+    correlated-min subquery, decorrelated into one per-part min
+    aggregate joined back on (part, rounded price). Unit prices round
+    to 4 dp BEFORE the min so both engines compare identical numbers;
+    the supplier dimension broadcasts."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    mn = l.groupBy("l_partkey").agg(F.min("unit").alias("_mp"))
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    return (
+        l.join(mn, "l_partkey")
+        .where(F.col("unit") == F.col("_mp"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            # engine-exact fixed-point rendering (same floor(x*1e4+0.5)
+            # trick as with_quantized): IEEE division and min are already
+            # bit-identical across engines; a decimal ROUND at the 4th
+            # digit is NOT (half-up vs half-away on boundary doubles)
+            F.floor(F.col("_mp") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("min_price_e4"),
+        )
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_name", "min_price_e4")
+    )
+
+
+def _min_cost_supplier_sql() -> str:
+    return """
+WITH l AS (SELECT l_partkey, l_suppkey,
+                  l_extendedprice / l_quantity AS unit
+           FROM lineitem),
+mn AS (SELECT l_partkey, min(unit) AS mp FROM l GROUP BY 1)
+SELECT DISTINCT l.l_partkey, s.s_name,
+       CAST(floor(mn.mp * 10000 + 0.5) AS BIGINT) AS min_price_e4
+FROM l JOIN mn ON mn.l_partkey = l.l_partkey AND l.unit = mn.mp
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+def q_large_orders(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, re-joined to their order and customer
+    rows — the GROUP BY + HAVING + IN-subquery plan. The having filter
+    shrinks the agg output BEFORE the joins, so only qualifying keys
+    ship; the customer dimension broadcasts."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def _large_orders_sql() -> str:
+    return """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 150)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice, big.sum_qty
+FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_event_pivot(spark, sf):
+    """PIVOT: per-day event counts spread into one column per event
+    type (the wide activity matrix BI tools ask for). Spark's pivot
+    with an EXPLICIT value list compiles to a single partial-agg
+    shuffle of conditional counts — no second pass to discover keys,
+    which is also what keeps it planable at 10^12 rows; the oracle is
+    the equivalent conditional-count aggregation."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return out.select(
+        "d", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+def _event_pivot_sql() -> str:
+    conds = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{k}') AS BIGINT) AS {k}"
+        for k in ["click", "error", "purchase", "signup", "view"]
+    )
+    return f"SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, {conds} FROM events GROUP BY 1"
+
+
+def q_event_window_zoo(spark, sf):
+    """The window-function zoo in one per-user pass: lag, lead, ntile,
+    cume_dist, and running first over (user, ts) — session-feature
+    engineering's standard shapes. ALL functions share ONE window
+    ordering, so Catalyst evaluates them in a single Window operator
+    after a single shuffle on user_id; ties are impossible (ts is
+    unique per user) and event_id breaks them anyway."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+def _event_window_zoo_sql() -> str:
+    return """
+SELECT user_id, event_id,
+  round(lag(value) OVER w, 4) AS prev_value,
+  round(lead(value) OVER w, 4) AS next_value,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  round(cume_dist() OVER w, 6) AS cdist,
+  first_value(event_type) OVER w AS first_type
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility by language: subwords per whitespace word
+    (the metric that decides whether a tokenizer punishes a language,
+    cf. the multilingual-tokenizer literature). One scan; the per-doc
+    ratio is a pure Project over the shared token-count expressions;
+    one tiny per-lang aggregate."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    tc = text.with_token_counts(d)
+    return tc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.avg(F.col("n_subwords") / F.greatest(F.col("n_tokens"), F.lit(1))), 6
+        ).alias("fertility"),
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    return r"""
+WITH tc AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_subwords * 1.0 / greatest(n_tokens, 1)), 6) AS fertility
+FROM tc GROUP BY 1
+"""
+
+
+def q_kg_optional(spark, sf):
+    """SPARQL OPTIONAL: every building, left-joined to the zip code of
+    its linked address ONLY when that zip ends in '7' (a genuinely
+    sparse optional — most rows come back unbound), with COALESCE
+    standing in for SPARQL's unbound rendering. The optional side is
+    assembled from two link pivots before ONE left join, so the
+    mandatory side is scanned once."""
+    t = _triples(spark, sf, ["address", "addresstobuilding", "building"])
+    bldg = (
+        t.where((F.col("graph") == "building") & (F.col("pred") == "ocgml:id"))
+        .select(F.col("subj").alias("bldg"))
+        .distinct()
+    )
+    link = t.where(F.col("graph") == "addresstobuilding")
+    ai = link.where(F.col("pred") == "ocgml:addressId").select(
+        F.col("subj").alias("_r"), F.col("obj").alias("_a")
+    )
+    bi = link.where(F.col("pred") == "ocgml:buildingId").select(
+        F.col("subj").alias("_r"), F.col("obj").alias("_b")
+    )
+    zip7 = t.where(
+        (F.col("graph") == "address")
+        & (F.col("pred") == "ocgml:zipCode")
+        & F.col("obj").endswith("7")
+    ).select(F.col("subj").alias("_a"), F.col("obj").alias("_zip"))
+    opt = (
+        ai.join(zip7, "_a")
+        .join(bi, "_r")
+        .select(F.col("_b").alias("bldg"), "_zip")
+    )
+    return bldg.join(opt, "bldg", "left").select(
+        "bldg", F.coalesce("_zip", F.lit("(unbound)")).alias("zip")
+    )
+
+
+def _kg_optional_sql() -> str:
+    return (
+        _triples_cte(["address", "addresstobuilding", "building"])
+        + """
+, bldg AS (SELECT DISTINCT subj AS bldg FROM t
+           WHERE graph = 'building' AND pred = 'ocgml:id'),
+ai AS (SELECT subj AS r, obj AS a FROM t
+       WHERE graph = 'addresstobuilding' AND pred = 'ocgml:addressId'),
+bi AS (SELECT subj AS r, obj AS b FROM t
+       WHERE graph = 'addresstobuilding' AND pred = 'ocgml:buildingId'),
+zip7 AS (SELECT subj AS a, obj AS z FROM t
+         WHERE graph = 'address' AND pred = 'ocgml:zipCode' AND obj LIKE '%7'),
+opt AS (SELECT bi.b AS bldg, zip7.z
+        FROM ai JOIN zip7 ON zip7.a = ai.a JOIN bi ON bi.r = ai.r)
+SELECT bldg.bldg, coalesce(opt.z, '(unbound)') AS zip
+FROM bldg LEFT JOIN opt ON opt.bldg = bldg.bldg
+"""
+    )
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
     segment — the canonical 3-way join + aggregate + top-k. Catalyst
@@ -6856,6 +7122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
         "late_exclusive_suppliers": q_late_exclusive_suppliers,
+        "disjunctive_pricing": q_disjunctive_pricing,
+        "min_cost_supplier": q_min_cost_supplier,
+        "large_orders": q_large_orders,
+        "event_pivot": q_event_pivot,
+        "event_window_zoo": q_event_window_zoo,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "kg_optional": q_kg_optional,
         "important_parts": q_important_parts,
         "supplier_part_variety": q_supplier_part_variety,
         "dormant_customers": q_dormant_customers,
@@ -9216,6 +9489,13 @@ def oracle_sql() -> dict[str, str]:
         "event_ab_test": _event_ab_test_sql(),
         "top_supplier_revenue": _top_supplier_revenue_sql(),
         "late_exclusive_suppliers": _late_exclusive_suppliers_sql(),
+        "disjunctive_pricing": _disjunctive_pricing_sql(),
+        "min_cost_supplier": _min_cost_supplier_sql(),
+        "large_orders": _large_orders_sql(),
+        "event_pivot": _event_pivot_sql(),
+        "event_window_zoo": _event_window_zoo_sql(),
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
+        "kg_optional": _kg_optional_sql(),
         "important_parts": _important_parts_sql(),
         "supplier_part_variety": _supplier_part_variety_sql(),
         "dormant_customers": _dormant_customers_sql(),
