@@ -1587,6 +1587,216 @@ SELECT DISTINCT subj, pred, obj FROM
     )
 
 
+def q_kg_values(spark, sf):
+    """SPARQL VALUES: an inline constant binding table joined into the
+    pattern — here the CityGML roof-type code list (the 3DCityDB
+    enumeration) labeling every building's ocgml:roofType. The VALUES
+    table is a literal DataFrame the planner broadcasts; no scan, no
+    shuffle beyond the triple read."""
+    t = _triples(spark, sf, ["building"])
+    labels = spark.createDataFrame(
+        [("1", "FLAT"), ("2", "MONOPITCH"), ("3", "DUALPITCH"),
+         ("4", "HIPPED"), ("5", "GABLED")],
+        "code string, roof_label string",
+    )
+    return (
+        t.where(F.col("pred") == "ocgml:roofType")
+        .join(F.broadcast(labels), F.col("obj") == F.col("code"))
+        .select(F.col("subj").alias("bldg"), "roof_label")
+    )
+
+
+def _kg_values_sql() -> str:
+    return (
+        _triples_cte(["building"])
+        + """
+, v(code, roof_label) AS (VALUES ('1', 'FLAT'), ('2', 'MONOPITCH'),
+    ('3', 'DUALPITCH'), ('4', 'HIPPED'), ('5', 'GABLED'))
+SELECT t.subj AS bldg, v.roof_label
+FROM t JOIN v ON v.code = t.obj
+WHERE t.pred = 'ocgml:roofType'
+"""
+    )
+
+
+def q_kg_minus(spark, sf):
+    """SPARQL MINUS: buildings minus those whose linked address zip
+    ends in '7' — the binding-compatible anti-join (distinct from
+    OPTIONAL+!bound and from FILTER NOT EXISTS in SPARQL algebra; in a
+    DataFrame plan all three lower to left_anti, which is the point:
+    Catalyst gives the set-subtraction its broadcastable physical
+    form). Same sparse right side as kg_optional, so the two queries
+    together witness both algebra branches."""
+    t = _triples(spark, sf, ["address", "addresstobuilding", "building"])
+    bldg = (
+        t.where((F.col("graph") == "building") & (F.col("pred") == "ocgml:id"))
+        .select(F.col("subj").alias("bldg"))
+        .distinct()
+    )
+    link = t.where(F.col("graph") == "addresstobuilding")
+    ai = link.where(F.col("pred") == "ocgml:addressId").select(
+        F.col("subj").alias("_r"), F.col("obj").alias("_a")
+    )
+    bi = link.where(F.col("pred") == "ocgml:buildingId").select(
+        F.col("subj").alias("_r"), F.col("obj").alias("_b")
+    )
+    zip7 = t.where(
+        (F.col("graph") == "address")
+        & (F.col("pred") == "ocgml:zipCode")
+        & F.col("obj").endswith("7")
+    ).select(F.col("subj").alias("_a"))
+    matched = ai.join(zip7, "_a").join(bi, "_r").select(F.col("_b").alias("bldg"))
+    return bldg.join(matched, "bldg", "left_anti")
+
+
+def _kg_minus_sql() -> str:
+    return (
+        _triples_cte(["address", "addresstobuilding", "building"])
+        + """
+, bldg AS (SELECT DISTINCT subj AS bldg FROM t
+           WHERE graph = 'building' AND pred = 'ocgml:id'),
+zip7 AS (SELECT subj AS a FROM t
+         WHERE graph = 'address' AND pred = 'ocgml:zipCode' AND obj LIKE '%7'),
+matched AS (
+  SELECT bi.obj AS bldg
+  FROM t ai JOIN zip7 ON zip7.a = ai.obj
+  JOIN t bi ON bi.subj = ai.subj
+    AND bi.graph = 'addresstobuilding' AND bi.pred = 'ocgml:buildingId'
+  WHERE ai.graph = 'addresstobuilding' AND ai.pred = 'ocgml:addressId')
+SELECT bldg FROM bldg WHERE bldg NOT IN (SELECT bldg FROM matched)
+"""
+    )
+
+
+def q_kg_group_concat(spark, sf):
+    """SPARQL GROUP_CONCAT with an explicit separator and DETERMINISTIC
+    ordering: per subject, the sorted '|'-joined predicate list (the
+    schema-profile rendering VoID tools emit). collect_list is
+    order-nondeterministic under parallel merge, so the sort happens
+    AFTER collection (array_sort) — never rely on input order
+    surviving a shuffle. Oracle: string_agg ... ORDER BY."""
+    t = _triples(spark, sf, ["building"])
+    return (
+        t.select("subj", "pred")
+        .distinct()
+        .groupBy("subj")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("pred"))).alias("preds"),
+            F.count("*").cast("long").alias("n_preds"),
+        )
+    )
+
+
+def _kg_group_concat_sql() -> str:
+    return (
+        _triples_cte(["building"])
+        + """
+, d AS (SELECT DISTINCT subj, pred FROM t)
+SELECT subj, string_agg(pred, '|' ORDER BY pred) AS preds,
+       CAST(count(*) AS BIGINT) AS n_preds
+FROM d GROUP BY 1
+"""
+    )
+
+
+def q_event_seasonality(spark, sf):
+    """Hour-of-day x day-of-week activity profile (the seasonality
+    heatmap behind anomaly baselines): counts and mean value per
+    (dow, hour) cell. One partial-agg shuffle over a 7x24-bounded key
+    space. Spark's dayofweek is 1-based Sunday-first; the -1 aligns it
+    with DuckDB's 0-based dow so both engines emit identical keys."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+    )
+
+
+def _event_seasonality_sql() -> str:
+    return """
+SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+       CAST(date_part('hour', ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_emb_pca_power(spark, sf):
+    """Top principal component by distributed power iteration: 3 rounds
+    of v <- normalize(X_c^T (X_c v)) over the mean-centered corpus,
+    WITHOUT materializing the Gram matrix — each round is two
+    map-side-combinable partial aggs (per-vector score s_i = x_i.v,
+    then per-dimension w_j = sum_i x_ij s_i), so the plan is O(nnz)
+    per round and the only driver state is the 64-float vector.
+    Engine-exactness: every intermediate aggregate rounds (mu/s 6 dp,
+    w 4 dp, v 8 dp) so both engines walk the same trajectory; init is
+    the uniform unit vector, sign follows deterministically."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "_x")
+    ).withColumn("_x", F.col("_x").cast("double"))
+    mu = comp.groupBy("j").agg(F.round(F.avg("_x"), 6).alias("_mu"))
+    xc = comp.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("_x") - F.col("_mu")).alias("x")
+    )
+    v = mu.select("j", F.lit(0.125).alias("v"))  # 1/sqrt(64), unit init
+    lam = None
+    for _ in range(3):
+        s = (
+            xc.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("x") * F.col("v")), 6).alias("s"))
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .groupBy("j")
+            .agg(F.round(F.sum(F.col("x") * F.col("s")), 4).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("j", F.round(F.col("w") / F.col("_n"), 8).alias("v"))
+        )
+        lam = nrm
+    return v.crossJoin(F.broadcast(lam)).select(
+        "j", "v", F.round(F.col("_n"), 2).alias("xtxv_norm")
+    )
+
+
+def _emb_pca_power_sql() -> str:
+    head = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS x0
+  FROM embeddings),
+mu AS (SELECT j, round(avg(x0), 6) AS mu FROM comp GROUP BY 1),
+xc AS (SELECT c.vec_id, c.j, c.x0 - mu.mu AS x FROM comp c JOIN mu USING (j)),
+v0 AS (SELECT j, 0.125 AS v FROM mu)
+"""
+    body = ""
+    for i in range(1, 4):
+        p = f"v{i-1}"
+        body += f""",
+s{i} AS (SELECT xc.vec_id, round(sum(xc.x * {p}.v), 6) AS s
+         FROM xc JOIN {p} ON {p}.j = xc.j GROUP BY 1),
+w{i} AS (SELECT xc.j, round(sum(xc.x * s{i}.s), 4) AS w
+         FROM xc JOIN s{i} ON s{i}.vec_id = xc.vec_id GROUP BY 1),
+n{i} AS (SELECT sqrt(sum(w * w)) AS n FROM w{i}),
+v{i} AS (SELECT j, round(w / n, 8) AS v FROM w{i}, n{i})
+"""
+    tail = """
+SELECT v3.j, v3.v, round(n3.n, 2) AS xtxv_norm FROM v3, n3
+"""
+    return head + body + tail
+
+
 def q_distinct_datatypes(spark, sf):
     """Q18+Q21: DISTINCT datatype() projection (geometry shape registry)."""
     return _triples(spark, sf).where(F.col("datatype").isNotNull()).select("datatype").distinct()
@@ -7105,6 +7315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling": q_tiling,
         "multi_graph_join": q_multi_graph_join,
         "kg_path_alt": q_kg_path_alt,
+        "kg_values": q_kg_values,
+        "kg_minus": q_kg_minus,
+        "kg_group_concat": q_kg_group_concat,
         "kg_describe": q_kg_describe,
         "distinct_datatypes": q_distinct_datatypes,
         "lineitem_pricing": q_lineitem_pricing,
@@ -7133,6 +7346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": q_supplier_part_variety,
         "dormant_customers": q_dormant_customers,
         "event_autocorr": q_event_autocorr,
+        "event_seasonality": q_event_seasonality,
         "order_priority_exists": q_order_priority_exists,
         "small_quantity_revenue": q_small_quantity_revenue,
         "customer_order_dist": q_customer_order_dist,
@@ -7216,6 +7430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_mrl_eval": q_ann_mrl_eval,
         "ann_int8_recall": q_ann_int8_recall,
+        "emb_pca_power": q_emb_pca_power,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_eval": q_ann_recall_eval,
         "emb_standardize": q_emb_standardize,
@@ -9390,6 +9605,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ann_brute_sql(),
         "ann_mrl_eval": _ann_mrl_eval_sql(),
         "ann_int8_recall": _ann_int8_recall_sql(),
+        "emb_pca_power": _emb_pca_power_sql(),
         # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
@@ -9500,6 +9716,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_variety": _supplier_part_variety_sql(),
         "dormant_customers": _dormant_customers_sql(),
         "event_autocorr": _event_autocorr_sql(),
+        "event_seasonality": _event_seasonality_sql(),
         "corpus_card": _corpus_card_sql(),
         "corpus_gate": _corpus_gate_sql(),
         "fk_integrity": _fk_integrity_sql(),
@@ -9671,6 +9888,9 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         "graph_shortest_paths": _shortest_paths_sql(),
         "kg_reachability": _kg_reachability_sql(),
         "kg_path_alt": _kg_path_alt_sql(),
+        "kg_values": _kg_values_sql(),
+        "kg_minus": _kg_minus_sql(),
+        "kg_group_concat": _kg_group_concat_sql(),
         "kg_describe": _kg_describe_sql(),
         # Brandes re-derived by brute shortest-path enumeration (also
         # locked by tests/test_betweenness.py vs a pure-Python oracle)
