@@ -2362,6 +2362,221 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+def q_kg_ask(spark, sf):
+    """SPARQL ASK — the fourth and last SPARQL query form (SELECT,
+    CONSTRUCT, DESCRIBE, ASK): does ANY building taller than 40 have a
+    linked address?  Returns exactly one boolean row. The plan is two
+    semi-join-shaped filters and a LIMIT-1 existence probe — Catalyst
+    stops scanning at the first witness, so on 10^12 docs ASK costs
+    one partition hit in the common (true) case, never a full
+    aggregate. Reference: CityInformationAgent answers the same
+    yes/no via a SPARQL ASK against Blazegraph."""
+    t = _triples(spark, sf, ["building", "addresstobuilding"])
+    tall = t.where(
+        (F.col("graph") == "building")
+        & (F.col("pred") == "ocgml:measuredHeigh")
+        & (F.col("obj").cast("double") > 40.0)
+    ).select(F.col("subj").alias("bldg"))
+    linked = t.where(
+        (F.col("graph") == "addresstobuilding")
+        & (F.col("pred") == "ocgml:buildingId")
+    ).select(F.col("obj").alias("bldg"))
+    witness = tall.join(linked, "bldg", "left_semi").limit(1)
+    return witness.agg((F.count("*") > 0).alias("ask"))
+
+
+def _kg_ask_sql() -> str:
+    return (
+        _triples_cte(["building", "addresstobuilding"])
+        + """
+SELECT EXISTS (
+  SELECT 1 FROM t tall
+  WHERE tall.graph = 'building' AND tall.pred = 'ocgml:measuredHeigh'
+    AND CAST(tall.obj AS DOUBLE) > 40.0
+    AND tall.subj IN (SELECT obj FROM t
+                      WHERE graph = 'addresstobuilding'
+                        AND pred = 'ocgml:buildingId')
+) AS ask
+"""
+    )
+
+
+def q_returned_item_revenue(spark, sf):
+    """TPC-H Q10 shape (returned-item revenue): lost revenue per
+    customer from lineitems flagged 'R', top 20 — the
+    fact-to-fact-to-dim chain with the aggregate BEFORE the dimension
+    joins. Revenue is aggregated per ORDER first (lineitem's own key,
+    no pre-join blowup), then rolled to the customer after the orders
+    join; customer and nation broadcast. Deterministic top-20 via
+    (revenue DESC, custkey) tie-break so both engines cut the same
+    rows."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    per_order = (
+        l.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    per_cust = (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _returned_item_revenue_sql() -> str:
+    return """
+WITH per_order AS (
+  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+per_cust AS (
+  SELECT o.o_custkey, round(sum(po.rev), 2) AS revenue
+  FROM per_order po JOIN orders o ON o.o_orderkey = po.l_orderkey
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, pc.revenue
+FROM per_cust pc
+JOIN customer c ON c.c_custkey = pc.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY pc.revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q_shipmode_priority(spark, sf):
+    """TPC-H Q12 shape (priority split by carrier class): per lineitem
+    status, how many lines belong to critical-priority orders
+    (1-URGENT / 2-HIGH) vs the rest — the join + CASE-conditional
+    aggregation plan. The CASE folds into the partial aggregate, so the
+    shuffle carries 2 longs per status, not rows; orders' priority
+    column travels through ONE broadcast-hash join (orders is the
+    bigger side here, so the join keys on orderkey and the agg happens
+    after — at 100 TB both sides are facts and AQE picks the
+    shuffle-hash strategy)."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_linestatus"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def _shipmode_priority_sql() -> str:
+    return """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+def q_promo_revenue_ratio(spark, sf):
+    """TPC-H Q14 shape (promotion effect): PROMO parts' share of one
+    year's revenue as a percentage — the conditional-sum-over-sum
+    ratio computed in a SINGLE scan + broadcast part join; both sums
+    ride the same partial aggregate, so the answer is one row off one
+    shuffle of two doubles. Rounded to 4 dp after the division (the
+    ratio of two identically-computed doubles is bit-stable across
+    engines)."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def _promo_revenue_ratio_sql() -> str:
+    return """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+
+def q_dominant_part_suppliers(spark, sf):
+    """TPC-H Q20 shape (nested correlated quantity subquery): suppliers
+    who shipped more than 15% of a part's total shipped quantity —
+    the doubly-nested correlated aggregate, decorrelated into two
+    partial aggs over the SAME scan (per (supp, part) and per part)
+    re-joined on partkey, then a distinct supplier semi-join. No
+    correlated re-scan: the fact is read once, both aggregates are
+    map-side-combined, and the supplier dimension broadcasts for the
+    name attach."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    per_sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("_sq")
+    )
+    per_p = l.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") * 0.15).alias("_half")
+    )
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    dom = (
+        per_sp.join(per_p, "l_partkey")
+        .where(F.col("_sq") > F.col("_half"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dom.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+def _dominant_part_suppliers_sql() -> str:
+    return """
+WITH per_sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+  FROM lineitem GROUP BY 1, 2),
+per_p AS (
+  SELECT l_partkey, sum(l_quantity) * 0.15 AS half
+  FROM lineitem GROUP BY 1),
+dom AS (
+  SELECT DISTINCT per_sp.l_suppkey
+  FROM per_sp JOIN per_p ON per_p.l_partkey = per_sp.l_partkey
+  WHERE per_sp.sq > per_p.half)
+SELECT s.s_suppkey, s.s_name
+FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+"""
+
+
 def q_event_pivot(spark, sf):
     """PIVOT: per-day event counts spread into one column per event
     type (the wide activity matrix BI tools ask for). Spark's pivot
@@ -7338,6 +7553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_pricing": q_disjunctive_pricing,
         "min_cost_supplier": q_min_cost_supplier,
         "large_orders": q_large_orders,
+        "returned_item_revenue": q_returned_item_revenue,
+        "shipmode_priority": q_shipmode_priority,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "kg_ask": q_kg_ask,
         "event_pivot": q_event_pivot,
         "event_window_zoo": q_event_window_zoo,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -9708,6 +9928,11 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_pricing": _disjunctive_pricing_sql(),
         "min_cost_supplier": _min_cost_supplier_sql(),
         "large_orders": _large_orders_sql(),
+        "returned_item_revenue": _returned_item_revenue_sql(),
+        "shipmode_priority": _shipmode_priority_sql(),
+        "promo_revenue_ratio": _promo_revenue_ratio_sql(),
+        "dominant_part_suppliers": _dominant_part_suppliers_sql(),
+        "kg_ask": _kg_ask_sql(),
         "event_pivot": _event_pivot_sql(),
         "event_window_zoo": _event_window_zoo_sql(),
         "tokenizer_fertility": _tokenizer_fertility_sql(),

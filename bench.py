@@ -277,6 +277,16 @@ def headline(sf_dir: str, cores: int) -> None:
         "ann_pq_adc",
         "kg_construct_derive",
         "ann_ivfpq_topk",
+        # round-close additions: SCC, topo levels, power-iteration PCA,
+        # quantized-recall gate, DESCRIBE closure, Q21 shape, window zoo
+        # (adds ~7 queries of NEW work vs the prior stamp)
+        "graph_scc",
+        "kg_topo_levels",
+        "emb_pca_power",
+        "ann_int8_recall",
+        "kg_describe",
+        "late_exclusive_suppliers",
+        "event_window_zoo",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -168,6 +168,28 @@ AUDITS = [
     ("ann_pq_adc", "PQ-ADC search: codes + lookup tables are codegen'd Projects, query side broadcast, ONE per-query rank window — no float corpus at query time"),
     ("ann_ivfpq_topk", "IVF-PQ: inverted-list equi-join on cell (query side broadcast), ADC in Project, ONE rank window; no cartesian, no exact rerank"),
     ("kg_construct_derive", "CONSTRUCT analog: match filter + two template Projects + union — zero shuffles, zero Python"),
+    ("approx_distinct_hll", "HLL: one (key, register) partial agg — sketch bytes never ship, registers do"),
+    ("heavy_hitters_cms", "CMS: (row, col) keyed partial agg, depth x width bounded frame, probe side broadcast"),
+    ("kg_reachability", "pred+ closure: per-round frontier equi-join + anti-join against known; no cartesian"),
+    ("graph_scc", "SCC: ONE closure + transpose self-equi-join + per-node min agg; no reverse frontier loop"),
+    ("kg_topo_levels", "topo levels: closure join vs broadcast-small root set + max agg; roots via anti-join"),
+    ("emb_pca_power", "power iteration: per-round two partial aggs + one-row norm broadcast; no Gram matrix, no Python"),
+    ("kg_describe", "DESCRIBE: three semi-joins shipping only IRIs, then union+distinct; no corpus re-scan"),
+    ("kg_optional", "OPTIONAL: one left join against the pre-assembled sparse side"),
+    ("kg_minus", "MINUS: left_anti against the matched-binding set"),
+    ("kg_values", "VALUES: literal LocalTableScan broadcast into the pattern join, no shuffle for the binding table"),
+    ("event_pivot", "PIVOT: explicit value list -> ONE conditional-count partial agg, no key-discovery pass"),
+    ("event_window_zoo", "window zoo: ALL five functions in ONE Window operator after ONE shuffle on user_id"),
+    ("late_exclusive_suppliers", "Q21 shape: two per-order partial aggs re-joined; supplier broadcast; no correlated re-scan"),
+    ("min_cost_supplier", "Q2 shape: per-part min partial agg joined back; supplier broadcast"),
+    ("disjunctive_pricing", "Q19 shape: OR-of-ANDs evaluated post-join in one codegen'd Filter; part side broadcast"),
+    ("ann_int8_recall", "int8 recall gate: quantization is a pure Project; both rankings are rank windows; no cartesian beyond the 10-query broadcast"),
+    ("event_autocorr", "autocorr: daily partial agg, 3 lags exploded from the SAME tiny frame, self-join + corr agg"),
+    ("kg_ask", "ASK: semi-join existence probe + LIMIT 1 — stops at the first witness, never a full aggregate"),
+    ("returned_item_revenue", "Q10 shape: per-order partial agg BEFORE the orders join, customer+nation broadcast, rank cut last"),
+    ("shipmode_priority", "Q12 shape: CASE folds into the partial agg — shuffle carries 2 longs per status"),
+    ("promo_revenue_ratio", "Q14 shape: both conditional sums in ONE partial agg over one scan; part broadcast"),
+    ("dominant_part_suppliers", "Q20 shape: two partial aggs over the SAME scan re-joined on partkey; no correlated re-scan"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
