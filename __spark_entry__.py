@@ -2362,20 +2362,22 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
-def q_kg_ask(spark, sf):
+def q_kg_ask(spark, sf, threshold=40.0):
     """SPARQL ASK — the fourth and last SPARQL query form (SELECT,
-    CONSTRUCT, DESCRIBE, ASK): does ANY building taller than 40 have a
-    linked address?  Returns exactly one boolean row. The plan is two
-    semi-join-shaped filters and a LIMIT-1 existence probe — Catalyst
-    stops scanning at the first witness, so on 10^12 docs ASK costs
-    one partition hit in the common (true) case, never a full
-    aggregate. Reference: CityInformationAgent answers the same
-    yes/no via a SPARQL ASK against Blazegraph."""
+    CONSTRUCT, DESCRIBE, ASK): does ANY building taller than
+    `threshold` have a linked address?  Returns exactly one boolean
+    row. The plan is two semi-join-shaped filters and a LIMIT-1
+    existence probe — Catalyst stops scanning at the first witness, so
+    on 10^12 docs ASK costs one partition hit in the common (true)
+    case, never a full aggregate. The false branch (no witness
+    anywhere) is pytest-locked via the threshold override
+    (tests/test_entry.py). Reference: CityInformationAgent answers the
+    same yes/no via a SPARQL ASK against Blazegraph."""
     t = _triples(spark, sf, ["building", "addresstobuilding"])
     tall = t.where(
         (F.col("graph") == "building")
         & (F.col("pred") == "ocgml:measuredHeigh")
-        & (F.col("obj").cast("double") > 40.0)
+        & (F.col("obj").cast("double") > F.lit(threshold))
     ).select(F.col("subj").alias("bldg"))
     linked = t.where(
         (F.col("graph") == "addresstobuilding")

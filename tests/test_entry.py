@@ -53,3 +53,14 @@ def test_oracle_parity_sample(spark, duck, name):
     a = a.fillna("<N>").sort_values(cols).reset_index(drop=True)
     b = b.fillna("<N>").sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) and a.equals(b), name
+
+
+def test_kg_ask_both_branches(spark):
+    """ASK must answer false when NO witness exists anywhere (the sweep
+    only ever sees the true branch on the synth corpus) and true when
+    every height qualifies — both through the real query path via the
+    threshold override."""
+    row_false = entrymod.q_kg_ask(spark, SF_SMOKE, threshold=1e12).collect()
+    row_true = entrymod.q_kg_ask(spark, SF_SMOKE, threshold=-1e12).collect()
+    assert len(row_false) == 1 and row_false[0]["ask"] is False
+    assert len(row_true) == 1 and row_true[0]["ask"] is True
