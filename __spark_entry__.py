@@ -6973,6 +6973,164 @@ FROM agg
 """
 
 
+def q_streaming_heavy_hitters(spark, sf):
+    """Streaming heavy hitters via a watermarked Count-Min counter
+    matrix per 1h event-time window (streaming.stream_cms_registers):
+    CMS merges by SUM per (row, bucket), so — exactly like the HLL
+    register file — it rides the standard watermarked windowed agg and
+    each closed window ships <= d*w counter rows. A BATCH probe then
+    point-queries the top-3 exact keys per closed window against that
+    window's matrix (min over the d rows). All-integer, so the DuckDB
+    closed-form replay (same md5 fold, same flush rule: window end <=
+    max(ts) - watermark) agrees exactly; overestimate is CMS's one-way
+    error. Stream-side exact per-key counts need state linear in
+    distinct keys; the matrix is d*w rows per open window, period."""
+    import tempfile
+
+    from citykg import streaming as streammod
+    from citykg.ops.sketch import md5_56_spark
+
+    d, w = 3, 1024
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("ts", "user_id")
+    land = tempfile.mkdtemp(prefix="citykg_scms_land_")
+    out = tempfile.mkdtemp(prefix="citykg_scms_out_")
+    ckpt = tempfile.mkdtemp(prefix="citykg_scms_ckpt_")
+    ev.write.mode("overwrite").parquet(land)
+    s = spark.readStream.schema(ev.schema).parquet(land)
+    regs = streammod.stream_cms_registers(
+        s, "ts", "user_id", "1 hour", "2 hours", d=d, w=w
+    )
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    reg = spark.read.parquet(out).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "r",
+        "bucket",
+        "cnt",
+    )
+    # batch truth over the SAME closed-window set (append-mode flush rule)
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("_cut"))
+    evw = (
+        ev.select(F.date_trunc("hour", "ts").alias("_ws"), "user_id")
+        .crossJoin(F.broadcast(cut))
+        .where(F.col("_ws") + F.expr("INTERVAL 1 HOUR") <= F.col("_cut"))
+        .select(
+            F.date_format("_ws", "yyyy-MM-dd HH:mm").alias("win_start"), "user_id"
+        )
+    )
+    truth = evw.groupBy("win_start", "user_id").agg(F.count("*").alias("true_cnt"))
+    wspec = Window.partitionBy("win_start").orderBy(
+        F.desc("true_cnt"), F.col("user_id")
+    )
+    top = (
+        truth.withColumn("_rn", F.row_number().over(wspec))
+        .where(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+    probes = top.select(
+        "win_start",
+        "user_id",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+        F.col("user_id").cast("string").alias("_k"),
+    ).withColumn(
+        "bucket",
+        F.expr(md5_56_spark("concat('r', cast(r as string), '#', _k)")) % w,
+    )
+    return (
+        probes.join(reg, ["win_start", "r", "bucket"])
+        .groupBy("win_start", "user_id", "true_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "win_start",
+            "user_id",
+            "true_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def _streaming_heavy_hitters_sql(d: int = 3, w: int = 1024) -> str:
+    from citykg.ops.sketch import md5_56_duckdb
+
+    salts = ", ".join(str(i) for i in range(d))
+    fold = md5_56_duckdb("'r' || r || '#' || ks")
+    return f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM e),
+cl AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+              user_id
+       FROM e, mx WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= cutoff),
+truth AS (SELECT win_start, user_id, count(*) AS true_cnt FROM cl GROUP BY 1, 2),
+top AS (SELECT win_start, user_id, true_cnt FROM truth
+        QUALIFY row_number() OVER (PARTITION BY win_start
+                                   ORDER BY true_cnt DESC, user_id) <= 3),
+ev2 AS (SELECT win_start, r, {fold} % {w} AS bucket
+        FROM (SELECT win_start, cast(user_id AS VARCHAR) AS ks FROM cl),
+             UNNEST([{salts}]) t(r)),
+cms AS (SELECT win_start, r, bucket, count(*) AS cnt FROM ev2 GROUP BY 1, 2, 3),
+probe AS (SELECT win_start, user_id, true_cnt, r, {fold} % {w} AS bucket
+          FROM (SELECT win_start, user_id, true_cnt,
+                       cast(user_id AS VARCHAR) AS ks FROM top),
+               UNNEST([{salts}]) t(r))
+SELECT p.win_start, p.user_id, p.true_cnt,
+       min(c.cnt) AS cms_estimate,
+       min(c.cnt) - p.true_cnt AS overestimate
+FROM probe p JOIN cms c ON c.win_start = p.win_start AND c.r = p.r
+                       AND c.bucket = p.bucket
+GROUP BY 1, 2, 3
+"""
+
+
+def q_kg_property_table(spark, sf):
+    """RDF property-table materialization (the S2RDF / Sempala layout):
+    one WIDE row per building subject with its single-valued predicates
+    as typed columns — the physical design that turns SPARQL star
+    patterns from k-way self-joins into one column-pruned scan, which
+    is THE reason to store a 10^12-triple KG this way on a columnar
+    engine. One conditional-aggregate shuffle on subj (each predicate
+    is max(CASE WHEN ...)); at scale this is the frame you'd write back
+    bucketed by subject hash next to the triple store."""
+    t = _triples(spark, sf, ["building"])
+
+    def val(pred):
+        return F.max(F.when(F.col("pred") == pred, F.col("obj")))
+
+    return (
+        t.groupBy(F.col("subj").alias("bldg"))
+        .agg(
+            val("ocgml:measuredHeigh").cast("double").alias("height"),
+            val("ocgml:roofType").alias("roof_type"),
+            val("ocgml:storeysAboveGround").cast("long").alias("storeys"),
+            val("ocgml:class").alias("clazz"),
+        )
+    )
+
+
+def _kg_property_table_sql() -> str:
+    return (
+        _triples_cte(["building"])
+        + """
+SELECT subj AS bldg,
+       CAST(max(CASE WHEN pred = 'ocgml:measuredHeigh' THEN obj END) AS DOUBLE)
+         AS height,
+       max(CASE WHEN pred = 'ocgml:roofType' THEN obj END) AS roof_type,
+       CAST(max(CASE WHEN pred = 'ocgml:storeysAboveGround' THEN obj END)
+            AS BIGINT) AS storeys,
+       max(CASE WHEN pred = 'ocgml:class' THEN obj END) AS clazz
+FROM t GROUP BY 1
+"""
+    )
+
+
 def q_streaming_sessionize(spark, sf):
     """Watermarked streaming SESSION windows under the driver's oracle:
     events stream through session_window(30 min gap) + watermark(2h) in
@@ -7645,6 +7803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_windowed": q_streaming_windowed,
         "streaming_distinct_hll": q_streaming_distinct_hll,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "kg_property_table": q_kg_property_table,
         "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
@@ -10185,6 +10345,8 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         # interval join (q_streaming_join docstring)
         "streaming_sessionize": _streaming_sessionize_sql(),
         "streaming_distinct_hll": _streaming_distinct_hll_sql(),
+        "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
+        "kg_property_table": _kg_property_table_sql(),
         "streaming_join": (
             "WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS lts "
             "FROM events WHERE event_type = 'click'), "

@@ -90,6 +90,51 @@ def stream_hll_registers(
     )
 
 
+def stream_cms_registers(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_dur: str = "1 hour",
+    watermark_dur: str = "2 hours",
+    d: int = 3,
+    w: int = 1024,
+) -> DataFrame:
+    """Watermarked streaming Count-Min counter matrix per event-time
+    window: CMS's merge is SUM per (row, bucket) — associative and
+    commutative — so, like the HLL register file above, it rides the
+    standard watermarked windowed aggregation, emitting each closed
+    window's <= d*w counter rows in append mode. This is the streaming
+    half of the production heavy-hitter pattern: the stream ships a
+    bounded counter matrix, a batch probe (ops.sketch.countmin_estimate
+    per window) answers point queries — a stream-side exact per-key
+    count needs state linear in distinct keys, the matrix needs d*w
+    rows per open window, period."""
+    from pyspark.sql import functions as F
+
+    from .ops.sketch import md5_56_spark
+
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    rows = stream_df.select(
+        ts_col,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+        F.col(key_col).cast("string").alias("_k"),
+    )
+    h = F.expr(md5_56_spark("concat('r', cast(r as string), '#', _k)"))
+    return (
+        rows.select(ts_col, "r", (h % w).alias("bucket"))
+        .withWatermark(ts_col, watermark_dur)
+        .groupBy(F.window(ts_col, window_dur).alias("win"), "r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "r",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def stream_sessionized(
     stream_df: DataFrame,
     ts_col: str,

@@ -190,6 +190,7 @@ AUDITS = [
     ("shipmode_priority", "Q12 shape: CASE folds into the partial agg — shuffle carries 2 longs per status"),
     ("promo_revenue_ratio", "Q14 shape: both conditional sums in ONE partial agg over one scan; part broadcast"),
     ("dominant_part_suppliers", "Q20 shape: two partial aggs over the SAME scan re-joined on partkey; no correlated re-scan"),
+    ("kg_property_table", "property table: ONE conditional-agg shuffle on subj — star patterns become a column-pruned scan"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
