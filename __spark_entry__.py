@@ -7090,6 +7090,80 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_kg_above_avg_height(spark, sf):
+    """SPARQL sub-SELECT (aggregate subquery inside the pattern):
+    buildings strictly taller than the corpus-wide average
+    measuredHeigh — the KG-side decorrelated scalar subquery. The
+    one-row average broadcasts back over the same frame (no re-scan of
+    the store at 10^12 triples: one partial agg + one broadcast-hash
+    filter). Height compare happens on the raw double; the OUTPUT is
+    rendered fixed-point (floor(h*10+0.5)) so both engines emit
+    identical numbers."""
+    t = _triples(spark, sf, ["building"])
+    h = t.where(F.col("pred") == "ocgml:measuredHeigh").select(
+        F.col("subj").alias("bldg"), F.col("obj").cast("double").alias("_h")
+    )
+    avg1 = h.agg(F.avg("_h").alias("_avg"))
+    return (
+        h.crossJoin(F.broadcast(avg1))
+        .where(F.col("_h") > F.col("_avg"))
+        .select(
+            "bldg",
+            F.floor(F.col("_h") * 10 + F.lit(0.5)).cast("long").alias("height_e1"),
+        )
+    )
+
+
+def _kg_above_avg_height_sql() -> str:
+    return (
+        _triples_cte(["building"])
+        + """
+, h AS (SELECT subj AS bldg, CAST(obj AS DOUBLE) AS v FROM t
+        WHERE pred = 'ocgml:measuredHeigh')
+SELECT bldg, CAST(floor(v * 10 + 0.5) AS BIGINT) AS height_e1
+FROM h WHERE v > (SELECT avg(v) FROM h)
+"""
+    )
+
+
+def q_forecast_revenue_change(spark, sf):
+    """TPC-H Q6 shape (forecasting revenue change): one filtered scan,
+    one scalar aggregate, ZERO joins — the canonical predicate-pushdown
+    showcase. All three predicates (shipdate range, discount band,
+    quantity cap) must reach the parquet scan as PushedFilters so row
+    groups outside the year are never decompressed; at 100 TB this is
+    the difference between scanning a year and scanning the decade.
+    The plan audit (PLANS.md) gates on the pushdown being present."""
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_change"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def _forecast_revenue_change_sql() -> str:
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_change,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q_kg_property_table(spark, sf):
     """RDF property-table materialization (the S2RDF / Sempala layout):
     one WIDE row per building subject with its single-valued predicates
@@ -7805,6 +7879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_hll": q_streaming_distinct_hll,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "kg_property_table": q_kg_property_table,
+        "kg_above_avg_height": q_kg_above_avg_height,
+        "forecast_revenue_change": q_forecast_revenue_change,
         "kg_materialize_roundtrip": q_kg_materialize_roundtrip,
         "dedup_embedding": q_dedup_embedding,
         "emb_label_hist": q_emb_label_hist,
@@ -10347,6 +10423,8 @@ WHERE i*1.0/(z1.n+z2.n-i) >= 0.8
         "streaming_distinct_hll": _streaming_distinct_hll_sql(),
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "kg_property_table": _kg_property_table_sql(),
+        "kg_above_avg_height": _kg_above_avg_height_sql(),
+        "forecast_revenue_change": _forecast_revenue_change_sql(),
         "streaming_join": (
             "WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS lts "
             "FROM events WHERE event_type = 'click'), "

@@ -191,6 +191,8 @@ AUDITS = [
     ("promo_revenue_ratio", "Q14 shape: both conditional sums in ONE partial agg over one scan; part broadcast"),
     ("dominant_part_suppliers", "Q20 shape: two partial aggs over the SAME scan re-joined on partkey; no correlated re-scan"),
     ("kg_property_table", "property table: ONE conditional-agg shuffle on subj — star patterns become a column-pruned scan"),
+    ("kg_above_avg_height", "sub-SELECT: one-row average broadcast back over the same frame — no second store scan"),
+    ("forecast_revenue_change", "Q6 shape: zero joins, ALL THREE predicates must appear in PushedFilters at the parquet scan"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
