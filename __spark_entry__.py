@@ -7689,6 +7689,190 @@ FROM trip
 """
 
 
+def q_graph_closeness(spark, sf):
+    """Harmonic closeness centrality + eccentricity over the KG link
+    graph (ops.graph.harmonic_closeness), bounded at the same depth-6
+    contract as kg_reachability. The per-source fold collects one exact
+    integer count per depth level and evaluates the harmonic sum as a
+    fixed-order expression, so the double is bit-stable under any
+    partitioning; the oracle replays the identical closure + fold as a
+    recursive CTE."""
+    t = _triples(spark, sf, ["building", "addresstobuilding", "surfacegeometry"])
+    return graph.harmonic_closeness(graph.triples_to_edges(t), max_depth=6)
+
+
+def _graph_closeness_sql(max_depth: int = 6) -> str:
+    counts = ", ".join(
+        f"sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS c{d}"
+        for d in range(1, max_depth + 1)
+    )
+    fold = " + ".join(f"c{d} / {float(d)!r}" for d in range(1, max_depth + 1))
+    return (
+        _graph_edges_cte(
+            ["building", "addresstobuilding", "surfacegeometry"], recursive=True
+        )
+        + f"""
+, reach(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.depth < {max_depth}
+)
+, md AS (SELECT src, dst, min(depth) AS d FROM reach WHERE src <> dst GROUP BY 1, 2)
+, fold AS (SELECT src, {counts}, max(d) AS ecc FROM md GROUP BY src)
+-- explicit DISTINCT: inside WITH RECURSIVE duckdb does not dedup a
+-- plain UNION in a non-recursive member, so spell the dedup out
+, n AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))
+SELECT n.id,
+       round(coalesce({fold}, 0.0), 8) AS harmonic,
+       CAST(coalesce(ecc, 0) AS INT) AS eccentricity
+FROM n LEFT JOIN fold ON fold.src = n.id
+"""
+    )
+
+
+def q_skyline_pareto(spark, sf):
+    """Pareto skyline over parts: every DISTINCT (retailprice, size)
+    pair not dominated under joint minimization — the cheapest part at
+    every size frontier (ops.skyline.skyline_2d). The Spark plan is the
+    sorted-prefix-minimum characterization (one range exchange +
+    partition-local windows + a P-row broadcast carry), while the
+    oracle runs the textbook quadratic NOT EXISTS — structurally
+    different evaluations that must land on the same set."""
+    from citykg.ops.skyline import skyline_2d
+
+    p = spark.read.parquet(f"{sf}/part.parquet").select(
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").alias("size"),
+    )
+    return skyline_2d(p, "retailprice", "size")
+
+
+def _skyline_pareto_sql() -> str:
+    return """
+WITH p AS (SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part
+           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+SELECT a.x AS retailprice, a.y AS size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+"""
+
+
+def q_rfm_segments(spark, sf):
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (lifetime spend), each quintile-scored with NTILE(5) and packed
+    into the classic 3-digit RFM code. The monetary sum runs in
+    DECIMAL(18,2) so the fold is exact and order-independent (a double
+    sum would jitter in the last ulp and flip quantile ties). Scale
+    note: the NTILE windows run over the per-customer AGGREGATE frame;
+    at 100 TB the standard swap is threshold assignment from
+    approx-quantile boundaries — kept exact here because the oracle
+    demands bit-equal quintile edges."""
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("_d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_p"),
+    )
+    mx = o.agg(F.max("_d").alias("_mx"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("_d").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum("_p").alias("_m"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("_mx", "_last").cast("int").alias("recency"),
+            F.col("frequency").cast("int").alias("frequency"),
+            F.col("_m").cast("double").alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency").asc(), F.col("custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    return per.select(
+        "custkey",
+        "recency",
+        "frequency",
+        "monetary",
+        (
+            F.ntile(5).over(r_w) * 100 + F.ntile(5).over(f_w) * 10 + F.ntile(5).over(m_w)
+        ).alias("rfm_code"),
+    )
+
+
+def _rfm_segments_sql() -> str:
+    return """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS recency,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT custkey,
+       CAST(recency AS INT) AS recency,
+       CAST(frequency AS INT) AS frequency,
+       monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency ASC, custkey ASC) * 100
+          + NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) * 10
+          + NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC) AS INT) AS rfm_code
+FROM per
+"""
+
+
+def q_spatial_haversine(spark, sf):
+    """Great-circle (haversine) distance on the WGS84 sphere between
+    consecutive synthetic doc points — the geodesic companion to
+    distance_epsg's projected planar measure (the reference re-projects
+    before measuring, DistanceAgent.computeDistance:271-284; haversine
+    is the projection-free alternative a global dataset needs when no
+    single metric CRS fits). Pure JVM trig in one codegen'd Project +
+    one equi-join on doc_id+1; the oracle replays the closed form."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "radians(cast(-5 + (doc_id % 30) * 0.5 as double)) as lon",
+        "radians(cast(40 + (doc_id % 20) * 0.5 as double)) as lat",
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lon").alias("la"), F.col("lat").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lon").alias("lb"), F.col("lat").alias("pb")
+    )
+    h = (
+        F.pow(F.sin((F.col("pb") - F.col("pa")) / 2), 2)
+        + F.cos("pa") * F.cos("pb") * F.pow(F.sin((F.col("lb") - F.col("la")) / 2), 2)
+    )
+    return (
+        a.join(b, F.col("doc_a") + 1 == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(2.0 * 6371008.8 * F.asin(F.sqrt(h)), 2).alias("dist_m"),
+        )
+    )
+
+
+def _spatial_haversine_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id,
+                    radians(CAST(-5 + (doc_id % 30) * 0.5 AS DOUBLE)) AS lon,
+                    radians(CAST(40 + (doc_id % 20) * 0.5 AS DOUBLE)) AS lat
+             FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(2.0 * 6371008.8 * asin(sqrt(
+         pow(sin((b.lat - a.lat) / 2), 2)
+         + cos(a.lat) * cos(b.lat) * pow(sin((b.lon - a.lon) / 2), 2))), 2) AS dist_m
+FROM pts a JOIN pts b ON a.doc_id + 1 = b.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -7818,6 +8002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
+        "graph_closeness": q_graph_closeness,
+        "skyline_pareto": q_skyline_pareto,
+        "rfm_segments": q_rfm_segments,
+        "spatial_haversine": q_spatial_haversine,
         "kg_topo_levels": q_kg_topo_levels,
         "graph_kcore": q_graph_kcore,
         "emb_pq": q_emb_pq,
@@ -9990,6 +10178,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_sql(),
         "graph_hits": _hits_sql(),
         "graph_scc": _graph_scc_sql(),
+        "graph_closeness": _graph_closeness_sql(),
+        "skyline_pareto": _skyline_pareto_sql(),
+        "rfm_segments": _rfm_segments_sql(),
+        "spatial_haversine": _spatial_haversine_sql(),
         "kg_topo_levels": _kg_topo_levels_sql(),
         "graph_kcore": _kcore_sql(),
         "emb_pq": _pq_sql(),

@@ -945,3 +945,52 @@ def scc(edges: DataFrame, max_depth: int = 20) -> DataFrame:
             F.least(F.coalesce("_m", "id"), F.col("id")).alias("scc"),
         )
     )
+
+
+def harmonic_closeness(edges: DataFrame, max_depth: int = 6) -> DataFrame:
+    """Harmonic closeness centrality (and eccentricity) bounded at
+    max_depth: C_H(v) = sum over u reachable FROM v of 1/d(v,u), with
+    d = minimum directed path length; ecc(v) = max d within the bound.
+    The bounded-harmonic form is the standard big-graph variant (Boldi
+    & Vigna, "Axioms for Centrality") because the exact all-pairs sum
+    is the same closure this engine already computes for property
+    paths — one bounded_reachability pass, then a per-source fold.
+
+    Determinism: the fold is NOT sum(1/depth) over the pair frame
+    (float addition order varies with partitioning); instead the
+    aggregate collects one exact integer count per depth level and the
+    harmonic sum is a FIXED-ORDER expression over those <= max_depth
+    integers, so the double is bit-stable under any physical plan and
+    the DuckDB oracle replays it term-for-term. Nodes with out-degree 0
+    still appear (closeness 0), matching NetworkX's convention.
+
+    Scale: the closure dominates (see bounded_reachability); the fold
+    is one map-side-combinable aggregate on src. Returns
+    (id, harmonic, eccentricity).
+    """
+    reach = bounded_reachability(edges, max_depth)
+    per_depth = [
+        F.sum(F.when(F.col("depth") == d, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{d}")
+        for d in range(1, max_depth + 1)
+    ]
+    folded = reach.groupBy(F.col("src").alias("id")).agg(
+        *per_depth, F.max("depth").alias("eccentricity")
+    )
+    harmonic = None
+    for d in range(1, max_depth + 1):
+        term = F.col(f"_c{d}") / F.lit(float(d))
+        harmonic = term if harmonic is None else harmonic + term
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+    )
+    return (
+        nodes.join(folded, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce(harmonic, F.lit(0.0)), 8).alias("harmonic"),
+            F.coalesce("eccentricity", F.lit(0)).cast("int").alias("eccentricity"),
+        )
+    )

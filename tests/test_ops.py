@@ -1995,3 +1995,61 @@ def test_scc_depth_contract(spark):
     assert set(full.values()) == {"c0"}
     shallow = {r.id: r.scc for r in graph.scc(e, max_depth=2).collect()}
     assert all(k == v for k, v in shallow.items())
+
+
+def test_harmonic_closeness_hand_computed(spark):
+    # path a->b->c plus a->c shortcut: d(a,b)=1, d(a,c)=1 (shortcut),
+    # d(b,c)=1; harmonic(a)=2.0, harmonic(b)=1.0, harmonic(c)=0.0
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    got = {
+        r["id"]: (r["harmonic"], r["eccentricity"])
+        for r in graph.harmonic_closeness(e, max_depth=4).collect()
+    }
+    assert got == {"a": (2.0, 1), "b": (1.0, 1), "c": (0.0, 0)}
+
+
+def test_harmonic_closeness_depth_bound_and_chain(spark):
+    # chain 0->1->2->3->4: harmonic(0) = 1 + 1/2 + 1/3 with max_depth=3
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["src", "dst"]
+    )
+    got = {r["id"]: r for r in graph.harmonic_closeness(e, max_depth=3).collect()}
+    assert got[0]["harmonic"] == round(1 + 0.5 + 1 / 3, 8)
+    assert got[0]["eccentricity"] == 3
+    assert got[4]["harmonic"] == 0.0
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    from citykg.ops.skyline import skyline_2d
+
+    rng = np.random.default_rng(7)
+    pts = [
+        (float(x), int(y))
+        for x, y in zip(rng.integers(0, 40, 300), rng.integers(0, 40, 300))
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y", n_partitions=7).collect()}
+    uniq = set(pts)
+    brute = {
+        p
+        for p in uniq
+        if not any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in uniq
+        )
+    }
+    assert got == brute
+
+
+def test_skyline_2d_duplicates_and_single_point(spark):
+    from citykg.ops.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1.0, 5), (1.0, 5), (2.0, 4), (3.0, 3), (3.0, 9)], ["x", "y"]
+    )
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {(1.0, 5), (2.0, 4), (3.0, 3)}
+    one = spark.createDataFrame([(9.0, 9)], ["x", "y"])
+    assert [(r["x"], r["y"]) for r in skyline_2d(one, "x", "y").collect()] == [(9.0, 9)]
