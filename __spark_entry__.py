@@ -7873,6 +7873,153 @@ FROM pts a JOIN pts b ON a.doc_id + 1 = b.doc_id
 """
 
 
+def q_graph_sssp(spark, sf):
+    """Weighted single-source shortest paths (ops.graph.sssp_weighted):
+    synchronous Bellman-Ford, 8 fixed rounds — exact min-weight paths
+    using <= 8 edges, the Pregel SSSP shape (one join + one min-agg per
+    round, static edges checkpointed once). Edge weights are a
+    deterministic function of the endpoint IRI lengths so the DuckDB
+    oracle — the identical hop-bounded min-plus closure as a recursive
+    CTE — can replay them; the cross-path combine is min, so no
+    order-dependent float addition exists."""
+    t = _triples(spark, sf, ["addresstobuilding", "building", "address"])
+    e = graph.triples_to_edges(t).withColumn(
+        "w", (F.length("src") % 5 + F.length("dst") % 3 + 1).cast("double")
+    )
+    src = e.agg(F.min("src")).collect()[0][0]
+    return graph.sssp_weighted(e, src if src else "none", max_rounds=8).select(
+        "id", F.round("dist", 8).alias("dist")
+    )
+
+
+def _graph_sssp_sql(max_rounds: int = 8) -> str:
+    return (
+        _graph_edges_cte(["addresstobuilding", "building", "address"], recursive=True)
+        + f"""
+, ew AS (SELECT src, dst,
+         CAST(length(src) % 5 + length(dst) % 3 + 1 AS DOUBLE) AS w FROM e)
+, s AS (SELECT min(src) AS sid FROM ew)
+, paths(id, d, hops) AS (
+  SELECT dst, w, 1 FROM ew WHERE src = (SELECT sid FROM s)
+  UNION ALL
+  SELECT ew.dst, p.d + ew.w, p.hops + 1 FROM paths p JOIN ew ON ew.src = p.id
+  WHERE p.hops < {max_rounds}
+)
+SELECT id, round(min(d), 8) AS dist FROM paths GROUP BY id
+UNION ALL
+SELECT sid AS id, 0.0 AS dist FROM s
+"""
+    )
+
+
+def q_event_survival(spark, sf):
+    """Kaplan-Meier product-limit survival curve over inter-event gaps
+    (ops.temporal.kaplan_meier): each user's gap to their next event is
+    an observed duration, the final event is right-censored at the
+    corpus max timestamp. One per-user lead window + one per-duration
+    aggregate; the cumulative (1 - d/n) product folds as an ordered
+    exp-sum-ln over the distinct-duration frame with a zero-factor
+    guard. The oracle replays the estimator with the same windows."""
+    from citykg.ops import temporal
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.kaplan_meier(e, "user_id", "ts")
+
+
+def _event_survival_sql() -> str:
+    return """
+WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+mx AS (SELECT max(t) AS mxt FROM ev),
+durs AS (
+  SELECT coalesce(nxt - t, (SELECT mxt FROM mx) - t) AS duration_s,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM (SELECT t, lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt FROM ev)),
+per AS (SELECT duration_s, sum(ev) AS n_events, count(*) AS n
+        FROM durs GROUP BY duration_s),
+km AS (
+  SELECT duration_s, n_events,
+         (SELECT count(*) FROM durs)
+           - coalesce(sum(n) OVER (ORDER BY duration_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+         n
+  FROM per),
+fold AS (
+  SELECT duration_s, n_events, n_risk,
+         1.0 - CAST(n_events AS DOUBLE) / n_risk AS f,
+         CASE WHEN 1.0 - CAST(n_events AS DOUBLE) / n_risk > 0
+              THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_risk) ELSE 0.0 END AS lnf
+  FROM km)
+SELECT CAST(duration_s AS BIGINT) AS duration_s,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CASE WHEN min(f) OVER (ORDER BY duration_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0
+                  THEN 0.0
+                  ELSE exp(sum(lnf) OVER (ORDER BY duration_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END,
+             8) AS survival
+FROM fold
+WHERE n_events > 0
+"""
+
+
+def q_agg_incremental(spark, sf):
+    """Incremental view maintenance for algebraic aggregates: the
+    per-user (count, sum, min, max) state is computed separately for
+    the base slice (before Jan 16) and the delta slice (on/after), then
+    MERGED by re-aggregating the two partial-state frames — count adds,
+    sum adds, min/max fold, avg derives from the merged pair. This is
+    the mergeability contract a 100 TB incremental pipeline relies on
+    (and what Spark's own map-side combine does inside one job); the
+    oracle is the SINGLE-PASS aggregate over all events, so the check
+    is exactly partial-merge == full recompute. Sums run in
+    DECIMAL(18,2) so the merge is order-exact."""
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("_v")
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+
+    def state(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum("_v").alias("s"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
+
+    merged = (
+        state(e.where(F.col("ts") < cutoff))
+        .unionByName(state(e.where(F.col("ts") >= cutoff)))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("s").cast("double").alias("total"),
+        F.col("mn").cast("double").alias("vmin"),
+        F.col("mx").cast("double").alias("vmax"),
+        F.round(F.col("s").cast("double") / F.col("n"), 8).alias("vavg"),
+    )
+
+
+def _agg_incremental_sql() -> str:
+    return """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 8) AS vavg
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -8002,6 +8149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
+        "graph_sssp": q_graph_sssp,
+        "event_survival": q_event_survival,
+        "agg_incremental": q_agg_incremental,
         "graph_closeness": q_graph_closeness,
         "skyline_pareto": q_skyline_pareto,
         "rfm_segments": q_rfm_segments,
@@ -10178,6 +10328,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_sql(),
         "graph_hits": _hits_sql(),
         "graph_scc": _graph_scc_sql(),
+        "graph_sssp": _graph_sssp_sql(),
+        "event_survival": _event_survival_sql(),
+        "agg_incremental": _agg_incremental_sql(),
         "graph_closeness": _graph_closeness_sql(),
         "skyline_pareto": _skyline_pareto_sql(),
         "rfm_segments": _rfm_segments_sql(),

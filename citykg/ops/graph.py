@@ -994,3 +994,41 @@ def harmonic_closeness(edges: DataFrame, max_depth: int = 6) -> DataFrame:
             F.coalesce("eccentricity", F.lit(0)).cast("int").alias("eccentricity"),
         )
     )
+
+
+def sssp_weighted(
+    edges: DataFrame, source: str, max_rounds: int = 8
+) -> DataFrame:
+    """Single-source shortest paths with edge WEIGHTS: synchronous
+    Bellman-Ford, the distributed relaxation scheme (Dijkstra's queue is
+    inherently sequential; Bellman-Ford rounds are each one join + one
+    min-aggregate, both map-side combinable — the Pregel SSSP shape).
+
+    After round k every node holds the exact minimum-weight path using
+    <= k edges, so with fixed max_rounds the result is deterministic and
+    the DuckDB oracle is the identical hop-bounded min-plus closure as a
+    recursive CTE. Distances are exact IEEE doubles: each path's weight
+    folds left-to-right along the path (same order both engines) and the
+    cross-path combine is min — no order-dependent float addition.
+
+    edges: (src, dst, w). Returns (id, dist) for reached nodes only.
+    At 10^12 edges the static edge frame is checkpointed once and each
+    round shuffles only on the join key; unreachable nodes never enter
+    the frontier, so per-round work tracks the reached set.
+    """
+    e = edges.select("src", "dst", F.col("w").cast("double")).transform(stable)
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0.0)], "id string, dist double"
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(e, dist["id"] == e["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .transform(stable)
+        )
+    return dist

@@ -285,3 +285,78 @@ def scd2_intervals(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.when(F.lead(ts_col).over(w2).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate over inter-event
+    gaps: each user's gap to their NEXT event is an observed duration;
+    the user's final event is right-CENSORED at the corpus max
+    timestamp (we know only that the next gap exceeds it). The
+    estimator at duration t multiplies (1 - d_i/n_i) over all event
+    times t_i <= t, with n_i = subjects still at risk.
+
+    Plan shape: one per-user window (lead) to form durations — hash
+    partitioning on the user key, the same economics as sessionize —
+    then a per-duration aggregate; the cumulative product runs over the
+    DISTINCT-duration frame (aggregate-level, not data-level; at 100 TB
+    durations would be bucketed to a fixed grid first, noted here
+    because the oracle demands exact seconds). The product is evaluated
+    as exp(cumulative sum of ln factors) with an explicit zero-factor
+    guard — both engines fold the ordered sum sequentially, so the
+    double is stable.
+
+    Returns (duration_s, n_risk, n_events, survival) for UNCENSORED
+    durations, survival rounded to 8 dp.
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(user_col).orderBy("_t")
+    mx = events.agg(F.max(sec).alias("_mx"))
+    durs = (
+        events.select(F.col(user_col), sec.alias("_t"))
+        .withColumn("_nxt", F.lead("_t").over(w))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.coalesce(F.col("_nxt") - F.col("_t"), F.col("_mx") - F.col("_t")).alias(
+                "duration_s"
+            ),
+            F.col("_nxt").isNotNull().cast("int").alias("_event"),
+        )
+    )
+    per = durs.groupBy("duration_s").agg(
+        F.sum("_event").alias("n_events"), F.count("*").alias("_n")
+    )
+    # total subjects as a one-row broadcast fold, not a driver action
+    tot = durs.agg(F.count("*").alias("_total"))
+    ow = Window.orderBy("duration_s").rowsBetween(Window.unboundedPreceding, -1)
+    cw = Window.orderBy("duration_s").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("_total") - F.coalesce(F.sum("_n").over(ow), F.lit(0))
+    )
+    factor = 1.0 - F.col("n_events") / F.col("n_risk")
+    # ln of a zero factor is guarded BEFORE the window fold (window
+    # expressions evaluate eagerly in both engines, so a lazy CASE
+    # around the sum would still hit ln(0)); rows at/after a zero
+    # factor are forced to survival 0 by the cumulative-min test
+    km = (
+        at_risk.withColumn("_f", factor)
+        .withColumn("_lnf", F.when(F.col("_f") > 0.0, F.log("_f")).otherwise(F.lit(0.0)))
+        .withColumn(
+            "survival",
+            F.when(F.min("_f").over(cw) <= 0.0, F.lit(0.0)).otherwise(
+                F.exp(F.sum("_lnf").over(cw))
+            ),
+        )
+    )
+    return (
+        km.where(F.col("n_events") > 0)
+        .select(
+            F.col("duration_s").cast("long"),
+            F.col("n_risk").cast("long"),
+            F.col("n_events").cast("long"),
+            F.round("survival", 8).alias("survival"),
+        )
+    )

@@ -2053,3 +2053,15 @@ def test_skyline_2d_duplicates_and_single_point(spark):
     assert got == {(1.0, 5), (2.0, 4), (3.0, 3)}
     one = spark.createDataFrame([(9.0, 9)], ["x", "y"])
     assert [(r["x"], r["y"]) for r in skyline_2d(one, "x", "y").collect()] == [(9.0, 9)]
+
+
+def test_sssp_weighted_hand_computed(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0), ("c", "d", 1.0)],
+        ["src", "dst", "w"],
+    )
+    got = {r["id"]: r["dist"] for r in graph.sssp_weighted(e, "a", max_rounds=8).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+    # hop bound: with 1 round only direct edges are relaxed
+    one = {r["id"]: r["dist"] for r in graph.sssp_weighted(e, "a", max_rounds=1).collect()}
+    assert one == {"a": 0.0, "b": 1.0, "c": 5.0}

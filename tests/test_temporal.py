@@ -176,3 +176,24 @@ def test_event_cusum_reflection_identity(spark):
         expect[f"2024-02-{d+1:02d}"] = (round(s, 6), 1 if round(s, 6) > round(4 * sd, 6) else 0)
     assert out == expect
     assert any(a for _, a in out.values())  # the shift actually alarms
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from citykg.ops.temporal import kaplan_meier
+
+    # user A events at 0s and 10s; user B at 0s and 5s; corpus max = 10s.
+    # durations: A 10 (event) + 0 (censored), B 5 (event) + 5 (censored)
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:00:10"),
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:00:05"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = sorted(
+        (r["duration_s"], r["n_risk"], r["n_events"], r["survival"])
+        for r in kaplan_meier(e, "user_id", "ts").collect()
+    )
+    # at t=5: 3 at risk (the 0s censored duration already left), 1 event
+    # -> S = 2/3; at t=10: 1 at risk, 1 event -> factor 0 -> S = 0
+    assert got == [(5, 3, 1, round(2 / 3, 8)), (10, 1, 1, 0.0)]
