@@ -8020,6 +8020,144 @@ FROM events GROUP BY user_id
 """
 
 
+def q_inverted_index(spark, sf):
+    """Posting-list inverted index over the df-band vocabulary
+    (ops.relevance.inverted_index): (term, df, numerically-sorted csv
+    posting list) for terms with 2 <= df <= 20. The df band bounds the
+    per-term collect at 20 ids, so the build is two partial-agg
+    shuffles with constant-size groups at any corpus scale; the oracle
+    is DuckDB's ordered string_agg over the same band. The index unit
+    is the word BIGRAM: the synth corpus's unigram vocabulary is ~31
+    terms all with df >> 20, so unigram postings carry no signal."""
+    from citykg.ops import relevance
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return relevance.inverted_index(
+        d, "doc_id", "text", min_df=2, max_df=20, unit="bigram"
+    )
+
+
+_BITERMS_CTE = (
+    "bt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z]+'), x -> x <> '') AS a FROM documents), "
+    "bidx AS (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 1, 0)))"
+    " AS i FROM bt), "
+    "b2 AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS term FROM bidx)"
+)
+
+
+def _inverted_index_sql() -> str:
+    return (
+        f"WITH {_BITERMS_CTE}, "
+        "td AS (SELECT DISTINCT doc_id, term FROM b2), "
+        "dfq AS (SELECT term, count(*) AS df FROM td GROUP BY 1 "
+        "        HAVING count(*) BETWEEN 2 AND 20) "
+        "SELECT term, CAST(df AS BIGINT) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+        "FROM td JOIN dfq USING (term) GROUP BY term, df"
+    )
+
+
+def q_tfidf_cosine_knn(spark, sf):
+    """Sparse TF-IDF cosine nearest document via the inverted-index
+    join (ops.relevance.tfidf_cosine_topk): candidates are docs sharing
+    >= 1 term in the df-capped vocabulary (df <= 100 — prefix-filter
+    pruning, O(sum df^2) candidates, never all-pairs), scored
+    dot/(|a||b|) and reduced to each doc's top-1 neighbor. The oracle
+    replays weights, candidate join, and ranking in SQL. Bigram index
+    unit (see q_inverted_index — the unigram vocab is degenerate)."""
+    from citykg.ops import relevance
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return relevance.tfidf_cosine_topk(
+        d, "doc_id", "text", max_df=100, k=1, unit="bigram"
+    )
+
+
+def _tfidf_cosine_knn_sql() -> str:
+    return (
+        f"WITH {_BITERMS_CTE}, "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM b2 GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "w AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS w "
+        "      FROM tf JOIN dfq USING (term), n), "
+        "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1), "
+        "dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot "
+        "         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id "
+        "         GROUP BY 1, 2), "
+        "sc AS (SELECT da, db, round(dot / (x.nrm * y.nrm), 6) AS cosine "
+        "       FROM dots JOIN nrm x ON x.doc_id = da JOIN nrm y ON y.doc_id = db), "
+        "sp AS (SELECT * FROM sc WHERE cosine > 0), "
+        "sym AS (SELECT da AS doc_id, db AS neighbor, cosine FROM sp "
+        "        UNION ALL SELECT db AS doc_id, da AS neighbor, cosine FROM sp) "
+        "SELECT doc_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY cosine DESC, neighbor ASC) AS rank FROM sym) WHERE rank <= 1"
+    )
+
+
+def q_quantile_sketch_eval(spark, sf):
+    """Mergeable-quantile-sketch quality gate: per event type, Spark's
+    approx_percentile (Greenwald-Khanna summaries, accuracy=1000 ->
+    rank error <= n/1000, the 100 TB path — partial sketches merge
+    map-side) is checked against the EXACT percentiles: the sketch
+    passes if the returned element's empirical rank is within
+    eps + 2/n of the target for each of p50/p90/p99. Output carries the
+    exact percentiles (the deterministic contract) plus the boolean
+    verdict; the oracle computes the same exact percentiles and asserts
+    TRUE — i.e. the driver check fails if the sketch ever drifts out of
+    its guarantee."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    pct = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    eps = 1.0 / 1000
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+            for name, p in pct.items()
+        ],
+        *[
+            F.expr(f"approx_percentile(value, {p}, 1000)").alias(f"_a_{name}")
+            for name, p in pct.items()
+        ],
+    )
+    ranks = (
+        e.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("value") <= F.col(f"_a_{name}"), 1).otherwise(0)
+                ).alias(f"_r_{name}")
+                for name in pct
+            ]
+        )
+    )
+    ok = None
+    for name, p in pct.items():
+        cond = (
+            F.abs(F.col(f"_r_{name}") / F.col("_n") - F.lit(p))
+            <= F.lit(eps) + 2.0 / F.col("_n")
+        )
+        ok = cond if ok is None else (ok & cond)
+    return (
+        agg.join(ranks, "event_type")
+        .select("event_type", "p50", "p90", "p99", ok.alias("sketch_ok"))
+    )
+
+
+def _quantile_sketch_eval_sql() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       TRUE AS sketch_ok
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -8149,6 +8287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
+        "inverted_index": q_inverted_index,
+        "tfidf_cosine_knn": q_tfidf_cosine_knn,
+        "quantile_sketch_eval": q_quantile_sketch_eval,
         "graph_sssp": q_graph_sssp,
         "event_survival": q_event_survival,
         "agg_incremental": q_agg_incremental,
@@ -10328,6 +10469,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_sql(),
         "graph_hits": _hits_sql(),
         "graph_scc": _graph_scc_sql(),
+        "inverted_index": _inverted_index_sql(),
+        "tfidf_cosine_knn": _tfidf_cosine_knn_sql(),
+        "quantile_sketch_eval": _quantile_sketch_eval_sql(),
         "graph_sssp": _graph_sssp_sql(),
         "event_survival": _event_survival_sql(),
         "agg_incremental": _agg_incremental_sql(),

@@ -431,3 +431,135 @@ def chi2_keywords(
             "round(_chi2, 6) as chi2",
         )
     )
+
+
+def _bigram_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (doc, adjacent-word-pair): 'w1 w2' bigram terms over
+    the lowercase letter-run tokens (empties filtered BEFORE pairing so
+    boundary splits never fabricate half-bigrams). Used as the index
+    unit when the unigram vocabulary is too small to discriminate."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("term"))
+
+
+def _unit_terms(
+    df: DataFrame, id_col: str, text_col: str, unit: str
+) -> DataFrame:
+    if unit == "bigram":
+        return _bigram_terms(df, id_col, text_col)
+    return _terms(df, id_col, text_col)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 20,
+    unit: str = "word",
+) -> DataFrame:
+    """Posting-list inverted index over the df-band vocabulary: one row
+    per term with its document frequency and the NUMERICALLY-sorted
+    posting list serialized as csv. The df band [min_df, max_df] is the
+    standard index-pruning contract (hapaxes carry no linkage signal,
+    stop-words explode postings); it also bounds the per-term
+    collect_list at max_df elements, so no group buffers more than a
+    constant number of ids — the build is two partial-agg shuffles
+    regardless of corpus size. Returns (term, df, postings)."""
+    t = _unit_terms(df, id_col, text_col, unit).distinct()
+    dfq = (
+        t.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    return (
+        t.join(dfq, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select("term", F.col("df").cast("long"), "postings")
+    )
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    k: int = 1,
+    unit: str = "word",
+) -> DataFrame:
+    """Sparse TF-IDF cosine k-nearest-documents via the inverted-index
+    join: weight w = round(tf * ln(N/df), 6) over the df-capped
+    vocabulary (terms with df > max_df are dropped — the classic
+    stop-word/prefix-filter pruning that keeps the candidate join
+    O(sum df^2 over rare terms), never all-pairs), candidate pairs are
+    docs sharing >= 1 surviving term, cosine = dot / (|a||b|). Docs
+    whose every neighbor scores 0 emit no row. Rounding: per-term
+    weights at 6 dp (JVM vs C libm ln agreement, same convention as
+    tfidf_topk) and the final score at 6 dp (bm25_scores precedent for
+    the order-jittered double sum). Returns (doc_id, neighbor, cosine,
+    rank) with rank <= k, ties broken by neighbor id."""
+    t = _unit_terms(df, id_col, text_col, unit)
+    tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+    n = df.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col).alias("_id"),
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("w"),
+        )
+    )
+    norms = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("_id").alias("_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("_id").alias("_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "_a")
+        .join(nb, "_b")
+        .select(
+            "_a",
+            "_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") > 0)
+    )
+    sym = scored.select(
+        F.col("_a").alias(id_col), F.col("_b").alias("neighbor"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("_b").alias(id_col), F.col("_a").alias("neighbor"), "cosine"
+        )
+    )
+    rw = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select(id_col, "neighbor", "cosine", F.col("rank").cast("int"))
+    )

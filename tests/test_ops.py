@@ -2065,3 +2065,48 @@ def test_sssp_weighted_hand_computed(spark):
     # hop bound: with 1 round only direct edges are relaxed
     one = {r["id"]: r["dist"] for r in graph.sssp_weighted(e, "a", max_rounds=1).collect()}
     assert one == {"a": 0.0, "b": 1.0, "c": 5.0}
+
+
+def test_inverted_index_hand_computed(spark):
+    from citykg.ops import relevance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox jumps"),
+            (2, "red fox sleeps"),
+            (3, "blue fox jumps"),
+            (4, "red fox jumps high"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in relevance.inverted_index(
+            docs, "doc_id", "text", min_df=2, max_df=3, unit="bigram"
+        ).collect()
+    }
+    # 'red fox' df=3 within band; 'fox jumps' df=3; 'fox sleeps'/'blue fox'
+    # /'jumps high' are hapaxes and excluded
+    assert got == {"red fox": (3, "1,2,4"), "fox jumps": (3, "1,3,4")}
+
+
+def test_tfidf_cosine_topk_self_similarity(spark):
+    from citykg.ops import relevance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "zeta eta theta kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["neighbor"]
+        for r in relevance.tfidf_cosine_topk(
+            docs, "doc_id", "text", max_df=4, k=1, unit="bigram"
+        ).collect()
+    }
+    # the two alpha-docs pair up, the two zeta-docs pair up
+    assert got == {1: 2, 2: 1, 3: 4, 4: 3}
