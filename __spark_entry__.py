@@ -8158,6 +8158,166 @@ FROM events GROUP BY event_type
 """
 
 
+def q_interval_coalesce(spark, sf):
+    """Gaps-and-islands interval merge (ops.temporal.coalesce_intervals):
+    each event opens a 300 s activity interval; overlapping intervals of
+    the same user coalesce into islands (start, end, merged count) via
+    the running-max-end flag + cumulative island id — one per-user
+    window, all-integer, no self-join. Oracle: the identical window
+    formulation in DuckDB."""
+    from citykg.ops import temporal
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = e.select("user_id", sec.alias("s"), (sec + 300).alias("e"))
+    out = temporal.coalesce_intervals(iv, "user_id", "s", "e")
+    return out.select(
+        "user_id",
+        F.col("island_start").cast("long"),
+        F.col("island_end").cast("long"),
+        F.col("n_merged").cast("long"),
+    )
+
+
+def _interval_coalesce_sql() -> str:
+    return """
+WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e FROM events),
+f AS (SELECT user_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS nw
+      FROM iv),
+isl AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM f)
+SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+       count(*) AS n_merged
+FROM isl GROUP BY user_id, g
+"""
+
+
+def q_graph_bipartite(spark, sf):
+    """Bipartite co-occurrence projection (ops.graph.bipartite_project):
+    the user x event_type incidence projected onto event types —
+    (type_a, type_b, number of distinct users doing both). Hub capping
+    (max_degree) drops left nodes whose degree would make the self-join
+    quadratic; mirrored in the oracle so semantics stay identical."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return graph.bipartite_project(e, "user_id", "event_type", max_degree=10).select(
+        "right_a", "right_b", F.col("weight").cast("long")
+    )
+
+
+def _graph_bipartite_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+deg AS (SELECT user_id FROM e GROUP BY user_id HAVING count(*) <= 10),
+ef AS (SELECT e.* FROM e JOIN deg USING (user_id))
+SELECT a.event_type AS right_a, b.event_type AS right_b,
+       count(*) AS weight
+FROM ef a JOIN ef b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_l_diversity(spark, sf):
+    """l-diversity audit, the companion check to k_anonymity: for each
+    quasi-identifier group (event_type, hour-of-day), how many DISTINCT
+    sensitive values (user ids) it contains — a group can be k-anonymous
+    yet expose its members if everyone shares the sensitive value.
+    One partial-agg groupBy; the verdict column flags groups below
+    l = 3."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        e.groupBy(
+            "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_sensitive"),
+        )
+        .select(
+            "event_type",
+            F.col("hour").cast("int"),
+            F.col("n_rows").cast("long"),
+            F.col("n_sensitive").cast("long"),
+            (F.col("n_sensitive") >= 3).alias("l_diverse"),
+        )
+    )
+
+
+def _l_diversity_sql() -> str:
+    return """
+SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_sensitive,
+       count(DISTINCT user_id) >= 3 AS l_diverse
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_hll_merge_rollup(spark, sf):
+    """HLL register MERGEABILITY rollup: per-(event_type, day) register
+    files are merged (bucket-wise max) up to per-type and to a global
+    '*all*' sketch WITHOUT touching the raw data again — the property
+    that lets a 100 TB pipeline keep daily sketches and answer
+    arbitrary-range distinct queries by folding registers. max is
+    associative, so the merged estimate must equal building the sketch
+    directly at the coarser level — which is exactly what the oracle
+    does (direct DuckDB HLL replay per type and overall)."""
+    from citykg.ops import sketch
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day"),
+    )
+    fine = sketch.hll_registers(e, "user_id", ["event_type", "day"])
+    merged = fine.groupBy("event_type", "bucket").agg(F.max("m_rank").alias("m_rank"))
+    per_type = sketch.hll_estimate(merged, ["event_type"])
+    gmerged = fine.groupBy("bucket").agg(F.max("m_rank").alias("m_rank"))
+    overall = sketch.hll_estimate(gmerged, []).select(
+        F.lit("*all*").alias("event_type"), "hll_estimate"
+    )
+    return per_type.unionByName(overall)
+
+
+def _hll_merge_rollup_sql(p: int = 8) -> str:
+    from citykg.ops.sketch import _HASH_BITS, _hll_alpha, md5_56_duckdb
+
+    m = 1 << p
+    maxrank = _HASH_BITS - p + 1
+    num = repr(_hll_alpha(m) * m * m * float(1 << maxrank))
+    fold = md5_56_duckdb("cast(user_id as varchar)")
+    e_expr = f"{num} / (s_present + ({m} - n_present) * (1::BIGINT << {maxrank}))"
+    est = (
+        f"round(CASE WHEN {e_expr} <= {repr(2.5 * m)} AND ({m} - n_present) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present)) "
+        f"ELSE {e_expr} END, 4)"
+    )
+    return f"""
+WITH h AS (SELECT event_type, {fold} AS _h FROM events),
+r AS (SELECT event_type, _h % {m} AS bucket,
+        CASE WHEN _h // {m} = 0 THEN {maxrank}
+             ELSE {maxrank} - length(bin(_h // {m})) END AS rho
+      FROM h),
+reg AS (SELECT event_type, bucket, max(rho) AS m_rank FROM r GROUP BY 1, 2),
+greg AS (SELECT bucket, max(m_rank) AS m_rank FROM reg GROUP BY 1),
+ta AS (SELECT event_type,
+              sum(1::BIGINT << ({maxrank} - m_rank)) AS s_present,
+              count(*) AS n_present
+       FROM reg GROUP BY 1),
+ga AS (SELECT sum(1::BIGINT << ({maxrank} - m_rank)) AS s_present,
+              count(*) AS n_present
+       FROM greg)
+SELECT event_type, {est} AS hll_estimate FROM ta
+UNION ALL
+SELECT '*all*' AS event_type, {est} AS hll_estimate FROM ga
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_full": q_kg_extract_full,
@@ -8287,6 +8447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "graph_hits": q_graph_hits,
         "graph_scc": q_graph_scc,
+        "interval_coalesce": q_interval_coalesce,
+        "graph_bipartite": q_graph_bipartite,
+        "l_diversity": q_l_diversity,
+        "hll_merge_rollup": q_hll_merge_rollup,
         "inverted_index": q_inverted_index,
         "tfidf_cosine_knn": q_tfidf_cosine_knn,
         "quantile_sketch_eval": q_quantile_sketch_eval,
@@ -10469,6 +10633,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_sql(),
         "graph_hits": _hits_sql(),
         "graph_scc": _graph_scc_sql(),
+        "interval_coalesce": _interval_coalesce_sql(),
+        "graph_bipartite": _graph_bipartite_sql(),
+        "l_diversity": _l_diversity_sql(),
+        "hll_merge_rollup": _hll_merge_rollup_sql(),
         "inverted_index": _inverted_index_sql(),
         "tfidf_cosine_knn": _tfidf_cosine_knn_sql(),
         "quantile_sketch_eval": _quantile_sketch_eval_sql(),

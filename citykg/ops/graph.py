@@ -1032,3 +1032,31 @@ def sssp_weighted(
             .transform(stable)
         )
     return dist
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Project a bipartite (left, right) edge list onto the RIGHT node
+    set: (right_a, right_b, weight) with weight = number of distinct
+    left nodes adjacent to both and right_a < right_b — the standard
+    co-occurrence projection (user x item -> item-item). The self-join
+    on the left key makes a left node of degree d contribute d^2 pairs;
+    max_degree (when set) drops hub left-nodes above it first — the
+    usual cap that keeps the projection near-linear at web scale (a
+    user touching everything carries no co-occurrence signal anyway)."""
+    e = edges.select(left_col, right_col).distinct()
+    if max_degree is not None:
+        deg = e.groupBy(left_col).agg(F.count("*").alias("_d"))
+        e = e.join(deg.where(F.col("_d") <= max_degree), left_col).drop("_d")
+    a = e.select(F.col(left_col).alias("_l"), F.col(right_col).alias("right_a"))
+    b = e.select(F.col(left_col).alias("_l"), F.col(right_col).alias("right_b"))
+    return (
+        a.join(b, "_l")
+        .where(F.col("right_a") < F.col("right_b"))
+        .groupBy("right_a", "right_b")
+        .agg(F.count("*").alias("weight"))
+    )

@@ -360,3 +360,36 @@ def kaplan_meier(
             F.round("survival", 8).alias("survival"),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands):
+    an interval starts a new island iff its start exceeds the running
+    max end of all earlier intervals of the same key (ordered by
+    start, end — ties collapse to the same island either way, so the
+    order within ties is immaterial). One per-key window + one
+    aggregate, all-integer arithmetic — hash-partitioned on the key,
+    no self-join, the standard O(n log n)-per-key formulation.
+    Returns (key, island_start, island_end, n_merged)."""
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prevmax = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.select(key_col, start_col, end_col).withColumn(
+        "_new", F.when(prevmax.isNull() | (F.col(start_col) > prevmax), 1).otherwise(0)
+    )
+    island = flagged.withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        island.groupBy(key_col, "_isl")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("_isl")
+    )

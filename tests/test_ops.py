@@ -2110,3 +2110,17 @@ def test_tfidf_cosine_topk_self_similarity(spark):
     }
     # the two alpha-docs pair up, the two zeta-docs pair up
     assert got == {1: 2, 2: 1, 3: 4, 4: 3}
+
+
+def test_bipartite_project_hand_computed(spark):
+    e = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"), (3, "hub1"), (3, "hub2"),
+         (3, "hub3"), (3, "hub4")],
+        ["u", "t"],
+    )
+    got = {
+        (r["right_a"], r["right_b"]): r["weight"]
+        for r in graph.bipartite_project(e, "u", "t", max_degree=3).collect()
+    }
+    # user 3 (degree 4) is capped out; users 1,2 share (a,b); user 2 adds (a,c),(b,c)
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

@@ -197,3 +197,21 @@ def test_kaplan_meier_hand_computed(spark):
     # at t=5: 3 at risk (the 0s censored duration already left), 1 event
     # -> S = 2/3; at t=10: 1 at risk, 1 event -> factor 0 -> S = 0
     assert got == [(5, 3, 1, round(2 / 3, 8)), (10, 1, 1, 0.0)]
+
+
+def test_coalesce_intervals_hand_computed(spark):
+    from citykg.ops.temporal import coalesce_intervals
+
+    iv = spark.createDataFrame(
+        [
+            ("u", 0, 10), ("u", 5, 12), ("u", 12, 15),   # touch at 12 merges
+            ("u", 20, 25),                               # gap -> new island
+            ("v", 0, 1),
+        ],
+        ["k", "s", "e"],
+    )
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+        for r in coalesce_intervals(iv, "k", "s", "e").collect()
+    )
+    assert got == [("u", 0, 15, 3), ("u", 20, 25, 1), ("v", 0, 1, 1)]
