@@ -2802,6 +2802,187 @@ FROM sup
 """
 
 
+def q_volume_shipping(spark, sf):
+    """TPC-H Q7 shape (volume shipping between nation groups): revenue
+    flowing from a supplier-nation set to a disjoint customer-nation
+    set, by ship year — the two-dimension-lineage join (lineitem needs
+    BOTH its supplier's nation and, via orders, its customer's nation).
+    Both nation attachments are broadcast map-side (supplier/customer
+    are 100/500-row dims at test SF and nation-pruned before the fact
+    join); the ship-date range prunes the fact scan first, so the only
+    shuffle is the final 3-key partial agg. Reference analog: the
+    two-stage multi-graph join family (CityInformationAgent's
+    cross-graph SELECTs), here over the sales graph."""
+    n = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_name")
+    supp_set = [f"NATION_{i}" for i in range(5)]
+    cust_set = [f"NATION_{i}" for i in range(5, 10)]
+    sn = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(supp_set))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(cust_set))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def _volume_shipping_sql() -> str:
+    supp = ", ".join(f"'NATION_{i}'" for i in range(5))
+    cust = ", ".join(f"'NATION_{i}'" for i in range(5, 10))
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey AND n1.n_name IN ({supp})
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey AND n2.n_name IN ({cust})
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark, sf):
+    """TPC-H Q8 shape (national market share): within PROMO-part sales
+    to one customer region, the share of revenue supplied by one nation,
+    per order year — the conditional-aggregate-over-filtered-star plan
+    (sum(CASE)/sum). The part/supplier/customer-region attachments all
+    broadcast; the single shuffle is the per-year partial agg. Share is
+    a ratio of two sums over the IDENTICAL row set, rounded at 6 dp like
+    every share metric in this registry."""
+    p = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet").where(F.col("r_name") == "EUROPE")
+    cn = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_sales"),
+        )
+    )
+
+
+def _market_share_sql() -> str:
+    return """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_sales
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+def q_product_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit): per supplier-nation,
+    per order year, profit = revenue minus supply cost for one part
+    family. The testdata has no partsupp table, so supply cost is the
+    standard deterministic derivation BOTH engines compute identically
+    from the part row (retailprice scaled by a partkey-residue factor
+    — integer residue, exact in IEEE). part/supplier/nation broadcast;
+    orders joins on the shuffled fact key; one final 2-key partial agg.
+    Profit rounds at 4 dp before the hash like every revenue sum here."""
+    p = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where(F.col("p_name").like("%bolt%"))
+        .select(
+            "p_partkey",
+            (
+                F.col("p_retailprice")
+                * (F.lit(0.4) + (F.col("p_partkey") % 40).cast("double") / F.lit(100.0))
+            ).alias("supplycost"),
+        )
+    )
+    n = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_name")
+    sn = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+def _product_profit_sql() -> str:
+    return """
+SELECT n.n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - (p_retailprice * (0.4 + CAST(p_partkey % 40 AS DOUBLE) / 100.0))
+                   * l_quantity), 4) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_heaps(spark, sf):
     """Heaps'-law vocabulary-growth diagnostic: cumulative token count
     vs cumulative DISTINCT vocabulary at 10 corpus checkpoints, plus the
@@ -6026,6 +6207,62 @@ def q_graph_kcore(spark, sf):
     return graph.kcore(p, k=2, rounds=12)
 
 
+def q_graph_ktruss(spark, sf):
+    """3-truss by synchronous EDGE peeling over the same spatial
+    proximity graph as graph_triangles/graph_kcore (the KG link graph
+    is a forest — trussless by construction). Every surviving edge must
+    close >= 1 triangle within the surviving subgraph; EXACTLY 5 peel
+    rounds on both engines, so agreement never depends on convergence
+    (kcore's contract, lifted to edges). The value check rides on
+    `support` (each survivor's final within-truss triangle count,
+    non-uniform); the truss-vs-core distinction itself is
+    pytest-locked on a triangle+pendant graph."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.ktruss(p, k=3, rounds=5)
+
+
+def _ktruss_sql(rounds: int = 5) -> str:
+    """Synchronous 3-truss peel unrolled — per round one canonical
+    triangle enumeration (x<y<z via the a/b/c edge join), a per-edge
+    support count over the three edge slots, and a support>=1 filter —
+    over the same DWithin proximity edges as the kcore oracle. k is
+    fixed at 3 (support >= k-2 = 1), which the inner join against the
+    support CTE encodes exactly (no-triangle edges have no row)."""
+    parts = [
+        "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
+        "5820000 + doc_id % 2000 AS py FROM documents)",
+        ", e0 AS MATERIALIZED (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b "
+        "ON a.d < b.d AND (a.px - b.px) * (a.px - b.px) + "
+        "(a.py - b.py) * (a.py - b.py) < 9)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", t{r} AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z "
+            f"FROM e{r - 1} a JOIN e{r - 1} b ON b.u = a.v "
+            f"JOIN e{r - 1} c ON c.u = a.u AND c.v = b.v)"
+            f", s{r} AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM ("
+            f"SELECT x AS u, y AS v FROM t{r} UNION ALL "
+            f"SELECT x AS u, z AS v FROM t{r} UNION ALL "
+            f"SELECT y AS u, z AS v FROM t{r}) GROUP BY 1, 2)"
+            f", e{r} AS MATERIALIZED (SELECT e.u, e.v, s.sup FROM e{r - 1} e "
+            f"JOIN s{r} s ON s.u = e.u AND s.v = e.v WHERE s.sup >= 1)"
+        )
+    parts.append(
+        " SELECT e0.u, e0.v, "
+        "CASE WHEN f.u IS NULL THEN 0 ELSE 1 END AS in_truss, "
+        f"CAST(coalesce(f.sup, 0) AS BIGINT) AS support "
+        f"FROM e0 LEFT JOIN e{rounds} f ON f.u = e0.u AND f.v = e0.v"
+    )
+    return "".join(parts)
+
+
 def q_emb_pq(spark, sf):
     """Product quantization (faiss PQ): 64-dim -> 4 codes from 8 seeded
     literal centroids each + total squared reconstruction error. Pure
@@ -8463,6 +8700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_haversine": q_spatial_haversine,
         "kg_topo_levels": q_kg_topo_levels,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
         "bpe_train": q_bpe_train,
@@ -8572,6 +8810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "event_ab_test": q_event_ab_test,
         "top_supplier_revenue": q_top_supplier_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
         "corpus_card": q_corpus_card,
         "corpus_gate": q_corpus_gate,
         "fk_integrity": q_fk_integrity,
@@ -10649,6 +10890,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_haversine": _spatial_haversine_sql(),
         "kg_topo_levels": _kg_topo_levels_sql(),
         "graph_kcore": _kcore_sql(),
+        "graph_ktruss": _ktruss_sql(),
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
         "bpe_train": _bpe_sql(),
@@ -10819,6 +11061,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": _heavy_hitters_cms_sql(),
         "event_ab_test": _event_ab_test_sql(),
         "top_supplier_revenue": _top_supplier_revenue_sql(),
+        "volume_shipping": _volume_shipping_sql(),
+        "market_share": _market_share_sql(),
+        "product_profit": _product_profit_sql(),
         "late_exclusive_suppliers": _late_exclusive_suppliers_sql(),
         "disjunctive_pricing": _disjunctive_pricing_sql(),
         "min_cost_supplier": _min_cost_supplier_sql(),

@@ -1060,3 +1060,63 @@ def bipartite_project(
         .groupBy("right_a", "right_b")
         .agg(F.count("*").alias("weight"))
     )
+
+
+def ktruss(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """k-truss membership by synchronous edge peeling: each round
+    recomputes every surviving edge's SUPPORT (triangles it closes
+    within the surviving subgraph) and drops edges below k-2. Runs
+    EXACTLY `rounds` rounds — no early break — so the DuckDB oracle
+    (the same peel unrolled as chained CTEs) agrees even before
+    convergence, the same contract as kcore above. The truss is the
+    standard cohesion refinement of the core (Cohen 2008): a k-truss
+    edge set is always inside the (k-1)-core but prunes bridge edges
+    the core keeps — on the KG it separates genuinely dense districts
+    from star-shaped hubs that survive coreness on degree alone.
+
+    Returns EVERY original undirected edge (u < v) with in_truss 0/1
+    and its final within-truss support.
+
+    Scale shape per round: one exact degree-oriented triangle
+    enumeration over the (checkpointed, monotonically shrinking)
+    surviving edges — O(m^1.5) work, hub fan-out structurally capped
+    by the orientation — then one explode + partial-agg count per edge
+    slot and a filter. No windows, no collect in the loop.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(stable)
+    )
+    alive = und
+    for _ in range(rounds):
+        tri = triangles(alive.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                        F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                        F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("_sup"))
+        )
+        alive = (
+            alive.select("u", "v")
+            .join(sup, ["u", "v"], "left")
+            .where(F.coalesce("_sup", F.lit(0)) >= k - 2)
+            .transform(stable)
+        )
+    return und.join(alive, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.when(F.col("_sup").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("in_truss"),
+        F.coalesce("_sup", F.lit(0)).cast("long").alias("support"),
+    )

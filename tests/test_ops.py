@@ -1157,6 +1157,47 @@ def test_kcore_bounded_rounds_contract(spark):
     assert set(full.values()) == {0}
 
 
+def test_ktruss_prunes_bridge_the_core_keeps(spark):
+    """Two triangles joined by a bridge edge: every node is in the
+    2-core (degree >= 2 throughout), but the 3-truss drops the bridge —
+    it closes no triangle — while all six triangle edges survive with
+    support 1. This is exactly the truss-vs-core refinement."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d")],
+        "src string, dst string",
+    )
+    core = {r.id: r.in_core for r in graph.kcore(e, k=2, rounds=8).collect()}
+    assert set(core.values()) == {1}
+    out = {(r.u, r.v): (r.in_truss, r.support) for r in graph.ktruss(e, k=3, rounds=4).collect()}
+    assert out[("c", "d")] == (0, 0)
+    for uv in [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e"), ("e", "f"), ("d", "f")]:
+        assert out[uv] == (1, 1)
+
+
+def test_ktruss_cascade_and_rounds_contract(spark):
+    """A triangle strip where peeling cascades: kill the strip's end
+    triangle's private edge support by pruning, and the peel propagates
+    inward round by round — 1 round leaves intermediate edges alive that
+    a converged peel removes, locking the fixed-rounds contract."""
+    # path of triangles: t0=(v0,v1,v2), t1=(v1,v2,v3) share edge (v1,v2),
+    # plus a pendant edge (v3,v4) that never closes a triangle.
+    e = spark.createDataFrame(
+        [("v0", "v1"), ("v0", "v2"), ("v1", "v2"), ("v1", "v3"), ("v2", "v3"), ("v3", "v4")],
+        "src string, dst string",
+    )
+    out = {(r.u, r.v): r.in_truss for r in graph.ktruss(e, k=3, rounds=4).collect()}
+    # every triangle edge survives (each closes >= 1 triangle), pendant dies
+    assert out[("v3", "v4")] == 0
+    assert sum(out.values()) == 5
+    # k=4 (support >= 2): only the shared edge (v1,v2) has support 2 in
+    # round 1, but once the side edges peel it loses both triangles —
+    # after convergence NOTHING survives; 1 round still keeps (v1,v2).
+    one = {(r.u, r.v): r.in_truss for r in graph.ktruss(e, k=4, rounds=1).collect()}
+    assert one[("v1", "v2")] == 1
+    conv = {(r.u, r.v): r.in_truss for r in graph.ktruss(e, k=4, rounds=4).collect()}
+    assert set(conv.values()) == {0}
+
+
 def test_link_prediction_square_and_triangle(spark):
     """4-cycle: both diagonals are predicted with cn=2, aa=2/ln(2); on a
     diamond (triangle + pendant sharing two neighbors) the adjacent pair
