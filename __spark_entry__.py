@@ -2983,6 +2983,57 @@ GROUP BY 1, 2
 """
 
 
+def q_rouge_l_eval(spark, sf):
+    """ROUGE-L contamination screen: every 50th document scored against
+    the 3-document eval set (LCS precision/recall/F1 at 30 tokens). The
+    DP runs as one nested JVM HOF Project on the Spark side; the oracle
+    replays the IDENTICAL integer DP as a recursive CTE (row i derived
+    from row i-1 with the same match/carry recurrence), so the hash
+    covers every DP terminal exactly."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    cands = d.where(F.col("doc_id") % 50 == 1)
+    refs = d.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return text.rouge_l(cands, refs, max_tokens=30)
+
+
+def _rouge_l_sql(max_tokens: int = 30) -> str:
+    return f"""
+WITH RECURSIVE
+ca AS (SELECT doc_id, (string_split_regex(lower(trim(text)), '\\s+'))[1:{max_tokens}] AS ta
+       FROM documents WHERE doc_id % 50 = 1),
+rf AS (SELECT doc_id AS eval_id, (string_split_regex(lower(trim(text)), '\\s+'))[1:{max_tokens}] AS tb
+       FROM documents WHERE doc_id < 3),
+pairs AS (SELECT doc_id, eval_id, ta, tb FROM ca, rf),
+dp AS (
+  SELECT doc_id, eval_id, ta, tb, 0 AS i,
+         list_transform(range(len(tb) + 1), x -> 0) AS row
+  FROM pairs
+  UNION ALL
+  SELECT doc_id, eval_id, ta, tb, ni AS i,
+         list_prepend(0, list_transform(range(1, len(tb) + 1),
+                                        j -> list_max(c[1:j]))) AS row
+  FROM (
+    SELECT doc_id, eval_id, ta, tb, i + 1 AS ni,
+           list_transform(range(1, len(tb) + 1),
+             j -> CASE WHEN ta[i + 1] = tb[j] THEN row[j] + 1
+                       ELSE row[j + 1] END) AS c
+    FROM dp WHERE i < len(ta))
+),
+fin AS (SELECT doc_id, eval_id, len(ta) AS na, len(tb) AS nb,
+               row[len(tb) + 1] AS lcs
+        FROM dp WHERE i = len(ta))
+SELECT doc_id, eval_id, CAST(lcs AS BIGINT) AS lcs,
+       round(lcs / na, 6) AS rouge_p,
+       round(lcs / nb, 6) AS rouge_r,
+       CASE WHEN lcs = 0 THEN 0.0
+            ELSE round(2 * (lcs / na) * (lcs / nb)
+                       / (lcs / na + lcs / nb), 6) END AS rouge_f
+FROM fin
+"""
+
+
 def q_corpus_heaps(spark, sf):
     """Heaps'-law vocabulary-growth diagnostic: cumulative token count
     vs cumulative DISTINCT vocabulary at 10 corpus checkpoints, plus the
@@ -5086,6 +5137,47 @@ def q_ann_ivf_topk(spark, sf):
     return similarity.ivf_ann_topk(e, q, k=5, n_centroids=8, nprobe=8).select(
         "query_id", "vec_id", "rank"
     )
+
+
+def q_ann_hard_negatives(spark, sf):
+    """Hard-negative mining at verification strength (4 planes x 48
+    tables — the ann_lsh_topk argument puts per-neighbor miss odds at
+    ~2e-5, so the blocked result equals the exact different-label top-k
+    and the oracle can be brute-force SQL with the label filter).
+    Production defaults in similarity.hard_negatives keep the bucketed
+    scale shape. The hash rides on the (anchor, negative, label, rank)
+    tuples — cosine itself stays out of the projection because DuckDB's
+    list_cosine_similarity accumulates in float32 while Spark's HOF path
+    is double (the same reason ann_brute_topk/ann_lsh_topk hash ranks)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("_qlabel"),
+    )
+    return similarity.hard_negatives(e, q, k=5, n_planes=4, tables=48).select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        "rank",
+    )
+
+
+def _hard_negatives_sql() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id, e.label AS neg_label,
+             list_cosine_similarity(e.embedding, q.qv) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+r AS (SELECT query_id, vec_id, neg_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, neg_label, rank
+FROM r WHERE rank <= 5
+"""
 
 
 def q_emb_standardize(spark, sf):
@@ -8679,6 +8771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
         "text_winnowing": q_text_winnowing,
+        "rouge_l_eval": q_rouge_l_eval,
         "quality_classifier": q_quality_classifier,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "dedup_semantic": q_dedup_semantic,
@@ -8771,6 +8864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_recall": q_ann_int8_recall,
         "emb_pca_power": q_emb_pca_power,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_hard_negatives": q_ann_hard_negatives,
         "ann_recall_eval": q_ann_recall_eval,
         "emb_standardize": q_emb_standardize,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -10869,6 +10963,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality": _quality_sql(),
         "text_winnowing": _winnowing_sql(),
+        "rouge_l_eval": _rouge_l_sql(),
         "quality_classifier": _classifier_sql(),
         "boilerplate_ngrams": _boilerplate_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
@@ -10966,6 +11061,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH blocked == exact at verification strength (see q_ann_lsh_topk);
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
+        "ann_hard_negatives": _hard_negatives_sql(),
         "ann_recall_eval": _ann_recall_eval_sql(),
         "emb_standardize": _emb_standardize_sql(),
         "ann_ivf_topk": _ann_brute_sql(),

@@ -211,6 +211,66 @@ def lsh_ann_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_label_col: str = "_qlabel",
+    dim: int = 64,
+    n_planes: int = 4,
+    tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for each
+    anchor, the k nearest corpus vectors carrying a DIFFERENT label — the
+    negatives that sit closest to the decision boundary and therefore
+    carry the gradient signal (the ANCE/hard-negative pattern; random
+    in-batch negatives are too easy to move a trained retriever).
+
+    Same scale shape as lsh_ann_topk — hard negatives are BY DEFINITION
+    near the anchor, which is exactly the case sign-LSH blocking serves:
+    same-bucket candidates in any table, label-mismatch filter BEFORE the
+    exact cosine re-rank (the filter is an equi-join-side predicate, so
+    same-label near-dups never reach the scorer), per-anchor window over
+    the bucket-bounded candidate set only. Deterministic tie-break on
+    (cosine DESC, id ASC) like every ranker in this package."""
+    cb = with_lsh_buckets(
+        corpus.select(id_col, vec_col, label_col), vec_col, dim, n_planes, tables, seed
+    )
+    qb = with_lsh_buckets(
+        queries.select(
+            query_id_col, F.col(vec_col).alias("_qv"), F.col(query_label_col)
+        ),
+        "_qv",
+        dim,
+        n_planes,
+        tables,
+        seed,
+    )
+    cands = (
+        cb.join(qb, ["table_id", "bucket"])
+        .where(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) != F.col(query_label_col))
+        )
+        .select(query_id_col, "_qv", id_col, vec_col, label_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = with_norm(with_norm(cands, vec_col, "_nc"), "_qv", "_nq").withColumn(
+        "cosine", cosine_expr(vec_col, "_qv", "_nc", "_nq")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, label_col, "cosine", "rank")
+    )
+
+
 def lsh_range_search(
     corpus: DataFrame,
     queries: DataFrame,

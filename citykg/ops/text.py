@@ -810,3 +810,64 @@ def dsir_weights(
             F.sum("c").cast("long").alias("n_toks"),
         )
     )
+
+
+def rouge_l(
+    cands: DataFrame,
+    refs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_id_col: str = "eval_id",
+    ref_text_col: str = "text",
+    max_tokens: int = 30,
+) -> DataFrame:
+    """ROUGE-L overlap of every candidate document against every
+    reference (eval-set) document: token-level longest common
+    SUBSEQUENCE, reported as precision / recall / F1 (Lin 2004) — the
+    contamination measure n-gram containment misses (an eval answer
+    paraphrased with insertions still scores high on LCS while sharing
+    few contiguous n-grams; complements ops.dedup.decontaminate).
+
+    The whole LCS dynamic program is ONE nested JVM HOF expression: the
+    outer `aggregate` folds candidate tokens carrying the DP row, the
+    inner `aggregate` builds the next row left-to-right (the running
+    accumulator supplies new[j-1], the carried row supplies old[j-1] /
+    old[j]). No Python touches a row, and the DP is pure int arithmetic
+    — bit-identical on any engine, so the oracle replays it exactly via
+    a recursive CTE. Token streams cap at `max_tokens` so the per-pair
+    work is a fixed O(max_tokens^2) expression the optimizer treats as
+    a Project.
+
+    Scale shape: refs is an EVAL SET — bounded and small by definition
+    — so the candidate x ref pairing is a broadcast nested loop over a
+    dimension of known size (the decontaminate pattern), never a
+    corpus x corpus explosion. One Project, zero shuffles."""
+    tok = (
+        f"slice(split(lower(trim({{c}})), '\\\\s+'), 1, {max_tokens})"
+    )
+    c = cands.select(F.col(id_col), F.expr(tok.format(c=text_col)).alias("_ta"))
+    r = refs.select(
+        F.col(ref_id_col), F.expr(tok.format(c=ref_text_col)).alias("_tb")
+    )
+    dp = (
+        "aggregate(_ta, array_repeat(0, size(_tb) + 1), "
+        "(row, at) -> aggregate(sequence(1, size(_tb)), array(0), "
+        "(acc, j) -> array_append(acc, greatest("
+        "IF(at = element_at(_tb, j), element_at(row, j) + 1, element_at(row, j + 1)), "
+        "element_at(acc, j)))))"
+    )
+    scored = c.crossJoin(F.broadcast(r)).withColumn(
+        "lcs", F.expr(f"element_at({dp}, size(_tb) + 1)").cast("long")
+    )
+    p = F.col("lcs") / F.size("_ta")
+    rr = F.col("lcs") / F.size("_tb")
+    return scored.select(
+        id_col,
+        ref_id_col,
+        "lcs",
+        F.round(p, 6).alias("rouge_p"),
+        F.round(rr, 6).alias("rouge_r"),
+        F.when(F.col("lcs") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * p * rr / (p + rr), 6))
+        .alias("rouge_f"),
+    )

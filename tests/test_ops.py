@@ -993,6 +993,48 @@ def test_tfidf_and_bm25(spark):
 
 # ---------------- winnowing / classifier / boilerplate / semdedup ----------------
 
+def test_hard_negatives_excludes_same_label(spark):
+    """4 vectors in two tight same-direction pairs with alternating
+    labels: the nearest different-label vector is always picked even
+    though the nearest OVERALL vector shares the label and must be
+    excluded before ranking."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0, 0.0], 0),  # nearest to 0 but same label
+        (2, [0.9, 0.43, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("_qlabel"),
+    )
+    got = similarity.hard_negatives(e, q, k=2, dim=4, n_planes=2, tables=32).collect()
+    assert [(r.vec_id, r.label, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
+        (2, 1, 1),
+        (3, 1, 2),
+    ]
+
+
+def test_rouge_l_hand_dp(spark):
+    """Hand-checked LCS: 'a b c d e' vs 'a x c y e' -> LCS 3 (a c e),
+    P=R=F=3/5; disjoint token streams -> 0 with F guarded to 0.0; and
+    the max_tokens cap truncates BEFORE the DP (long tail ignored)."""
+    cands = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
+    )
+    refs = spark.createDataFrame([(9, "a x c y e")], "eval_id long, text string")
+    got = {r.doc_id: r for r in text.rouge_l(cands, refs).collect()}
+    assert got[1].lcs == 3
+    assert got[1].rouge_p == got[1].rouge_r == 0.6
+    assert got[1].rouge_f == 0.6
+    assert got[2].lcs == 0 and got[2].rouge_f == 0.0
+    capped = spark.createDataFrame([(3, "z " * 10 + "a c e")], "doc_id long, text string")
+    out = text.rouge_l(capped, refs, max_tokens=10).collect()[0]
+    assert out.lcs == 0  # the matching suffix sits past the cap
+
+
 def test_winnowing_shared_run_guarantee_and_tie_rule(spark):
     """MOSS guarantee: docs sharing >= w+k-1 consecutive words share a
     fingerprint; all-equal hashes select the RIGHTMOST window position."""
