@@ -3034,6 +3034,51 @@ FROM fin
 """
 
 
+def q_interval_allen(spark, sf):
+    """Allen's 13-relation interval algebra over per-user event
+    intervals (start = ts, duration derived from the value column with
+    floor-then-abs so both engines build the identical second count).
+    Pairs are id-banded within the user partition (O(n*band), never
+    O(n^2)); every pair gets exactly one of the 13 labels via the same
+    branch-ordered CASE on both engines."""
+    from citykg.ops.temporal import allen_relations
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, "
+            "abs(cast(floor(value * 10) as bigint)) % 3600 + 60)"
+        ).alias("e"),
+    )
+    return allen_relations(ev, band=5)
+
+
+def _interval_allen_sql() -> str:
+    return """
+WITH iv AS (SELECT user_id, event_id, ts AS s,
+                   ts + to_seconds(abs(CAST(floor(value * 10) AS BIGINT)) % 3600 + 60) AS e
+            FROM events)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+            WHEN a.e < b.s THEN 'precedes'
+            WHEN b.e < a.s THEN 'preceded_by'
+            WHEN a.e = b.s THEN 'meets'
+            WHEN b.e = a.s THEN 'met_by'
+            WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+            WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
+            WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+            WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+            WHEN a.s > b.s AND a.e < b.e THEN 'during'
+            WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+            WHEN a.s < b.s THEN 'overlaps'
+            ELSE 'overlapped_by' END AS relation
+FROM iv a JOIN iv b ON b.user_id = a.user_id
+ AND b.event_id > a.event_id AND b.event_id - a.event_id <= 5
+"""
+
+
 def q_corpus_heaps(spark, sf):
     """Heaps'-law vocabulary-growth diagnostic: cumulative token count
     vs cumulative DISTINCT vocabulary at 10 corpus checkpoints, plus the
@@ -6355,6 +6400,70 @@ def _ktruss_sql(rounds: int = 5) -> str:
     return "".join(parts)
 
 
+def q_graph_mis(spark, sf):
+    """Luby maximal independent set over the spatial proximity graph,
+    EXACTLY 4 synchronous rounds with deterministic LCG-of-id
+    priorities — the oracle unrolls the identical 4 rounds (winner /
+    dominated / survivor CTE triple per round), so agreement never
+    depends on convergence; leftovers report state 'open'. The value
+    hash rides on (id, priority, state); independence + maximality are
+    pytest-locked on a path graph."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.luby_mis(p, rounds=4)
+
+
+def _luby_mis_sql(rounds: int = 4) -> str:
+    """The same deterministic Luby peel unrolled: per round a min-prio-
+    of-alive-neighbors CTE, winners (strictly beat every alive
+    neighbor), dominated (alive neighbors of winners), and the shrunken
+    alive set — over the same DWithin proximity edges as the kcore and
+    ktruss oracles. Priorities are the identical integer LCG residue,
+    so every engine computes the same total order."""
+    parts = [
+        "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
+        "5820000 + doc_id % 2000 AS py FROM documents)",
+        ", e AS MATERIALIZED (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b "
+        "ON a.d < b.d AND (a.px - b.px) * (a.px - b.px) + "
+        "(a.py - b.py) * (a.py - b.py) < 9)",
+        ", sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION SELECT v, u FROM e)",
+        ", a0 AS MATERIALIZED (SELECT DISTINCT src AS id, "
+        "((1103515245 * src + 12345) % 2147483648) * 100000 + src AS p FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", nm{r} AS MATERIALIZED (SELECT s.src AS id, min(y.p) AS mn "
+            f"FROM sym s JOIN a{r - 1} x ON x.id = s.src "
+            f"JOIN a{r - 1} y ON y.id = s.dst GROUP BY s.src)"
+            f", w{r} AS MATERIALIZED (SELECT a.id, a.p FROM a{r - 1} a "
+            f"LEFT JOIN nm{r} n ON n.id = a.id "
+            "WHERE a.p < coalesce(n.mn, 4611686018427387904))"
+            f", d{r} AS MATERIALIZED (SELECT DISTINCT a.id, a.p FROM sym s "
+            f"JOIN w{r} w ON w.id = s.src JOIN a{r - 1} a ON a.id = s.dst "
+            f"WHERE a.id NOT IN (SELECT id FROM w{r}))"
+            f", a{r} AS MATERIALIZED (SELECT id, p FROM a{r - 1} WHERE id NOT IN "
+            f"(SELECT id FROM w{r} UNION ALL SELECT id FROM d{r}))"
+        )
+    mis = " UNION ALL ".join(
+        f"SELECT id, p, 'mis' AS state FROM w{r}" for r in range(1, rounds + 1)
+    )
+    dom = " UNION ALL ".join(
+        f"SELECT id, p, 'dominated' AS state FROM d{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f" SELECT id, CAST(p AS BIGINT) AS prio, state FROM ({mis} UNION ALL {dom} "
+        f"UNION ALL SELECT id, p, 'open' AS state FROM a{rounds})"
+    )
+    return "".join(parts)
+
+
 def q_emb_pq(spark, sf):
     """Product quantization (faiss PQ): 64-dim -> 4 codes from 8 seeded
     literal centroids each + total squared reconstruction error. Pure
@@ -7453,6 +7562,94 @@ SELECT bldg, CAST(floor(v * 10 + 0.5) AS BIGINT) AS height_e1
 FROM h WHERE v > (SELECT avg(v) FROM h)
 """
     )
+
+
+def q_kg_update_where(spark, sf):
+    """SPARQL UPDATE analog (DELETE/INSERT ... WHERE): re-key the
+    reference's load-bearing `measuredHeigh` typo to the spec spelling
+    for every triple whose object actually parses as a number, leaving
+    malformed literals under the original predicate (the FILTER clause
+    of the UPDATE). Expressed Spark-first as ONE conditional Project
+    over the store snapshot — no read-modify-write cycle, so
+    materialize.write_triples can commit the rewritten frame atomically
+    the way every UPDATE lands here (Blazegraph applies the same
+    pattern via SPARQL UPDATE; CityImportAgent never mutates in
+    place either). try_cast keeps the predicate total under ANSI."""
+    t = _triples(spark, sf, ["building"]).select("subj", "pred", "obj")
+    rewrite = (F.col("pred") == "ocgml:measuredHeigh") & F.expr(
+        "try_cast(obj as double)"
+    ).isNotNull()
+    return t.select(
+        "subj",
+        F.when(rewrite, F.lit("ocgml:measuredHeight")).otherwise(F.col("pred")).alias(
+            "pred"
+        ),
+        "obj",
+    )
+
+
+def _kg_update_where_sql() -> str:
+    return (
+        _triples_cte(["building"])
+        + """
+SELECT subj,
+       CASE WHEN pred = 'ocgml:measuredHeigh'
+             AND TRY_CAST(obj AS DOUBLE) IS NOT NULL
+            THEN 'ocgml:measuredHeight' ELSE pred END AS pred,
+       obj
+FROM t
+"""
+    )
+
+
+def q_ngram_novelty(spark, sf):
+    """Per-document trigram novelty — the memorization/diversity
+    diagnostic (what fraction of a doc's distinct trigrams appear in NO
+    earlier document): novelty(d) = |{g in d : min_doc(g) = d}| / |{g
+    in d}|. Cumulative 'seen before' is not window-expressible at
+    corpus scale, but the first-seen identity is (the event_reach /
+    corpus_heaps trick): a trigram is novel in exactly the doc that is
+    its global min(doc_id). Two partial-agg shuffles (first-seen per
+    gram, counts per doc), zero windows, zero Python."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    tri = (
+        "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
+        "i -> concat_ws(' ', element_at(_t, i), element_at(_t, i + 1), "
+        "element_at(_t, i + 2))) ELSE array() END"
+    )
+    g = (
+        d.select("doc_id", F.expr("split(lower(trim(text)), '\\\\s+')").alias("_t"))
+        .select("doc_id", F.explode(F.expr(f"array_distinct({tri})")).alias("g"))
+    )
+    first = g.groupBy("g").agg(F.min("doc_id").alias("_fd"))
+    return (
+        g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    return """
+WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM tk),
+fs AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN fs.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN fs.fd = g.doc_id THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM g JOIN fs ON fs.g = g.g
+GROUP BY 1
+"""
 
 
 def q_forecast_revenue_change(spark, sf):
@@ -8739,6 +8936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_winsorize": q_event_winsorize,
         "event_reach": q_event_reach,
         "interval_join": q_interval_join,
+        "interval_allen": q_interval_allen,
+        "kg_update_where": q_kg_update_where,
+        "ngram_novelty": q_ngram_novelty,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
         "late_exclusive_suppliers": q_late_exclusive_suppliers,
@@ -8794,6 +8994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topo_levels": q_kg_topo_levels,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
+        "graph_mis": q_graph_mis,
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
         "bpe_train": q_bpe_train,
@@ -10970,6 +11171,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_sql(),
         "graph_scc": _graph_scc_sql(),
         "interval_coalesce": _interval_coalesce_sql(),
+        "interval_allen": _interval_allen_sql(),
+        "kg_update_where": _kg_update_where_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
         "graph_bipartite": _graph_bipartite_sql(),
         "l_diversity": _l_diversity_sql(),
         "hll_merge_rollup": _hll_merge_rollup_sql(),
@@ -10986,6 +11190,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_topo_levels": _kg_topo_levels_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_ktruss": _ktruss_sql(),
+        "graph_mis": _luby_mis_sql(),
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
         "bpe_train": _bpe_sql(),

