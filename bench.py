@@ -287,6 +287,19 @@ def headline(sf_dir: str, cores: int) -> None:
         "kg_describe",
         "late_exclusive_suppliers",
         "event_window_zoo",
+        # this-session additions: k-truss + Luby MIS peels, the last
+        # TPC-H shapes (Q7/Q8/Q9), hard-negative mining, ROUGE-L DP,
+        # Allen algebra, trigram novelty (adds ~9 queries of NEW work
+        # vs the prior stamp — noted for cross-round comparability)
+        "graph_ktruss",
+        "graph_mis",
+        "volume_shipping",
+        "market_share",
+        "product_profit",
+        "ann_hard_negatives",
+        "rouge_l_eval",
+        "interval_allen",
+        "ngram_novelty",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

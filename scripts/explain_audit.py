@@ -193,6 +193,16 @@ AUDITS = [
     ("kg_property_table", "property table: ONE conditional-agg shuffle on subj — star patterns become a column-pruned scan"),
     ("kg_above_avg_height", "sub-SELECT: one-row average broadcast back over the same frame — no second store scan"),
     ("forecast_revenue_change", "Q6 shape: zero joins, ALL THREE predicates must appear in PushedFilters at the parquet scan"),
+    ("graph_ktruss", "k-truss: per-round oriented triangle enumeration + per-edge partial agg + filter; no windows, no cartesian"),
+    ("graph_mis", "Luby MIS: per-round min-prio partial agg + semi/anti joins; deterministic priorities, alive set shrinks geometrically"),
+    ("volume_shipping", "Q7 shape: both nation lineages broadcast-attached; date range pushed to the fact scan; ONE 3-key partial agg"),
+    ("market_share", "Q8 shape: conditional sum/sum over ONE row set in ONE partial agg; part/supplier/customer-region all broadcast"),
+    ("product_profit", "Q9 shape: derived supplycost lives in the broadcast part dim; ONE 2-key partial agg"),
+    ("ann_hard_negatives", "hard negatives: LSH bucket equi-join with label-mismatch predicate BEFORE cosine; per-anchor window over bucket-bounded candidates"),
+    ("rouge_l_eval", "ROUGE-L: the whole LCS DP is one nested-HOF Project; eval set is a broadcast nested loop; ZERO shuffles"),
+    ("interval_allen", "Allen algebra: partition equi-join with id-band residual (O(n*band) pairs), one CASE Project, no windows"),
+    ("ngram_novelty", "trigram novelty: two partial aggs (first-seen per gram, per-doc counts), no windows, no Python"),
+    ("kg_update_where", "SPARQL UPDATE analog: ONE conditional Project over the store snapshot, zero shuffles"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
