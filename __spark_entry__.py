@@ -5225,6 +5225,71 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_mmr_rerank(spark, sf):
+    """MMR diversification (lambda = 0.7, top-3 of 8 exact candidates,
+    5 queries): the greedy objective runs in 1e-4 fixed-point INTEGERS
+    (7*rel4 - 3*maxsim4, ties on vec_id), so the selected sequence and
+    its scores hash identically on both engines; the oracle unrolls the
+    same three greedy steps as CTE triples over the identical quantized
+    cosines (double arithmetic on both sides, quantized BEFORE any
+    comparison)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_rerank(e, q, k=3, n_cand=8).select(
+        "query_id", "pos", "vec_id", "score_i"
+    )
+
+
+def _mmr_sql(k: int = 3, n_cand: int = 8) -> str:
+    cos4 = (
+        "CAST(floor(list_dot_product({av}, {bv}) / ({an} * {bn}) * 10000 + 0.5) AS INT)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        ", n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e)",
+        ", qs AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5)",
+        ", sc AS (SELECT q.query_id, n.vec_id, "
+        + cos4.format(av="n.v", bv="q.qv", an="n.nv", bn="q.nq")
+        + " AS rel4, n.v, n.nv FROM n, qs q WHERE n.vec_id <> q.query_id)",
+        f", cand AS (SELECT query_id, vec_id, rel4, v, nv FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY rel4 DESC, vec_id) AS rn "
+        f"FROM sc) WHERE rn <= {n_cand})",
+        ", pairs AS (SELECT a.query_id, a.vec_id AS pa, b.vec_id AS pb, "
+        + cos4.format(av="a.v", bv="b.v", an="a.nv", bn="b.nv")
+        + " AS sim4 FROM cand a JOIN cand b ON b.query_id = a.query_id "
+        "AND b.vec_id <> a.vec_id)",
+        ", r0 AS (SELECT query_id, vec_id, rel4, 0 AS ms FROM cand)",
+    ]
+    for pos in range(1, k + 1):
+        parts.append(
+            f", s{pos} AS (SELECT query_id, vec_id, {pos} AS pos, score FROM ("
+            "SELECT query_id, vec_id, 7 * rel4 - 3 * ms AS score, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY 7 * rel4 - 3 * ms DESC, vec_id) AS rn "
+            f"FROM r{pos - 1}) WHERE rn = 1)"
+        )
+        if pos < k:
+            parts.append(
+                f", r{pos} AS (SELECT r.query_id, r.vec_id, r.rel4, "
+                "greatest(r.ms, coalesce(p.sim4, 0)) AS ms "
+                f"FROM r{pos - 1} r JOIN s{pos} s ON s.query_id = r.query_id "
+                "AND r.vec_id <> s.vec_id "
+                "LEFT JOIN pairs p ON p.query_id = r.query_id "
+                "AND p.pa = r.vec_id AND p.pb = s.vec_id)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT query_id, pos, vec_id, score FROM s{pos}" for pos in range(1, k + 1)
+    )
+    parts.append(
+        f" SELECT query_id, CAST(pos AS INT) AS pos, vec_id, "
+        f"CAST(score AS BIGINT) AS score_i FROM ({sel})"
+    )
+    return "".join(parts)
+
+
 def q_emb_standardize(spark, sf):
     """Per-dimension whitening (mean-center, unit-variance) of the
     embedding corpus — the preprocessing that fixes anisotropic spaces
@@ -7652,6 +7717,101 @@ GROUP BY 1
 """
 
 
+def q_corpus_pipeline(spark, sf):
+    """The training-data curation funnel END-TO-END as one plan — the
+    composition a 100 TB pretraining run actually executes, each stage
+    reusing the already-oracled operator it demonstrates in isolation:
+    (1) quality gate (text.with_quality composite >= 0.5), (2)
+    prefix-8 duplicate removal keyed on the 128-bit hash pair so the
+    dedup exchange ships 16 bytes/doc, min-doc-id survivor
+    (dedup.exact_duplicates' policy), (3) PaLM 8-gram decontamination
+    against the held-out eval slice (broadcast eval n-grams,
+    dedup.contamination_stats), (4) deterministic 90/5/5 hash split
+    (sampling.with_split). EVERY corpus doc comes back with its funnel
+    verdict — quality / duplicate / contaminated / train / val / test —
+    so the hash certifies the whole cascade, including what was
+    dropped where and each doc's token count."""
+    from citykg.ops import sampling
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    evald = d.where(F.col("doc_id") % 5 == 0)
+    q = text.with_quality(corpus)
+    failq = q.where(F.col("quality") < 0.5).select(
+        "doc_id", "n_tokens", F.lit("quality").alias("verdict")
+    )
+    passq = q.where(F.col("quality") >= 0.5)
+    pre = passq.withColumn(
+        "_pre",
+        F.expr("concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 1, 8))"),
+    )
+    pre = pre.withColumn("_h1", F.xxhash64("_pre")).withColumn(
+        "_h2", F.xxhash64("_pre", F.lit(0x9E3779B9))
+    )
+    w = Window.partitionBy("_h1", "_h2")
+    pre = pre.withColumn("_min", F.min("doc_id").over(w))
+    dup = pre.where(F.col("_min") != F.col("doc_id")).select(
+        "doc_id", "n_tokens", F.lit("duplicate").alias("verdict")
+    )
+    surv = pre.where(F.col("_min") == F.col("doc_id"))
+    cont_ids = (
+        dedup.contamination_stats(surv.select("doc_id", "text"), evald, n=8)
+        .where(F.col("n_contaminated") > 0)
+        .select("doc_id")
+    )
+    cont = surv.join(cont_ids, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens", F.lit("contaminated").alias("verdict")
+    )
+    kept = sampling.with_split(
+        surv.join(cont_ids, "doc_id", "left_anti"), "doc_id"
+    ).select("doc_id", "n_tokens", F.col("split").alias("verdict"))
+    return failq.union(dup).union(cont).union(kept)
+
+
+def _corpus_pipeline_sql() -> str:
+    b = _sampling_bucket_duckdb("doc_id")
+    return rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+q AS (
+  SELECT doc_id, text,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    round(least(len(string_split_regex(trim(text), '\s+'))/100.0, 1.0)*0.4
+      + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+        / greatest(length(text), 1) * 0.4
+      + least(len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+          ['the','and','of','to','in','is','that','for','with','on']))*1.0
+        / greatest(len(list_distinct(string_split_regex(trim(text), '\s+'))), 1)
+        * 5.0, 1.0) * 0.2, 6) AS quality
+  FROM corpus),
+passq AS (SELECT doc_id, text, n_tokens FROM q WHERE quality >= 0.5),
+pre AS (SELECT doc_id, text, n_tokens,
+        array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:8], ' ') AS pre
+        FROM passq),
+mn AS (SELECT pre, min(doc_id) AS m FROM pre GROUP BY 1),
+surv AS (SELECT p.doc_id, p.text, p.n_tokens FROM pre p JOIN mn ON mn.pre = p.pre
+         WHERE p.doc_id = mn.m),
+etoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w
+          FROM documents WHERE doc_id % 5 = 0),
+ev AS (SELECT DISTINCT array_to_string(w[i+1:i+8], ' ') s
+       FROM etoks, UNNEST(range(0, greatest(len(w)-8, 0)+1)) t(i)),
+stoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') w FROM surv),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+8], ' ') s
+       FROM stoks, UNNEST(range(0, greatest(len(w)-8, 0)+1)) t(i)),
+cont AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM ev))
+SELECT doc_id, n_tokens, 'quality' AS verdict FROM q WHERE quality < 0.5
+UNION ALL
+SELECT p.doc_id, p.n_tokens, 'duplicate' FROM pre p JOIN mn ON mn.pre = p.pre
+WHERE p.doc_id <> mn.m
+UNION ALL
+SELECT doc_id, n_tokens, 'contaminated' FROM surv WHERE doc_id IN (SELECT doc_id FROM cont)
+UNION ALL
+SELECT doc_id, n_tokens,
+       CASE WHEN {b} < 900000 THEN 'train'
+            WHEN {b} < 950000 THEN 'val' ELSE 'test' END
+FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+"""
+
+
 def q_forecast_revenue_change(spark, sf):
     """TPC-H Q6 shape (forecasting revenue change): one filtered scan,
     one scalar aggregate, ZERO joins — the canonical predicate-pushdown
@@ -8938,6 +9098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "interval_allen": q_interval_allen,
         "kg_update_where": q_kg_update_where,
+        "corpus_pipeline": q_corpus_pipeline,
         "ngram_novelty": q_ngram_novelty,
         "event_funnel": q_event_funnel,
         "shipping_priority": q_shipping_priority,
@@ -9066,6 +9227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_power": q_emb_pca_power,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_hard_negatives": q_ann_hard_negatives,
+        "mmr_rerank": q_mmr_rerank,
         "ann_recall_eval": q_ann_recall_eval,
         "emb_standardize": q_emb_standardize,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -11173,6 +11335,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_coalesce": _interval_coalesce_sql(),
         "interval_allen": _interval_allen_sql(),
         "kg_update_where": _kg_update_where_sql(),
+        "corpus_pipeline": _corpus_pipeline_sql(),
         "ngram_novelty": _ngram_novelty_sql(),
         "graph_bipartite": _graph_bipartite_sql(),
         "l_diversity": _l_diversity_sql(),
@@ -11267,6 +11430,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe == n_centroids must equal exact by construction
         "ann_lsh_topk": _ann_brute_sql(),
         "ann_hard_negatives": _hard_negatives_sql(),
+        "mmr_rerank": _mmr_sql(),
         "ann_recall_eval": _ann_recall_eval_sql(),
         "emb_standardize": _emb_standardize_sql(),
         "ann_ivf_topk": _ann_brute_sql(),

@@ -271,6 +271,115 @@ def hard_negatives(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cand: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results maximizing lambda*rel(q,c) -
+    (1-lambda)*max_sim(c, already_selected) — the diversification pass
+    retrieval stacks run AFTER the ANN tier so near-duplicate hits
+    don't crowd the result list.
+
+    Engine-exact by construction: every cosine quantizes to 1e-4 fixed
+    point BEFORE any comparison, and the greedy objective runs in
+    scaled INTEGERS (lam_num*rel4 - (lam_den-lam_num)*maxsim4 with
+    lambda = lam_num/lam_den), ties broken on id — so the selected
+    sequence is a pure function of the quantized scores, with no float
+    argmax to drift across engines (the same fixed-point discipline as
+    min_cost_supplier / dedup_semantic).
+
+    Scale shape: candidate generation is the ANN tier's job (this op
+    re-ranks its bounded output); here the exact top-n_cand per query
+    is the contract, queries broadcast, and the k greedy steps are k
+    windows over the n_cand-row-per-query frame plus one candidate
+    pairwise sim frame of O(n_cand^2) rows per query — all bounded by
+    n_cand, never by the corpus."""
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("int")  # noqa: E731
+    c = with_norm(corpus.select(id_col, vec_col), vec_col, "_nc")
+    q = with_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")), "_qv", "_nq"
+    )
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).withColumn(
+        "rel4", q4(cosine_expr(vec_col, "_qv", "_nc", "_nq"))
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(F.desc("rel4"), F.asc(id_col))
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") <= n_cand)
+        .select(query_id_col, id_col, "rel4", vec_col, "_nc")
+    )
+    a = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("_pa"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nc").alias("_na"),
+    )
+    b = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("_pb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nc").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, query_id_col)
+        .where(F.col("_pa") != F.col("_pb"))
+        .select(
+            query_id_col,
+            "_pa",
+            "_pb",
+            q4(cosine_expr("_va", "_vb", "_na", "_nb")).alias("_sim4"),
+        )
+    )
+    rem = cand.select(query_id_col, id_col, "rel4").withColumn("_ms", F.lit(0))
+    mu = lam_den - lam_num
+    out = None
+    for pos in range(1, k + 1):
+        sc = rem.withColumn(
+            "_score", (F.lit(lam_num) * F.col("rel4") - F.lit(mu) * F.col("_ms")).cast("long")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("_score"), F.asc(id_col))
+        pick = (
+            sc.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                query_id_col,
+                id_col,
+                F.lit(pos).alias("pos"),
+                F.col("_score").alias("score_i"),
+            )
+        )
+        out = pick if out is None else out.union(pick)
+        psim = pairs.withColumnRenamed(query_id_col, "_qp")
+        nxt = (
+            rem.join(
+                pick.select(query_id_col, F.col(id_col).alias("_pick")), query_id_col
+            )
+            .where(F.col(id_col) != F.col("_pick"))
+            .join(
+                psim,
+                (F.col("_qp") == F.col(query_id_col))
+                & (F.col("_pa") == F.col(id_col))
+                & (F.col("_pb") == F.col("_pick")),
+                "left",
+            )
+        )
+        rem = nxt.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("rel4"),
+            F.greatest(F.col("_ms"), F.coalesce(F.col("_sim4"), F.lit(0))).alias("_ms"),
+        )
+    return out
+
+
 def lsh_range_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1035,6 +1035,37 @@ def test_rouge_l_hand_dp(spark):
     assert out.lcs == 0  # the matching suffix sits past the cap
 
 
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """Query along x; a near-duplicate pair ABOVE the query and an
+    equally-relevant mirror vector BELOW it: pure relevance ranks the
+    twin second (5990 vs twin-free scores), but after picking vec 10
+    the twin pays a 3*10000 redundancy penalty while the mirror's
+    similarity to 10 is negative (clamped to 0), so MMR must pick the
+    mirror at pos 2 and drop the twin to pos 3. Pos-1 is a quantized
+    tie (both 0.6-relevance) broken by min vec_id."""
+    import math
+
+    import numpy as np
+
+    rows = [
+        (10, [0.6, 0.8, 0.0, 0.0]),
+        (11, [0.599, 0.8007, 0.0, 0.0]),  # near-duplicate of 10
+        (12, [0.6, -0.8, 0.0, 0.0]),      # mirror: same relevance, diverse
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = sorted(
+        similarity.mmr_rerank(e, q, k=3, n_cand=3).collect(), key=lambda r: r.pos
+    )
+    assert [r.vec_id for r in got] == [10, 12, 11]
+    # pos-1 score is pure scaled relevance with float32 storage math
+    x, y = float(np.float32(0.6)), float(np.float32(0.8))
+    rel4 = int(math.floor(x / math.sqrt(x * x + y * y) * 10000 + 0.5))
+    assert got[0].score_i == 7 * rel4
+
+
 def test_winnowing_shared_run_guarantee_and_tie_rule(spark):
     """MOSS guarantee: docs sharing >= w+k-1 consecutive words share a
     fingerprint; all-equal hashes select the RIGHTMOST window position."""
