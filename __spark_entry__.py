@@ -163,6 +163,35 @@ def q_kg_counts_rollup(spark, sf):
     )
 
 
+def q_kg_counts_sets(spark, sf):
+    """A9 completed: explicit GROUPING SETS ((graph, pred), (pred), ())
+    — a set combination neither ROLLUP nor CUBE of the pair produces
+    (per-predicate totals ACROSS graphs, without the graph-only level).
+    Still one Catalyst Expand + ONE partial-agg shuffle; this is the
+    exact aggregate the store's predicate-dictionary sizing reads."""
+    t = _triples(spark, sf)
+    return (
+        t.groupingSets([["graph", "pred"], ["pred"], []], "graph", "pred")
+        .agg(F.count("*").alias("n_triples"))
+        .select(
+            F.coalesce("graph", F.lit("<all>")).alias("graph"),
+            F.coalesce("pred", F.lit("<all>")).alias("pred"),
+            "n_triples",
+        )
+    )
+
+
+def _kg_counts_sets_sql() -> str:
+    return (
+        _triples_cte(None)
+        + """
+SELECT coalesce(graph, '<all>') AS graph, coalesce(pred, '<all>') AS pred,
+       count(*) AS n_triples
+FROM t GROUP BY GROUPING SETS ((graph, pred), (pred), ())
+"""
+    )
+
+
 def q_kg_counts_cube(spark, sf):
     """A9 extended further: CUBE(graph, obj_type) — all four grouping
     sets (both, per graph, per obj_type, grand total) in ONE pass; like
@@ -6529,6 +6558,55 @@ def _luby_mis_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q_graph_coreness(spark, sf):
+    """Core decomposition over the spatial proximity graph: per-node
+    core NUMBER capped at k=4 (levels 2..4 re-run the fixed-8-round
+    synchronous peel; level 1 is the whole graph). The oracle unrolls
+    the three independent peel chains, so agreement never depends on
+    convergence; the value hash rides on the full (id, coreness)
+    assignment."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.coreness(p, k_max=4, rounds=8)
+
+
+def _coreness_sql(k_max: int = 4, rounds: int = 8) -> str:
+    parts = [
+        "WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px, "
+        "5820000 + doc_id % 2000 AS py FROM documents)",
+        ", e AS MATERIALIZED (SELECT a.d AS src, b.d AS dst FROM pts a JOIN pts b "
+        "ON a.d < b.d AND (a.px - b.px) * (a.px - b.px) + "
+        "(a.py - b.py) * (a.py - b.py) < 9)",
+        ", sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        ", nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+    ]
+    for k in range(2, k_max + 1):
+        parts.append(f", c{k}a0 AS MATERIALIZED (SELECT id FROM nodes)")
+        for r in range(1, rounds + 1):
+            parts.append(
+                f", c{k}d{r} AS MATERIALIZED (SELECT s.src AS id, count(*) AS dg "
+                f"FROM sym s JOIN c{k}a{r - 1} x ON x.id = s.src "
+                f"JOIN c{k}a{r - 1} y ON y.id = s.dst GROUP BY s.src)"
+                f", c{k}a{r} AS MATERIALIZED (SELECT id FROM c{k}d{r} WHERE dg >= {k})"
+            )
+    flags = " + ".join(
+        f"(CASE WHEN k{k}.id IS NULL THEN 0 ELSE 1 END)" for k in range(2, k_max + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN c{k}a{rounds} k{k} ON k{k}.id = n.id" for k in range(2, k_max + 1)
+    )
+    parts.append(
+        f" SELECT n.id, CAST(1 + {flags} AS INT) AS coreness FROM nodes n {joins}"
+    )
+    return "".join(parts)
+
+
 def q_emb_pq(spark, sf):
     """Product quantization (faiss PQ): 64-dim -> 4 codes from 8 seeded
     literal centroids each + total squared reconstruction error. Pure
@@ -9021,6 +9099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_counts": q_kg_counts,
         "kg_counts_rollup": q_kg_counts_rollup,
         "kg_counts_cube": q_kg_counts_cube,
+        "kg_counts_sets": q_kg_counts_sets,
         "kg_link_exact": q_kg_link_exact,
         "kg_link_fuzzy": q_kg_link_fuzzy,
         "link_eval_pr": q_link_eval_pr,
@@ -9156,6 +9235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_mis": q_graph_mis,
+        "graph_coreness": q_graph_coreness,
         "emb_pq": q_emb_pq,
         "text_entropy": q_text_entropy,
         "bpe_train": q_bpe_train,
@@ -11000,6 +11080,7 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(obj_type, '<all>') AS obj_type, count(*) AS n_triples "
             "FROM t GROUP BY ROLLUP(graph, obj_type)"
         ),
+        "kg_counts_sets": _kg_counts_sets_sql(),
         "kg_counts_cube": (
             _triples_cte(None) +
             " SELECT coalesce(graph, '<all>') AS graph, "
@@ -11354,6 +11435,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_mis": _luby_mis_sql(),
+        "graph_coreness": _coreness_sql(),
         "emb_pq": _pq_sql(),
         "text_entropy": _entropy_sql(),
         "bpe_train": _bpe_sql(),

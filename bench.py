@@ -300,6 +300,10 @@ def headline(sf_dir: str, cores: int) -> None:
         "rouge_l_eval",
         "interval_allen",
         "ngram_novelty",
+        "corpus_pipeline",
+        "mmr_rerank",
+        "kg_counts_sets",
+        "graph_coreness",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

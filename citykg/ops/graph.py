@@ -1195,3 +1195,37 @@ def luby_mis(edges: DataFrame, rounds: int = 4) -> DataFrame:
         alive = alive.join(newly.select("id"), "id", "left_anti").transform(stable)
     out = decided.union(alive.withColumn("state", F.lit("open")))
     return out.select("id", "prio", "state")
+
+
+def coreness(edges: DataFrame, k_max: int = 4, rounds: int = 8) -> DataFrame:
+    """Core decomposition: each node's core NUMBER — the largest k for
+    which it survives the k-core peel — capped at k_max (the Batagelj-
+    Zaversnik output, computed level-by-level: coreness(v) = 1 +
+    #levels k in [2, k_max] whose k-core retains v; every node in the
+    edge list has degree >= 1, so level 1 is the whole graph). Each
+    level runs the SAME fixed-rounds synchronous peel as kcore, so the
+    oracle unrolls k_max-1 independent CTE chains — agreement never
+    depends on convergence. The cap is the standard scale posture: at
+    web scale core numbers beyond a small k are computed on the
+    (already tiny) k_max-core only.
+
+    Scale shape: k_max-1 independent peel loops over the same
+    checkpointed symmetric edge list; within a level the alive set
+    shrinks monotonically. Returns (id, coreness) for every node."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(stable)
+    )
+    base = sym.select(F.col("src").alias("id")).distinct()
+    out = base.withColumn("coreness", F.lit(1))
+    for k in range(2, k_max + 1):
+        kc = kcore(sym, k=k, rounds=rounds).select(
+            "id", F.col("in_core").alias(f"_c{k}")
+        )
+        out = out.join(kc, "id", "left").withColumn(
+            "coreness", F.col("coreness") + F.coalesce(f"_c{k}", F.lit(0))
+        ).drop(f"_c{k}")
+    return out.select("id", F.col("coreness").cast("int").alias("coreness"))

@@ -203,6 +203,10 @@ AUDITS = [
     ("interval_allen", "Allen algebra: partition equi-join with id-band residual (O(n*band) pairs), one CASE Project, no windows"),
     ("ngram_novelty", "trigram novelty: two partial aggs (first-seen per gram, per-doc counts), no windows, no Python"),
     ("kg_update_where", "SPARQL UPDATE analog: ONE conditional Project over the store snapshot, zero shuffles"),
+    ("corpus_pipeline", "curation funnel: quality Project -> 16-byte-key dedup window -> broadcast eval n-gram join -> split Project; ONE corpus shuffle per stage"),
+    ("mmr_rerank", "MMR: bounded candidate windows + pairwise sim frame of O(n_cand^2) per query; integer objective, no float argmax"),
+    ("kg_counts_sets", "GROUPING SETS: one Catalyst Expand + ONE partial-agg shuffle for all three set levels"),
+    ("graph_coreness", "core decomposition: 3 independent fixed-round peels over the same checkpointed edge list"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

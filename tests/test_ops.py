@@ -1326,6 +1326,17 @@ def test_allen_relations_all_13_labels(spark):
     assert got[(6, 9)] == "precedes"
 
 
+def test_coreness_levels(spark):
+    """K4 + pendant + tail: K4 nodes have coreness 3, the pendant's
+    anchor... the pendant itself 1; a 2-cycle-free chain stays 1."""
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    e = spark.createDataFrame(
+        k4 + [("d", "p"), ("p", "q")], "src string, dst string"
+    )
+    out = {r.id: r.coreness for r in graph.coreness(e, k_max=4, rounds=8).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3, "p": 1, "q": 1}
+
+
 def test_link_prediction_square_and_triangle(spark):
     """4-cycle: both diagonals are predicted with cn=2, aa=2/ln(2); on a
     diamond (triangle + pendant sharing two neighbors) the adjacent pair
