@@ -1300,6 +1300,36 @@ def q_owl_domain(spark, sf):
     return v.select("subj", "pred", "graph", "expected_graph")
 
 
+def q_owl_property_chain(spark, sf):
+    """G5 eleventh family: owl:propertyChainAxiom (OWL 2 RL prp-spo2)
+    with an owl:inverseOf first member — flatten the addresstobuilding
+    LINK TABLE into direct assertions: addressId^- (address -> link
+    row) chained with buildingId (link row -> building) derives
+    ocgml:addressOfBuilding(address, building). One predicate-sliced
+    equi-join on the mid link-row IRI; derived triples, not
+    violations."""
+    t = _triples(spark, sf, ["addresstobuilding"])
+    return owl.property_chain(
+        t,
+        "ocgml:addressId",
+        "ocgml:buildingId",
+        "ocgml:addressOfBuilding",
+        invert_first=True,
+    )
+
+
+def _owl_property_chain_sql() -> str:
+    return (
+        _triples_cte(["addresstobuilding"])
+        + """
+SELECT DISTINCT p.subj, 'ocgml:addressOfBuilding' AS pred, q.obj
+FROM (SELECT obj AS subj, subj AS mid FROM t WHERE pred = 'ocgml:addressId') p
+JOIN (SELECT subj AS mid, obj FROM t WHERE pred = 'ocgml:buildingId') q
+  ON q.mid = p.mid
+"""
+    )
+
+
 def q_spatial_point_in_polygon(spark, sf):
     """UPRNAgent analog: address points matched into footprint polygons —
     grid-blocked candidate join + exact even-odd ray cast. Even docs get a
@@ -9142,6 +9172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_report": q_kg_shacl_report,
         "owl_domain": q_owl_domain,
         "owl_sameas_ifp": q_owl_sameas_ifp,
+        "owl_property_chain": q_owl_property_chain,
         "owl_class_membership": q_owl_class_membership,
         "owl_specialisation": q_owl_specialisation,
         "owl_range": q_owl_range,
@@ -11219,6 +11250,7 @@ def oracle_sql() -> dict[str, str]:
             "'ocgml:buildingId', 'buildinginstallation', 'addresstobuilding' FROM b"
         ),
         "owl_sameas_ifp": _owl_sameas_ifp_sql(),
+        "owl_property_chain": _owl_property_chain_sql(),
         "owl_class_membership": _owl_membership_sql(),
         "owl_specialisation": _owl_specialisation_sql(),
         "owl_range": _owl_range_sql(),

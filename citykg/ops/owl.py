@@ -365,3 +365,43 @@ def shacl_report(
             ).cast("long").alias("n_conforming"),
         )
     )
+
+
+def property_chain(
+    triples: DataFrame,
+    first_pred: str,
+    second_pred: str,
+    derived_pred: str,
+    invert_first: bool = False,
+) -> DataFrame:
+    """OWL 2 RL property-chain inference (rule prp-spo2, the 2-link
+    case of owl:propertyChainAxiom): P(x, y) AND Q(y, z) => R(x, z).
+    The eleventh inference family here — unlike the TBox checks above
+    this one DERIVES new triples rather than flagging violations
+    (Blazegraph's inference engine materializes the same closure;
+    OntoInfer stores such derived assertions in its own graph).
+    `invert_first` makes the first chain member an owl:inverseOf slice
+    (P(y, x) read as x -> y) — the shape that walks a reference-style
+    LINK TABLE: addressId^- chained with buildingId turns the two-row
+    link entity into a direct address -> building assertion.
+
+    Scale shape: two predicate-filtered slices of the store (predicate
+    pushdown reaches the scan; in the property-table layout each slice
+    is one column), ONE equi-join on the shared node, distinct. The
+    join key is the mid entity IRI — the same key the store buckets by
+    subject, so the Q side is co-located when read from the
+    materialized store."""
+    pf = triples.where(F.col("pred") == first_pred)
+    p = (
+        pf.select(F.col("obj").alias("subj"), F.col("subj").alias("_mid"))
+        if invert_first
+        else pf.select(F.col("subj"), F.col("obj").alias("_mid"))
+    )
+    q = triples.where(F.col("pred") == second_pred).select(
+        F.col("subj").alias("_mid"), F.col("obj")
+    )
+    return (
+        p.join(q, "_mid")
+        .select("subj", F.lit(derived_pred).alias("pred"), "obj")
+        .distinct()
+    )

@@ -579,3 +579,25 @@ def test_knn_within_equals_brute_force_on_random_points(spark):
         for rank, (_, j) in enumerate(sorted(cands)[:3], start=1):
             want[(i, rank)] = j
     assert got == want
+
+
+def test_owl_property_chain_direct_and_inverse(spark):
+    """prp-spo2: direct chain composes P.obj = Q.subj; invert_first
+    walks a link table (two predicates off one link row) into direct
+    assertions; duplicates collapse via the distinct."""
+    t = spark.createDataFrame(
+        [
+            ("L1", "p:addr", "A1", "addresstobuilding"),
+            ("L1", "p:bldg", "B1", "addresstobuilding"),
+            ("L2", "p:addr", "A1", "addresstobuilding"),
+            ("L2", "p:bldg", "B1", "addresstobuilding"),  # dup derivation
+            ("L3", "p:addr", "A2", "addresstobuilding"),
+            ("X", "p:a", "Y", "g"),
+            ("Y", "p:b", "Z", "g"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    inv = owl.property_chain(t, "p:addr", "p:bldg", "p:of", invert_first=True).collect()
+    assert {(r.subj, r.pred, r.obj) for r in inv} == {("A1", "p:of", "B1")}
+    direct = owl.property_chain(t, "p:a", "p:b", "p:ab").collect()
+    assert {(r.subj, r.obj) for r in direct} == {("X", "Z")}
