@@ -207,6 +207,7 @@ AUDITS = [
     ("mmr_rerank", "MMR: bounded candidate windows + pairwise sim frame of O(n_cand^2) per query; integer objective, no float argmax"),
     ("kg_counts_sets", "GROUPING SETS: one Catalyst Expand + ONE partial-agg shuffle for all three set levels"),
     ("graph_coreness", "core decomposition: 3 independent fixed-round peels over the same checkpointed edge list"),
+    ("owl_property_chain", "prp-spo2: two predicate-sliced scans + ONE equi-join on the mid IRI; derives, never re-scans"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
