@@ -9112,8 +9112,154 @@ SELECT '*all*' AS event_type, {est} AS hll_estimate FROM ga
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 final tranche: KN language model, blocklist gate, Turtle export,
+# solid volume, convex hull, content-defined-chunking dedup
+# ---------------------------------------------------------------------------
+
+def q_text_lm_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+    smoothing KenLM-grade quality filters actually use) — continuation
+    counts N1+(a,*) / N1+(*,b) fold out of the same single bigram
+    aggregate as the Jelinek-Mercer twin (ops.relevance.kneser_ney_scores
+    has the 100 TB plan shape)."""
+    from citykg.ops.relevance import kneser_ney_scores
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return kneser_ney_scores(d)
+
+
+def q_text_blocklist(spark, sf):
+    """Blocklist term gate (C4 banned-words / UT1-style): per-doc blocked
+    occurrences, distinct blocked terms, blocked token fraction, flag.
+    Blocklist arrives as a broadcast hash join against the exploded
+    corpus (ops.text.blocklist_hits), never a regex alternation."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    return text.blocklist_hits(d)
+
+
+def q_kg_turtle_format(spark, sf):
+    """S6 companion: Turtle predicate-list rendering of the building
+    graph — one block per subject, predicate-object pairs sorted for
+    partition-order independence (materialize.turtle_blocks; the
+    same-subject grouping shuffle is the store's own subject-hash key)."""
+    from citykg.materialize import turtle_blocks
+
+    return turtle_blocks(_triples(spark, sf, ["building"])).select(
+        "graph", "subj", "n_statements", "block"
+    )
+
+
+def q_geo_volume(spark, sf):
+    """Solid volume of closed outward-oriented shells (gml:Solid metric;
+    ops.geo.solid_volume divergence-theorem fold): per doc a box shell
+    (6 faces) and a triangular-prism shell (5 faces) with doc-varying
+    integer dims — the oracle checks the fold against the CLOSED-FORM
+    volumes (w*d*h and w*d*h/2), an independent derivation, not a
+    replay."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(3 + doc_id % 7 as double) as w",
+        "cast(2 + doc_id % 5 as double) as dd",
+        "cast(2 + doc_id % 4 as double) as h",
+        "cast(doc_id % 10 as double) as bx",
+        "cast(doc_id % 20 as double) as by",
+    )
+
+    def ring(*pts):
+        pts = pts + (pts[0],)
+        return "concat_ws('#', " + ", ".join(
+            f"string(bx + ({x})), string(by + ({y})), string({z})"
+            for x, y, z in pts
+        ) + ")"
+
+    O, W, D, H = "0", "w", "dd", "h"
+    box = [
+        ring((O, O, "0"), (O, D, "0"), (W, D, "0"), (W, O, "0")),
+        ring((O, O, H), (W, O, H), (W, D, H), (O, D, H)),
+        ring((O, O, "0"), (W, O, "0"), (W, O, H), (O, O, H)),
+        ring((O, D, "0"), (O, D, H), (W, D, H), (W, D, "0")),
+        ring((O, O, "0"), (O, O, H), (O, D, H), (O, D, "0")),
+        ring((W, O, "0"), (W, D, "0"), (W, D, H), (W, O, H)),
+    ]
+    prism = [
+        ring((O, O, "0"), (O, D, "0"), (W, O, "0")),
+        ring((O, O, H), (W, O, H), (O, D, H)),
+        ring((O, O, "0"), (W, O, "0"), (W, O, H), (O, O, H)),
+        ring((W, O, "0"), (O, D, "0"), (O, D, H), (W, O, H)),
+        ring((O, O, "0"), (O, O, H), (O, D, H), (O, D, "0")),
+    ]
+    faces = d.selectExpr(
+        "doc_id",
+        "explode(map("
+        f"'box', array({', '.join(box)}), "
+        f"'prism', array({', '.join(prism)})"
+        ")) as (variant, rings)",
+    ).select("doc_id", "variant", F.explode("rings").alias("lit"))
+    # solid_volume groups on one key: pack (doc, variant) into it
+    out = (
+        geo.solid_volume(
+            faces.withColumn("doc_id", F.concat_ws("|", "doc_id", "variant")),
+            group_col="doc_id",
+            lit_col="lit",
+        )
+        .withColumn("variant", F.split("doc_id", "\\|")[1])
+        .withColumn("doc_id", F.split("doc_id", "\\|")[0].cast("long"))
+    )
+    return out.select(
+        "doc_id", "variant", "n_faces", F.round("volume", 6).alias("volume")
+    )
+
+
+def q_spatial_convex_hull(spark, sf):
+    """2D convex hull (JTS ConvexHull analog, ops.geo.convex_hull_stats):
+    per doc a 9-point set — 4 square corners + an apex (the hull) and 4
+    strictly-interior axis points — fed in non-hull order; the oracle
+    checks hull SIZE and AREA against the closed forms (5 and
+    4a^2 + a*e), independent of the membership-test + angular-sort
+    evaluation the Spark side runs."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(5 + doc_id % 7 as double) as a",
+        "cast(1 + doc_id % 3 as double) as b",
+        "cast(2 + doc_id % 4 as double) as e",
+        "cast(doc_id % 13 as double) as tx",
+        "cast(doc_id % 17 as double) as ty",
+    )
+    pts = [
+        ("0", "b"), ("a", "a"), ("b", "0"), ("-a", "a"), ("0", "a + e"),
+        ("0", "-b"), ("a", "-a"), ("-b", "0"), ("-a", "-a"),
+    ]
+    lit = "concat_ws('#', " + ", ".join(
+        f"string(tx + ({x})), string(ty + ({y}))" for x, y in pts
+    ) + ")"
+    g = d.selectExpr("doc_id", f"{lit} as lit")
+    out = geo.convex_hull_stats(g, group_col="doc_id", lit_col="lit")
+    return out.select("doc_id", "n_hull", F.round("hull_area", 6).alias("hull_area"))
+
+
+def q_dedup_cdc(spark, sf):
+    """Content-defined-chunking dedup (LBFS/Gear/FastCDC family,
+    ops.dedup.cdc_chunk_stats): per-source boilerplate prefixes are
+    planted (the testdata corpus has no native shared regions, same
+    convention as dedup_url) so the leading chunks dedup across each
+    source's docs while the organic tails stay unique."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "concat('terms of service for ', source, "
+        "' all rights reserved contact admin example com ', text) as text",
+    )
+    return dedup.cdc_chunk_stats(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_lm_kneser_ney": q_text_lm_kneser_ney,
+        "text_blocklist": q_text_blocklist,
+        "kg_turtle_format": q_kg_turtle_format,
+        "geo_volume": q_geo_volume,
+        "spatial_convex_hull": q_spatial_convex_hull,
+        "dedup_cdc": q_dedup_cdc,
         "kg_extract_full": q_kg_extract_full,
         "kg_extract_building": q_kg_extract_building,
         "kg_extract_cityobject": q_kg_extract_cityobject,
@@ -11073,9 +11219,128 @@ def _negative_sample_sql() -> str:
     )
 
 
+
+
+def _kneser_ney_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z]+'), x -> x <> '') AS w FROM documents), "
+        "bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b FROM toks, "
+        "UNNEST(range(1, len(w))) t(i)), "
+        "tf AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3), "
+        "cab AS (SELECT a, b, sum(tf) AS c_ab FROM tf GROUP BY 1, 2), "
+        "ca AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1_fwd FROM cab GROUP BY 1), "
+        "cb AS (SELECT b, count(*) AS n1_bwd FROM cab GROUP BY 1), "
+        "nt AS (SELECT count(*) AS n_types FROM cab) "
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+        "round(sum(tf * ln(greatest(c_ab - 0.75, 0.0) / c_a "
+        "+ 0.75 * n1_fwd / c_a * (n1_bwd * 1.0 / n_types))) / sum(tf), 6) "
+        "AS avg_logprob "
+        "FROM tf JOIN cab USING (a, b) JOIN ca USING (a) JOIN cb USING (b), nt "
+        "GROUP BY 1"
+    )
+
+
+def _blocklist_sql() -> str:
+    from citykg.ops.text import BLOCKLIST_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z]+'), x -> x <> '') AS w FROM documents), "
+        "tok AS (SELECT doc_id, unnest(w) AS tok FROM toks), "
+        f"h AS (SELECT doc_id, count(*) AS n_hits, count(DISTINCT tok) AS n_hit_terms "
+        f"FROM tok WHERE tok IN ({terms}) GROUP BY 1) "
+        "SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, "
+        "CAST(coalesce(n_hit_terms, 0) AS BIGINT) AS n_hit_terms, "
+        "round(coalesce(n_hits, 0) * 1.0 / greatest(len(w), 1), 6) AS hit_frac, "
+        "CAST(CASE WHEN round(coalesce(n_hits, 0) * 1.0 / greatest(len(w), 1), 6) > 0.05 "
+        "THEN 1 ELSE 0 END AS INTEGER) AS flagged "
+        "FROM toks t LEFT JOIN h USING (doc_id)"
+    )
+
+
+def _turtle_sql() -> str:
+    esc = "replace(replace(obj, chr(92), chr(92) || chr(92)), '\"', chr(92) || '\"')"
+    return (
+        f"WITH t AS ({triples_oracle_sql(graphs=['building'])}), "
+        "po AS (SELECT graph, subj, pred AS p, "
+        "CASE WHEN obj_type = 'iri' THEN '<' || obj || '>' "
+        f"ELSE '\"' || {esc} || '\"' || "
+        "CASE WHEN datatype IS NOT NULL THEN '^^<' || datatype || '>' ELSE '' END END AS o "
+        "FROM t) "
+        "SELECT graph, subj, CAST(count(*) AS BIGINT) AS n_statements, "
+        "'<' || subj || '> ' || string_agg(p || ' ' || o, ' ;\n    ' ORDER BY p, o) "
+        "|| ' .' AS block "
+        "FROM po GROUP BY 1, 2"
+    )
+
+
+def _geo_volume_sql() -> str:
+    # closed-form volumes — an independent derivation, not a fold replay
+    return (
+        "WITH d AS (SELECT doc_id, CAST(3 + doc_id % 7 AS DOUBLE) AS w, "
+        "CAST(2 + doc_id % 5 AS DOUBLE) AS dd, CAST(2 + doc_id % 4 AS DOUBLE) AS h "
+        "FROM documents) "
+        "SELECT doc_id, 'box' AS variant, CAST(6 AS BIGINT) AS n_faces, "
+        "round(w * dd * h, 6) AS volume FROM d "
+        "UNION ALL "
+        "SELECT doc_id, 'prism', CAST(5 AS BIGINT), round(w * dd * h / 2, 6) FROM d"
+    )
+
+
+def _convex_hull_sql() -> str:
+    # closed-form hull: the 4 square corners + apex; area = 4a^2 + a*e
+    return (
+        "SELECT doc_id, CAST(5 AS INTEGER) AS n_hull, "
+        "round(4 * a * a + a * e, 6) AS hull_area FROM "
+        "(SELECT doc_id, CAST(5 + doc_id % 7 AS DOUBLE) AS a, "
+        "CAST(2 + doc_id % 4 AS DOUBLE) AS e FROM documents)"
+    )
+
+
+def _dedup_cdc_sql(window: int = 16, mask: int = 63) -> str:
+    lags = " + ".join(
+        f"lag(gv, {j}) OVER w * {1 << j}" for j in range(window)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, 'terms of service for ' || source ||
+  ' all rights reserved contact admin example com ' || lower(text) AS t
+  FROM documents),
+pos AS (SELECT doc_id, t, len(t) AS L, unnest(range(1, len(t) + 1)) AS i FROM d),
+g AS (SELECT doc_id, i, L,
+      (ord(substr(t, CAST(i AS INTEGER), 1)) * 2654435761) % 4294967296 AS gv
+      FROM pos),
+h AS (SELECT doc_id, i, L, {lags} AS hv FROM g
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+cuts AS (SELECT doc_id, i + 1 AS cut FROM h
+         WHERE i >= {window} AND i < L AND hv % {mask + 1} = 0),
+starts AS (SELECT doc_id, 1 AS s FROM d
+           UNION ALL SELECT doc_id, cut FROM cuts),
+ch AS (SELECT doc_id, s,
+       lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt FROM starts),
+chunks AS (SELECT c.doc_id,
+           md5(substr(d.t, CAST(c.s AS INTEGER),
+               CAST(coalesce(c.nxt, len(d.t) + 1) - c.s AS INTEGER))) AS chash
+           FROM ch c JOIN d USING (doc_id)),
+fr AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS shared_frac
+FROM chunks JOIN fr USING (chash) GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "text_lm_kneser_ney": _kneser_ney_sql(),
+        "text_blocklist": _blocklist_sql(),
+        "kg_turtle_format": _turtle_sql(),
+        "geo_volume": _geo_volume_sql(),
+        "spatial_convex_hull": _convex_hull_sql(),
+        "dedup_cdc": _dedup_cdc_sql(),
         "kg_extract_full": triples_oracle_sql(),
         "kg_extract_building": triples_oracle_sql(graphs=["building"]),
         "kg_extract_cityobject": triples_oracle_sql(graphs=["cityobject"]),

@@ -304,6 +304,16 @@ def headline(sf_dir: str, cores: int) -> None:
         "mmr_rerank",
         "kg_counts_sets",
         "graph_coreness",
+        # final-tranche additions: Kneser-Ney LM, blocklist gate, Turtle
+        # blocks, divergence-fold volume, HOF convex hull, gear-hash CDC
+        # (adds ~6 queries of NEW work vs the prior stamp — noted for
+        # cross-round comparability)
+        "text_lm_kneser_ney",
+        "text_blocklist",
+        "kg_turtle_format",
+        "geo_volume",
+        "spatial_convex_hull",
+        "dedup_cdc",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -633,3 +633,84 @@ def export_nquads(triples: DataFrame, path: str, base: str | None = None) -> Non
     nquads_lines(triples, base).select(F.col("line").alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def turtle_blocks(triples: DataFrame, base: str | None = None) -> DataFrame:
+    """Turtle rendering with same-subject grouping — the other RDF text
+    serialization the exporter family offers next to N-Quads
+    (NquadsExporterTask.java:93-123 is the line-per-statement form; Turtle
+    is the predicate-list form of the same statements, W3C Turtle
+    grammar `predicateObjectList`). One block per (graph, subj):
+
+      <s> ocgml:p1 "v1" ;
+          ocgml:p2 <iri2> .
+
+    Predicates render as `ocgml:` CURIEs (the `@prefix` header is the
+    reader-side contract, one constant line the writer prepends per
+    file); objects follow the same IRI / escaped-literal / `^^`datatype
+    rules as nquads_lines. Determinism: the predicate-object list sorts
+    by (pred, rendered object) via array_sort on structs, so the block
+    text is partition-order independent. Plan: one JVM Project to render
+    each statement fragment, ONE map-side-combinable collect_list
+    aggregate per (graph, subj), then a pure Project concatenates the
+    block — no window, no driver collect; at 100 TB the aggregate
+    partitions by subject hash exactly like the store layout, so the
+    shuffle is the same one the bucketed write already pays."""
+    from .vocab import OCGML
+
+    def esc(c):
+        for search, repl in (
+            ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
+        ):
+            c = F.replace(c, F.lit(search), F.lit(repl))
+        return c
+
+    # Rendering happens AFTER the aggregate: the pre-shuffle Project adds
+    # only a raw 4-field struct to the extract stage (whose template
+    # expression is already near janino's method-size ceiling — fusing
+    # the concat/escape chain there pushes the generated processNext()
+    # past it and the whole stage falls back to interpreted mode, extract
+    # included). Post-shuffle, the per-subject lists are small and the
+    # render runs once per statement inside two HOF lambdas.
+    po = triples.select(
+        "graph",
+        "subj",
+        F.struct("pred", "obj", "obj_type", "datatype").alias("po"),
+    )
+    agg = po.groupBy("graph", "subj").agg(F.collect_list("po").alias("raw"))
+    esc_sql = "replace(replace(replace(replace(replace(e.obj, "
+    esc_sql += "chr(92), concat(chr(92), chr(92))), "
+    esc_sql += "'\"', concat(chr(92), '\"')), "
+    esc_sql += "chr(10), concat(chr(92), 'n')), "
+    esc_sql += "chr(13), concat(chr(92), 'r')), "
+    esc_sql += "chr(9), concat(chr(92), 't'))"
+    p_sql = (
+        "CASE WHEN e.pred LIKE 'ocgml:%' THEN e.pred "
+        "ELSE concat('<', e.pred, '>') END"
+    )
+    o_sql = (
+        "CASE WHEN e.obj_type = 'iri' THEN concat('<', e.obj, '>') "
+        f"ELSE concat('\"', {esc_sql}, '\"', "
+        "CASE WHEN e.datatype IS NOT NULL "
+        "THEN concat('^^<', e.datatype, '>') ELSE '' END) END"
+    )
+    rendered = agg.withColumn(
+        "pos",
+        F.expr(
+            f"array_sort(transform(raw, e -> struct({p_sql} as p, {o_sql} as o)))"
+        ),
+    )
+    block = F.concat(
+        F.lit("<"), F.col("subj"), F.lit("> "),
+        F.array_join(
+            F.expr("transform(pos, e -> concat(e.p, ' ', e.o))"),
+            " ;\n    ",
+        ),
+        F.lit(" ."),
+    )
+    return rendered.select(
+        "graph",
+        "subj",
+        F.size("pos").cast("bigint").alias("n_statements"),
+        block.alias("block"),
+    )

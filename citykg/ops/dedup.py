@@ -812,3 +812,102 @@ def bloom_probe(
             F.round(F.col("n_false_pos") / F.col("n_bloom_pos").cast("double"), 6),
         )
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup — the storage-side dedup
+    family (LBFS/Gear/FastCDC): split each document at positions where a
+    rolling content hash hits a mask, so an insertion early in a doc
+    shifts chunk boundaries only locally and shared tails still dedup
+    (exact-hash dedup catches only whole-doc copies; CDC catches shared
+    REGIONS, e.g. boilerplate headers and license blocks).
+
+    Rolling hash (Gear-style, both engines replay it exactly):
+
+      g(c)  = (ascii(c) * 2654435761) mod 2^32          (Knuth mixer)
+      h_i   = sum_{j=0..window-1} g(t[i-j]) * 2^j        (recency-weighted)
+      cut after i  iff  i >= window, i < len, h_i mod 2^mask_bits == 0
+
+    so the expected chunk length is 2^mask_bits chars. Chunk identity is
+    md5(chunk text); a chunk is SHARED when its hash occurs in >= 2
+    distinct docs. Per doc: chunk count, shared-chunk count, shared
+    fraction.
+
+    Plan shape: the boundary scan is one Arrow-batched mapInPandas whose
+    kernel vectorizes across the WHOLE batch (all docs' bytes
+    concatenate into one numpy array, one convolution computes every
+    rolling hash, per-doc prefixes are masked out) — per-char Python
+    never runs, per-chunk work is a bounded md5 loop. The only shuffles
+    are the chunk-hash frequency aggregate (map-side combinable) and its
+    broadcast-shaped re-attach; both key on the 128-bit chunk hash, so
+    skew is bounded by the true duplication factor, same story as
+    exact_dup_groups."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    mask = (1 << mask_bits) - 1
+    weights = [1 << j for j in range(window)]
+
+    def chunker(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, idxs = [], [], []
+            texts = [(t or "").lower() for t in pdf[text_col]]
+            if texts:
+                lens = np.array([len(t) for t in texts], dtype=np.int64)
+                blob = np.frombuffer(
+                    "".join(texts).encode("latin1"), dtype=np.uint8
+                ).astype(np.int64)
+                g = (blob * 2654435761) % (1 << 32)
+                conv = np.convolve(g, np.array(weights, dtype=np.int64))
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                for did, t, s, L in zip(pdf[id_col], texts, starts, lens):
+                    if L == 0:
+                        continue
+                    # h at 0-based local position p lives at conv[s + p];
+                    # positions p < window-1 mix the previous doc's bytes
+                    # -> excluded by the p >= window - 1 guard anyway
+                    p = np.arange(window - 1, L - 1)
+                    h = conv[s + p]
+                    cuts = (p + 1)[(h & mask) == 0]
+                    bounds = [0, *cuts.tolist(), int(L)]
+                    for ci in range(len(bounds) - 1):
+                        ids.append(did)
+                        idxs.append(ci)
+                        hashes.append(
+                            hashlib.md5(
+                                t[bounds[ci]: bounds[ci + 1]].encode()
+                            ).hexdigest()
+                        )
+            yield pd.DataFrame({id_col: ids, "chunk_idx": idxs, "chash": hashes})
+
+    chunks = df.select(id_col, text_col).mapInPandas(
+        chunker, f"{id_col} long, chunk_idx int, chash string"
+    )
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = chunks.groupBy("chash").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias("shared_frac"),
+        )
+    )

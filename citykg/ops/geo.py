@@ -784,3 +784,130 @@ def morton_interleave_sql(gx: str, gy: str, bits: int = 11) -> str:
         terms.append(f"(((({gx}) >> {i}) & 1) << {2 * i})")
         terms.append(f"(((({gy}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def solid_volume(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    lit_col: str = "lit",
+    out: str = "volume",
+) -> DataFrame:
+    """Solid volume from a closed, outward-oriented boundary surface —
+    the 3D companion of with_area3d for CityGML `gml:Solid` shells
+    (lod1/lod2 building solids; the reference stores the shell polygons
+    in SURFACE_GEOMETRY and derives metric quantities from them, e.g.
+    GFA in CityInformationAgent). Divergence theorem over the
+    fan-triangulated faces:
+
+      V = (1/6) * | sum_faces sum_i det(v0, v_i, v_{i+1}) |
+
+    which is exact for any closed shell with consistently outward faces
+    (each face a planar ring, first point repeated last). Per-face fold
+    is one aggregate() HOF over the parsed coordinate array — pure
+    whole-stage-codegen Project — followed by ONE map-side-combinable
+    sum per solid. No Python, no window, no driver round-trip; at 100 TB
+    the only shuffle is the per-solid partial agg, keyed by the same
+    feature id the extract stage already partitions on."""
+    agg = (
+        "aggregate(sequence(1, int(size(c) / 3) - 3), 0.0D, "
+        "(acc, i) -> acc + ("
+        f"{_pt(0, '0')} * ({_pt(1, 'i')} * {_pt(2, 'i + 1')} - {_pt(2, 'i')} * {_pt(1, 'i + 1')}) "
+        f"- {_pt(1, '0')} * ({_pt(0, 'i')} * {_pt(2, 'i + 1')} - {_pt(2, 'i')} * {_pt(0, 'i + 1')}) "
+        f"+ {_pt(2, '0')} * ({_pt(0, 'i')} * {_pt(1, 'i + 1')} - {_pt(1, 'i')} * {_pt(0, 'i + 1')})"
+        "))"
+    )
+    # faces below a triangle (size < 12 = 4 stored points incl. closure)
+    # contribute nothing — and the CASE keeps sequence() ascending
+    # (sequence(1, 0) DESCENDS in Spark, and ANSI would then fault the
+    # element_at), the same guard pattern as _newell_struct
+    face_det = f"CASE WHEN size(c) >= 12 THEN {agg} ELSE 0.0D END"
+    faces = with_coords(df, lit_col).withColumn("_det", F.expr(face_det))
+    return faces.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_faces"),
+        (F.abs(F.sum("_det")) / 6.0).alias(out),
+    )
+
+
+def convex_hull_stats(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    lit_col: str = "lit",
+) -> DataFrame:
+    """2D convex hull of a '#'-separated x#y point literal: hull vertex
+    count + hull area (the footprint-simplification / site-envelope
+    primitive; JTS ConvexHull is what GeoSpatialProcessor would reach
+    for). Everything is array HOFs inside one codegen'd Project — no
+    Python, no shuffle at all:
+
+    * hull membership: vertex p is on the hull iff some other vertex m
+      exists with every remaining vertex strictly to the left of ray
+      p->m (cross > 0). O(n^3) per ring, which at CityGML ring sizes
+      (bounded tens of vertices) is a few thousand fused comparisons
+      per row — cheaper than a shuffle at any corpus scale, and
+      embarrassingly parallel per row. Requires general position (no 3
+      collinear vertices with 2 of them hull-adjacent), which snapped
+      importer rings satisfy; degenerate inputs (< 3 points) yield
+      n_hull = size and area 0.
+    * ordering for the shoelace: hull vertices sort by atan2 around the
+      hull centroid (convexity makes the angular order the polygon
+      order); area = |sum cross| / 2.
+    """
+    # filter-after-transform keeps the sequence ascending and typed even
+    # for degenerate literals (< 1 point) under ANSI
+    pts = (
+        "transform(filter(sequence(0, greatest(int(size(c) / 2) - 1, 0)), "
+        "i -> i * 2 + 2 <= size(c)), "
+        "i -> named_struct('x', element_at(c, cast(i * 2 + 1 as int)), "
+        "'y', element_at(c, cast(i * 2 + 2 as int))))"
+    )
+    cross = (
+        "((m.x - p.x) * (u.y - p.y) - (m.y - p.y) * (u.x - p.x))"
+    )
+    hull = (
+        "filter(pts, p -> exists(pts, m -> (m.x <> p.x OR m.y <> p.y) AND "
+        f"forall(pts, u -> ((u.x = p.x AND u.y = p.y) OR (u.x = m.x AND u.y = m.y) OR {cross} > 0.0D))))"
+    )
+    d = (
+        df.withColumn("c", F.expr(f"transform(split({lit_col}, '#'), t -> cast(t as double))"))
+        .withColumn("pts", F.expr(pts))
+        .withColumn("hull", F.expr(hull))
+        .withColumn(
+            "hull",
+            F.expr(
+                "CASE WHEN size(pts) < 3 THEN pts ELSE hull END"
+            ),
+        )
+    )
+    # centroid of hull vertices -> angular sort -> shoelace
+    d = (
+        d.withColumn(
+            "cx", F.expr("aggregate(hull, 0.0D, (a, h) -> a + h.x) / size(hull)")
+        )
+        .withColumn(
+            "cy", F.expr("aggregate(hull, 0.0D, (a, h) -> a + h.y) / size(hull)")
+        )
+        .withColumn(
+            "ordered",
+            F.expr(
+                "array_sort(transform(hull, h -> named_struct("
+                "'ang', atan2(h.y - cy, h.x - cx), 'x', h.x, 'y', h.y)))"
+            ),
+        )
+        .withColumn(
+            "area2",
+            F.expr(
+                "CASE WHEN size(ordered) >= 3 THEN "
+                "aggregate(sequence(0, size(ordered) - 1), 0.0D, (a, i) -> a + ("
+                "element_at(ordered, cast(i + 1 as int)).x * element_at(ordered, cast((i + 1) % size(ordered) + 1 as int)).y"
+                " - element_at(ordered, cast((i + 1) % size(ordered) + 1 as int)).x * element_at(ordered, cast(i + 1 as int)).y))"
+                " ELSE 0.0D END"
+            ),
+        )
+    )
+    return d.select(
+        group_col,
+        F.size("hull").cast("int").alias("n_hull"),
+        F.when(F.size("hull") < 3, F.lit(0.0))
+        .otherwise(F.abs(F.col("area2")) / 2.0)
+        .alias("hull_area"),
+    )

@@ -563,3 +563,81 @@ def tfidf_cosine_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "neighbor", "cosine", F.col("rank").cast("int"))
     )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document average log-probability under an interpolated
+    Kneser-Ney bigram LM trained on the corpus itself — the modern
+    n-gram smoothing (Kneser & Ney 1995, Chen & Goodman 1998) that
+    KenLM-style quality filters actually ship, one step past the
+    Jelinek-Mercer interpolation of `bigram_lm_scores`:
+
+      p_KN(b | a) = max(c(ab) - D, 0) / c(a)
+                    + D * N1+(a, *) / c(a) * p_cont(b)
+      p_cont(b)   = N1+(*, b) / |distinct bigram types|
+
+    where N1+(a, *) is the number of distinct continuations of `a`
+    and N1+(*, b) the number of distinct predecessors of `b` — the
+    "how many contexts has this word completed" signal that separates
+    KN from a plain backoff.
+
+    Plan shape (identical scaling story to bigram_lm_scores): ONE corpus
+    bigram scan into a per-doc tf aggregate (map-side combinable,
+    materialized once); c(ab), c(a), the two continuation-type counts,
+    and the global type total all fold out of that aggregate as
+    vocabulary-sized frames; the type total re-attaches as a one-row
+    broadcast. Every model factor is a ratio of exact integer counts, so
+    the DuckDB oracle recomputes the identical doubles. Docs with < 2
+    tokens have no bigrams and drop out (bigram-miner convention)."""
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(1, greatest(size({toks}) - 1, 1)),"
+                f" i -> i < size({toks})),"
+                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b")
+    tf = (
+        bg.groupBy(id_col, "a", "b")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cab = (
+        tf.groupBy("a", "b")
+        .agg(F.sum("tf").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    ca = cab.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1_fwd")
+    )
+    cb = cab.groupBy("b").agg(F.count("*").alias("n1_bwd"))
+    types = cab.agg(F.count("*").alias("n_types"))
+    scored = (
+        tf.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(types))
+        .withColumn(
+            "_lp",
+            F.col("tf")
+            * F.log(
+                F.greatest(F.col("c_ab") - discount, F.lit(0.0)) / F.col("c_a")
+                + discount
+                * F.col("n1_fwd")
+                / F.col("c_a")
+                * (F.col("n1_bwd") / F.col("n_types"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("_lp") / F.sum("tf"), 6).alias("avg_logprob"),
+    )

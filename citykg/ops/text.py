@@ -871,3 +871,62 @@ def rouge_l(
         .otherwise(F.round(2 * p * rr / (p + rr), 6))
         .alias("rouge_f"),
     )
+
+
+#: Default content blocklist for `blocklist_hits` — drawn from the synth
+#: corpus vocabulary so every rule is observed firing at test scale; a
+#: production run swaps in a UT1/badwords-style list of tens of
+#: thousands of terms (the plan shape — broadcast join against exploded
+#: tokens — is sized for that, not for this demo list).
+BLOCKLIST_TERMS = ("slow", "dup", "leak", "skew")
+
+
+def blocklist_hits(
+    df: DataFrame,
+    terms=BLOCKLIST_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_frac: float = 0.05,
+) -> DataFrame:
+    """Blocklist term matching — the badwords/URL-blocklist gate every
+    web-corpus pipeline runs before quality filtering (C4's banned-word
+    list, RefinedWeb's UT1 categories). Per doc: total blocked-token
+    occurrences, distinct blocked terms seen, the blocked fraction of
+    tokens, and the flag verdict (frac > `flag_frac`).
+
+    Plan shape for a 10k-term production list: ONE corpus pass — the
+    tokens explode WITH the doc spine (explode_outer keeps token-less
+    docs), the blocklist attaches as a broadcast LEFT hash join marker
+    (never a per-row `isin` literal that would bloat the plan, never a
+    regex alternation that defeats codegen), and everything folds in a
+    single map-side-combinable per-doc aggregate. ONE shuffle total,
+    zero Python, no doc-spine re-join."""
+    spark = df.sparkSession
+    toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
+    tok = df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("_n_tokens"),
+        F.explode_outer(F.expr(toks)).alias("tok"),
+    )
+    bl = spark.createDataFrame([(t, 1) for t in terms], ["tok", "_hit"])
+    return (
+        tok.join(F.broadcast(bl), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_n_tokens").alias("n_tokens"),
+            F.count("_hit").alias("n_hits"),
+            F.countDistinct(
+                F.when(F.col("_hit").isNotNull(), F.col("tok"))
+            ).alias("n_hit_terms"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.col("n_hit_terms").cast("bigint").alias("n_hit_terms"),
+            F.round(
+                F.col("n_hits") / F.greatest("n_tokens", F.lit(1)), 6
+            ).alias("hit_frac"),
+        )
+        .withColumn("flagged", (F.col("hit_frac") > flag_frac).cast("int"))
+    )

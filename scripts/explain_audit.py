@@ -208,6 +208,12 @@ AUDITS = [
     ("kg_counts_sets", "GROUPING SETS: one Catalyst Expand + ONE partial-agg shuffle for all three set levels"),
     ("graph_coreness", "core decomposition: 3 independent fixed-round peels over the same checkpointed edge list"),
     ("owl_property_chain", "prp-spo2: two predicate-sliced scans + ONE equi-join on the mid IRI; derives, never re-scans"),
+    ("text_lm_kneser_ney", "KN bigram LM: one corpus bigram agg; model tables fold from it; one-row type total broadcast"),
+    ("text_blocklist", "blocklist gate: ONE corpus pass — explode_outer keeps the doc spine, broadcast LEFT join marks hits, one per-doc agg (the 2nd exchange is Catalyst's two-phase distinct-agg expand)"),
+    ("kg_turtle_format", "Turtle blocks: raw-struct collect_list agg keyed on (graph, subj); render HOFs AFTER the shuffle (keeps the extract stage under janino's method limit)"),
+    ("geo_volume", "solid volume: guarded divergence fold per face (pure HOF Project) + ONE per-solid partial agg"),
+    ("spatial_convex_hull", "convex hull: O(n^3) membership + angular sort + shoelace, ALL array HOFs in one Project, zero Exchange"),
+    ("dedup_cdc", "CDC dedup: Arrow-batched gear-hash kernel (whole-batch convolution), then chunk-hash partial agg + re-attach; no per-char Python"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -226,6 +232,8 @@ NO_CARTESIAN = {
     "owl_sameas_ifp",
     "graph_lpa",
     "ann_ivfpq_topk",
+    "text_blocklist",
+    "dedup_cdc",
 }
 
 out = io.StringIO()
