@@ -9252,8 +9252,106 @@ def q_dedup_cdc(spark, sf):
     return dedup.cdc_chunk_stats(d)
 
 
+def q_graph_neighbor_agg(spark, sf):
+    """GraphSAGE-style 2-layer mean feature propagation over the DWithin
+    proximity graph (graph.neighbor_mean_agg): h1 = mean of neighbors'
+    features, h2 = mean of neighbors' h1, 6-dp rounded between layers so
+    the trajectory is engine-exact. One equi-join + one partial agg per
+    layer, no windows, no Python."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    feats = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as id", "cast(1 + doc_id % 50 as double) as feat"
+    )
+    return graph.neighbor_mean_agg(p, feats)
+
+
+def q_dedup_threshold_curve(spark, sf):
+    """SemDeDup epsilon sweep (dedup.semantic_threshold_curve): pair
+    cosines computed once in the seeded quantizer cells, then a literal
+    threshold explode gives n_pairs / n_dropped / drop_rate per cutoff —
+    the tuning curve for choosing the semantic_dedup threshold."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return dedup.semantic_threshold_curve(e)
+
+
+def q_event_attribution(spark, sf):
+    """Multi-touch attribution: each purchase closes a per-user journey
+    (the touches since the previous purchase); first-touch, last-touch,
+    and linear models credit the touch channels. Journey ids derive from
+    a running purchase count — windows partitioned BY USER ONLY, no
+    range join, no per-conversion scan."""
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    base = (
+        e.withColumn("_p", (F.col("event_type") == "purchase").cast("int"))
+        .withColumn("_cum", F.sum("_p").over(w))
+        .withColumn("_tot", F.sum("_p").over(wu))
+        .withColumn(
+            "journey",
+            F.when(F.col("_p") == 1, F.col("_cum")).otherwise(F.col("_cum") + 1),
+        )
+    )
+    touches = base.where((F.col("_p") == 0) & (F.col("journey") <= F.col("_tot")))
+    jw = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    jn = Window.partitionBy("user_id", "journey")
+    tt = touches.withColumn("_rn", F.row_number().over(jw)).withColumn(
+        "_n", F.count("*").over(jn)
+    )
+    first = tt.where(F.col("_rn") == 1).select(
+        F.lit("first_touch").alias("model"),
+        F.col("event_type").alias("channel"),
+        F.lit(1.0).alias("_credit"),
+    )
+    last = tt.where(F.col("_rn") == F.col("_n")).select(
+        F.lit("last_touch").alias("model"),
+        F.col("event_type").alias("channel"),
+        F.lit(1.0).alias("_credit"),
+    )
+    linear = tt.select(
+        F.lit("linear").alias("model"),
+        F.col("event_type").alias("channel"),
+        (F.lit(1.0) / F.col("_n")).alias("_credit"),
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .groupBy("model", "channel")
+        .agg(F.round(F.sum("_credit"), 6).alias("credit"))
+    )
+
+
+def q_owl_sameas_rewrite(spark, sf):
+    """OWL 2 RL eq-rep-s/eq-rep-o: rewrite the building graph through the
+    hasKey-inferred sameAs map (owl.eq_rep_rewrite) — duplicate-key
+    buildings collapse onto their canonical IRI and statements that
+    become identical merge with a multiplicity count."""
+    t = _triples(spark, sf, ["building"])
+    sa = owl.haskey_sameas(
+        t,
+        "building",
+        ["ocgml:roofType", "ocgml:measuredHeigh", "ocgml:storeysAboveGround"],
+    )
+    return owl.eq_rep_rewrite(t, sa).select(
+        "subj", "pred", "obj", "obj_type", "n_merged"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_neighbor_agg": q_graph_neighbor_agg,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "event_attribution": q_event_attribution,
+        "owl_sameas_rewrite": q_owl_sameas_rewrite,
         "text_lm_kneser_ney": q_text_lm_kneser_ney,
         "text_blocklist": q_text_blocklist,
         "kg_turtle_format": q_kg_turtle_format,
@@ -11332,9 +11430,106 @@ FROM chunks JOIN fr USING (chash) GROUP BY 1
 """
 
 
+def _neighbor_agg_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+adj AS (SELECT u AS w, v AS n FROM pairs UNION ALL SELECT v, u FROM pairs),
+f AS (SELECT doc_id AS id, CAST(1 + doc_id % 50 AS DOUBLE) AS feat FROM documents),
+h1 AS (SELECT adj.w AS id, round(avg(f.feat), 6) AS h1
+       FROM adj JOIN f ON f.id = adj.n GROUP BY adj.w),
+h2 AS (SELECT adj.w AS id, round(avg(h1.h1), 6) AS h2
+       FROM adj JOIN h1 ON h1.id = adj.n GROUP BY adj.w),
+deg AS (SELECT w AS id, count(*) AS degree FROM adj GROUP BY 1)
+SELECT deg.id, CAST(deg.degree AS BIGINT) AS degree, h1.h1, h2.h2
+FROM deg LEFT JOIN h1 USING (id) LEFT JOIN h2 USING (id)
+"""
+
+
+def _threshold_curve_sql(dim: int = 64, n_planes: int = 4, seed: int = 911) -> str:
+    from citykg.ops.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    cell = " + ".join(terms)
+    return f"""
+WITH c AS (SELECT vec_id, embedding, CAST({cell} AS BIGINT) AS cell FROM embeddings),
+p AS (SELECT a.vec_id AS va,
+        round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id > b.vec_id),
+sw AS (SELECT va, cos, unnest([0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6]) AS threshold FROM p),
+nt AS (SELECT count(*) AS n FROM embeddings)
+SELECT threshold,
+  CAST(sum(CASE WHEN cos >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT CASE WHEN cos >= threshold THEN va END) AS BIGINT) AS n_dropped,
+  round(count(DISTINCT CASE WHEN cos >= threshold THEN va END) * 1.0 / (SELECT n FROM nt), 6)
+    AS drop_rate
+FROM sw GROUP BY threshold
+"""
+
+
+def _event_attribution_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, ts, event_type,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events),
+b AS (SELECT *,
+    sum(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(p) OVER (PARTITION BY user_id) AS tot FROM e),
+j AS (SELECT *, CASE WHEN p = 1 THEN cum ELSE cum + 1 END AS journey FROM b),
+t AS (SELECT user_id, journey, event_type, ts, event_id,
+    row_number() OVER (PARTITION BY user_id, journey ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY user_id, journey) AS n
+  FROM j WHERE p = 0 AND journey <= tot),
+cr AS (
+  SELECT 'first_touch' AS model, event_type AS channel, 1.0 AS credit
+    FROM t WHERE rn = 1
+  UNION ALL
+  SELECT 'last_touch', event_type, 1.0 FROM t WHERE rn = n
+  UNION ALL
+  SELECT 'linear', event_type, 1.0 / n FROM t)
+SELECT model, channel, round(sum(credit), 6) AS credit
+FROM cr GROUP BY 1, 2
+"""
+
+
+def _sameas_rewrite_sql() -> str:
+    return _triples_cte(["building"]) + """
+, k AS (SELECT subj,
+  max(CASE WHEN pred = 'ocgml:roofType' THEN obj END) AS k0,
+  max(CASE WHEN pred = 'ocgml:measuredHeigh' THEN obj END) AS k1,
+  max(CASE WHEN pred = 'ocgml:storeysAboveGround' THEN obj END) AS k2
+  FROM t GROUP BY subj),
+kk AS (SELECT * FROM k WHERE k0 IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL),
+c AS (SELECT k0, k1, k2, min(subj) AS canon, count(*) AS n_shared
+  FROM kk GROUP BY 1, 2, 3 HAVING count(*) > 1),
+m AS (SELECT kk.subj AS member, c.canon FROM kk JOIN c USING (k0, k1, k2)
+  WHERE kk.subj <> c.canon),
+rw AS (SELECT coalesce(ms.canon, t.subj) AS subj, t.pred,
+    CASE WHEN t.obj_type = 'iri' AND mo.canon IS NOT NULL THEN mo.canon
+         ELSE t.obj END AS obj,
+    t.obj_type
+  FROM t LEFT JOIN m ms ON ms.member = t.subj
+         LEFT JOIN m mo ON mo.member = t.obj)
+SELECT subj, pred, obj, obj_type, CAST(count(*) AS BIGINT) AS n_merged
+FROM rw GROUP BY 1, 2, 3, 4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "graph_neighbor_agg": _neighbor_agg_sql(),
+        "dedup_threshold_curve": _threshold_curve_sql(),
+        "event_attribution": _event_attribution_sql(),
+        "owl_sameas_rewrite": _sameas_rewrite_sql(),
         "text_lm_kneser_ney": _kneser_ney_sql(),
         "text_blocklist": _blocklist_sql(),
         "kg_turtle_format": _turtle_sql(),

@@ -314,6 +314,10 @@ def headline(sf_dir: str, cores: int) -> None:
         "geo_volume",
         "spatial_convex_hull",
         "dedup_cdc",
+        "graph_neighbor_agg",
+        "dedup_threshold_curve",
+        "event_attribution",
+        "owl_sameas_rewrite",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -911,3 +911,70 @@ def cdc_chunk_stats(
             F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias("shared_frac"),
         )
     )
+
+
+def semantic_threshold_curve(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    thresholds=(0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60),
+    n_planes: int = 4,
+    seed: int = 911,
+) -> DataFrame:
+    """SemDeDup epsilon sweep: the tuning curve every dedup rollout needs
+    before committing to a threshold — for each candidate cosine cutoff,
+    how many in-cell near-dup pairs fire and how many vectors would be
+    dropped (min-id survivor rule, same as semantic_dedup). The in-cell
+    pair cosines are computed ONCE (same seeded sign-quantizer cells and
+    4-dp rounding as semantic_dedup, so the oracle re-derives them
+    exactly); the sweep then explodes a literal threshold array over the
+    pair frame — ONE extra |pairs| x |thresholds| Project + one partial
+    agg, instead of re-running the pair join per candidate."""
+    from .similarity import _hyperplanes, cosine_expr, with_norm
+
+    dvec = f"transform({vec_col}, x -> cast(x as double))"
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit = "array(" + ", ".join(repr(float(x)) for x in plane) + ")"
+        dot = f"aggregate(zip_with({dvec}, {lit}, (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    cells = df.select(
+        F.col(id_col), F.col(vec_col), F.expr(" + ".join(terms)).cast("long").alias("cell")
+    )
+    cells = with_norm(cells, vec_col).localCheckpoint(eager=False)
+    a = cells.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"), "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"), "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("_ida") > F.col("_idb"))
+        .select("_ida", F.round(cosine_expr("_va", "_vb", "_na", "_nb"), 4).alias("_cos"))
+    )
+    # D-suffix: a bare 0.3 literal is DECIMAL under ANSI — the sweep
+    # column must be DOUBLE to hash-match the oracle
+    tlit = "array(" + ", ".join(f"{float(t)!r}D" for t in thresholds) + ")"
+    swept = pairs.select(
+        "_ida", "_cos", F.explode(F.expr(tlit)).alias("threshold")
+    ).withColumn("_hit", (F.col("_cos") >= F.col("threshold")).cast("int"))
+    # corpus size folds in as a one-row broadcast (no driver round-trip)
+    n_total = df.agg(F.count("*").alias("_n"))
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.sum("_hit").cast("bigint").alias("n_pairs"),
+            F.countDistinct(F.when(F.col("_hit") == 1, F.col("_ida"))).alias("n_dropped"),
+        )
+        .join(F.broadcast(n_total))
+        .select(
+            "threshold",
+            "n_pairs",
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            F.round(F.col("n_dropped") / F.col("_n"), 6).alias("drop_rate"),
+        )
+    )

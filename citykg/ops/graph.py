@@ -1229,3 +1229,55 @@ def coreness(edges: DataFrame, k_max: int = 4, rounds: int = 8) -> DataFrame:
             "coreness", F.col("coreness") + F.coalesce(f"_c{k}", F.lit(0))
         ).drop(f"_c{k}")
     return out.select("id", F.col("coreness").cast("int").alias("coreness"))
+
+
+def neighbor_mean_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    id_col: str = "id",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """Two-layer mean neighborhood aggregation — the message-passing
+    primitive of GraphSAGE-style feature propagation (Hamilton et al.
+    2017) over the KG link graph: h1(v) = mean of neighbors' raw
+    features, h2(v) = mean of neighbors' h1. Undirected (edges
+    symmetrized); featureless neighbors contribute to neither the mean
+    nor the reported degree (degree = featured-neighbor count, folded
+    into the layer-1 aggregate so one shuffle carries both); nodes whose
+    every neighbor lacks h1 keep a NULL h2.
+
+    Determinism: each layer's mean is rounded to 6 dp before feeding the
+    next (the same trajectory-pinning rule as kmeans_assign), so the
+    only FP freedom is summation order inside one exact-integer layer.
+    Plan shape: symmetrize (no shuffle — union of two Projects), then
+    per layer ONE equi-join on the neighbor id + ONE map-side-combinable
+    partial agg; at 10^12 edges both shuffles key on the node id, skew
+    bounded by max degree (mega-hub salting is the same story as
+    connected_components)."""
+    sym = edges.select(
+        F.col("src").alias("w"), F.col("dst").alias("n")
+    ).unionByName(edges.select(F.col("dst").alias("w"), F.col("src").alias("n")))
+
+    # layer 1 carries the degree in the SAME aggregate (one shuffle does
+    # both), so only the h2 attach needs a join afterwards
+    h1 = (
+        sym.join(
+            features.select(F.col(id_col).alias("n"), F.col(feat_col).alias("_h0")),
+            "n",
+        )
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("degree"),
+            F.round(F.avg("_h0"), 6).alias("h1"),
+        )
+        .withColumnRenamed("w", id_col)
+    )
+    h2 = (
+        sym.join(h1.select(F.col(id_col).alias("n"), "h1"), "n")
+        .groupBy("w")
+        .agg(F.round(F.avg("h1"), 6).alias("h2"))
+        .withColumnRenamed("w", id_col)
+    )
+    return h1.join(h2, id_col, "left").select(
+        id_col, "degree", "h1", "h2"
+    )

@@ -405,3 +405,47 @@ def property_chain(
         .select("subj", F.lit(derived_pred).alias("pred"), "obj")
         .distinct()
     )
+
+
+def eq_rep_rewrite(
+    triples: DataFrame, sameas: DataFrame, graph: str | None = None
+) -> DataFrame:
+    """OWL 2 RL eq-rep-s / eq-rep-o: rewrite the triple graph through an
+    owl:sameAs map — every subject and every IRI object that appears as
+    a `subj` in the star-form sameAs frame (subj, canon) is replaced by
+    its canonical representative, and statements that become identical
+    after the rewrite merge (the reasoner's duplicate-elimination step).
+    Literal objects never rewrite (eq-rep-o applies to individuals
+    only). Returns the merged graph with the merge multiplicity:
+    (subj, pred, obj, obj_type, n_merged).
+
+    Plan: two LEFT equi-joins against the node-sized sameAs map (subj
+    side, then iri-object side) + ONE map-side-combinable count agg on
+    the rewritten statement. The map is cluster-membership-sized (only
+    non-canonical members carry rows), usually small enough that AQE
+    turns both joins into broadcasts; at mega-entity scale they key on
+    subj/obj like every store shuffle."""
+    # the member map is duplicate-count-sized (only non-canonical members
+    # carry rows) — orders of magnitude under the corpus; broadcast it so
+    # the two rewrites stay map-side. At pathological duplication drop
+    # the hint and let AQE choose.
+    m = F.broadcast(
+        sameas.select(F.col("subj").alias("_m"), F.col("canon").alias("_c"))
+    )
+    t = triples if graph is None else triples.where(F.col("graph") == graph)
+    rw = (
+        t.join(m.withColumnRenamed("_m", "subj"), "subj", "left")
+        .withColumn("subj", F.coalesce("_c", "subj"))
+        .drop("_c")
+        .join(m.select(F.col("_m").alias("obj"), "_c"), "obj", "left")
+        .withColumn(
+            "obj",
+            F.when(
+                (F.col("obj_type") == "iri") & F.col("_c").isNotNull(), F.col("_c")
+            ).otherwise(F.col("obj")),
+        )
+        .drop("_c")
+    )
+    return rw.groupBy("subj", "pred", "obj", "obj_type").agg(
+        F.count("*").cast("bigint").alias("n_merged")
+    )

@@ -214,6 +214,10 @@ AUDITS = [
     ("geo_volume", "solid volume: guarded divergence fold per face (pure HOF Project) + ONE per-solid partial agg"),
     ("spatial_convex_hull", "convex hull: O(n^3) membership + angular sort + shoelace, ALL array HOFs in one Project, zero Exchange"),
     ("dedup_cdc", "CDC dedup: Arrow-batched gear-hash kernel (whole-batch convolution), then chunk-hash partial agg + re-attach; no per-char Python"),
+    ("graph_neighbor_agg", "GraphSAGE mean agg: ONE equi-join + ONE partial agg per layer, 6-dp rounding pins the trajectory; no windows"),
+    ("dedup_threshold_curve", "SemDeDup sweep: pair cosines once (cell EQUI-join), literal threshold explode, one agg; the only nested-loop is the one-row corpus-count broadcast fold"),
+    ("event_attribution", "multi-touch attribution: user-partitioned windows derive journeys; NO range join, NO per-conversion scan"),
+    ("owl_sameas_rewrite", "eq-rep rewrite: two LEFT equi-joins against the sameAs map + ONE merge-count agg"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -234,6 +238,8 @@ NO_CARTESIAN = {
     "ann_ivfpq_topk",
     "text_blocklist",
     "dedup_cdc",
+    "graph_neighbor_agg",
+    "event_attribution",
 }
 
 out = io.StringIO()

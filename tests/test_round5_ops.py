@@ -143,3 +143,93 @@ def test_cdc_shift_resistance_and_partition_invariance(spark):
     for k in (1, 2):
         assert got4[k]["n_chunks"] == got[k]["n_chunks"]
         assert got4[k]["n_shared"] == got[k]["n_shared"]
+
+
+def test_neighbor_mean_agg_path_graph(spark):
+    from citykg.ops import graph as g
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    feats = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 40.0)], ["id", "feat"]
+    )
+    got = {r["id"]: r for r in g.neighbor_mean_agg(edges, feats).collect()}
+    assert got[1]["degree"] == 1 and got[1]["h1"] == 20.0 and got[1]["h2"] == 25.0
+    assert got[2]["degree"] == 2 and got[2]["h1"] == 25.0 and got[2]["h2"] == 20.0
+    assert got[3]["degree"] == 1 and got[3]["h1"] == 20.0 and got[3]["h2"] == 25.0
+
+
+def test_threshold_curve_monotone_and_consistent(spark):
+    from citykg.ops.dedup import semantic_dedup, semantic_threshold_curve
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    curve = {
+        r["threshold"]: r
+        for r in semantic_threshold_curve(e, thresholds=(0.30, 0.45)).collect()
+    }
+    assert curve[0.30]["n_pairs"] >= curve[0.45]["n_pairs"]
+    assert curve[0.30]["n_dropped"] >= curve[0.45]["n_dropped"]
+    # the sweep at t must agree with a full semantic_dedup run at t
+    dropped = (
+        semantic_dedup(e, threshold=0.45)
+        .where("dropped = 1")
+        .count()
+    )
+    assert curve[0.45]["n_dropped"] == dropped
+
+
+def test_event_attribution_hand_computed(spark):
+    import datetime as dt
+
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1, 0, i), t)
+        for i, t in enumerate(
+            ["view", "click", "purchase", "click", "purchase", "view"]
+        )
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    import citykg  # noqa: F401
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # inline the entry-file shape: write to a temp view and reuse the op
+    # via the registered query's logic — simplest is to replicate here
+    import __spark_entry__ as em
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["model"], r["channel"]): r["credit"]
+        for r in em.queries()["event_attribution"](spark, d).collect()
+    }
+    assert got == {
+        ("first_touch", "view"): 1.0,
+        ("first_touch", "click"): 1.0,
+        ("last_touch", "click"): 2.0,
+        ("linear", "view"): 0.5,
+        ("linear", "click"): 1.5,
+    }
+
+
+def test_eq_rep_rewrite_merges_and_keeps_literals(spark):
+    from citykg.ops.owl import eq_rep_rewrite
+
+    t = spark.createDataFrame(
+        [
+            ("A", "p", "B", "iri"),
+            ("B", "p", "B", "iri"),
+            ("B", "p", "C", "iri"),
+            ("A", "q", "B", "lit"),  # literal that LOOKS like a member IRI
+        ],
+        ["subj", "pred", "obj", "obj_type"],
+    )
+    sa = spark.createDataFrame([("B", "A", 2)], ["subj", "canon", "n_shared"])
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_type"]): r["n_merged"]
+        for r in eq_rep_rewrite(t, sa).collect()
+    }
+    assert got == {
+        ("A", "p", "A", "iri"): 2,  # (A,p,B) and (B,p,B) merge
+        ("A", "p", "C", "iri"): 1,
+        ("A", "q", "B", "lit"): 1,  # literal untouched
+    }
