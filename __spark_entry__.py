@@ -9346,8 +9346,55 @@ def q_owl_sameas_rewrite(spark, sf):
     )
 
 
+def q_graph_coloring(spark, sf):
+    """Jones-Plassmann distributed greedy coloring over the DWithin
+    proximity graph (graph.jones_plassmann_coloring): bijective integer
+    priorities (no ties), synchronous rounds, smallest-free-color (mex)
+    as an array HOF; EXACTLY 8 rounds, stragglers report -1 — the
+    bounded-round contract the unrolled-CTE oracle replays."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return graph.jones_plassmann_coloring(p, rounds=8)
+
+
+def q_spatial_nearest_hub(spark, sf):
+    """Nearest-facility assignment: each doc anchor point snaps to the
+    closest of 20 literal hub sites (district centers). The whole
+    argmin is ONE codegen'd Project — the hub table rides in as an
+    array literal, distance-squared stays exact-integer, the tie rule
+    is (d2, hub_id) struct order; zero Exchange at any corpus size."""
+    hubs = ", ".join(
+        f"named_struct('hid', {i}, 'hx', cast({384000 + i * 53} as double), "
+        f"'hy', cast({5820000 + i * 97} as double))"
+        for i in range(20)
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    pick = (
+        f"array_sort(transform(array({hubs}), h -> named_struct("
+        "'d2', (x - h.hx) * (x - h.hx) + (y - h.hy) * (y - h.hy), "
+        "'hid', h.hid)))[0]"
+    )
+    return d.selectExpr(
+        "doc_id",
+        f"cast({pick}.hid as int) as hub_id",
+        f"round(sqrt({pick}.d2), 6) as dist",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_coloring": q_graph_coloring,
+        "spatial_nearest_hub": q_spatial_nearest_hub,
         "graph_neighbor_agg": q_graph_neighbor_agg,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "event_attribution": q_event_attribution,
@@ -11523,9 +11570,65 @@ FROM rw GROUP BY 1, 2, 3, 4
 """
 
 
+def _graph_coloring_sql(rounds: int = 8) -> str:
+    parts = ["""
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+adj AS MATERIALIZED (SELECT u AS w, v AS n FROM pairs UNION ALL SELECT v, u FROM pairs),
+cands AS (SELECT unnest(range(0, 65)) AS cand),
+u0 AS MATERIALIZED (SELECT DISTINCT w AS id, (w * 2654435761) % 4294967296 AS prio FROM adj),
+c0(id, color, rc) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS INTEGER) WHERE 1 = 0)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+, w{r} AS MATERIALIZED (SELECT u.id, u.prio FROM u{p} u WHERE NOT EXISTS (
+    SELECT 1 FROM adj a JOIN u{p} v ON v.id = a.n
+    WHERE a.w = u.id AND v.prio > u.prio))
+, used{r} AS MATERIALIZED (SELECT a.w AS id, cc.color FROM adj a
+    JOIN c{p} cc ON cc.id = a.n)
+, mex{r} AS MATERIALIZED (SELECT w.id, min(t.cand) AS color
+    FROM w{r} w, cands t
+    WHERE NOT EXISTS (SELECT 1 FROM used{r} u
+                      WHERE u.id = w.id AND u.color = t.cand)
+    GROUP BY w.id)
+, c{r} AS MATERIALIZED (SELECT * FROM c{p}
+    UNION ALL SELECT id, color, {r} FROM mex{r})
+, u{r} AS MATERIALIZED (SELECT u.* FROM u{p} u
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.id = u.id))""")
+    parts.append(f"""
+SELECT n.id, CAST(coalesce(c.color, -1) AS INTEGER) AS color,
+  CAST(coalesce(c.rc, -1) AS INTEGER) AS round_colored
+FROM u0 n LEFT JOIN c{rounds} c ON c.id = n.id""")
+    return "".join(parts)
+
+
+def _nearest_hub_sql() -> str:
+    return """
+WITH hubs AS (SELECT CAST(i AS INTEGER) AS hid,
+    CAST(384000 + i * 53 AS DOUBLE) AS hx,
+    CAST(5820000 + i * 97 AS DOUBLE) AS hy
+  FROM (SELECT unnest(range(0, 20)) AS i)),
+d AS (SELECT doc_id, CAST(384000 + doc_id % 1000 AS DOUBLE) AS x,
+    CAST(5820000 + doc_id % 2000 AS DOUBLE) AS y FROM documents),
+scored AS (SELECT d.doc_id, h.hid,
+    (d.x - h.hx) * (d.x - h.hx) + (d.y - h.hy) * (d.y - h.hy) AS d2,
+    row_number() OVER (PARTITION BY d.doc_id
+      ORDER BY (d.x - h.hx) * (d.x - h.hx) + (d.y - h.hy) * (d.y - h.hy), h.hid)
+      AS rn
+  FROM d, hubs h)
+SELECT doc_id, hid AS hub_id, round(sqrt(d2), 6) AS dist
+FROM scored WHERE rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "graph_coloring": _graph_coloring_sql(),
+        "spatial_nearest_hub": _nearest_hub_sql(),
         "graph_neighbor_agg": _neighbor_agg_sql(),
         "dedup_threshold_curve": _threshold_curve_sql(),
         "event_attribution": _event_attribution_sql(),

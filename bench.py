@@ -318,6 +318,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "dedup_threshold_curve",
         "event_attribution",
         "owl_sameas_rewrite",
+        "graph_coloring",
+        "spatial_nearest_hub",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

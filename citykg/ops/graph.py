@@ -1281,3 +1281,92 @@ def neighbor_mean_agg(
     return h1.join(h2, id_col, "left").select(
         id_col, "degree", "h1", "h2"
     )
+
+
+def jones_plassmann_coloring(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Distributed greedy graph coloring, Jones-Plassmann style (Jones &
+    Plassmann 1993): node priorities come from a deterministic bijective
+    integer mixer (odd-multiplier Knuth hash — no ties by construction),
+    and each synchronous round every still-uncolored node whose priority
+    beats ALL its uncolored neighbors takes the smallest color (mex) not
+    used by its already-colored neighbors. Runs EXACTLY `rounds` rounds
+    (the oracle-before-convergence contract shared with kcore/lpa);
+    nodes still uncolored after that report color -1 and round_colored
+    -1 — honest bounded-round output, since a worst-case priority chain
+    colors one node per round.
+
+    The classic uses: register allocation's parallel cousin —
+    conflict-free scheduling of overlapping spatial features (two
+    touching buildings never share a crew slot), channel assignment,
+    parallel Gauss-Seidel orderings.
+
+    Scale shape per round: ONE self-join of the uncolored frontier
+    against uncolored-neighbor priorities (max-prio partial agg), ONE
+    join against colored-neighbor colors (collect_set partial agg), a
+    mex computed as an array HOF over the bounded color range, and a
+    union append to the colored frame (checkpointed every round —
+    iterative-loop lineage rules as pagerank). No windows, no driver
+    data, degree-bounded skew."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(stable)
+    )
+    # bijective priority (odd multiplier mod 2^32): distinct ids give
+    # distinct priorities, engine-replayable with plain integer SQL.
+    # Requires NUMERIC node ids with id * 2654435761 inside int64 (ids
+    # < ~3.4e9) — string ids need a pre-assigned index.
+    nodes = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("prio", F.expr("pmod(id * 2654435761, 4294967296)"))
+        .transform(stable)
+    )
+    colored = nodes.limit(0).select(
+        "id", F.lit(0).alias("color"), F.lit(0).alias("round_colored")
+    )
+    uncolored = nodes
+    for r in range(1, rounds + 1):
+        # uncolored neighbors' max priority (NULL when none remain)
+        unbr = (
+            sym.join(uncolored.select(F.col("id").alias("dst"), "prio"), "dst")
+            .groupBy("src")
+            .agg(F.max("prio").alias("_maxnbr"))
+        )
+        winners = (
+            uncolored.join(unbr.withColumnRenamed("src", "id"), "id", "left")
+            .where(F.col("_maxnbr").isNull() | (F.col("prio") > F.col("_maxnbr")))
+            .select("id", "prio")
+        )
+        used = (
+            sym.join(colored.select(F.col("id").alias("dst"), "color"), "dst")
+            .groupBy("src")
+            .agg(F.collect_set("color").alias("_used"))
+            .withColumnRenamed("src", "id")
+        )
+        newly = (
+            winners.join(used, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    "element_at(filter(sequence(0, 64), "
+                    "c -> NOT array_contains(coalesce(_used, array()), c)), 1)"
+                ).alias("color"),
+                F.lit(r).alias("round_colored"),
+            )
+        )
+        colored = stable(colored.unionByName(newly), eager=False)
+        uncolored = stable(
+            uncolored.join(newly.select("id"), "id", "left_anti"), eager=False
+        )
+    return (
+        nodes.select("id")
+        .join(colored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("color", F.lit(-1)).cast("int").alias("color"),
+            F.coalesce("round_colored", F.lit(-1)).cast("int").alias("round_colored"),
+        )
+    )

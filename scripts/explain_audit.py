@@ -218,6 +218,8 @@ AUDITS = [
     ("dedup_threshold_curve", "SemDeDup sweep: pair cosines once (cell EQUI-join), literal threshold explode, one agg; the only nested-loop is the one-row corpus-count broadcast fold"),
     ("event_attribution", "multi-touch attribution: user-partitioned windows derive journeys; NO range join, NO per-conversion scan"),
     ("owl_sameas_rewrite", "eq-rep rewrite: two LEFT equi-joins against the sameAs map + ONE merge-count agg"),
+    ("graph_coloring", "Jones-Plassmann: per round one frontier self-join + one colored-neighbor collect_set agg; mex is an array HOF; no windows"),
+    ("spatial_nearest_hub", "nearest facility: literal hub array argmin in ONE codegen'd Project, ZERO Exchange"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -240,6 +242,7 @@ NO_CARTESIAN = {
     "dedup_cdc",
     "graph_neighbor_agg",
     "event_attribution",
+    "graph_coloring",
 }
 
 out = io.StringIO()

@@ -233,3 +233,41 @@ def test_eq_rep_rewrite_merges_and_keeps_literals(spark):
         ("A", "p", "C", "iri"): 1,
         ("A", "q", "B", "lit"): 1,  # literal untouched
     }
+
+
+def test_jones_plassmann_proper_coloring(spark):
+    from citykg.ops.graph import jones_plassmann_coloring
+
+    # K3 plus a pendant: proper coloring needs 3 colors on the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r["id"]: r for r in jones_plassmann_coloring(edges).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # everyone colored within 8 rounds on a 4-node graph
+    assert all(r["color"] >= 0 for r in got.values())
+    # proper: no edge shares a color
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 4)]:
+        assert got[a]["color"] != got[b]["color"]
+    # greedy bound: color <= degree
+    deg = {1: 2, 2: 2, 3: 3, 4: 1}
+    for v, r in got.items():
+        assert r["color"] <= deg[v]
+    # the highest-priority node colors in round 1 with color 0
+    prio = {v: (v * 2654435761) % (1 << 32) for v in (1, 2, 3, 4)}
+    top = max(prio, key=prio.get)
+    assert got[top]["round_colored"] == 1 and got[top]["color"] == 0
+
+
+def test_nearest_hub_snaps_origin_doc(spark):
+    import __spark_entry__ as em
+
+    got = {
+        r["doc_id"]: r
+        for r in em.queries()["spatial_nearest_hub"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # doc 0 sits exactly on hub 0 -> distance 0
+    assert got[0]["hub_id"] == 0 and got[0]["dist"] == 0.0
+    assert all(0 <= r["hub_id"] < 20 for r in got.values())
