@@ -9391,8 +9391,103 @@ def q_spatial_nearest_hub(spark, sf):
     )
 
 
+def q_abc_analysis(spark, sf):
+    """ABC / Pareto revenue classification of customers (the 80/15/5
+    inventory-analysis classic): customers sort by lifetime revenue,
+    the running share assigns class A (cumulative <= 80%), B (<= 95%),
+    C (rest). INTEGER-EXACT: revenue becomes cents (bigint) before any
+    ordering or cumulation, and the class test is cross-multiplication
+    (cum * 5 <= total * 4), so no FP enters the decision. The global
+    cumulative runs as the repo's two-pass banded rank — floor(log2)
+    revenue bands are monotone in revenue, per-band offsets are a
+    band-count-sized frame, the corpus-sized window partitions BY BAND
+    (no single-partition window over the customer dimension)."""
+    o = spark.read.parquet(f"{sf}/orders.parquet").selectExpr(
+        "o_custkey",
+        "cast(round(o_totalprice * 100) as bigint) as cents",
+    )
+    rev = o.groupBy("o_custkey").agg(F.sum("cents").alias("revenue_cents"))
+    rev = rev.withColumn("band", F.floor(F.log2("revenue_cents")))
+    bands = rev.groupBy("band").agg(F.sum("revenue_cents").alias("_brev"))
+    off_w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bands.withColumn(
+        "_off", F.coalesce(F.sum("_brev").over(off_w), F.lit(0))
+    ).select("band", "_off")
+    in_w = (
+        Window.partitionBy("band")
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = rev.agg(F.sum("revenue_cents").alias("_total"))
+    cum = (
+        rev.join(F.broadcast(offsets), "band")
+        .withColumn("_cum", F.col("_off") + F.sum("revenue_cents").over(in_w))
+        .join(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("_cum") * 5 <= F.col("_total") * 4, "A")
+            .when(F.col("_cum") * 20 <= F.col("_total") * 19, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        cum.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "abc_class",
+            "n_customers",
+            "revenue_cents",
+            F.round(F.col("revenue_cents") / F.col("_total"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
+def q_graph_squares(spark, sf):
+    """Global 4-cycle (square) count over the DWithin proximity graph —
+    the motif one step past graph_triangles (squares witness grid-like
+    street/building layouts; C4-free-ness bounds spectral gap). Count =
+    (1/2) * sum over vertex pairs of C(common_neighbors, 2): every
+    square is seen from its two diagonals. Same wedge equi-join as
+    graph_jaccard + ONE pair partial agg + a one-row fold; non-induced
+    counts (chorded squares included), no cartesian, no windows."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 3.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    adj = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a1 = adj.select(F.col("src").alias("w"), F.col("dst").alias("p"))
+    a2 = adj.select(F.col("src").alias("w"), F.col("dst").alias("q"))
+    cn = (
+        a1.join(a2, "w")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("cn"))
+    )
+    return cn.agg(
+        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
+        .cast("bigint")
+        .alias("n_squares")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "abc_analysis": q_abc_analysis,
+        "graph_squares": q_graph_squares,
         "graph_coloring": q_graph_coloring,
         "spatial_nearest_hub": q_spatial_nearest_hub,
         "graph_neighbor_agg": q_graph_neighbor_agg,
@@ -11624,9 +11719,46 @@ FROM scored WHERE rn = 1
 """
 
 
+def _abc_analysis_sql() -> str:
+    return """
+WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+rev AS (SELECT o_custkey, sum(cents) AS revenue_cents FROM o GROUP BY 1),
+t AS (SELECT sum(revenue_cents) AS total FROM rev),
+c AS (SELECT o_custkey, revenue_cents,
+        sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev),
+k AS (SELECT revenue_cents,
+        CASE WHEN cum * 5 <= (SELECT total FROM t) * 4 THEN 'A'
+             WHEN cum * 20 <= (SELECT total FROM t) * 19 THEN 'B'
+             ELSE 'C' END AS abc_class
+      FROM c)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+  round(sum(revenue_cents) * 1.0 / (SELECT total FROM t), 6) AS revenue_share
+FROM k GROUP BY 1
+"""
+
+
+def _graph_squares_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 9),
+adj AS (SELECT u AS w, v AS n FROM pairs UNION ALL SELECT v, u FROM pairs),
+cn AS (SELECT a1.n AS p, a2.n AS q, count(*) AS cn FROM adj a1
+  JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n GROUP BY 1, 2)
+SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "abc_analysis": _abc_analysis_sql(),
+        "graph_squares": _graph_squares_sql(),
         "graph_coloring": _graph_coloring_sql(),
         "spatial_nearest_hub": _nearest_hub_sql(),
         "graph_neighbor_agg": _neighbor_agg_sql(),

@@ -320,6 +320,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "owl_sameas_rewrite",
         "graph_coloring",
         "spatial_nearest_hub",
+        "abc_analysis",
+        "graph_squares",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

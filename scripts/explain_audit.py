@@ -220,6 +220,8 @@ AUDITS = [
     ("owl_sameas_rewrite", "eq-rep rewrite: two LEFT equi-joins against the sameAs map + ONE merge-count agg"),
     ("graph_coloring", "Jones-Plassmann: per round one frontier self-join + one colored-neighbor collect_set agg; mex is an array HOF; no windows"),
     ("spatial_nearest_hub", "nearest facility: literal hub array argmin in ONE codegen'd Project, ZERO Exchange"),
+    ("abc_analysis", "ABC classes: integer-cents exact; banded two-pass cumulative (the only unpartitioned window is the band-count offset frame)"),
+    ("graph_squares", "4-cycle count: wedge equi-join + pair partial agg + one-row fold, NO cartesian"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -243,6 +245,7 @@ NO_CARTESIAN = {
     "graph_neighbor_agg",
     "event_attribution",
     "graph_coloring",
+    "graph_squares",
 }
 
 out = io.StringIO()

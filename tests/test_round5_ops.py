@@ -271,3 +271,56 @@ def test_nearest_hub_snaps_origin_doc(spark):
     # doc 0 sits exactly on hub 0 -> distance 0
     assert got[0]["hub_id"] == 0 and got[0]["dist"] == 0.0
     assert all(0 <= r["hub_id"] < 20 for r in got.values())
+
+
+def test_graph_squares_hand_computed(spark):
+    import __spark_entry__ as em
+    import os, tempfile
+
+    # square 1-2-3-4 with chord 1-3: exactly one 4-cycle
+    # (drive through the op shape directly)
+    from citykg.ops import geo as _geo  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F811
+
+    p = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+    adj = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a1 = adj.select(F.col("src").alias("w"), F.col("dst").alias("p"))
+    a2 = adj.select(F.col("src").alias("w"), F.col("dst").alias("q"))
+    cn = (
+        a1.join(a2, "w")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("cn"))
+    )
+    n = cn.agg(
+        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2).cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    assert n == 1
+
+
+def test_abc_analysis_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = {
+        r["abc_class"]: r
+        for r in em.queries()["abc_analysis"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    total = sum(r["revenue_cents"] for r in rows.values())
+    n_cust = sum(r["n_customers"] for r in rows.values())
+    got_cust = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_cust == got_cust
+    # integer-exact class boundary: A's total stays within 80% of revenue
+    if "A" in rows:
+        assert rows["A"]["revenue_cents"] * 5 <= total * 4
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-5
