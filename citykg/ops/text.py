@@ -88,14 +88,18 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (cross-engine comparable), plus a winnowed rolling-hash sketch (min
     xxhash64 over word 5-grams — content-defined, shift-tolerant)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    # tokenize once per row: slice({toks}, ...) inside the lambda would
+    # re-run the split per 5-gram position (O(tokens^2) splits per doc)
     winnow = (
-        f"aggregate(transform(sequence(0, greatest(size({toks}) - 5, 0)),"
-        f" i -> xxhash64(concat_ws(' ', slice({toks}, i + 1, 5)))),"
-        f" cast(9223372036854775807 as bigint), (a, x) -> least(a, x))"
+        "aggregate(transform(sequence(0, greatest(size(_w_fp) - 5, 0)),"
+        " i -> xxhash64(concat_ws(' ', slice(_w_fp, i + 1, 5)))),"
+        " cast(9223372036854775807 as bigint), (a, x) -> least(a, x))"
     )
-    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
-        "winnow_sketch", F.expr(winnow)
+    return (
+        df.withColumn("_w_fp", F.expr(f"split(lower(trim({text_col})), '\\\\s+')"))
+        .withColumn("fingerprint", F.md5(norm))
+        .withColumn("winnow_sketch", F.expr(winnow))
+        .drop("_w_fp")
     )
 
 
@@ -304,14 +308,16 @@ def winnowing_fingerprints(
     """
     from .hashing import char_fold_spark
 
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
     grams = (
-        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))"
+        f"transform(sequence(0, greatest(size(_w_wn) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(_w_wn, i + 1, {k})))"
     )
-    g = df.select(
+    # tokenize once per row (see with_fingerprints note)
+    g = df.withColumn(
+        "_w_wn", F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+    ).select(
         F.col(id_col),
-        F.expr(f"greatest(size({toks}) - {k}, 0)").alias("_maxpos"),
+        F.expr(f"greatest(size(_w_wn) - {k}, 0)").alias("_maxpos"),
         F.posexplode(F.expr(grams)).alias("_pos", "_gram"),
     )
     key = f"(({char_fold_spark('_gram')}) % 1099511627776) * 1048576 + (1048575 - _pos)"
@@ -704,13 +710,16 @@ def chunk_windows(
     """
     w, s = int(window), int(stride)
     toks = f"filter(split({text_col}, ' '), x -> x <> '')"
-    n_chunks = f"(int(ceil(greatest(size({toks}) - {w}, 0) / {s}.0)) + 1)"
+    # tokenize once per row: slice({toks}, ...) inside the lambda would
+    # re-split per chunk (O(tokens^2/stride) splits per doc)
+    n_chunks = f"(int(ceil(greatest(size(_w_cw) - {w}, 0) / {s}.0)) + 1)"
     return (
-        df.where(F.expr(f"size({toks}) > 0"))
+        df.withColumn("_w_cw", F.expr(toks))
+        .where(F.expr("size(_w_cw) > 0"))
         .selectExpr(
             f"{id_col} as id",
             f"""posexplode(transform(sequence(0, {n_chunks} - 1),
-                 i -> array_join(slice({toks}, i * {s} + 1, {w}), ' ')
+                 i -> array_join(slice(_w_cw, i * {s} + 1, {w}), ' ')
                )) as (chunk_idx, chunk_text)""",
         )
         .selectExpr(
