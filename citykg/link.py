@@ -49,14 +49,20 @@ def _perm_consts(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def with_shingles(df: DataFrame, text_col: str, k: int = 3, out: str = "shingles") -> DataFrame:
-    """Distinct char k-grams of lower(text), JVM-side."""
-    t = f"lower({text_col})"
-    return df.withColumn(
-        out,
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(length({t}) - {k - 1}, 1)),"
-            f" i -> substring({t}, i, {k})))"
-        ),
+    """Distinct char k-grams of lower(text), JVM-side. Lowercases ONCE
+    into a column first — substring(lower(text), ...) inside the
+    per-position lambda re-lowers the whole string per gram
+    (O(chars^2) per mention)."""
+    return (
+        df.withColumn("_lt", F.expr(f"lower({text_col})"))
+        .withColumn(
+            out,
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(_lt) - {k - 1}, 1)),"
+                f" i -> substring(_lt, i, {k})))"
+            ),
+        )
+        .drop("_lt")
     )
 
 

@@ -34,8 +34,11 @@ def affine_transform_literal(
     range (geometry.fmt_double documents the contract).
     """
     a, b, c, tx, d, e, f_, ty, g, h, i, tz = matrix
-    pts = f"transform(split({lit_col}, '#'), v -> double(v))"
-    npts = f"cast(size(split({lit_col}, '#')) / 3 as int)"
+    # parse ONCE into a column: element_at over the inline
+    # transform(split(...)) would re-parse the literal for every one of
+    # the 9 references per point (O(points^2) parses per row)
+    pts = "_pts_af"
+    npts = "cast(size(_pts_af) / 3 as int)"
     expr = (
         f"array_join(flatten(transform(sequence(0, {npts} - 1), n -> array("
         f"cast({a}D * element_at({pts}, n * 3 + 1) + {b}D * element_at({pts}, n * 3 + 2) + {c}D * element_at({pts}, n * 3 + 3) + {tx}D as string), "
@@ -43,7 +46,13 @@ def affine_transform_literal(
         f"cast({g}D * element_at({pts}, n * 3 + 1) + {h}D * element_at({pts}, n * 3 + 2) + {i}D * element_at({pts}, n * 3 + 3) + {tz}D as string)"
         f"))), '#')"
     )
-    return df.withColumn(out, F.expr(expr))
+    return (
+        df.withColumn(
+            "_pts_af", F.expr(f"transform(split({lit_col}, '#'), v -> double(v))")
+        )
+        .withColumn(out, F.expr(expr))
+        .drop("_pts_af")
+    )
 
 
 IDENTITY_3X4 = [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
