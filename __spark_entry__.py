@@ -9484,8 +9484,215 @@ def q_graph_squares(spark, sf):
     )
 
 
+def q_interval_concurrency(spark, sf):
+    """Peak concurrency per user — the sweep-line +1/-1 primitive behind
+    'max concurrent sessions' / room-occupancy audits, completing the
+    interval family (coalesce merges, join pairs, allen classifies).
+    Each event opens a half-open [t, t+300) activity interval; starts and
+    ends become +1/-1 deltas with ends sorting BEFORE starts at the same
+    tick (half-open semantics), and the per-user RANGE-frame running sum
+    peaks at the answer. ONE shuffle (the per-user window); all-integer,
+    so the oracle comparison is exact. At 100 TB the window partitions by
+    user — bounded rows per key, no global sort."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = e.select("user_id", sec.alias("s"))
+    deltas = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("user_id", (F.col("s") + 300).alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "d")
+    run = deltas.withColumn("load", F.sum("d").over(w))
+    return run.groupBy("user_id").agg(
+        F.max("load").cast("int").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def _interval_concurrency_sql() -> str:
+    return """
+WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+d AS (SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT user_id, s + 300, -1 FROM iv),
+r AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id ORDER BY t, d) AS load FROM d)
+SELECT user_id, CAST(max(load) AS INT) AS peak_concurrency,
+       CAST(count(*) // 2 AS BIGINT) AS n_intervals
+FROM r GROUP BY user_id
+"""
+
+
+def q_dedup_soft_weights(spark, sf):
+    """Duplicate-aware sampling weights (the 'soft dedup' alternative to
+    dropping rows): every doc keeps weight 1/|exact-dup cluster|, so the
+    reweighted corpus matches the deduplicated token distribution while
+    retaining all rows for loss re-weighting / curriculum sampling.
+    Cluster key is the 128-bit xxhash pair of the normalized text — the
+    same 16-byte shuffle key and collision posture as
+    dedup.exact_duplicates (ops/dedup.py:53). ONE window shuffle; the
+    weight is a single IEEE double division of integer counts, bit-exact
+    vs the oracle (which groups by the normalized text itself)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = dedup.fanout_to_parallelism(docs, "doc_id", "text").select(
+        "doc_id",
+        F.xxhash64(dedup.normalize_text(F.col("text"))).alias("_h1"),
+        F.xxhash64(dedup.normalize_text(F.col("text")), F.lit(0x9E3779B9)).alias("_h2"),
+    )
+    w = Window.partitionBy("_h1", "_h2")
+    cnt = F.count("*").over(w)
+    return n.select(
+        "doc_id",
+        cnt.alias("dup_count"),
+        (F.lit(1.0) / cnt).alias("weight"),
+    )
+
+
+def _dedup_soft_weights_sql() -> str:
+    return r"""
+WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+g AS (SELECT doc_id, count(*) OVER (PARTITION BY nt) AS c FROM n)
+SELECT doc_id, CAST(c AS BIGINT) AS dup_count, CAST(1.0 AS DOUBLE) / c AS weight
+FROM g
+"""
+
+
+def q_customer_gini(spark, sf):
+    """Revenue-concentration audit: Gini coefficient + Lorenz shares
+    (top-10% / bottom-50%) of per-customer order revenue. All sums run on
+    integer cents (the abc_analysis posture) so the only doubles are
+    single divisions of exact bigints — bit-identical on both engines.
+    rank = row_number ordered by (cents, custkey): deterministic
+    tie-break. The rank window runs over ONE row per customer
+    (post-aggregation, ~1.5e7 rows at 100 TB) — the documented scale path
+    is the two-pass bucketed rank in ops/sampling.py; the one-row totals
+    frame is a broadcast fold, not a cartesian."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    r = rev.withColumn(
+        "rk", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+    )
+    tot = r.agg(F.count("*").alias("n"), F.sum("cents").alias("total"))
+    j = r.crossJoin(F.broadcast(tot))
+    a = j.groupBy("n", "total").agg(
+        F.sum(F.col("rk") * F.col("cents")).alias("s1"),
+        F.sum(
+            F.when(F.col("rk") > F.col("n") - F.floor(F.col("n") / 10), F.col("cents"))
+        ).alias("top10"),
+        F.sum(F.when(F.col("rk") <= F.floor(F.col("n") / 2), F.col("cents"))).alias(
+            "bot50"
+        ),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (
+            (F.lit(2) * F.col("s1")).cast("double") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+        (F.col("top10").cast("double") / F.col("total")).alias("top10_share"),
+        (F.col("bot50").cast("double") / F.col("total")).alias("bottom50_share"),
+    )
+
+
+def _customer_gini_sql() -> str:
+    return """
+WITH rev AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             FROM orders GROUP BY 1),
+r AS (SELECT o_custkey, cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk FROM rev),
+t AS (SELECT count(*) AS n, sum(cents) AS total FROM r),
+a AS (SELECT t.n, t.total, sum(rk * cents) AS s1,
+        sum(CASE WHEN rk > t.n - t.n // 10 THEN cents END) AS top10,
+        sum(CASE WHEN rk <= t.n // 2 THEN cents END) AS bot50
+      FROM r, t GROUP BY 1, 2)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(2 * s1 AS DOUBLE) / (n * total) - CAST(n + 1 AS DOUBLE) / n AS gini,
+       CAST(top10 AS DOUBLE) / total AS top10_share,
+       CAST(bot50 AS DOUBLE) / total AS bottom50_share
+FROM a
+"""
+
+
+def q_graph_diameter(spark, sf):
+    """Double-sweep BFS diameter bound on the DWithin proximity graph —
+    the textbook 2-sweep (BFS from the max-degree vertex, then BFS from
+    its farthest vertex): exact on trees, a tight lower bound in general,
+    and the standard big-graph alternative to all-pairs. Each sweep is
+    ops.graph.shortest_paths (frontier joins against the once-
+    checkpointed symmetric edge table; per-round work proportional to
+    the frontier). Tie-breaks are deterministic on both engines: min id
+    among max-degree seeds, min id among farthest vertices. The two
+    driver scalars are bounded 1-row reads, not data collects."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 100.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    e = p.select(
+        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
+    )
+    adj = p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seed = (
+        adj.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .first()["src"]
+    )
+    d1 = graph.shortest_paths(e, str(seed), max_hops=40)
+    far = (
+        d1.select(F.col("id").cast("long").alias("id"), "dist")
+        .orderBy(F.desc("dist"), F.asc("id"))
+        .first()
+    )
+    d2 = graph.shortest_paths(e, str(far["id"]), max_hops=40)
+    res = d2.agg(
+        F.max("dist").cast("int").alias("diameter_lb"),
+        F.count("*").cast("long").alias("n_reached"),
+    )
+    return res.select(
+        F.lit(int(seed)).cast("long").alias("seed_id"),
+        F.lit(int(far["dist"])).cast("int").alias("ecc_seed"),
+        F.lit(int(far["id"])).cast("long").alias("far_id"),
+        "diameter_lb",
+        "n_reached",
+    )
+
+
+def _graph_diameter_sql() -> str:
+    return """
+WITH RECURSIVE pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 10000),
+adj AS (SELECT u AS s, v AS t FROM pairs UNION ALL SELECT v, u FROM pairs),
+seed AS (SELECT s FROM (SELECT s, count(*) AS c FROM adj GROUP BY 1)
+         ORDER BY c DESC, s LIMIT 1),
+bfs1(v, dep) AS (SELECT s, 0 FROM seed
+  UNION SELECT adj.t, dep + 1 FROM bfs1 JOIN adj ON adj.s = bfs1.v WHERE dep < 40),
+d1 AS (SELECT v, min(dep) AS dist FROM bfs1 GROUP BY v),
+far AS (SELECT v, dist FROM d1 ORDER BY dist DESC, v LIMIT 1),
+bfs2(v, dep) AS (SELECT v, 0 FROM far
+  UNION SELECT adj.t, dep + 1 FROM bfs2 JOIN adj ON adj.s = bfs2.v WHERE dep < 40),
+d2 AS (SELECT v, min(dep) AS dist FROM bfs2 GROUP BY v)
+SELECT (SELECT CAST(s AS BIGINT) FROM seed) AS seed_id,
+       (SELECT CAST(dist AS INT) FROM far) AS ecc_seed,
+       (SELECT CAST(v AS BIGINT) FROM far) AS far_id,
+       CAST(max(dist) AS INT) AS diameter_lb,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM d2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "interval_concurrency": q_interval_concurrency,
+        "dedup_soft_weights": q_dedup_soft_weights,
+        "customer_gini": q_customer_gini,
+        "graph_diameter": q_graph_diameter,
         "abc_analysis": q_abc_analysis,
         "graph_squares": q_graph_squares,
         "graph_coloring": q_graph_coloring,
@@ -11757,6 +11964,10 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "interval_concurrency": _interval_concurrency_sql(),
+        "dedup_soft_weights": _dedup_soft_weights_sql(),
+        "customer_gini": _customer_gini_sql(),
+        "graph_diameter": _graph_diameter_sql(),
         "abc_analysis": _abc_analysis_sql(),
         "graph_squares": _graph_squares_sql(),
         "graph_coloring": _graph_coloring_sql(),

@@ -322,6 +322,12 @@ def headline(sf_dir: str, cores: int) -> None:
         "spatial_nearest_hub",
         "abc_analysis",
         "graph_squares",
+        # round-5 final-session tranche: sweep-line concurrency, soft-dedup
+        # weights, Gini/Lorenz concentration, double-sweep BFS diameter
+        "interval_concurrency",
+        "dedup_soft_weights",
+        "customer_gini",
+        "graph_diameter",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

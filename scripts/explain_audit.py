@@ -222,6 +222,10 @@ AUDITS = [
     ("spatial_nearest_hub", "nearest facility: literal hub array argmin in ONE codegen'd Project, ZERO Exchange"),
     ("abc_analysis", "ABC classes: integer-cents exact; banded two-pass cumulative (the only unpartitioned window is the band-count offset frame)"),
     ("graph_squares", "4-cycle count: wedge equi-join + pair partial agg + one-row fold, NO cartesian"),
+    ("interval_concurrency", "sweep line: +1/-1 delta union + ONE per-user window, all-integer"),
+    ("dedup_soft_weights", "soft dedup: ONE window shuffle on the 16-byte hash pair; weight is one IEEE division"),
+    ("customer_gini", "Gini/Lorenz: integer-cents aggs; rank window over post-agg rows; one-row totals broadcast fold"),
+    ("graph_diameter", "double-sweep BFS: per-round frontier join vs checkpointed edges; 1-row driver scalars only"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -246,6 +250,9 @@ NO_CARTESIAN = {
     "event_attribution",
     "graph_coloring",
     "graph_squares",
+    "interval_concurrency",
+    "dedup_soft_weights",
+    "graph_diameter",
 }
 
 out = io.StringIO()

@@ -1,0 +1,125 @@
+"""Round-5 closing-session operators: sweep-line interval concurrency,
+soft-dedup sampling weights, Gini/Lorenz revenue concentration, and
+double-sweep BFS diameter."""
+import math
+
+import pandas as pd
+from pyspark.sql import Window, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_concurrency_hand_computed(spark):
+    # user 1: [0,300) [100,400) [250,550) [400,700)
+    #   at t=250 three intervals overlap -> peak 3; [400,700) starts
+    #   exactly when [100,400) ends -> half-open means NOT concurrent
+    iv = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 250), (1, 400), (2, 50)], ["user_id", "s"]
+    )
+    deltas = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("user_id", (F.col("s") + 300).alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "d")
+    got = {
+        r["user_id"]: r["peak"]
+        for r in deltas.withColumn("load", F.sum("d").over(w))
+        .groupBy("user_id")
+        .agg(F.max("load").alias("peak"))
+        .collect()
+    }
+    assert got == {1: 3, 2: 1}
+
+
+def test_interval_concurrency_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["interval_concurrency"](spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_intervals"] for r in rows) == n_events
+    assert all(1 <= r["peak_concurrency"] <= r["n_intervals"] for r in rows)
+
+
+def test_dedup_soft_weights_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["dedup_soft_weights"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_distinct = (
+        docs.select(
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("t")
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_docs
+    # every doc's weight is exactly 1/cluster-size, and the weights sum
+    # to the deduplicated corpus size (the SoftDeDup invariant)
+    assert all(r["weight"] * r["dup_count"] == 1.0 for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - n_distinct) < 1e-9
+
+
+def test_customer_gini_matches_pandas_oracle(spark):
+    import __spark_entry__ as em
+
+    got = em.queries()["customer_gini"](spark, SF).collect()[0]
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (
+        (pdf["o_totalprice"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(pdf["o_custkey"])
+        .sum()
+        .sort_values(kind="mergesort")
+    )
+    n, total = len(cents), int(cents.sum())
+    s1 = int((cents.to_numpy() * range(1, n + 1)).sum())
+    gini = (2 * s1) / (n * total) - (n + 1) / n
+    assert got["n_customers"] == n
+    assert math.isclose(got["gini"], gini, rel_tol=0, abs_tol=1e-12)
+    assert 0.0 <= got["gini"] < 1.0
+    # bottom half earns at most half (they are the below-median earners)
+    assert got["bottom50_share"] <= 0.5
+    assert 0.0 <= got["top10_share"] <= 1.0
+
+
+def test_graph_diameter_double_sweep_on_path(spark):
+    from citykg.ops import graph
+
+    # path 1-2-3-4-5: every interior vertex has degree 2; min-id
+    # tie-break picks seed 2; sweep 1 reaches 5 at dist 3; sweep 2 from 5
+    # finds the true diameter 4
+    p = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+    e = p.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    adj = p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seed = (
+        adj.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .first()["src"]
+    )
+    assert seed == 2
+    d1 = graph.shortest_paths(e, str(seed), max_hops=10)
+    far = (
+        d1.select(F.col("id").cast("long").alias("id"), "dist")
+        .orderBy(F.desc("dist"), F.asc("id"))
+        .first()
+    )
+    assert (far["id"], far["dist"]) == (5, 3)
+    d2 = graph.shortest_paths(e, str(far["id"]), max_hops=10)
+    assert d2.agg(F.max("dist")).collect()[0][0] == 4
+
+
+def test_graph_diameter_invariants(spark):
+    import __spark_entry__ as em
+
+    got = em.queries()["graph_diameter"](spark, SF).collect()[0]
+    # the 2-sweep property: the second eccentricity dominates the first
+    assert got["diameter_lb"] >= got["ecc_seed"] >= 1
+    assert got["n_reached"] >= 2
+    assert got["seed_id"] != got["far_id"]
