@@ -9687,8 +9687,161 @@ FROM d2
 """
 
 
+def q_spatial_geodesic_area(spark, sf):
+    """Spherical polygon area on the WGS84 sphere (ops.geo.
+    geodesic_ring_area, Chamberlain-Duquette line integral) of a
+    synthetic lon/lat quad per doc — the projection-free companion to
+    geo_area's planar Newell measure and crs_transform's per-zone
+    re-projection: a global corpus has no single metric CRS, so area
+    must come from the sphere directly. One HOF fold per ring inside a
+    codegen'd Project; ZERO shuffles, zero Python. The oracle replays
+    the identical fold (the two axis-aligned edges contribute exact
+    0.0 terms, so the float addition order matches term-for-term)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "cast(-5 + (doc_id % 30) * 0.5 as double) as lon0",
+        "cast(40 + (doc_id % 20) * 0.5 as double) as lat0",
+    )
+    ring = (
+        "array(named_struct('lon', lon0, 'lat', lat0),"
+        " named_struct('lon', lon0 + 0.01D, 'lat', lat0),"
+        " named_struct('lon', lon0 + 0.01D, 'lat', lat0 + 0.01D),"
+        " named_struct('lon', lon0, 'lat', lat0 + 0.01D),"
+        " named_struct('lon', lon0, 'lat', lat0))"
+    )
+    r = d.withColumn("ring", F.expr(ring))
+    return r.select(
+        "doc_id", F.round(geo.geodesic_ring_area("ring"), 2).alias("area_m2")
+    )
+
+
+def _spatial_geodesic_area_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id, CAST(-5 + (doc_id % 30) * 0.5 AS DOUBLE) AS lon0,
+                    CAST(40 + (doc_id % 20) * 0.5 AS DOUBLE) AS lat0 FROM documents),
+tm AS (SELECT doc_id,
+  (radians(lon0 + 0.01) - radians(lon0)) * (sin(radians(lat0)) + sin(radians(lat0))) AS t1,
+  (radians(lon0) - radians(lon0 + 0.01))
+    * (sin(radians(lat0 + 0.01)) + sin(radians(lat0 + 0.01))) AS t3
+  FROM pts)
+SELECT doc_id, round(abs(t1 + t3) * (6371008.8 * 6371008.8 / 2.0), 2) AS area_m2
+FROM tm
+"""
+
+
+def q_graph_neighborhood(spark, sf):
+    """Exact neighborhood function N(d) of the proximity graph — the
+    distance-distribution profile HyperBall/HyperANF approximates at
+    web scale (Boldi & Vigna 2011): how many ordered vertex pairs sit at
+    shortest-path distance exactly d, for d <= 4. Computed by the
+    semi-naive bounded closure (ops.graph.bounded_reachability: each
+    round joins only LAST round's new pairs against the checkpointed
+    edge list) + ONE partial agg; the cumulative column is a window over
+    <= 4 result rows. At 10^12 edges the exact closure is the blowup —
+    the HLL-register variant (streaming_distinct_hll's sketch) is the
+    documented swap; depth is the contract either way."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id as d",
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    p = geo.dwithin_pairs(docs, "d", "x", "y", 100.0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    adj = p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nf = graph.bounded_reachability(adj, max_depth=4)
+    by = nf.groupBy("depth").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return by.select(
+        F.col("depth").cast("int").alias("depth"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+    )
+
+
+def _graph_neighborhood_sql() -> str:
+    return """
+WITH RECURSIVE pts AS (SELECT doc_id AS d, 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+pairs AS (SELECT a.d AS u, b.d AS v FROM pts a JOIN pts b ON a.d < b.d
+  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) < 10000),
+adj AS (SELECT u AS s, v AS t FROM pairs UNION ALL SELECT v, u FROM pairs),
+r(src, dst, dep) AS (SELECT s, t, 1 FROM adj
+  UNION SELECT r.src, adj.t, dep + 1 FROM r JOIN adj ON adj.s = r.dst
+        WHERE dep < 4 AND r.src <> adj.t),
+m AS (SELECT src, dst, min(dep) AS depth FROM r GROUP BY 1, 2),
+g AS (SELECT depth, count(*) AS n_pairs FROM m GROUP BY 1)
+SELECT CAST(depth AS INT) AS depth, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY depth) AS BIGINT) AS cum_pairs
+FROM g
+"""
+
+
+def q_kg_dictionary_stats(spark, sf):
+    """Dictionary-encoding audit of the triple store, per named graph:
+    raw term chars vs (24-byte id triple + term dictionary) — the
+    size model behind every production RDF layout (Jena TDB NodeTable,
+    HDT, Virtuoso IRI ids) and the justification for encoding terms
+    once and shuffling fixed-width ids. Two partial aggs over the
+    extracted triples (row stats + distinct-term stats) + ONE 51-row
+    join; compression is a single division of exact bigints."""
+    t = _triples(spark, sf)
+    ln = lambda c: F.coalesce(F.length(c), F.lit(0))  # noqa: E731
+    base = t.groupBy("graph").agg(
+        F.count("*").alias("n_triples"),
+        F.sum(ln("subj") + ln("pred") + ln("obj")).cast("long").alias("raw_chars"),
+    )
+    terms = (
+        t.select("graph", F.explode(F.array("subj", "pred", "obj")).alias("term"))
+        .where(F.col("term").isNotNull())
+        .distinct()
+        .groupBy("graph")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.length("term")).cast("long").alias("dict_chars"),
+        )
+    )
+    j = base.join(terms, "graph")
+    enc = F.col("n_triples") * 24 + F.col("dict_chars")
+    return j.select(
+        "graph",
+        "n_triples",
+        "n_terms",
+        "raw_chars",
+        "dict_chars",
+        enc.alias("encoded_chars"),
+        (enc.cast("double") / F.col("raw_chars")).alias("compression"),
+    )
+
+
+def _kg_dictionary_stats_sql() -> str:
+    return _triples_cte([]) + """
+, rowstats AS (SELECT graph, count(*) AS n_triples,
+    sum(coalesce(length(subj), 0) + coalesce(length(pred), 0)
+        + coalesce(length(obj), 0)) AS raw_chars
+  FROM t GROUP BY 1),
+termstats AS (SELECT graph, count(*) AS n_terms, sum(length(term)) AS dict_chars
+  FROM (SELECT DISTINCT graph, term FROM (
+          SELECT graph, subj AS term FROM t
+          UNION ALL SELECT graph, pred FROM t
+          UNION ALL SELECT graph, obj FROM t)
+        WHERE term IS NOT NULL)
+  GROUP BY 1)
+SELECT b.graph, CAST(n_triples AS BIGINT) AS n_triples,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(raw_chars AS BIGINT) AS raw_chars,
+       CAST(dict_chars AS BIGINT) AS dict_chars,
+       CAST(n_triples * 24 + dict_chars AS BIGINT) AS encoded_chars,
+       CAST(n_triples * 24 + dict_chars AS DOUBLE) / raw_chars AS compression
+FROM rowstats b JOIN termstats USING (graph)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spatial_geodesic_area": q_spatial_geodesic_area,
+        "graph_neighborhood": q_graph_neighborhood,
+        "kg_dictionary_stats": q_kg_dictionary_stats,
         "interval_concurrency": q_interval_concurrency,
         "dedup_soft_weights": q_dedup_soft_weights,
         "customer_gini": q_customer_gini,
@@ -11964,6 +12117,9 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "spatial_geodesic_area": _spatial_geodesic_area_sql(),
+        "graph_neighborhood": _graph_neighborhood_sql(),
+        "kg_dictionary_stats": _kg_dictionary_stats_sql(),
         "interval_concurrency": _interval_concurrency_sql(),
         "dedup_soft_weights": _dedup_soft_weights_sql(),
         "customer_gini": _customer_gini_sql(),

@@ -328,6 +328,9 @@ def headline(sf_dir: str, cores: int) -> None:
         "dedup_soft_weights",
         "customer_gini",
         "graph_diameter",
+        "spatial_geodesic_area",
+        "graph_neighborhood",
+        "kg_dictionary_stats",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -911,3 +911,26 @@ def convex_hull_stats(
         .otherwise(F.abs(F.col("area2")) / 2.0)
         .alias("hull_area"),
     )
+
+
+def geodesic_ring_area(ring_col: str, radius_m: float = 6371008.8):
+    """Spherical polygon area (m^2) of a CLOSED lon/lat ring — the
+    projection-free companion to with_area3d's planar Newell measure
+    (the reference re-projects to a metric CRS before measuring,
+    DistanceAgent.computeDistance:271-284; on a global corpus no single
+    metric CRS fits, so the spherical line integral is the scale path).
+
+    Chamberlain & Duquette (JPL 2007): A = R^2/2 * |sum over edges of
+    (lam2 - lam1) * (sin phi1 + sin phi2)|, angles in radians. `ring_col`
+    is array<struct<lon:double,lat:double>> with first == last point.
+    One sequential JVM fold per ring (HOF aggregate) — zero Python, zero
+    shuffle; works inside any codegen'd Project.
+    """
+    fold = (
+        f"aggregate(sequence(0, size({ring_col}) - 2), 0.0D, (a, i) -> a + "
+        f"(radians(element_at({ring_col}, cast(i + 2 as int)).lon)"
+        f" - radians(element_at({ring_col}, cast(i + 1 as int)).lon))"
+        f" * (sin(radians(element_at({ring_col}, cast(i + 1 as int)).lat))"
+        f" + sin(radians(element_at({ring_col}, cast(i + 2 as int)).lat))))"
+    )
+    return F.abs(F.expr(fold)) * (radius_m * radius_m / 2.0)

@@ -226,6 +226,9 @@ AUDITS = [
     ("dedup_soft_weights", "soft dedup: ONE window shuffle on the 16-byte hash pair; weight is one IEEE division"),
     ("customer_gini", "Gini/Lorenz: integer-cents aggs; rank window over post-agg rows; one-row totals broadcast fold"),
     ("graph_diameter", "double-sweep BFS: per-round frontier join vs checkpointed edges; 1-row driver scalars only"),
+    ("spatial_geodesic_area", "spherical area: ONE HOF fold per ring in a codegen'd Project, ZERO Exchange"),
+    ("graph_neighborhood", "neighborhood function: semi-naive bounded closure (frontier-only joins) + one partial agg"),
+    ("kg_dictionary_stats", "dictionary audit: two partial aggs over the triple frame + one 51-row join"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join
@@ -253,6 +256,8 @@ NO_CARTESIAN = {
     "interval_concurrency",
     "dedup_soft_weights",
     "graph_diameter",
+    "graph_neighborhood",
+    "kg_dictionary_stats",
 }
 
 out = io.StringIO()

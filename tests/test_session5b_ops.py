@@ -123,3 +123,57 @@ def test_graph_diameter_invariants(spark):
     assert got["diameter_lb"] >= got["ecc_seed"] >= 1
     assert got["n_reached"] >= 2
     assert got["seed_id"] != got["far_id"]
+
+
+def test_geodesic_ring_area_octant_exact(spark):
+    import math
+
+    from citykg.ops import geo
+
+    # octant of the sphere: (0,0) -> (90,0) -> (90,90) -> back; the
+    # Chamberlain-Duquette integral gives exactly pi*R^2/2 (one eighth
+    # of 4*pi*R^2)
+    R = 6371008.8
+    df = spark.createDataFrame([(1,)], ["id"]).withColumn(
+        "ring",
+        F.expr(
+            "array(named_struct('lon', 0.0D, 'lat', 0.0D),"
+            " named_struct('lon', 90.0D, 'lat', 0.0D),"
+            " named_struct('lon', 90.0D, 'lat', 90.0D),"
+            " named_struct('lon', 0.0D, 'lat', 90.0D),"
+            " named_struct('lon', 0.0D, 'lat', 0.0D))"
+        ),
+    )
+    got = df.select(geo.geodesic_ring_area("ring").alias("a")).collect()[0]["a"]
+    assert math.isclose(got, math.pi / 2 * R * R, rel_tol=1e-12)
+
+
+def test_neighborhood_function_on_path(spark):
+    from citykg.ops import graph
+
+    # path 1-2-3-4-5: ordered pairs at distance d: N(1)=8 N(2)=6 N(3)=4
+    # N(4)=2, but depth is capped at 4 so all show up
+    p = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+    adj = p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nf = {
+        r["depth"]: r["n"]
+        for r in graph.bounded_reachability(adj, max_depth=4)
+        .groupBy("depth")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert nf == {1: 8, 2: 6, 3: 4, 4: 2}
+
+
+def test_kg_dictionary_stats_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["kg_dictionary_stats"](spark, SF).collect()
+    assert len(rows) > 40  # one row per named graph
+    for r in rows:
+        assert r["encoded_chars"] == r["n_triples"] * 24 + r["dict_chars"]
+        assert r["dict_chars"] <= r["raw_chars"]  # dictionary never exceeds raw
+        assert r["n_terms"] <= 3 * r["n_triples"]
+        assert math.isclose(
+            r["compression"] * r["raw_chars"], float(r["encoded_chars"]), rel_tol=1e-12
+        )
