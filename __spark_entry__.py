@@ -9837,8 +9837,214 @@ FROM rowstats b JOIN termstats USING (graph)
 """
 
 
+_POWERLAW_GRAPHS = ["building", "addresstobuilding", "surfacegeometry"]
+
+
+def q_graph_degree_powerlaw(spark, sf):
+    """Continuous power-law MLE over the KG link graph's degree
+    distribution (Clauset-Shalizi-Newman 2009, eq. 3.1 with the 0.5
+    continuity correction at x_min=1, so ln(d/(1-0.5)) = ln(2d)) — the
+    scale-free-ness diagnostic that decides whether salting / skew-join
+    handling is needed before the big joins. ONE degree agg + ONE
+    corpus fold; the log-sum is order-insensitive to ~1e-13 so 6-dp
+    rounding pins the value on both engines."""
+    t = _triples(spark, sf, _POWERLAW_GRAPHS)
+    e = graph.triples_to_edges(t)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.round(
+            F.lit(1.0) + F.count("*") / F.sum(F.log(F.col("deg") * 2)), 6
+        ).alias("alpha_hat"),
+    )
+
+
+def _graph_degree_powerlaw_sql() -> str:
+    return _graph_edges_cte(_POWERLAW_GRAPHS) + """
+, deg AS (SELECT id, count(*) AS deg FROM
+    (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(max(deg) AS BIGINT) AS max_degree,
+       round(1.0 + count(*) / sum(ln(deg * 2)), 6) AS alpha_hat
+FROM deg
+"""
+
+
+def q_graph_rich_club(spark, sf):
+    """Rich-club coefficient phi(k) of the KG link graph (Colizza et al.
+    2006): among nodes of degree > k, the realized fraction of possible
+    undirected edges — do the hub entities link to each other? Degrees
+    from ONE agg over the undirected edge list; edges re-attach their
+    endpoint degrees via two equi-joins; all four k thresholds fold in
+    a single conditional-sum pass each side (no per-k rescans); phi is
+    one division of exact bigints. The 1-row node/edge aggregates meet
+    in a broadcast fold."""
+    t = _triples(spark, sf, _POWERLAW_GRAPHS)
+    e = graph.triples_to_edges(t)
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    ed = und.join(da, "a").join(db, "b").select(
+        F.least("dega", "degb").alias("dmin")
+    )
+    ks = [1, 2, 4, 8]
+    nodes_agg = deg.agg(
+        *[F.sum((F.col("deg") > k).cast("long")).alias(f"n{k}") for k in ks]
+    )
+    edges_agg = ed.agg(
+        *[F.sum((F.col("dmin") > k).cast("long")).alias(f"e{k}") for k in ks]
+    )
+    one = nodes_agg.crossJoin(F.broadcast(edges_agg))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"n{k}").alias("n"),
+                F.col(f"e{k}").alias("e"),
+            )
+            for k in ks
+        ]
+    )
+    x = one.select(F.explode(arr).alias("s")).select(
+        F.col("s.k").cast("int").alias("k"),
+        F.col("s.n").cast("long").alias("n_nodes"),
+        F.col("s.e").cast("long").alias("n_edges"),
+    )
+    return x.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            (F.lit(2) * F.col("n_edges")).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+        ).alias("phi"),
+    )
+
+
+def _graph_rich_club_sql() -> str:
+    return _graph_edges_cte(_POWERLAW_GRAPHS) + """
+, und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+deg AS (SELECT id, count(*) AS deg FROM
+    (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+ed AS (SELECT least(da.deg, db.deg) AS dmin FROM und
+       JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id),
+ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+nn AS (SELECT k, sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS n
+       FROM ks, deg GROUP BY k),
+ee AS (SELECT k, sum(CASE WHEN dmin > k THEN 1 ELSE 0 END) AS e
+       FROM ks, ed GROUP BY k)
+SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n_nodes,
+       CAST(e AS BIGINT) AS n_edges,
+       CASE WHEN n >= 2 THEN CAST(2 * e AS DOUBLE) / (n * (n - 1)) END AS phi
+FROM nn JOIN ee USING (k)
+"""
+
+
+def q_t_closeness(spark, sf):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    anonymity check after k_anonymity and l_diversity: for each
+    quasi-identifier group (event_type, hour), the Earth Mover's
+    Distance between the group's sensitive-value distribution (value
+    binned into 10 ordered buckets) and the corpus-wide one. A group can
+    be k-anonymous AND l-diverse yet leak via a skewed distribution.
+    EMD for an ordered attribute = mean |cumulative difference|; here
+    the cumulative runs on INTEGERS (c_gj*N - C_j*n_g), so the only
+    double is one final division — bit-exact vs the oracle. Shape: three
+    partial aggs + a dense (group x 10 bins) grid via explode + one
+    per-group window; global bin counts and the corpus total broadcast
+    back (one-row folds)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    base = e.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int")).alias("b"),
+    )
+    cell = base.groupBy("event_type", "hour", "b").agg(F.count("*").alias("c"))
+    grp = base.groupBy("event_type", "hour").agg(F.count("*").alias("ng"))
+    glob = base.groupBy("b").agg(F.count("*").alias("cj"))
+    n_total = base.agg(F.count("*").alias("nn"))
+    grid = grp.select(
+        "event_type", "hour", "ng", F.explode(F.expr("sequence(0, 9)")).alias("b")
+    )
+    d = (
+        grid.join(cell, ["event_type", "hour", "b"], "left")
+        .join(F.broadcast(glob), "b", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "event_type",
+            "hour",
+            "ng",
+            "b",
+            "nn",
+            (
+                F.coalesce("c", F.lit(0)) * F.col("nn")
+                - F.coalesce("cj", F.lit(0)) * F.col("ng")
+            ).alias("diff"),
+        )
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy("b")
+    cum = d.withColumn("s", F.sum("diff").over(w))
+    emd = (
+        F.sum(F.abs("s")).cast("double")
+        / (F.col("ng") * F.col("nn") * 9)
+    )
+    return (
+        cum.groupBy("event_type", "hour", "ng", "nn")
+        .agg(emd.alias("t_emd"))
+        .select(
+            "event_type",
+            F.col("hour").cast("int").alias("hour"),
+            F.col("ng").cast("long").alias("n_rows"),
+            "t_emd",
+            (F.col("t_emd") <= 0.2).alias("t_close"),
+        )
+    )
+
+
+def _t_closeness_sql() -> str:
+    return """
+WITH base AS (SELECT event_type, hour(ts) AS hour,
+        least(9, CAST(floor(value / 50) AS INT)) AS b FROM events),
+cell AS (SELECT event_type, hour, b, count(*) AS c FROM base GROUP BY 1, 2, 3),
+grp AS (SELECT event_type, hour, count(*) AS ng FROM base GROUP BY 1, 2),
+gbin AS (SELECT b, count(*) AS cj FROM base GROUP BY 1),
+tot AS (SELECT count(*) AS nn FROM base),
+grid AS (SELECT g.event_type, g.hour, g.ng, CAST(u.b AS INT) AS b
+         FROM grp g, UNNEST(range(0, 10)) u(b)),
+d AS (SELECT grid.event_type, grid.hour, grid.ng, grid.b, nn,
+        coalesce(c, 0) * nn - coalesce(cj, 0) * ng AS diff
+      FROM grid
+      LEFT JOIN cell USING (event_type, hour, b)
+      LEFT JOIN gbin USING (b) CROSS JOIN tot),
+s AS (SELECT event_type, hour, ng, nn,
+        sum(diff) OVER (PARTITION BY event_type, hour ORDER BY b) AS s FROM d)
+SELECT event_type, CAST(hour AS INT) AS hour, CAST(ng AS BIGINT) AS n_rows,
+       CAST(sum(abs(s)) AS DOUBLE) / (ng * nn * 9) AS t_emd,
+       CAST(sum(abs(s)) AS DOUBLE) / (ng * nn * 9) <= 0.2 AS t_close
+FROM s GROUP BY event_type, hour, ng, nn
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_degree_powerlaw": q_graph_degree_powerlaw,
+        "graph_rich_club": q_graph_rich_club,
+        "t_closeness": q_t_closeness,
         "spatial_geodesic_area": q_spatial_geodesic_area,
         "graph_neighborhood": q_graph_neighborhood,
         "kg_dictionary_stats": q_kg_dictionary_stats,
@@ -12117,6 +12323,9 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "graph_degree_powerlaw": _graph_degree_powerlaw_sql(),
+        "graph_rich_club": _graph_rich_club_sql(),
+        "t_closeness": _t_closeness_sql(),
         "spatial_geodesic_area": _spatial_geodesic_area_sql(),
         "graph_neighborhood": _graph_neighborhood_sql(),
         "kg_dictionary_stats": _kg_dictionary_stats_sql(),

@@ -331,6 +331,9 @@ def headline(sf_dir: str, cores: int) -> None:
         "spatial_geodesic_area",
         "graph_neighborhood",
         "kg_dictionary_stats",
+        "graph_degree_powerlaw",
+        "graph_rich_club",
+        "t_closeness",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

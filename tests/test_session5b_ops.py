@@ -177,3 +177,85 @@ def test_kg_dictionary_stats_invariants(spark):
         assert math.isclose(
             r["compression"] * r["raw_chars"], float(r["encoded_chars"]), rel_tol=1e-12
         )
+
+
+def test_powerlaw_alpha_hand_computed(spark):
+    # degrees [2, 1, 1]: alpha = 1 + 3 / (ln 4 + ln 2 + ln 2) = 1 + 3/(4 ln 2)
+    deg = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], ["id", "deg"])
+    got = deg.agg(
+        F.round(F.lit(1.0) + F.count("*") / F.sum(F.log(F.col("deg") * 2)), 6).alias(
+            "a"
+        )
+    ).collect()[0]["a"]
+    assert got == round(1 + 3 / (4 * math.log(2)), 6)
+
+
+def test_rich_club_on_triangle_with_pendant(spark):
+    # K3 {1,2,3} + pendant 4 on 3: at k=1 the rich club is exactly the
+    # triangle -> phi = 1.0; at k=2 only node 3 survives -> phi undefined
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["a", "b"]
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    ed = und.join(da, "a").join(db, "b").select(F.least("dega", "degb").alias("dmin"))
+    n1 = deg.where(F.col("deg") > 1).count()
+    e1 = ed.where(F.col("dmin") > 1).count()
+    assert (n1, e1) == (3, 3)
+    assert 2 * e1 / (n1 * (n1 - 1)) == 1.0
+    assert deg.where(F.col("deg") > 2).count() == 1  # phi(2) is null-guarded
+
+
+def test_t_closeness_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["t_closeness"](spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
+    for r in rows:
+        assert 0.0 <= r["t_emd"] <= 1.0
+        assert r["t_close"] == (r["t_emd"] <= 0.2)
+
+
+def test_t_closeness_uniform_corpus_is_zero(spark):
+    # if every group has the same distribution as the corpus, EMD == 0:
+    # single-bin corpus (all values in bin 0) makes every cumulative
+    # integer difference c_gj*N - C_j*n_g vanish
+    e = spark.createDataFrame(
+        [("a", 1, 0), ("a", 1, 0), ("b", 2, 0)], ["event_type", "hour", "b"]
+    )
+    cell = e.groupBy("event_type", "hour", "b").agg(F.count("*").alias("c"))
+    grp = e.groupBy("event_type", "hour").agg(F.count("*").alias("ng"))
+    gbin = e.groupBy("b").agg(F.count("*").alias("cj"))
+    tot = e.agg(F.count("*").alias("nn"))
+    grid = grp.select(
+        "event_type", "hour", "ng", F.explode(F.expr("sequence(0, 9)")).alias("b")
+    )
+    d = (
+        grid.join(cell, ["event_type", "hour", "b"], "left")
+        .join(F.broadcast(gbin), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hour",
+            "ng",
+            "b",
+            (
+                F.coalesce("c", F.lit(0)) * F.col("nn")
+                - F.coalesce("cj", F.lit(0)) * F.col("ng")
+            ).alias("diff"),
+        )
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy("b")
+    sa = (
+        d.withColumn("s", F.sum("diff").over(w))
+        .groupBy("event_type", "hour")
+        .agg(F.sum(F.abs("s")).alias("sa"))
+    )
+    assert all(r["sa"] == 0 for r in sa.collect())
