@@ -10040,8 +10040,41 @@ FROM s GROUP BY event_type, hour, ng, nn
 """
 
 
+def q_text_rake(spark, sf):
+    """RAKE keyword extraction (ops.text.rake_word_scores, Rose et al.
+    2010): content words scored degree/frequency over stopword-delimited
+    candidate phrases — the phrase-level keyword scorer next to
+    tfidf_keywords (corpus frequency) and chi2_keywords (label
+    association). Two doc-keyed window passes + ONE word agg; score is a
+    single division of exact bigints."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return text.rake_word_scores(dedup.fanout_to_parallelism(docs, "doc_id", "text"))
+
+
+def _text_rake_sql() -> str:
+    from citykg.ops.text import RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return rf"""
+WITH sp AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+            FROM documents),
+toks AS (SELECT doc_id, i AS pos, w[i] AS w
+         FROM sp, UNNEST(range(1, len(w) + 1)) u(i)),
+t2 AS (SELECT doc_id, pos, w,
+         CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS isstop FROM toks),
+t3 AS (SELECT doc_id, pos, w, isstop,
+         sum(isstop) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM t2),
+nz AS (SELECT doc_id, isl, w FROM t3 WHERE isstop = 0),
+ph AS (SELECT w, count(*) OVER (PARTITION BY doc_id, isl) AS plen FROM nz)
+SELECT w AS word, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+       CAST(sum(plen) AS DOUBLE) / count(*) AS score
+FROM ph GROUP BY w HAVING count(*) >= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_rake": q_text_rake,
         "graph_degree_powerlaw": q_graph_degree_powerlaw,
         "graph_rich_club": q_graph_rich_club,
         "t_closeness": q_t_closeness,
@@ -12323,6 +12356,7 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "text_rake": _text_rake_sql(),
         "graph_degree_powerlaw": _graph_degree_powerlaw_sql(),
         "graph_rich_club": _graph_rich_club_sql(),
         "t_closeness": _t_closeness_sql(),

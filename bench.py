@@ -334,6 +334,7 @@ def headline(sf_dir: str, cores: int) -> None:
         "graph_degree_powerlaw",
         "graph_rich_club",
         "t_closeness",
+        "text_rake",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -939,3 +939,54 @@ def blocklist_hits(
         )
         .withColumn("flagged", (F.col("hit_frac") > flag_frac).cast("int"))
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "on",
+    "for", "with", "at", "by", "from",
+)
+
+
+def rake_word_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    min_freq: int = 5,
+) -> DataFrame:
+    """RAKE keyword scores (Rose et al. 2010): split each doc into
+    candidate phrases at stopword boundaries, then score every content
+    word by degree/frequency — deg(w) sums the length of each phrase w
+    occurs in (co-occurrence degree incl. self), freq(w) counts the
+    occurrences. High scores mark words living in long multi-word
+    phrases — the phrase-level keyword extractor complementing tf-idf
+    (corpus-frequency) and chi2 (label-association) scoring.
+
+    Shape: posexplode -> per-doc cumulative-stopword window assigns the
+    phrase (island) id -> per-(doc, island) count window gives phrase
+    length -> ONE word-keyed partial agg. Two window passes share the
+    doc-keyed shuffle; no joins, no Python. Returns
+    (word, freq, deg, score), freq >= min_freq.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_pos", "_w"
+        ),
+    )
+    t2 = toks.withColumn("_stop", F.col("_w").isin(*stopwords).cast("int"))
+    island = F.sum("_stop").over(Window.partitionBy("_d").orderBy("_pos"))
+    nz = t2.withColumn("_isl", island).where(F.col("_stop") == 0)
+    plen = F.count("*").over(Window.partitionBy("_d", "_isl"))
+    occ = nz.withColumn("_plen", plen)
+    return (
+        occ.groupBy(F.col("_w").alias("word"))
+        .agg(F.count("*").alias("freq"), F.sum("_plen").alias("deg"))
+        .where(F.col("freq") >= min_freq)
+        .select(
+            "word",
+            "freq",
+            F.col("deg").cast("long").alias("deg"),
+            (F.col("deg").cast("double") / F.col("freq")).alias("score"),
+        )
+    )

@@ -259,3 +259,25 @@ def test_t_closeness_uniform_corpus_is_zero(spark):
         .agg(F.sum(F.abs("s")).alias("sa"))
     )
     assert all(r["sa"] == 0 for r in sa.collect())
+
+
+def test_rake_hand_computed(spark):
+    from citykg.ops.text import rake_word_scores
+
+    # "red apple of green apple": 'of' splits two 2-word phrases;
+    # deg(apple) = 2 + 2 = 4 over freq 2 -> score 2.0
+    docs = spark.createDataFrame([(1, "red apple of green apple")], ["doc_id", "text"])
+    got = {
+        r["word"]: r for r in rake_word_scores(docs, min_freq=1).collect()
+    }
+    assert (got["apple"]["freq"], got["apple"]["deg"], got["apple"]["score"]) == (2, 4, 2.0)
+    assert (got["red"]["freq"], got["red"]["deg"]) == (1, 2)
+    assert (got["green"]["freq"], got["green"]["deg"]) == (1, 2)
+    assert "of" not in got
+
+
+def test_rake_stopword_only_doc_empty(spark):
+    from citykg.ops.text import rake_word_scores
+
+    docs = spark.createDataFrame([(1, "of the and")], ["doc_id", "text"])
+    assert rake_word_scores(docs, min_freq=1).count() == 0
