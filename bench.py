@@ -327,9 +327,15 @@ def headline(sf_dir: str, cores: int) -> None:
         "interval_concurrency",
         "dedup_soft_weights",
         "customer_gini",
-        "graph_diameter",
+        # graph_diameter / graph_neighborhood are oracle-checked at
+        # sf0.01 but excluded here: at sf0.1 the synthetic corpus stacks
+        # 2.5 docs per anchor-grid point, so their radius-100 DWithin
+        # graph is ~10x denser than at the oracle SF (~875k edges /
+        # ~7M reachable pairs) and the BFS/closure walls (>70 s) would
+        # dominate the suite without measuring anything new — the
+        # constant-degree kernel scaling is probed in
+        # scripts/scale_probe_session5b.py instead
         "spatial_geodesic_area",
-        "graph_neighborhood",
         "kg_dictionary_stats",
         "graph_degree_powerlaw",
         "graph_rich_club",
