@@ -262,7 +262,9 @@ NO_CARTESIAN = {
     "graph_diameter",
     "graph_neighborhood",
     "kg_dictionary_stats",
-    "t_closeness",
+    # NOT t_closeness / customer_gini / graph_rich_club: their only
+    # nested-loop is the one-row totals broadcast fold (the
+    # dedup_threshold_curve pattern)
 }
 
 out = io.StringIO()
