@@ -10072,8 +10072,161 @@ FROM ph GROUP BY w HAVING count(*) >= 5
 """
 
 
+def q_spatial_bearing(spark, sf):
+    """Initial great-circle bearing between consecutive doc points on
+    the WGS84 sphere — the navigation companion to spatial_haversine
+    (same synthetic lon/lat track, same one equi-join on doc_id+1):
+    theta = atan2(sin dlon * cos lat2, cos lat1 * sin lat2 - sin lat1 *
+    cos lat2 * cos dlon), normalized to [0, 360). Pure JVM trig in one
+    codegen'd Project; the oracle replays the identical expression tree
+    (the normalization is a CASE, not a float mod, so both engines add
+    360 to the same atan2 double)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id",
+        "radians(cast(-5 + (doc_id % 30) * 0.5 as double)) as lon",
+        "radians(cast(40 + (doc_id % 20) * 0.5 as double)) as lat",
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lon").alias("la"), F.col("lat").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lon").alias("lb"), F.col("lat").alias("pb")
+    )
+    dlon = F.col("lb") - F.col("la")
+    theta = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos("pb"),
+            F.cos("pa") * F.sin("pb") - F.sin("pa") * F.cos("pb") * F.cos(dlon),
+        )
+    )
+    return (
+        a.join(b, F.col("doc_a") + 1 == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.when(theta < 0, theta + 360).otherwise(theta), 2
+            ).alias("bearing_deg"),
+        )
+    )
+
+
+def _spatial_bearing_sql() -> str:
+    return """
+WITH pts AS (SELECT doc_id,
+                    radians(CAST(-5 + (doc_id % 30) * 0.5 AS DOUBLE)) AS lon,
+                    radians(CAST(40 + (doc_id % 20) * 0.5 AS DOUBLE)) AS lat
+             FROM documents),
+j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        degrees(atan2(sin(b.lon - a.lon) * cos(b.lat),
+          cos(a.lat) * sin(b.lat) - sin(a.lat) * cos(b.lat) * cos(b.lon - a.lon)))
+          AS theta
+      FROM pts a JOIN pts b ON a.doc_id + 1 = b.doc_id)
+SELECT doc_a, doc_b,
+       round(CASE WHEN theta < 0 THEN theta + 360 ELSE theta END, 2) AS bearing_deg
+FROM j
+"""
+
+
+def q_shipping_delay_stats(spark, sf):
+    """Per-supplier order-to-ship delay moments: n, mean, min, max, and
+    population variance — ALL moments accumulated as exact integer day
+    sums (sum, sum-of-squares), so mean and variance are single
+    divisions of bigints (variance via n*sumsq - sum^2 over n^2) and the
+    doubles are bit-identical on both engines. ONE equi-join on
+    l_orderkey (co-partitioned on a bucketed store) + ONE supplier-keyed
+    partial agg; no windows."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("d"),
+    )
+    a = j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("sq"),
+        F.min("d").alias("min_days"),
+        F.max("d").alias("max_days"),
+    )
+    return a.select(
+        "l_suppkey",
+        F.col("n").cast("long").alias("n_items"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_days"),
+        F.col("min_days").cast("int").alias("min_days"),
+        F.col("max_days").cast("int").alias("max_days"),
+        (
+            (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("n"))
+        ).alias("var_days"),
+    )
+
+
+def _shipping_delay_stats_sql() -> str:
+    return """
+WITH j AS (SELECT l_suppkey,
+        date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+a AS (SELECT l_suppkey, count(*) AS n, sum(d) AS s, sum(d * d) AS sq,
+        min(d) AS mn, max(d) AS mx FROM j GROUP BY 1)
+SELECT l_suppkey, CAST(n AS BIGINT) AS n_items,
+       CAST(s AS DOUBLE) / n AS mean_days,
+       CAST(mn AS INT) AS min_days, CAST(mx AS INT) AS max_days,
+       CAST(n * sq - s * s AS DOUBLE) / (n * n) AS var_days
+FROM a
+"""
+
+
+def q_kg_predicate_profile(spark, sf):
+    """Predicate cardinality profile of the triple store, per (graph,
+    pred): triple count, distinct subjects/objects, max per-subject
+    fanout, avg fanout, and the data-driven FUNCTIONAL flag (max fanout
+    1) — the profiling pass that suggests owl:FunctionalProperty
+    candidates and sizes join fanouts before query planning (the
+    VoID-extension twin of kg_void_stats). Two-level integer agg: one
+    (graph, pred, subj) partial count, one (graph, pred) rollup; avg is
+    a single bigint division."""
+    t = _triples(spark, sf)
+    per_subj = t.groupBy("graph", "pred", "subj").agg(F.count("*").alias("c"))
+    return (
+        per_subj.groupBy("graph", "pred")
+        .agg(
+            F.sum("c").alias("n_triples"),
+            F.count("*").alias("n_subjects"),
+            F.max("c").alias("max_fanout"),
+        )
+        .select(
+            "graph",
+            "pred",
+            F.col("n_triples").cast("long").alias("n_triples"),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+            F.col("max_fanout").cast("long").alias("max_fanout"),
+            (F.col("n_triples").cast("double") / F.col("n_subjects")).alias(
+                "avg_fanout"
+            ),
+            (F.col("max_fanout") == 1).alias("functional"),
+        )
+    )
+
+
+def _kg_predicate_profile_sql() -> str:
+    return _triples_cte([]) + """
+, per_subj AS (SELECT graph, pred, subj, count(*) AS c
+   FROM t GROUP BY 1, 2, 3)
+SELECT graph, pred, CAST(sum(c) AS BIGINT) AS n_triples,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(max(c) AS BIGINT) AS max_fanout,
+       CAST(sum(c) AS DOUBLE) / count(*) AS avg_fanout,
+       max(c) = 1 AS functional
+FROM per_subj GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spatial_bearing": q_spatial_bearing,
+        "shipping_delay_stats": q_shipping_delay_stats,
+        "kg_predicate_profile": q_kg_predicate_profile,
         "text_rake": q_text_rake,
         "graph_degree_powerlaw": q_graph_degree_powerlaw,
         "graph_rich_club": q_graph_rich_club,
@@ -12356,6 +12509,9 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "spatial_bearing": _spatial_bearing_sql(),
+        "shipping_delay_stats": _shipping_delay_stats_sql(),
+        "kg_predicate_profile": _kg_predicate_profile_sql(),
         "text_rake": _text_rake_sql(),
         "graph_degree_powerlaw": _graph_degree_powerlaw_sql(),
         "graph_rich_club": _graph_rich_club_sql(),

@@ -341,6 +341,9 @@ def headline(sf_dir: str, cores: int) -> None:
         "graph_rich_club",
         "t_closeness",
         "text_rake",
+        "spatial_bearing",
+        "shipping_delay_stats",
+        "kg_predicate_profile",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -233,6 +233,9 @@ AUDITS = [
     ("graph_rich_club", "rich club: degree agg + two equi-joins; all 4 thresholds in one conditional-sum pass"),
     ("t_closeness", "t-closeness EMD: integer cumulative diffs, dense grid via explode, one per-group window; bin totals broadcast back"),
     ("text_rake", "RAKE: two doc-keyed window passes (island id, phrase len) + ONE word agg; no joins, no Python"),
+    ("spatial_bearing", "great-circle bearing: one equi-join + pure JVM trig Project"),
+    ("shipping_delay_stats", "delay moments: ONE equi-join + ONE supplier partial agg; integer sums, no windows"),
+    ("kg_predicate_profile", "predicate profile: two-level integer agg over the triple frame, no windows"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

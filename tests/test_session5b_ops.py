@@ -281,3 +281,60 @@ def test_rake_stopword_only_doc_empty(spark):
 
     docs = spark.createDataFrame([(1, "of the and")], ["doc_id", "text"])
     assert rake_word_scores(docs, min_freq=1).count() == 0
+
+
+def test_bearing_cardinal_directions(spark):
+    # due north from (0,0) -> 0 deg; due east -> 90 deg
+    pts = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 0.0)],
+        ["lon1", "lat1", "lon2", "lat2"],
+    ).selectExpr(
+        "radians(lon1) as la", "radians(lat1) as pa",
+        "radians(lon2) as lb", "radians(lat2) as pb",
+    )
+    dlon = F.col("lb") - F.col("la")
+    theta = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos("pb"),
+            F.cos("pa") * F.sin("pb") - F.sin("pa") * F.cos("pb") * F.cos(dlon),
+        )
+    )
+    got = sorted(
+        r["b"]
+        for r in pts.select(
+            F.round(F.when(theta < 0, theta + 360).otherwise(theta), 2).alias("b")
+        ).collect()
+    )
+    assert got == [0.0, 90.0]
+
+
+def test_shipping_delay_stats_moments(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["shipping_delay_stats"](spark, SF).collect()
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert sum(r["n_items"] for r in rows) == li_n
+    for r in rows:
+        assert r["min_days"] <= r["mean_days"] <= r["max_days"]
+        assert r["var_days"] >= 0.0
+        # variance of a bounded variable is bounded by the squared range
+        assert r["var_days"] <= (r["max_days"] - r["min_days"]) ** 2
+
+
+def test_kg_predicate_profile_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["kg_predicate_profile"](spark, SF).collect()
+    assert len(rows) > 200  # (graph, pred) combinations
+    # in the synth corpus every predicate is single-valued per subject
+    # (link rows carry their own content-derived subjects), so the
+    # functional flag is the interesting oracle-checked signal, not a
+    # split to assert on here
+    assert any(r["functional"] for r in rows)
+    for r in rows:
+        assert r["n_subjects"] <= r["n_triples"]
+        assert r["functional"] == (r["max_fanout"] == 1)
+        assert math.isclose(
+            r["avg_fanout"] * r["n_subjects"], float(r["n_triples"]), rel_tol=1e-12
+        )
+        assert r["max_fanout"] * r["n_subjects"] >= r["n_triples"]
