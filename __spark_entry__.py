@@ -10222,8 +10222,181 @@ FROM per_subj GROUP BY 1, 2
 """
 
 
+def q_event_mad_outliers(spark, sf):
+    """Robust outlier counts per event type via exact median + MAD
+    (median absolute deviation) — the heavy-tail-safe alternative to
+    event_anomaly's z-score (one extreme value corrupts mean/std but
+    not the medians; Hampel's 3-MAD rule). EXACT medians on both
+    engines: the k-th order statistics are selected by row_number over
+    (value, event_id) — ties share the value, so the selected doubles
+    are identical — and the median of an even group is one commutative
+    two-double average. Two rank windows (value, then deviation) with
+    the per-type medians broadcast back between passes; the scale path
+    for a corpus-sized type is the two-pass bucketed rank in
+    ops/sampling.py."""
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    cnt = e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def _median(df, col):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        r = df.withColumn("_rk", F.row_number().over(w)).join(
+            F.broadcast(cnt), "event_type"
+        )
+        mid = r.where(
+            (F.col("_rk") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("_rk") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(F.avg(col).alias(f"med_{col}"))
+
+    med = _median(e, "value")
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = _median(dev.select("event_type", "event_id", "dev"), "dev")
+    j = dev.join(F.broadcast(mad), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("med_value").alias("median_value"),
+            F.max("med_dev").alias("mad"),
+            F.sum(
+                (F.col("dev") > F.lit(3.0) * F.col("med_dev")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def _event_mad_outliers_sql() -> str:
+    return """
+WITH e AS (SELECT event_type, event_id, value FROM events),
+cnt AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+r1 AS (SELECT e.event_type, value,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY value, event_id) AS rk,
+         n
+       FROM e JOIN cnt USING (event_type)),
+med AS (SELECT event_type, avg(value) AS med_value FROM r1
+        WHERE rk = floor((n + 1) / 2) OR rk = floor((n + 2) / 2) GROUP BY 1),
+dev AS (SELECT e.event_type, e.event_id, e.value,
+          abs(e.value - med_value) AS dev, med_value
+        FROM e JOIN med USING (event_type)),
+r2 AS (SELECT dev.event_type, dev.dev,
+         row_number() OVER (PARTITION BY dev.event_type ORDER BY dev.dev, event_id) AS rk,
+         n
+       FROM dev JOIN cnt USING (event_type)),
+mad AS (SELECT event_type, avg(dev) AS med_dev FROM r2
+        WHERE rk = floor((n + 1) / 2) OR rk = floor((n + 2) / 2) GROUP BY 1)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       max(d.med_value) AS median_value,
+       max(m.med_dev) AS mad,
+       CAST(sum(CASE WHEN d.dev > 3.0 * m.med_dev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type) GROUP BY 1
+"""
+
+
+def q_tokenizer_oov(spark, sf):
+    """Vocabulary-coverage / OOV-rate audit per doc against the corpus
+    top-100 token vocabulary — the tokenizer-health metric next to
+    tokenizer_fertility (a vocab that misses the corpus head inflates
+    sequence length and training cost). Vocabulary = row_number over
+    (freq DESC, token ASC), the deterministic tie-break; membership
+    rides back as a broadcast LEFT join on the exploded tokens, then ONE
+    per-doc agg; oov_rate is a single integer division. The only
+    unpartitioned window runs over the DISTINCT-token frame (vocab-
+    bounded, not corpus-bounded)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tok = dedup.fanout_to_parallelism(docs, "doc_id", "text").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    vocab = (
+        freq.withColumn(
+            "_rk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+        )
+        .where(F.col("_rk") <= 100)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    j = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+def _tokenizer_oov_sql() -> str:
+    return r"""
+WITH sp AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM sp),
+freq AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
+vocab AS (SELECT w FROM (SELECT w,
+            row_number() OVER (ORDER BY freq DESC, w ASC) AS rk FROM freq)
+          WHERE rk <= 100)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS oov_rate
+FROM tok LEFT JOIN vocab v USING (w) GROUP BY doc_id
+"""
+
+
+def q_event_idle_gaps(spark, sf):
+    """Per-user idle-gap profile: count / max / mean of the gaps between
+    consecutive events — the dwell-time diagnostic feeding session
+    timeout choices (sessionize assigns sessions GIVEN a 1800 s cutoff;
+    this measures the gap distribution that justifies it). One lag
+    window + ONE per-user agg, all-integer except the single mean
+    division; single-event users keep NULL gap stats on both engines."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        e.select("user_id", "event_id", sec.alias("s"))
+        .withColumn("gap", F.col("s") - F.lag("s").over(w))
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_s"),
+        (F.sum("gap").cast("double") / F.count("gap")).alias("mean_gap_s"),
+    )
+
+
+def _event_idle_gaps_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+           FROM events),
+g AS (SELECT user_id,
+        s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+      FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(max(gap) AS BIGINT) AS max_gap_s,
+       CAST(sum(gap) AS DOUBLE) / count(gap) AS mean_gap_s
+FROM g GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "event_mad_outliers": q_event_mad_outliers,
+        "tokenizer_oov": q_tokenizer_oov,
+        "event_idle_gaps": q_event_idle_gaps,
         "spatial_bearing": q_spatial_bearing,
         "shipping_delay_stats": q_shipping_delay_stats,
         "kg_predicate_profile": q_kg_predicate_profile,
@@ -12509,6 +12682,9 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "event_mad_outliers": _event_mad_outliers_sql(),
+        "tokenizer_oov": _tokenizer_oov_sql(),
+        "event_idle_gaps": _event_idle_gaps_sql(),
         "spatial_bearing": _spatial_bearing_sql(),
         "shipping_delay_stats": _shipping_delay_stats_sql(),
         "kg_predicate_profile": _kg_predicate_profile_sql(),

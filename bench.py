@@ -344,6 +344,9 @@ def headline(sf_dir: str, cores: int) -> None:
         "spatial_bearing",
         "shipping_delay_stats",
         "kg_predicate_profile",
+        "event_mad_outliers",
+        "tokenizer_oov",
+        "event_idle_gaps",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -236,6 +236,9 @@ AUDITS = [
     ("spatial_bearing", "great-circle bearing: one equi-join + pure JVM trig Project"),
     ("shipping_delay_stats", "delay moments: ONE equi-join + ONE supplier partial agg; integer sums, no windows"),
     ("kg_predicate_profile", "predicate profile: two-level integer agg over the triple frame, no windows"),
+    ("event_mad_outliers", "MAD outliers: two rank windows with per-type medians broadcast between passes"),
+    ("tokenizer_oov", "OOV audit: vocab-bounded rank window + broadcast LEFT membership join + one per-doc agg"),
+    ("event_idle_gaps", "idle gaps: one lag window + one per-user agg, all-integer"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

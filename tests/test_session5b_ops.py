@@ -338,3 +338,80 @@ def test_kg_predicate_profile_invariants(spark):
             r["avg_fanout"] * r["n_subjects"], float(r["n_triples"]), rel_tol=1e-12
         )
         assert r["max_fanout"] * r["n_subjects"] >= r["n_triples"]
+
+
+def test_mad_hand_computed(spark):
+    # values [1,2,3,4,100]: median 3, deviations [2,1,0,1,97] -> MAD 1;
+    # only 100 exceeds 3 * MAD
+    import __spark_entry__ as em  # noqa: F401
+
+    e = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])],
+        ["event_type", "event_id", "value"],
+    )
+    cnt = e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def median_of(df, col):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        r = df.withColumn("_rk", F.row_number().over(w)).join(cnt, "event_type")
+        mid = r.where(
+            (F.col("_rk") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("_rk") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(F.avg(col).alias("m"))
+
+    med = median_of(e, "value").collect()[0]["m"]
+    assert med == 3.0
+    dev = e.withColumn("dev", F.abs(F.col("value") - F.lit(med)))
+    mad = median_of(dev.select("event_type", "event_id", "dev"), "dev").collect()[0][
+        "m"
+    ]
+    assert mad == 1.0
+    assert dev.where(F.col("dev") > 3 * mad).count() == 1
+
+
+def test_mad_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["event_mad_outliers"](spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert r["mad"] >= 0.0
+        assert 0 <= r["n_outliers"] < r["n_events"]
+
+
+def test_tokenizer_oov_invariants(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["tokenizer_oov"](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert math.isclose(
+            r["oov_rate"] * r["n_tokens"], float(r["n_oov"]), rel_tol=1e-12
+        )
+    # the synthetic corpus vocabulary is tiny, so the top-100 vocab
+    # should cover most tokens
+    total = sum(r["n_tokens"] for r in rows)
+    oov = sum(r["n_oov"] for r in rows)
+    assert oov < total / 2
+
+
+def test_idle_gaps_single_event_user_null_stats(spark):
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        spark.createDataFrame(
+            [(1, 10, 100), (1, 11, 400), (2, 12, 50)],
+            ["user_id", "event_id", "s"],
+        )
+        .withColumn("gap", F.col("s") - F.lag("s").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.max("gap").alias("max_gap"),
+        )
+    )
+    got = {r["user_id"]: r for r in g.collect()}
+    assert (got[1]["n_gaps"], got[1]["max_gap"]) == (1, 300)
+    assert (got[2]["n_gaps"], got[2]["max_gap"]) == (0, None)
