@@ -10392,8 +10392,130 @@ FROM g GROUP BY 1
 """
 
 
+def q_event_top_paths(spark, sf):
+    """Top 3-step event paths by frequency — contiguous sequence mining
+    over per-user timelines (the n-gram counterpart of event_markov's
+    one-step transition matrix and event_funnel's FIXED target path:
+    this one discovers which paths dominate). One lag-free lead window
+    per user + ONE path-keyed partial agg; the rank window runs over the
+    path-type frame (bounded by |event types|^3, corpus-size-free), with
+    the full deterministic (cnt DESC, path ASC) tie-break."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    p = (
+        e.select("user_id", "event_id", sec.alias("s"), "event_type")
+        .withColumn("e2", F.lead("event_type").over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    c = p.groupBy(F.col("event_type").alias("e1"), "e2", "e3").agg(
+        F.count("*").alias("cnt")
+    )
+    r = c.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        ),
+    )
+    return r.where(F.col("rank") <= 20).select(
+        "e1", "e2", "e3", F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _event_top_paths_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  event_type FROM events),
+p AS (SELECT event_type AS e1,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id) AS e2,
+        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY s, event_id) AS e3
+      FROM e),
+c AS (SELECT e1, e2, e3, count(*) AS cnt FROM p
+      WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3),
+r AS (SELECT e1, e2, e3, cnt,
+        row_number() OVER (ORDER BY cnt DESC, e1, e2, e3) AS rank FROM c)
+SELECT e1, e2, e3, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20
+"""
+
+
+def q_spatial_grid_clusters(spark, sf):
+    """Grid-density clustering (the distributed DBSCAN approximation:
+    cells of side 8 with >= 5 points are core; adjacent core cells merge
+    into clusters) — the density-based member of the clustering family
+    next to kmeans_assign (centroid-based) and spatial_dwithin (pair
+    predicate). Cell counts are ONE partial agg; core-cell adjacency is
+    the 3x3-neighbor equi-join (no cartesian — same shape as
+    dwithin_pairs); merging uses canon.connected_components_shortcut —
+    the pointer-shortcutting CC, because grid clusters are CHAINS whose
+    diameter defeats plain min-label propagation in bounded rounds.
+    Cell keys are fixed-width digit strings so the min-label IS the
+    numeric (cx, cy) minimum on both engines."""
+    pts = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "cast(384000 + doc_id % 1000 as double) as x",
+        "cast(5820000 + doc_id % 2000 as double) as y",
+    )
+    cells = (
+        pts.select(
+            F.floor(F.col("x") / 8).alias("cx"), F.floor(F.col("y") / 8).alias("cy")
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+    )
+    core = cells.where(F.col("n") >= 5).withColumn(
+        "k", F.format_string("%06d%08d", "cx", "cy")
+    )
+    probe = (
+        core.select("k", "cx", "cy")
+        .withColumn("dx", F.explode(F.array(*[F.lit(v) for v in (-1, 0, 1)])))
+        .withColumn("dy", F.explode(F.array(*[F.lit(v) for v in (-1, 0, 1)])))
+        .select(
+            F.col("k").alias("src"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    edges = (
+        probe.join(core.select(F.col("k").alias("dst"), "cx", "cy"), ["cx", "cy"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cc = canon.connected_components_shortcut(edges)
+    lab = core.join(cc, core.k == cc.id, "left").select(
+        "k", "n", F.coalesce("component", "k").alias("cluster_id")
+    )
+    return lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+    )
+
+
+def _spatial_grid_clusters_sql() -> str:
+    return """
+WITH RECURSIVE pts AS (SELECT 384000 + doc_id % 1000 AS px,
+    5820000 + doc_id % 2000 AS py FROM documents),
+cells AS (SELECT CAST(floor(px / 8) AS BIGINT) AS cx,
+                 CAST(floor(py / 8) AS BIGINT) AS cy, count(*) AS n
+          FROM pts GROUP BY 1, 2),
+core AS (SELECT printf('%06d%08d', cx, cy) AS k, cx, cy, n
+         FROM cells WHERE n >= 5),
+e AS (SELECT a.k AS s, b.k AS t FROM core a JOIN core b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.k <> b.k),
+reach(s, t) AS (SELECT k, k FROM core
+  UNION SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t),
+lab AS (SELECT s AS k, min(t) AS cluster_id FROM reach GROUP BY 1)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM core JOIN lab USING (k) GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "event_top_paths": q_event_top_paths,
+        "spatial_grid_clusters": q_spatial_grid_clusters,
         "event_mad_outliers": q_event_mad_outliers,
         "tokenizer_oov": q_tokenizer_oov,
         "event_idle_gaps": q_event_idle_gaps,
@@ -12682,6 +12804,8 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "event_top_paths": _event_top_paths_sql(),
+        "spatial_grid_clusters": _spatial_grid_clusters_sql(),
         "event_mad_outliers": _event_mad_outliers_sql(),
         "tokenizer_oov": _tokenizer_oov_sql(),
         "event_idle_gaps": _event_idle_gaps_sql(),

@@ -347,6 +347,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "event_mad_outliers",
         "tokenizer_oov",
         "event_idle_gaps",
+        "event_top_paths",
+        "spatial_grid_clusters",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -252,3 +252,62 @@ def fuse_attributes(triples: DataFrame, labels: DataFrame) -> DataFrame:
             (F.col("n_values") > 1).cast("int").alias("conflicted"),
         )
     )
+
+
+def connected_components_shortcut(edges: DataFrame, max_iter: int = 16) -> DataFrame:
+    """Min-label CC with pointer shortcutting (the two-phase hash-to-min
+    family, Kiveris et al. 2014): each round every node takes the min of
+    its neighbors' labels AND its current label's label (one extra
+    self-join). The distance from any node's label to the component
+    minimum HALVES per round, so paths and grids converge in
+    O(log diameter) rounds where plain `connected_components` min-label
+    propagation needs O(diameter) — use this variant when components can
+    be long chains (grid clusters, road networks) rather than the star
+    shapes same_as_edges emits. Same contract: edges (src, dst) string
+    ids -> (id, component = min reachable id)."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .transform(stable)
+    )
+    lab = (
+        sym.select(F.col("src").alias("id"))
+        .union(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(lab.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("_n"))
+        )
+        l1 = lab.join(nmin, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("_n"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        l2 = (
+            l1.join(
+                l1.select(F.col("id").alias("_c"), F.col("comp").alias("_cc")),
+                l1.comp == F.col("_c"),
+                "left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .transform(stable)
+        )
+        moved = l2.join(
+            lab.select("id", F.col("comp").alias("_old")), "id"
+        ).where(F.col("comp") != F.col("_old"))
+        lab = l2
+        if moved.isEmpty():
+            break
+    return lab.select("id", "comp").withColumnRenamed("comp", "component")

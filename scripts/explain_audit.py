@@ -239,6 +239,8 @@ AUDITS = [
     ("event_mad_outliers", "MAD outliers: two rank windows with per-type medians broadcast between passes"),
     ("tokenizer_oov", "OOV audit: vocab-bounded rank window + broadcast LEFT membership join + one per-doc agg"),
     ("event_idle_gaps", "idle gaps: one lag window + one per-user agg, all-integer"),
+    ("event_top_paths", "3-step path mining: one lead window per user + path-keyed partial agg; rank window bounded by |types|^3"),
+    ("spatial_grid_clusters", "grid DBSCAN: cell partial agg + 3x3 equi-join + pointer-shortcut CC (O(log d) rounds on chains)"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -415,3 +415,54 @@ def test_idle_gaps_single_event_user_null_stats(spark):
     got = {r["user_id"]: r for r in g.collect()}
     assert (got[1]["n_gaps"], got[1]["max_gap"]) == (1, 300)
     assert (got[2]["n_gaps"], got[2]["max_gap"]) == (0, None)
+
+
+def test_cc_shortcut_converges_on_long_path(spark):
+    from citykg.canon import connected_components_shortcut
+
+    # path of 40 nodes: diameter 39 defeats plain min-label propagation
+    # in 20 rounds; pointer shortcutting needs ~log2(39) ~ 6
+    e = spark.createDataFrame(
+        [(f"{i:03d}", f"{i + 1:03d}") for i in range(39)], ["src", "dst"]
+    )
+    lab = connected_components_shortcut(e, max_iter=16).collect()
+    assert len(lab) == 40
+    assert all(r["component"] == "000" for r in lab)
+
+
+def test_cc_shortcut_two_components(spark):
+    from citykg.canon import connected_components_shortcut
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components_shortcut(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_top_paths_hand_computed(spark):
+    w = Window.partitionBy("u").orderBy("s")
+    e = spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B")], ["u", "s", "t"]
+    )
+    p = (
+        e.withColumn("e2", F.lead("t").over(w))
+        .withColumn("e3", F.lead("t", 2).over(w))
+        .where(F.col("e3").isNotNull())
+    )
+    got = {
+        (r["t"], r["e2"], r["e3"]): r["n"]
+        for r in p.groupBy("t", "e2", "e3").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {("A", "B", "A"): 1, ("B", "A", "B"): 1}
+
+
+def test_grid_clusters_single_diagonal(spark):
+    import __spark_entry__ as em
+
+    # sf0.001: points (k, k) for k=0..499 -> 62 full core cells of 8
+    # points along one diagonal (the tail cell holds 4 < 5 and drops),
+    # all merged into ONE cluster
+    rows = em.queries()["spatial_grid_clusters"](spark, SF).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_cells"], rows[0]["n_points"]) == (62, 496)
