@@ -10512,8 +10512,90 @@ FROM core JOIN lab USING (k) GROUP BY 1
 """
 
 
+def q_kg_char_sets(spark, sf):
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by their exact predicate SET and count each set — THE
+    classic RDF structure-discovery / cardinality-estimation summary
+    (star-join selectivities read straight off the counts, and the set
+    inventory IS the implicit schema of a schemaless store). One
+    per-subject collect_set agg + one set-keyed partial agg; the set key
+    is the sorted comma-join, so both engines produce identical
+    strings."""
+    t = _triples(spark, sf)
+    per_subj = t.groupBy("subj").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("pred"))).alias("pred_set"),
+        F.count("*").alias("nt"),
+    )
+    return (
+        per_subj.groupBy("pred_set")
+        .agg(
+            F.count("*").cast("long").alias("n_subjects"),
+            F.sum("nt").cast("long").alias("n_triples"),
+        )
+        .select(
+            "pred_set",
+            (F.size(F.split(F.col("pred_set"), ",")).cast("int")).alias("n_preds"),
+            "n_subjects",
+            "n_triples",
+        )
+    )
+
+
+def _kg_char_sets_sql() -> str:
+    return _triples_cte([]) + """
+, per_subj AS (SELECT subj,
+        string_agg(DISTINCT pred, ',' ORDER BY pred) AS pred_set,
+        count(*) AS nt
+   FROM t GROUP BY 1)
+SELECT pred_set,
+       CAST(len(string_split(pred_set, ',')) AS INT) AS n_preds,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(nt) AS BIGINT) AS n_triples
+FROM per_subj GROUP BY 1
+"""
+
+
+def q_kg_entity_summary(spark, sf):
+    """Entity summarization: the top-3 facts per building entity ranked
+    by predicate RARITY (rare predicates are the informative ones — the
+    inverse-frequency heuristic of the LinkSum/FACES summarization
+    family; a gml:id tells you less than a measuredHeight). Predicate
+    frequencies are ONE partial agg broadcast back; the per-subject rank
+    window runs over entity fanout (bounded by the template width, not
+    the corpus); ties break deterministically on (freq, pred, obj)."""
+    t = _triples(spark, sf, ["building"])
+    pf = t.groupBy("pred").agg(F.count("*").alias("pfreq"))
+    j = t.select("subj", "pred", "obj").join(F.broadcast(pf), "pred")
+    w = Window.partitionBy("subj").orderBy(
+        F.asc("pfreq"), F.asc("pred"), F.asc("obj")
+    )
+    r = j.withColumn("rank", F.row_number().over(w))
+    return r.where(F.col("rank") <= 3).select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("pfreq").cast("long").alias("pred_freq"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _kg_entity_summary_sql() -> str:
+    return _triples_cte(["building"]) + """
+, pf AS (SELECT pred, count(*) AS pfreq FROM t GROUP BY 1),
+r AS (SELECT subj, t.pred, obj, pfreq,
+        row_number() OVER (PARTITION BY subj
+          ORDER BY pfreq, t.pred, obj) AS rank
+      FROM t JOIN pf ON t.pred = pf.pred)
+SELECT subj, pred, obj, CAST(pfreq AS BIGINT) AS pred_freq,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "kg_char_sets": q_kg_char_sets,
+        "kg_entity_summary": q_kg_entity_summary,
         "event_top_paths": q_event_top_paths,
         "spatial_grid_clusters": q_spatial_grid_clusters,
         "event_mad_outliers": q_event_mad_outliers,
@@ -12804,6 +12886,8 @@ SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares FROM cn
 def oracle_sql() -> dict[str, str]:
     dk = doc_key_expr("duckdb")
     return {
+        "kg_char_sets": _kg_char_sets_sql(),
+        "kg_entity_summary": _kg_entity_summary_sql(),
         "event_top_paths": _event_top_paths_sql(),
         "spatial_grid_clusters": _spatial_grid_clusters_sql(),
         "event_mad_outliers": _event_mad_outliers_sql(),

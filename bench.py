@@ -349,6 +349,8 @@ def headline(sf_dir: str, cores: int) -> None:
         "event_idle_gaps",
         "event_top_paths",
         "spatial_grid_clusters",
+        "kg_char_sets",
+        "kg_entity_summary",
     ):
         if name == "ann_lsh_topk":
             timed(name, ann_lsh_production)

@@ -241,6 +241,8 @@ AUDITS = [
     ("event_idle_gaps", "idle gaps: one lag window + one per-user agg, all-integer"),
     ("event_top_paths", "3-step path mining: one lead window per user + path-keyed partial agg; rank window bounded by |types|^3"),
     ("spatial_grid_clusters", "grid DBSCAN: cell partial agg + 3x3 equi-join + pointer-shortcut CC (O(log d) rounds on chains)"),
+    ("kg_char_sets", "characteristic sets: per-subject collect_set agg + set-keyed partial agg"),
+    ("kg_entity_summary", "entity summary: pred-freq agg broadcast back + per-subject rank window over template-bounded fanout"),
 ]
 
 # hard gate: these queries must never plan an all-pairs join

@@ -466,3 +466,34 @@ def test_grid_clusters_single_diagonal(spark):
     rows = em.queries()["spatial_grid_clusters"](spark, SF).collect()
     assert len(rows) == 1
     assert (rows[0]["n_cells"], rows[0]["n_points"]) == (62, 496)
+
+
+def test_char_sets_partition_subjects(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["kg_char_sets"](spark, SF).collect()
+    t = em._triples(spark, SF)
+    n_subj = t.select("subj").distinct().count()
+    n_trip = t.count()
+    # characteristic sets PARTITION the subjects and the triples
+    assert sum(r["n_subjects"] for r in rows) == n_subj
+    assert sum(r["n_triples"] for r in rows) == n_trip
+    for r in rows:
+        assert r["n_preds"] == len(r["pred_set"].split(","))
+        assert r["pred_set"].split(",") == sorted(r["pred_set"].split(","))
+        # a subject states each predicate at least once
+        assert r["n_triples"] >= r["n_preds"] * r["n_subjects"]
+
+
+def test_entity_summary_rarity_order(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["kg_entity_summary"](spark, SF).collect()
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r["subj"], []).append(r)
+    for subj, facts in by_subj.items():
+        facts.sort(key=lambda r: r["rank"])
+        assert [f["rank"] for f in facts] == list(range(1, len(facts) + 1))
+        freqs = [f["pred_freq"] for f in facts]
+        assert freqs == sorted(freqs)  # rarest predicates rank first
